@@ -1,0 +1,79 @@
+"""Byte-identity conformance vs frozen reference goldens.
+
+Each golden case replays one reference test document (optionally with a
+config) through the engine's per-document extractor and asserts the
+complete record matches: nwords, docinfo fields, every metaname /
+property buffer byte-for-byte (\\x03 joins included), and the full
+token stream (value, position, offset, len, meta, context).
+
+Goldens were produced by the reference itself (tools/gen_goldens.py,
+LC_ALL=C.utf8) — this is the north_rule's "byte-identical extracted
+text per url" gate run through `python -m pytest -x -q`.
+"""
+
+import base64
+import json
+import pathlib
+
+import pytest
+
+from swishray.config import Config
+from swishray.extractor import DocumentExtractor
+
+GOLDENS = pathlib.Path(__file__).parent / "goldens" / "fixtures.jsonl"
+FIX = pathlib.Path("/root/reference/src/test_docs")
+
+CASES = [json.loads(line) for line in GOLDENS.open()]
+
+
+def _build_config(case: dict) -> Config:
+    cfg = Config.default()
+    if case["config"]:
+        cfg.add(case["config"])
+    for k, v in case["flags"].items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c["case"] for c in CASES])
+def test_fixture_byte_identity(case):
+    doc = FIX / case["doc"]
+    if not doc.exists():
+        pytest.skip("fixture missing")
+    cfg = _build_config(case)
+    ex = DocumentExtractor(cfg)
+    rec = ex.extract(str(doc), doc.read_bytes())
+
+    g = case["golden"]
+    if g is None:
+        # The reference crashed on this input (e.g. invalid UTF-8
+        # reaching the tokenizer). The engine must instead record a
+        # per-row error and produce no tokens.
+        assert rec.error is not None
+        assert rec.docinfo.nwords == 0
+        return
+
+    assert rec.docinfo.nwords == g["nwords"], "nwords"
+    assert rec.docinfo.mime == g["mime"], "mime"
+    assert rec.docinfo.parser == g["parser"], "parser"
+    assert rec.docinfo.encoding == g["encoding"], "encoding"
+
+    for name, b64 in g["metanames"].items():
+        assert rec.metanames.get(name) == base64.b64decode(b64), \
+            f"metaname[{name}]"
+    assert set(rec.metanames) == set(g["metanames"]), "metaname key set"
+
+    for name, b64 in g["properties"].items():
+        assert rec.properties.get(name) == base64.b64decode(b64), \
+            f"property[{name}]"
+    assert set(rec.properties) == set(g["properties"]), "property key set"
+
+    ref_tokens = [
+        (t[0], t[1], t[2], base64.b64decode(t[3]), t[4], t[5])
+        for t in g["tokens"]
+    ]
+    mine_tokens = list(zip(
+        rec.token_positions, rec.token_metas, rec.token_contexts,
+        rec.token_values, rec.token_offsets,
+        [len(v) for v in rec.token_values]))
+    assert mine_tokens == ref_tokens, "token stream"

@@ -130,7 +130,7 @@ main(int argc, char **argv)
     swish_setup();
     s3 = swish_3_init(&handler, NULL);
 
-    while ((ch = getopt(argc, argv, "c:t:x:C:")) != -1) {
+    while ((ch = getopt(argc, argv, "c:t:x:X:C:")) != -1) {
         switch (ch) {
         case 'c':
             s3->config = swish_config_add(s3->config, (xmlChar *)optarg);
@@ -140,6 +140,10 @@ main(int argc, char **argv)
             break;
         case 'x':
             s3->config->flags->ignore_xmlns =
+                swish_string_to_boolean((xmlChar *)optarg);
+            break;
+        case 'X':
+            s3->config->flags->follow_xinclude =
                 swish_string_to_boolean((xmlChar *)optarg);
             break;
         case 'C':
