@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the swishray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline (SURVEY.md §7.2)
+over sf0.001-scale synthetic pages.  ``queries()`` exposes one entry
+per implemented operator family (SURVEY.md §2 + the training-data ops
+from the task brief); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one (same column names, integer/selection
+outputs preferred over accumulated floats so value hashes are exact).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or below.
 """
 
 from __future__ import annotations
@@ -18,27 +16,437 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_HOSTS_SQL = ("['alpha.example','beta.example','gamma.example',"
+              "'delta.example','epsilon.example']")
+_URL_SQL = ("'https://' || (" + _HOSTS_SQL + ")[(doc_id % 5) + 1] || "
+            "'/doc/' || lpad(cast(doc_id as varchar), 8, '0') || '.html'")
+_WORDS_SQL = "list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')"
+
+
+def _pages(sf_dir: str):
+    from swishray.synth import pages_from_documents
+    return pages_from_documents(sf_dir)
+
+
+def _extracted(sf_dir: str, emit: str = "text", **kw):
+    from swishray.pipeline import extract_pages
+    return extract_pages(_pages(sf_dir), emit=emit, concurrency=4, **kw)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic pages -> full extraction records."""
+    from swishray.pipeline import extract_pages
+    from swishray.synth import pages_from_documents
+    pages = pages_from_documents("/root/testdata/sf0.001")
+    return extract_pages(pages, emit="full", concurrency=4)
+
+
+# ---------------------------------------------------------------------
+
+def q_extract_text(sf_dir: str):
+    """§3.1 flagship path: byte-identical extracted text per url."""
+    return _extracted(sf_dir).select_columns(["url", "text"])
+
+
+def q_extract_docinfo(sf_dir: str):
+    """§2.2 docinfo resolution + title metaname extraction."""
+    import pyarrow.compute as pc
+
+    def shape(batch):
+        import pyarrow as pa
+        return pa.table({
+            "url": batch.column("url"),
+            "title": pc.cast(batch.column("title"), pa.string()),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+            "mime": batch.column("mime"),
+            "parser": batch.column("parser"),
+        })
+    return _extracted(sf_dir).map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_totals(sf_dir: str):
+    """§2.5 twords + files-parsed counters."""
+    import pandas as pd
+    ext = _extracted(sf_dir)
+    return pd.DataFrame({"n_docs": [ext.count()],
+                         "total_words": [int(ext.sum("nwords"))]})
+
+
+def q_facet_lang(sf_dir: str):
+    """§2.5 facet counts over a property (input lang carried through)."""
+    from ray.data.aggregate import Count
+    ext = _extracted(sf_dir, keep_input_columns=("lang",))
+    return ext.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_top_words(sf_dir: str):
+    """§2.5 top-N words (countwords.pl): token -> total + doc counts,
+    deterministic multi-key order."""
+    from swishray.pipeline import top_n_words
+    ext = _extracted(sf_dir, emit="full")
+    top = top_n_words(ext, 2000)  # wide partial, deterministic cut below
+    return top.sort(["total_count", "token"],
+                    descending=[True, False]).limit(20)
+
+
+def q_dedup_exact(sf_dir: str):
+    """§2.4/§2.7 exact dedup: union the corpus with itself, dedup by
+    content hash keeping the smallest doc_id."""
+    from swishray.ops.dedup import exact_dedup
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    doubled = docs.union(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    kept = exact_dedup(doubled, col="text", key="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+def q_token_count_ws(sf_dir: str):
+    from swishray.ops.textstats import token_count_ws
+    return token_count_ws(_docs(sf_dir))
+
+
+def q_token_count_bpeish(sf_dir: str):
+    from swishray.ops.textstats import token_count_bpeish
+    return token_count_bpeish(_docs(sf_dir))
+
+
+def q_quality_counts(sf_dir: str):
+    """Quality scoring, integer-count form (hash-exact)."""
+    import pyarrow as pa
+    from swishray.ops.textstats import STOPWORDS
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        n_chars, n_words, sum_wl, n_stop = [], [], [], []
+        for t in texts:
+            words = t.split()
+            n_chars.append(len(t))
+            n_words.append(len(words))
+            sum_wl.append(sum(len(w) for w in words))
+            n_stop.append(sum(1 for w in words if w in STOPWORDS))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "sum_word_len": pa.array(sum_wl, type=pa.int64()),
+            "n_stopwords": pa.array(n_stop, type=pa.int64()),
+        })
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_fingerprint_md5(sf_dir: str):
+    from swishray.ops.textstats import fingerprints
+    return fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
+
+
+def q_mime_sniff(sf_dir: str):
+    """§2.2 MIME sniff + parser select over cycled extensions."""
+    import pyarrow as pa
+    from swishray.config import Config
+    from swishray.extractor import resolve_docinfo
+
+    exts = ["html", "txt", "xml", "pdf", "png", "foo"]
+    cfg = Config.default()
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls, e_, m_, p_ = [], [], [], []
+        for d in ids:
+            ext = exts[d % len(exts)]
+            url = f"https://files.example/{d:08d}.{ext}"
+            di = resolve_docinfo(cfg, url, 1)
+            urls.append(url)
+            e_.append(di.ext)
+            m_.append(di.mime)
+            p_.append(di.parser)
+        return pa.table({
+            "url": pa.array(urls), "ext": pa.array(e_),
+            "mime": pa.array(m_), "parser": pa.array(p_)})
+    return _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def q_events_tumbling(sf_dir: str):
+    """Streaming-shaped tumbling window aggregate (§2.9 analog)."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    # selection stats only (min/max are exact; sums of doubles aren't)
+    from ray.data.aggregate import Count, Max, Min
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("window_start", w)
+
+    keyed = ev.map_batches(add_window, batch_format="pyarrow")
+    return keyed.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+
+
+def q_sessionize(sf_dir: str):
+    """Per-user session windows (gap 30 min)."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.windows import sessionize
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    s = sessionize(ev, 1800)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "session_start": batch.column("session_start"),
+            "session_end": batch.column("session_end"),
+            "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+        })
+    return s.map_batches(shape, batch_format="pyarrow")
+
+
+def q_multi_key_sort(sf_dir: str):
+    """§2.6 multi-key result sort + limit."""
+    import ray.data as rd
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    return o.sort(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                  descending=[False, True, False]).limit(100)
+
+
+def q_range_filter(sf_dir: str):
+    """§2.6 property range limit as counts."""
+    import ray.data as rd
+    import pandas as pd
+    import pyarrow.compute as pc
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    f = li.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["l_quantity"], 10),
+                                   pc.less_equal(t["l_quantity"], 20))),
+        batch_format="pyarrow")
+    n = f.count()
+    norders = f.unique("l_orderkey")
+    return pd.DataFrame({"n_rows": [n], "n_orders": [len(norders)]})
+
+
+def q_offset_limit(sf_dir: str):
+    """§2.6 offset/limit paging with a deterministic total order."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    page = docs.sort(["n_chars", "doc_id"],
+                     descending=[True, False]).limit(30).take_all()
+    import pandas as pd
+    return pd.DataFrame(page[10:30])
+
+
+def q_union_count(sf_dir: str):
+    """§2.7 union of inputs."""
+    import pandas as pd
+    a = _docs(sf_dir).select_columns(["doc_id"])
+    b = _docs(sf_dir).select_columns(["doc_id"])
+    return pd.DataFrame({"n": [a.union(b).count()]})
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 4 vectors as queries."""
+    import ray.data as rd
+    import numpy as np
+    from swishray.ops.similarity import brute_force_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(emb.limit(50).take_all(), key=lambda r: r["vec_id"])
+    qrows = [r for r in qrows if r["vec_id"] < 4]
+    qids = [r["vec_id"] for r in qrows]
+    qv = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    top = brute_force_topk(emb, qids, qv, k=10)
+    return top.select_columns(["query_id", "vec_id"])
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine >= 0.3)."""
+    import ray.data as rd
+    from swishray.ops.similarity import cosine_dup_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=0.3).select_columns(["a", "b"])
+
+
+# ---- rows-only (non-SQL-expressible) ---------------------------------
+
+def q_lang_id(sf_dir: str):
+    from swishray.ops.textstats import lang_id
+    return lang_id(_docs(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from swishray.ops.dedup import minhash_dedup
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return minhash_dedup(docs, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from swishray.ops.dedup import simhash_near_dups
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=8)
+
+
+def q_ivf_topk(sf_dir: str):
+    import ray.data as rd
+    import numpy as np
+    from swishray.ops.similarity import ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(emb.limit(50).take_all(), key=lambda r: r["vec_id"])
+    qrows = [r for r in qrows if r["vec_id"] < 4]
+    qids = [r["vec_id"] for r in qrows]
+    qv = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivf_topk(emb, qids, qv, k=10).select_columns(
+        ["query_id", "vec_id"])
+
+
+def q_decode_images(sf_dir: str):
+    from swishray.ops.multimodal import decode_images, synth_media_dataset
+    media = synth_media_dataset(200, "image")
+    return decode_images(media, concurrency=2)
+
+
+def q_extract_fixture_corpus(sf_dir: str):
+    """Flagship over the reference fixture corpus (conformance shapes:
+    metanames/properties maps + token columns)."""
+    from swishray.pipeline import extract_pages
+    from swishray.synth import fixture_pages
+    return extract_pages(fixture_pages(120), emit="full", concurrency=4) \
+        .select_columns(["url", "nwords", "title", "error"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q_extract_text,
+        "extract_docinfo": q_extract_docinfo,
+        "extract_totals": q_extract_totals,
+        "facet_lang": q_facet_lang,
+        "top_words": q_top_words,
+        "dedup_exact": q_dedup_exact,
+        "token_count_ws": q_token_count_ws,
+        "token_count_bpeish": q_token_count_bpeish,
+        "quality_counts": q_quality_counts,
+        "fingerprint_md5": q_fingerprint_md5,
+        "mime_sniff": q_mime_sniff,
+        "events_tumbling": q_events_tumbling,
+        "sessionize": q_sessionize,
+        "multi_key_sort": q_multi_key_sort,
+        "range_filter": q_range_filter,
+        "offset_limit": q_offset_limit,
+        "union_count": q_union_count,
+        "ann_topk": q_ann_topk,
+        "cosine_pairs": q_cosine_pairs,
+        # rows-only:
+        "lang_id": q_lang_id,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_topk": q_ivf_topk,
+        "decode_images": q_decode_images,
+        "extract_fixture_corpus": q_extract_fixture_corpus,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_sql = "['the','a','and','of','to','in','is','el','la','de','und','der','die']"
+    return {
+        "extract_text": f"SELECT {_URL_SQL} AS url, text FROM documents",
+        "extract_docinfo": (
+            f"SELECT {_URL_SQL} AS url, 'Doc ' || doc_id AS title, "
+            f"cast(2 + len({_WORDS_SQL}) as bigint) AS nwords, "
+            "'text/html' AS mime, 'HTML' AS parser FROM documents"),
+        "extract_totals": (
+            "SELECT count(*) AS n_docs, "
+            f"cast(sum(2 + len({_WORDS_SQL})) as bigint) AS total_words "
+            "FROM documents"),
+        "facet_lang": ("SELECT lang, count(*) AS n_docs FROM documents "
+                       "GROUP BY lang"),
+        "top_words": (
+            "WITH toks AS ("
+            f"  SELECT unnest({_WORDS_SQL}) AS token, doc_id FROM documents"
+            "  UNION ALL SELECT 'doc' AS token, doc_id FROM documents"
+            "  UNION ALL SELECT cast(doc_id AS varchar) AS token, doc_id "
+            "    FROM documents) "
+            "SELECT token, count(*) AS total_count, "
+            "count(distinct doc_id) AS doc_count FROM toks GROUP BY token "
+            "ORDER BY total_count DESC, token ASC LIMIT 20"),
+        "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM "
+                        "(SELECT * FROM documents UNION ALL "
+                        " SELECT * FROM documents) GROUP BY text"),
+        "token_count_ws": (
+            f"SELECT doc_id, cast(len({_WORDS_SQL}) as bigint) "
+            "AS n_tokens_ws FROM documents"),
+        "token_count_bpeish": (
+            "SELECT doc_id, cast(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n]')) as bigint) "
+            "AS n_tokens_bpeish FROM documents"),
+        "quality_counts": (
+            f"SELECT doc_id, cast(length(text) as bigint) AS n_chars, "
+            f"cast(len({_WORDS_SQL}) as bigint) AS n_words, "
+            f"cast(length(replace(text, ' ', '')) as bigint) AS sum_word_len, "
+            f"cast(len(list_filter({_WORDS_SQL}, "
+            f"x -> list_contains({stop_sql}, x))) as bigint) AS n_stopwords "
+            "FROM documents"),
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "mime_sniff": (
+            "WITH m AS (SELECT doc_id, "
+            "(['html','txt','xml','pdf','png','foo'])[(doc_id % 6) + 1] "
+            "AS ext FROM documents) "
+            "SELECT 'https://files.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.' || ext AS url, "
+            "ext, CASE ext WHEN 'html' THEN 'text/html' "
+            "WHEN 'txt' THEN 'text/plain' WHEN 'xml' THEN 'application/xml' "
+            "WHEN 'pdf' THEN 'application/pdf' WHEN 'png' THEN 'image/png' "
+            "ELSE 'text/html' END AS mime, "
+            "CASE ext WHEN 'txt' THEN 'TXT' WHEN 'xml' THEN 'XML' "
+            "ELSE 'HTML' END AS parser FROM m"),
+        "events_tumbling": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value FROM events "
+            "GROUP BY event_type, date_trunc('hour', ts)"),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            "      > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "
+            " FROM events), s AS (SELECT user_id, event_id, ts, "
+            " sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            " ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events "
+            "FROM s GROUP BY user_id, sid"),
+        "multi_key_sort": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            "ORDER BY o_orderpriority ASC, o_totalprice DESC, "
+            "o_orderkey ASC LIMIT 100"),
+        "range_filter": (
+            "SELECT count(*) AS n_rows, "
+            "count(distinct l_orderkey) AS n_orders FROM lineitem "
+            "WHERE l_quantity BETWEEN 10 AND 20"),
+        "offset_limit": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 10"),
+        "union_count": (
+            "SELECT count(*) AS n FROM (SELECT doc_id FROM documents "
+            "UNION ALL SELECT doc_id FROM documents)"),
+        "ann_topk": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id "
+            "FROM embeddings q JOIN embeddings e ON true "
+            "WHERE q.vec_id < 4 "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding, e.embedding) "
+            "DESC, e.vec_id ASC) <= 10"),
+        "cosine_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"),
+    }

@@ -1,0 +1,161 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "extract": {docs, mb, docs_per_s, mb_per_s}}
+
+--scaling runs the same workload in two fresh processes at
+num_cpus=8 and num_cpus=32 and reports throughput at both plus the
+scaling efficiency (the sandbox substitute for N vs 4N Ray nodes —
+BASELINE.md / task instructions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# fixture corpus rows for the extraction headline (~15 KB/page avg)
+N_PAGES = int(os.environ.get("BENCH_PAGES", "4000"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+    from swishray.pipeline import extract_pages, top_n_words
+    from swishray.synth import fixture_pages, pages_from_documents
+    from swishray.ops.dedup import minhash_dedup
+    from swishray.ops.windows import tumbling_counts
+
+    conc = NUM_CPUS - 2 if NUM_CPUS > 4 else NUM_CPUS
+    timings: dict[str, float] = {}
+    extract_stats: dict = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+        return _T()
+
+    # warm the page cache + actor pool creation outside the timing of
+    # the first real run
+    pages_tbl = fixture_pages(N_PAGES, skew_big_frac=0.1,
+                              override_num_blocks=max(NUM_CPUS * 2, 16))
+    pages_tbl = pages_tbl.materialize()
+    total_bytes = sum(len(b["html"]) for b in
+                      pages_tbl.select_columns(["html"]).take_all())
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+    with timed("extract_fixture"):
+        ext = extract_pages(pages_tbl, emit="buffers", concurrency=conc,
+                            batch_size=32)
+        row = ext.aggregate(_Count(alias_name="n"),
+                            _Sum("nwords", alias_name="twords"))
+        n_docs, twords = row["n"], row["twords"]
+    dt = timings["extract_fixture"]
+    extract_stats = {
+        "docs": n_docs, "mb": round(total_bytes / 1e6, 1),
+        "total_words": int(twords),
+        "docs_per_s": round(n_docs / dt, 1),
+        "mb_per_s": round(total_bytes / 1e6 / dt, 2),
+    }
+
+    with timed("extract_documents"):
+        pages2 = pages_from_documents(SF_DIR)
+        ext2 = extract_pages(pages2, emit="text", concurrency=conc,
+                             batch_size=64)
+        ext2.sum("nwords")
+
+    with timed("top_words"):
+        ext3 = extract_pages(pages_tbl, emit="full", concurrency=conc,
+                             batch_size=32)
+        top_n_words(ext3, 20).take_all()
+
+    with timed("minhash_dedup"):
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        minhash_dedup(docs, threshold=0.5).count()
+
+    with timed("events_tumbling"):
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+        tumbling_counts(ev, "hour").count()
+
+    with timed("lineitem_agg"):
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+        li = rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"])
+        li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="n"),
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price")).take_all()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "swishray headline pipelines wall-time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extract": extract_stats,
+    }
+
+
+def run_scaling() -> None:
+    """Same workload at num_cpus=8 and num_cpus=32 in fresh processes;
+    efficiency = (t8/t32)/4 (1.0 = linear)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    ex8 = results[8]["extract"]
+    ex32 = results[32]["extract"]
+    print(json.dumps({
+        "sec_8": t8, "sec_32": t32,
+        "scaling_efficiency": round(eff, 3),
+        "extract_docs_per_s_8": ex8["docs_per_s"],
+        "extract_docs_per_s_32": ex32["docs_per_s"],
+        "extract_mb_per_s_8": ex8["mb_per_s"],
+        "extract_mb_per_s_32": ex32["mb_per_s"],
+        "extract_scaling_efficiency": round(
+            (ex32["docs_per_s"] / ex8["docs_per_s"]) / 4, 3),
+        "queries_8": results[8]["queries"],
+        "queries_32": results[32]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        result = run_benchmarks()
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()

@@ -1,0 +1,161 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode kernels are STUBS (no image/audio libraries in this
+container — task brief): a deterministic fake container format
+("SWIM"/"SWAU" headers) exercises the REAL Ray-side plumbing — schema,
+actor signature, batch sizing, output layout — and any real payload
+raises NotImplementedError into the per-row error column exactly like
+a production decode failure would.
+
+Fake container layouts (big-endian):
+  image: b"SWIM" + u16 width + u16 height + u8 channels + pixels?
+  audio: b"SWAU" + u32 sample_rate + u32 n_samples
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+def synth_image_blob(seed: int, width: int = 32, height: int = 24,
+                     channels: int = 3) -> bytes:
+    """Deterministic fake image container (for tests/demos)."""
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=width * height * channels,
+                         dtype=np.uint8).tobytes()
+    return b"SWIM" + struct.pack(">HHB", width, height, channels) + pixels
+
+
+def synth_audio_blob(seed: int, sample_rate: int = 16000,
+                     n_samples: int = 1600) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-(1 << 15), 1 << 15, size=n_samples,
+                          dtype=np.int16).tobytes()
+    return b"SWAU" + struct.pack(">II", sample_rate, n_samples) + samples
+
+
+class DecodeImages:
+    """Actor-pool decode stage. __init__ is where a real build would
+    load the codec/model once per worker; __call__ decodes per batch.
+
+    Output schema (stable regardless of decode success):
+      key, width:int32, height:int32, channels:int32,
+      feature:list<float> (8-dim content hash embedding), error:string
+    """
+
+    FEATURE_DIM = 8
+
+    def __init__(self, key: str = "media_id", col: str = "payload"):
+        self.key = key
+        self.col = col
+        # real build: self.codec = load_image_codec()  (once per actor)
+
+    def _decode(self, blob: bytes):
+        if blob[:4] == b"SWIM":
+            w, h, c = struct.unpack(">HHB", blob[4:9])
+            pixels = np.frombuffer(blob[9:9 + w * h * c], dtype=np.uint8)
+            digest = hashlib.blake2b(pixels.tobytes(),
+                                     digest_size=self.FEATURE_DIM).digest()
+            feat = [b / 255.0 for b in digest]
+            return w, h, c, feat, None
+        raise NotImplementedError(
+            "real image codecs unavailable in this container; only the "
+            "SWIM fake container decodes (task brief: decode is stubbed)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        blobs = batch.column(self.col).to_pylist()
+        w_, h_, c_, f_, e_ = [], [], [], [], []
+        for blob in blobs:
+            try:
+                w, h, c, feat, err = self._decode(blob or b"")
+            except Exception as e:
+                w = h = c = 0
+                feat = [0.0] * self.FEATURE_DIM
+                err = f"{type(e).__name__}: {e}"
+            w_.append(w)
+            h_.append(h)
+            c_.append(c)
+            f_.append(feat)
+            e_.append(err)
+        return pa.table({
+            self.key: pa.array(keys),
+            "width": pa.array(w_, type=pa.int32()),
+            "height": pa.array(h_, type=pa.int32()),
+            "channels": pa.array(c_, type=pa.int32()),
+            "feature": pa.array(f_, type=pa.list_(pa.float32())),
+            "error": pa.array(e_, type=pa.string()),
+        })
+
+
+def decode_images(ds: Any, key: str = "media_id", col: str = "payload",
+                  concurrency=None, batch_size: int = 32) -> Any:
+    """Small batch_size: media blobs are large; batch bytes — not row
+    count — must bound worker heap (SURVEY.md §4 memory row)."""
+    return ds.map_batches(
+        DecodeImages, fn_constructor_kwargs=dict(key=key, col=col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class SampleAudioFrames:
+    """Frame-sample stage for audio blobs: emits every Nth frame's
+    amplitude stats. Same stub discipline as DecodeImages."""
+
+    def __init__(self, every_n: int = 160, key: str = "media_id",
+                 col: str = "payload"):
+        self.every_n = every_n
+        self.key = key
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        blobs = batch.column(self.col).to_pylist()
+        rates, counts, means, errs = [], [], [], []
+        for blob in blobs:
+            try:
+                if not blob or blob[:4] != b"SWAU":
+                    raise NotImplementedError("only SWAU fake audio decodes")
+                rate, n = struct.unpack(">II", blob[4:12])
+                samples = np.frombuffer(blob[12:12 + 2 * n], dtype=np.int16)
+                sampled = samples[::self.every_n]
+                rates.append(rate)
+                counts.append(len(sampled))
+                means.append(float(np.abs(sampled).mean()) if len(sampled)
+                             else 0.0)
+                errs.append(None)
+            except Exception as e:
+                rates.append(0)
+                counts.append(0)
+                means.append(0.0)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            self.key: pa.array(keys),
+            "sample_rate": pa.array(rates, type=pa.int32()),
+            "n_frames_sampled": pa.array(counts, type=pa.int32()),
+            "mean_abs_amplitude": pa.array(means, type=pa.float64()),
+            "error": pa.array(errs, type=pa.string()),
+        })
+
+
+def synth_media_dataset(n: int, kind: str = "image", seed: int = 42):
+    """Deterministic media table for tests/demos."""
+    import ray.data as rd
+    blobs = []
+    for i in range(n):
+        if kind == "image":
+            blobs.append(synth_image_blob(seed + i))
+        else:
+            blobs.append(synth_audio_blob(seed + i))
+    tbl = pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "kind": pa.array([kind] * n, type=pa.string()),
+        "payload": pa.array(blobs, type=pa.binary()),
+    })
+    return rd.from_arrow(tbl)

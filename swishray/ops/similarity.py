@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * brute_force_topk — numpy matmul per batch against a broadcast
+    query matrix (ray.put once, fetched in each actor's __init__ — the
+    small-side broadcast join pattern, never re-shipped per batch)
+  * ivf_topk — IVF-style scale path: deterministic k-means-lite
+    centroids from a sample, bucket assignment via groupby, probe the
+    nearest n_probe buckets only
+  * cosine_dup_pairs — embedding near-dup detection (cosine >= thr)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mat(batch_col) -> np.ndarray:
+    lst = batch_col.to_pylist()
+    return np.asarray(lst, dtype=np.float64)
+
+
+def _norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteScorer:
+    """Actor: query matrix fetched from the object store once."""
+
+    def __init__(self, queries_ref, k: int, key: str, col: str):
+        import ray
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qm = _norm(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.key = key
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.key).to_pylist()
+        m = _norm(_mat(batch.column(self.col)))
+        scores = self.qm @ m.T  # (nq, nb)
+        k = min(self.k, scores.shape[1])
+        out_q, out_id, out_s = [], [], []
+        # per-batch partial top-k per query; final top-k after shuffle
+        for qi in range(scores.shape[0]):
+            idx = np.argpartition(-scores[qi], k - 1)[:k]
+            for j in idx:
+                out_q.append(self.qids[qi])
+                out_id.append(ids[j])
+                out_s.append(float(scores[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            self.key: pa.array(out_id, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def brute_force_topk(ds: Any, query_ids: list[int],
+                     query_vecs: "np.ndarray", k: int = 10,
+                     key: str = "vec_id", col: str = "embedding",
+                     concurrency=4) -> Any:
+    """Exact cosine top-k for each query vector. Returns
+    (query_id, vec_id, score) — k rows per query, ties broken by id."""
+    import pandas as pd
+    import ray
+
+    qref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+    partial = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key, col=col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", key],
+                             ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
+
+
+def ivf_topk(ds: Any, query_ids: list[int], query_vecs: "np.ndarray",
+             k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+             seed: int = 42, key: str = "vec_id",
+             col: str = "embedding", sample_limit: int = 2048) -> Any:
+    """IVF-bucketed approximate top-k: train centroids on a bounded
+    sample (k-means-lite, deterministic), assign every vector to its
+    nearest centroid inside map_batches, and score only vectors in the
+    n_probe buckets nearest each query. At cluster scale the bucket
+    assignment is the partitioning key — each probe touches 1/B of the
+    corpus."""
+    import pandas as pd
+    import ray
+
+    sample = ds.limit(sample_limit).select_columns([col]).take_all()
+    sm = _norm(np.asarray([r[col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)),
+                         replace=False)]
+    for _ in range(5):  # lloyd iterations
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = sm[mask].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    cent_ref = ray.put(cent)
+
+    qm = _norm(np.asarray(query_vecs, dtype=np.float64))
+    probes: dict[int, list[int]] = {}
+    qsim = qm @ cent.T
+    for qi, qid in enumerate(query_ids):
+        probes[qid] = list(np.argsort(-qsim[qi])[:n_probe])
+    probe_buckets = sorted({b for bs in probes.values() for b in bs})
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _norm(_mat(batch.column(col)))
+        b = np.argmax(m @ c.T, axis=1)
+        return batch.append_column("ivf_bucket",
+                                   pa.array(b, type=pa.int32()))
+
+    bucketed = ds.map_batches(assign_bucket, batch_format="pyarrow")
+    bset = set(probe_buckets)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column("ivf_bucket"),
+                        value_set=pa.array(sorted(bset), type=pa.int32()))
+        return batch.filter(mask)
+
+    probed = bucketed.map_batches(keep_probed, batch_format="pyarrow")
+
+    qref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+    partial = probed.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key, col=col),
+        batch_format="pyarrow", concurrency=4)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", key],
+                             ascending=[False, True]).head(k)
+
+    return partial.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
+
+
+def cosine_dup_pairs(ds: Any, threshold: float = 0.95,
+                     key: str = "vec_id", col: str = "embedding") -> Any:
+    """Embedding near-dup pairs (a < b) with cosine >= threshold.
+    Exact all-pairs via a broadcast matrix — correct at test scale; the
+    scale path buckets by IVF centroid first (see ivf_topk) so each
+    bucket's all-pairs is bounded."""
+    import ray
+
+    rows = ds.select_columns([key, col]).take_all()
+    ids = np.asarray([r[key] for r in rows], dtype=np.int64)
+    m = _norm(np.asarray([r[col] for r in rows], dtype=np.float64))
+    ref = ray.put({"ids": ids, "m": m})
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        bids = np.asarray(batch.column(key).to_pylist(), dtype=np.int64)
+        bm = _norm(_mat(batch.column(col)))
+        s = bm @ d["m"].T
+        out_a, out_b, out_s = [], [], []
+        for i in range(s.shape[0]):
+            js = np.nonzero(s[i] >= threshold)[0]
+            for j in js:
+                a, b = bids[i], d["ids"][j]
+                if a < b:
+                    out_a.append(int(a))
+                    out_b.append(int(b))
+                    out_s.append(float(s[i, j]))
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,156 @@
+"""Text analysis operators for training-data pipelines: language-ID
+(n-gram heuristic), quality scoring, token counting (whitespace +
+BPE-ish regex), and document fingerprinting (md5 + rolling hash).
+
+All vectorized-per-batch; the language profiles and compiled regexes
+are actor state (built once per worker)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any
+
+import pyarrow as pa
+
+STOPWORDS = frozenset({"the", "a", "and", "of", "to", "in", "is", "el",
+                       "la", "de", "und", "der", "die"})
+
+# BPE-ish pre-tokenizer: letter runs, single digits, other marks
+# (a simplified GPT-2-style split — public pattern shape)
+_BPE_RE = re.compile(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
+
+# tiny deterministic char-trigram profiles per language; built from
+# public orthography cues, used as a heuristic scorer
+_LANG_HINTS = {
+    "en": ["the", "and", "ing", "ion", "he "],
+    "es": ["de ", "la ", "os ", "ión", "el "],
+    "de": ["der", "die", "und", "sch", "en "],
+    "fr": ["le ", "es ", "de ", "ent", "tion"],
+    "zh": [],  # CJK detection is codepoint-range based
+}
+
+
+def token_count_ws(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
+    """Whitespace token count (vectorized)."""
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        n = [len((t or "").split()) for t in texts]
+        return pa.table({key: batch.column(key),
+                         "n_tokens_ws": pa.array(n, type=pa.int64())})
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class BpeishCounter:
+    def __init__(self, col: str = "text", key: str = "doc_id"):
+        self.re = _BPE_RE
+        self.col = col
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.col).to_pylist()
+        n = [len(self.re.findall(t or "")) for t in texts]
+        return pa.table({self.key: batch.column(self.key),
+                         "n_tokens_bpeish": pa.array(n, type=pa.int64())})
+
+
+def token_count_bpeish(ds: Any, col: str = "text",
+                       key: str = "doc_id", concurrency=4) -> Any:
+    return ds.map_batches(BpeishCounter,
+                          fn_constructor_kwargs=dict(col=col, key=key),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def quality_scores(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
+    """Per-doc quality features: length, word count, mean word length,
+    stopword ratio, punctuation ratio. All DuckDB-expressible for the
+    correctness oracle."""
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(col).to_pylist()]
+        n_chars, n_words, mean_wl, stop_r, punct_r = [], [], [], [], []
+        for t in texts:
+            words = t.split()
+            nw = len(words)
+            n_chars.append(len(t))
+            n_words.append(nw)
+            total_wl = sum(len(w) for w in words)
+            mean_wl.append(total_wl / nw if nw else 0.0)
+            stop_r.append(sum(1 for w in words if w in STOPWORDS) / nw
+                          if nw else 0.0)
+            np_ = sum(1 for c in t if not c.isalnum() and not c.isspace())
+            punct_r.append(np_ / len(t) if t else 0.0)
+        return pa.table({
+            key: batch.column(key),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len": pa.array(mean_wl, type=pa.float64()),
+            "stopword_ratio": pa.array(stop_r, type=pa.float64()),
+            "punct_ratio": pa.array(punct_r, type=pa.float64()),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class LangId:
+    """Heuristic n-gram language scorer (actor: profiles built once).
+    Not a trained model — a deterministic hint scorer suitable for
+    pipeline plumbing and bucketing."""
+
+    def __init__(self, col: str = "text", key: str = "doc_id"):
+        self.col = col
+        self.key = key
+        self.profiles = {lang: set(h) for lang, h in _LANG_HINTS.items()}
+
+    def predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for c in text[:500] if 0x4E00 <= ord(c) <= 0x9FFF)
+        if cjk > len(text[:500]) * 0.2:
+            return "zh"
+        t = text[:2000].lower()
+        best, best_score = "und", 0
+        for lang, grams in self.profiles.items():
+            if not grams:
+                continue
+            score = sum(t.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t or "")
+                 for t in batch.column(self.col).to_pylist()]
+        return pa.table({self.key: batch.column(self.key),
+                         "lang_pred": pa.array(preds, type=pa.string())})
+
+
+def lang_id(ds: Any, col: str = "text", key: str = "doc_id",
+            concurrency=4) -> Any:
+    return ds.map_batches(LangId,
+                          fn_constructor_kwargs=dict(col=col, key=key),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def fingerprints(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
+    """Two fingerprints per doc: md5 hex (oracle-checkable in DuckDB)
+    and a 64-bit polynomial rolling hash over words (the streaming
+    variant a shingling pipeline uses)."""
+    B, M = 1000003, (1 << 61) - 1
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(col).to_pylist()]
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        rolls = []
+        for t in texts:
+            h = 0
+            for w in t.split():
+                wh = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    "big")
+                h = (h * B + wh) % M
+            rolls.append(h)
+        return pa.table({
+            key: batch.column(key),
+            "md5": pa.array(md5s, type=pa.string()),
+            "rolling_hash": pa.array(rolls, type=pa.int64()),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,248 @@
+"""Ray Data pipelines: the engine's distributed surface.
+
+Flagship graph (SURVEY.md §7.2):
+
+    ray.data.read_parquet(pages)            # url, warc_ts, html, text, lang
+      .map_batches(ExtractPages,            # actor pool: warm libxml2 +
+                   batch_format="pyarrow",  #   config + tokenizer tables
+                   concurrency=N, batch_size=B)
+      .write_parquet(out)                   # or downstream aggregates
+
+Scale design notes (SURVEY.md §4):
+  * the extractor is a CALLABLE CLASS -> Ray actor pool; config/
+    libxml2/chartables built once per worker (swish_3 equivalent)
+  * batches are Arrow in / Arrow out; the per-document parse is
+    necessarily row-oriented (SAX), but all column assembly is
+    vectorized and the tokenizer is regex-at-C-speed
+  * per-row failures land in the `error` column — a bad page never
+    kills the job (reference recovers/warns, parser.c:1393-1447)
+  * oversized html blobs are truncated at MAX_FILE_LEN with an error
+    flag (io.c:118-123 caps at 100 MB)
+  * outputs partition by url-hash bucket so a rerun can skip finished
+    partitions (manifest.py)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+import pyarrow as pa
+
+from . import constants as C
+from .config import Config
+from .extractor import DocumentExtractor
+
+
+class ExtractPages:
+    """Actor-pool batch extractor.
+
+    Parameters are picklable; heavy state (libxml2 bindings, compiled
+    regexes, glibc tables) initializes lazily in the worker process on
+    first __call__ via DocumentExtractor.
+    """
+
+    OUTPUT_BASE_FIELDS = [
+        ("url", pa.string()),
+        ("mime", pa.string()),
+        ("parser", pa.string()),
+        ("encoding", pa.string()),
+        ("ext", pa.string()),
+        ("size", pa.int64()),
+        ("nwords", pa.int32()),
+        ("error", pa.string()),
+        ("title", pa.large_string()),
+        ("text", pa.large_string()),
+    ]
+
+    def __init__(self, config_xml: str | None = None,
+                 swish_encoding: str = C.DEFAULT_ENCODING,
+                 emit: Literal["text", "buffers", "full"] = "buffers",
+                 max_doc_bytes: int = C.MAX_FILE_LEN,
+                 keep_input_columns: tuple[str, ...] = ()):
+        self.config_xml = config_xml
+        self.swish_encoding = swish_encoding
+        self.emit = emit
+        self.max_doc_bytes = max_doc_bytes
+        self.keep_input_columns = tuple(keep_input_columns)
+        self._ex: DocumentExtractor | None = None
+
+    def _extractor(self) -> DocumentExtractor:
+        if self._ex is None:
+            cfg = Config.default()
+            if self.config_xml:
+                cfg.add(self.config_xml)
+            self._ex = DocumentExtractor(cfg, self.swish_encoding)
+        return self._ex
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ex = self._extractor()
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        n = len(urls)
+
+        cols: dict[str, list] = {k: [] for k, _ in self.OUTPUT_BASE_FIELDS}
+        emit_buffers = self.emit in ("buffers", "full")
+        emit_tokens = self.emit == "full"
+        if emit_buffers:
+            cols["metanames"] = []
+            cols["properties"] = []
+        if emit_tokens:
+            cols["token_values"] = []
+            cols["token_positions"] = []
+            cols["token_metas"] = []
+            cols["token_contexts"] = []
+
+        cap = self.max_doc_bytes
+        for i in range(n):
+            url = urls[i]
+            body = htmls[i] or b""
+            truncated = False
+            if len(body) > cap:
+                body = body[:cap]
+                truncated = True
+            rec = ex.extract(url, body)
+            di = rec.docinfo
+            cols["url"].append(url)
+            cols["mime"].append(di.mime)
+            cols["parser"].append(di.parser)
+            cols["encoding"].append(di.encoding)
+            cols["ext"].append(di.ext)
+            cols["size"].append(di.size)
+            cols["nwords"].append(di.nwords)
+            err = rec.error
+            if truncated:
+                err = f"truncated@{cap}" + (f";{err}" if err else "")
+            cols["error"].append(err)
+            title = rec.metanames.get(C.TITLE_METANAME, b"")
+            text = rec.metanames.get(C.DEFAULT_METANAME, b"")
+            cols["title"].append(title.decode("utf-8", "replace"))
+            cols["text"].append(text.decode("utf-8", "replace"))
+            if emit_buffers:
+                cols["metanames"].append(
+                    [(k, v.decode("utf-8", "replace"))
+                     for k, v in rec.metanames.items()])
+                cols["properties"].append(
+                    [(k, v.decode("utf-8", "replace"))
+                     for k, v in rec.properties.items()])
+            if emit_tokens:
+                cols["token_values"].append(rec.token_values)
+                cols["token_positions"].append(rec.token_positions)
+                cols["token_metas"].append(rec.token_metas)
+                cols["token_contexts"].append(rec.token_contexts)
+
+        arrays: dict[str, pa.Array] = {}
+        for name, typ in self.OUTPUT_BASE_FIELDS:
+            arrays[name] = pa.array(cols[name], type=typ)
+        if emit_buffers:
+            mtype = pa.map_(pa.string(), pa.large_string())
+            arrays["metanames"] = pa.array(cols["metanames"], type=mtype)
+            arrays["properties"] = pa.array(cols["properties"], type=mtype)
+        if emit_tokens:
+            arrays["token_values"] = pa.array(
+                cols["token_values"], type=pa.list_(pa.binary()))
+            arrays["token_positions"] = pa.array(
+                cols["token_positions"], type=pa.list_(pa.uint32()))
+            arrays["token_metas"] = pa.array(
+                cols["token_metas"], type=pa.list_(pa.string()))
+            arrays["token_contexts"] = pa.array(
+                cols["token_contexts"], type=pa.list_(pa.string()))
+        for k in self.keep_input_columns:
+            if k in batch.column_names:
+                arrays[k] = batch.column(k)
+        return pa.table(arrays)
+
+
+def extract_pages(ds: "Any", *, config_xml: str | None = None,
+                  swish_encoding: str = C.DEFAULT_ENCODING,
+                  emit: Literal["text", "buffers", "full"] = "buffers",
+                  concurrency: int | tuple[int, int] | None = None,
+                  batch_size: int = 64,
+                  keep_input_columns: tuple[str, ...] = ()) -> "Any":
+    """The flagship stage: Dataset of pages -> Dataset of extraction
+    records. Actor pool with warm parser state; small batch_size
+    because rows are whole web pages (memory-aware batching,
+    SURVEY.md §4)."""
+    fn_kwargs = dict(config_xml=config_xml, swish_encoding=swish_encoding,
+                     emit=emit, keep_input_columns=keep_input_columns)
+    return ds.map_batches(
+        ExtractPages,
+        fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---- downstream operators over extraction output ----------------------
+
+def total_word_count(extracted: "Any") -> int:
+    """§2.5 twords: global sum of nwords (swish_lint.c:50,152,346)."""
+    return extracted.sum("nwords")
+
+
+def files_parsed_count(extracted: "Any") -> int:
+    """§2.5 files-parsed counter."""
+    return extracted.count()
+
+
+def facet_counts(extracted: "Any", prop: str) -> "Any":
+    """§2.5 FacetFinder (swish_xapian.cpp:224-276): property value ->
+    count over the result set, values split on \\x03."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vals = []
+        col = batch.column(prop).to_pylist()
+        for v in col:
+            if not v:
+                continue
+            vals.extend(v.split("\x03"))
+        return pa.table({"value": pa.array(vals, type=pa.string())})
+
+    ds = extracted.map_batches(explode, batch_format="pyarrow")
+    return ds.groupby("value").count()
+
+
+def top_n_words(extracted: "Any", n: int = 20) -> "Any":
+    """§2.5 countwords.pl: token -> (total count, doc count), sorted
+    desc, limit N. Pre-aggregates per batch before the shuffle so the
+    groupby moves (token, partial_count) rows, not every token."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        docs: Counter = Counter()
+        for tokens in batch.column("token_values").to_pylist():
+            if not tokens:
+                continue
+            c = Counter(tokens)
+            counts.update(c)
+            docs.update(c.keys())
+        toks = list(counts.keys())
+        return pa.table({
+            "token": pa.array([t.decode("utf-8", "replace") for t in toks]),
+            "count_partial": pa.array([counts[t] for t in toks],
+                                      type=pa.int64()),
+            "docs_partial": pa.array([docs[t] for t in toks],
+                                     type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    parts = extracted.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("token").aggregate(
+        Sum("count_partial", alias_name="total_count"),
+        Sum("docs_partial", alias_name="doc_count"))
+    return agg.sort("total_count", descending=True).limit(n)
+
+
+def dedup_by_url(extracted: "Any") -> "Any":
+    """§2.4 upsert-by-uri (swish_xapian.cpp:563-601) as a batch op:
+    hash shuffle on url + per-group first."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return extracted.groupby("url").map_groups(first, batch_format="pandas")

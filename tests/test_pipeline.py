@@ -1,0 +1,152 @@
+"""Ray Data pipeline integration tests (one shared Ray session)."""
+
+import pathlib
+
+import pyarrow as pa
+import pytest
+
+FIX = pathlib.Path("/root/reference/src/test_docs")
+
+
+def test_extract_pages_matches_unit_extractor(ray_session):
+    """Pipeline output == direct per-document extraction (the unit
+    path is itself byte-identical to the reference, test_conformance)."""
+    from swishray.config import Config
+    from swishray.extractor import DocumentExtractor
+    from swishray.pipeline import extract_pages
+    from swishray.synth import fixture_pages
+
+    ds = fixture_pages(40)
+    out = {r["url"]: r for r in
+           extract_pages(ds, emit="full", concurrency=2).take_all()}
+    ex = DocumentExtractor(Config.default())
+    rows = fixture_pages(40).take_all()
+    assert len(out) == 40
+    for r in rows:
+        rec = ex.extract(r["url"], r["html"])
+        o = out[r["url"]]
+        assert o["nwords"] == rec.docinfo.nwords, r["url"]
+        assert o["text"].encode() == rec.metanames.get("swishdefault", b""), \
+            r["url"]
+        assert o["token_values"] == rec.token_values or \
+            list(o["token_values"]) == rec.token_values, r["url"]
+
+
+def test_extract_error_rows_do_not_kill_job(ray_session):
+    import ray.data as rd
+    from swishray.pipeline import extract_pages
+    tbl = pa.table({
+        "url": ["a.txt.gz", "b.html"],
+        "warc_ts": pa.array([None, None], type=pa.timestamp("us")),
+        "html": pa.array([b"\x1f\x8bnotgzip", b"<p>ok fine</p>"],
+                         type=pa.binary()),
+        "text": ["", ""],
+        "lang": ["en", "en"],
+    })
+    out = extract_pages(rd.from_arrow(tbl), concurrency=1).take_all()
+    by_url = {r["url"]: r for r in out}
+    assert by_url["a.txt.gz"]["error"] is not None
+    assert by_url["b.html"]["error"] is None
+    assert by_url["b.html"]["nwords"] == 2
+
+
+def test_truncation_flag(ray_session):
+    import ray.data as rd
+    from swishray.pipeline import ExtractPages
+    tbl = pa.table({
+        "url": ["big.html"],
+        "html": pa.array([b"<p>" + b"word " * 100 + b"</p>"],
+                         type=pa.binary()),
+    })
+    ex = ExtractPages(max_doc_bytes=50)
+    out = ex(tbl)
+    assert out.column("error").to_pylist()[0].startswith("truncated@50")
+
+
+def test_facet_and_topwords(ray_session):
+    from swishray.pipeline import (extract_pages, facet_counts,
+                                   top_n_words, total_word_count,
+                                   files_parsed_count, dedup_by_url)
+    from swishray.synth import fixture_pages
+    ds = fixture_pages(30)
+    ext = extract_pages(ds, emit="full", concurrency=2)
+    assert files_parsed_count(ext) == 30
+    assert total_word_count(ext) > 0
+    top = top_n_words(ext, 5).take_all()
+    assert len(top) == 5
+    assert top[0]["total_count"] >= top[-1]["total_count"]
+    fc = facet_counts(ext, "title").take_all()
+    assert all(r["count()"] >= 1 for r in fc)
+    # dedup: double the corpus, expect original count back
+    doubled = ds.union(fixture_pages(30))
+    ext2 = extract_pages(doubled, emit="text", concurrency=2)
+    assert dedup_by_url(ext2).count() == 30
+
+
+def test_dedup_ops(ray_session):
+    import ray.data as rd
+    from swishray.ops.dedup import (exact_dedup, minhash_dedup,
+                                    simhash_near_dups, ngram_jaccard)
+    texts = ["the quick brown fox jumps over the lazy dog " * 5,
+             "the quick brown fox jumps over the lazy dog " * 5 + "extra",
+             "completely different content about ray data pipelines",
+             "the quick brown fox jumps over the lazy dog " * 5]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": texts})
+    ds = rd.from_arrow(tbl)
+    kept = exact_dedup(ds).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2]  # 3 dups of 0
+    pairs = minhash_dedup(ds, threshold=0.8).take_all()
+    pairset = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 3) in pairset and (0, 1) in pairset
+    assert not any(2 in p for p in pairset)
+    sh = simhash_near_dups(ds, max_hamming=3).take_all()
+    shp = {(r["a"], r["b"]) for r in sh}
+    assert (0, 3) in shp
+    assert ngram_jaccard(texts[0], texts[3]) == 1.0
+
+
+def test_similarity_ops(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from swishray.ops.similarity import brute_force_topk, ivf_topk
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(100, 16).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(100), type=pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    top = brute_force_topk(ds, [0], vecs[:1], k=5).take_all()
+    assert len(top) == 5
+    # rank 1 must be the query itself (cosine 1.0)
+    best = max(top, key=lambda r: r["score"])
+    assert best["vec_id"] == 0
+    approx = ivf_topk(ds, [0], vecs[:1], k=5, n_centroids=4,
+                      n_probe=2).take_all()
+    assert 1 <= len(approx) <= 5
+    assert any(r["vec_id"] == 0 for r in approx)
+
+
+def test_multimodal_stub(ray_session):
+    from swishray.ops.multimodal import (decode_images,
+                                         synth_media_dataset)
+    out = decode_images(synth_media_dataset(10), concurrency=1).take_all()
+    assert len(out) == 10
+    assert all(r["width"] == 32 and r["error"] is None for r in out)
+    # non-fake payload -> NotImplementedError lands in error column
+    import ray.data as rd
+    bad = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([b"\x89PNG real image"], type=pa.binary())}))
+    o = decode_images(bad, concurrency=1).take_all()[0]
+    assert "NotImplementedError" in o["error"]
+
+
+def test_windows_ops(ray_session):
+    import ray.data as rd
+    from swishray.ops.windows import tumbling_counts, sessionize
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    t = tumbling_counts(ev, "hour")
+    assert t.count() > 0
+    s = sessionize(ev, 1800)
+    assert s.count() > 0
