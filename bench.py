@@ -23,7 +23,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # fixture corpus rows for the extraction headline (~15 KB/page avg)
-N_PAGES = int(os.environ.get("BENCH_PAGES", "4000"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "12000"))
+EXTRACT_ONLY = os.environ.get("BENCH_EXTRACT_ONLY") == "1"
 
 
 def run_benchmarks() -> dict:
@@ -59,10 +60,14 @@ def run_benchmarks() -> dict:
     # warm the page cache + actor pool creation outside the timing of
     # the first real run
     pages_tbl = fixture_pages(N_PAGES, skew_big_frac=0.1,
-                              override_num_blocks=max(NUM_CPUS * 2, 16))
+                              override_num_blocks=max(NUM_CPUS * 4, 64))
     pages_tbl = pages_tbl.materialize()
-    total_bytes = sum(len(b["html"]) for b in
-                      pages_tbl.select_columns(["html"]).take_all())
+    import pyarrow.compute as _pc
+    total_bytes = int(sum(
+        b["nbytes"] for b in pages_tbl.map_batches(
+            lambda t: {"nbytes": [sum(_pc.binary_length(
+                t.column("html")).to_pylist())]},
+            batch_format="pyarrow").take_all()))
 
     from ray.data.aggregate import Count as _Count, Sum as _Sum
     with timed("extract_fixture"):
@@ -79,15 +84,24 @@ def run_benchmarks() -> dict:
         "mb_per_s": round(total_bytes / 1e6 / dt, 2),
     }
 
+    if EXTRACT_ONLY:
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "swishray extraction wall-time",
+            "value": total, "unit": "sec", "queries": timings,
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "extract": extract_stats,
+        }
+
     with timed("extract_documents"):
         pages2 = pages_from_documents(SF_DIR)
         ext2 = extract_pages(pages2, emit="text", concurrency=conc,
                              batch_size=64)
         ext2.sum("nwords")
 
-    with timed("top_words"):
+    with timed("extract_full"):
         ext3 = extract_pages(pages_tbl, emit="full", concurrency=conc,
-                             batch_size=32)
+                             batch_size=32).materialize()
+    with timed("top_words"):
         top_n_words(ext3, 20).take_all()
 
     with timed("minhash_dedup"):
@@ -129,6 +143,11 @@ def run_scaling() -> None:
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # a scaling measurement needs compute to dominate the fixed
+        # actor-pool spin-up; use a larger corpus than the plain bench
+        env["BENCH_PAGES"] = os.environ.get("BENCH_SCALING_PAGES", "48000")
+        env["BENCH_EXTRACT_ONLY"] = "1"  # scale the headline, not the
+        # small fixed-overhead queries (pool spin-up would dominate)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])

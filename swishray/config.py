@@ -127,6 +127,95 @@ class Config:
     def copy(self) -> "Config":
         return copy.deepcopy(self)
 
+    def to_xml(self) -> str:
+        """swish_header_write (header.c:949-1150 / swish_header.c:143):
+        serialize the config back to swish.xml form so a run's schema
+        persists with its output (the reference stores swish.xml in the
+        index dir so schemas stay stable across runs,
+        swish_xapian.cpp:1527-1534). Round-trips through Config.add."""
+        from xml.sax.saxutils import escape, quoteattr
+
+        base = Config.default()
+        out = ["<swish>"]
+        metas = [m for n, m in self.metanames.items()
+                 if n not in base.metanames]
+        if metas:
+            out.append(" <MetaNames>")
+            for m in metas:
+                attrs = f' id="{m.id}"'
+                if m.bias:
+                    attrs += f' bias="{m.bias}"'
+                if m.alias_for:
+                    attrs += f' alias_for={quoteattr(m.alias_for)}'
+                out.append(f"  <{m.name}{attrs} />")
+            out.append(" </MetaNames>")
+        props = [p for n, p in self.properties.items()
+                 if n not in base.properties]
+        if props:
+            out.append(" <PropertyNames>")
+            for p in props:
+                t = {1: "string", 2: "date", 3: "int"}.get(p.type,
+                                                           str(p.type))
+                attrs = (f' id="{p.id}" type="{t}"'
+                         f' ignore_case="{int(p.ignore_case)}"'
+                         f' verbatim="{int(p.verbatim)}"'
+                         f' sort="{int(p.sort)}"')
+                if p.max:
+                    attrs += f' max="{p.max}"'
+                if p.alias_for:
+                    attrs += f' alias_for={quoteattr(p.alias_for)}'
+                out.append(f"  <{p.name}{attrs} />")
+            out.append(" </PropertyNames>")
+        new_parsers = {m: p for m, p in self.parsers.items()
+                       if base.parsers.get(m) != p}
+        if new_parsers:
+            out.append(" <Parsers>")
+            by_parser: dict[str, list[str]] = {}
+            for mime, parser in new_parsers.items():
+                by_parser.setdefault(parser, []).append(mime)
+            for parser, mimes in by_parser.items():
+                out.append(f"  <{parser}>{escape(' '.join(sorted(mimes)))}"
+                           f"</{parser}>")
+            out.append(" </Parsers>")
+        new_mimes = {e: m for e, m in self.mimes.items()
+                     if base.mimes.get(e) != m}
+        if new_mimes:
+            out.append(" <MIME>")
+            for e, m in sorted(new_mimes.items()):
+                out.append(f"  <{e}>{escape(m)}</{e}>")
+            out.append(" </MIME>")
+        new_aliases = {a: t for a, t in self.tag_aliases.items()
+                       if base.tag_aliases.get(a) != t}
+        if new_aliases:
+            out.append(" <TagAlias>")
+            by_target: dict[str, list[str]] = {}
+            for alias, target in new_aliases.items():
+                by_target.setdefault(target, []).append(alias)
+            for target, aliases in by_target.items():
+                out.append(f"  <{target}>"
+                           f"{escape(' '.join(sorted(aliases)))}"
+                           f"</{target}>")
+            out.append(" </TagAlias>")
+        out.append(" <Index>")
+        for k, v in self.index.items():
+            out.append(f"  <{k}>{escape(v)}</{k}>")
+        out.append(" </Index>")
+        for name, words in self.stringlists.items():
+            out.append(f" <{name}>{escape(' '.join(words))}</{name}>")
+        out.append(f" <Tokenize>{int(self.tokenize)}</Tokenize>")
+        out.append(f" <CascadeMetaContext>{int(self.cascade_meta_context)}"
+                   f"</CascadeMetaContext>")
+        out.append(f" <IgnoreXMLNameSpaces>{int(self.ignore_xmlns)}"
+                   f"</IgnoreXMLNameSpaces>")
+        out.append(f" <FollowXInclude>{int(self.follow_xinclude)}"
+                   f"</FollowXInclude>")
+        out.append(f" <UndefinedMetaTags>{self.undef_metas}"
+                   f"</UndefinedMetaTags>")
+        out.append(f" <UndefinedXMLAttributes>{self.undef_attrs}"
+                   f"</UndefinedXMLAttributes>")
+        out.append("</swish>")
+        return "\n".join(out)
+
     # ---- helpers used by the extractor -------------------------------
 
     def new_metaname(self, name: str) -> MetaName:

@@ -145,55 +145,70 @@ class _Dispatcher:
         self.target: SaxTarget | None = None
         self.error: BaseException | None = None
 
-        def guard(fn):
-            def wrapper(*args):
-                if self.error is not None:
-                    return
-                try:
-                    fn(*args)
-                except BaseException as e:  # must not unwind through C
-                    self.error = e
-            return wrapper
-
-        @guard
+        # callbacks must never unwind an exception through C; each one
+        # inlines the error latch (a decorator indirection here costs a
+        # measurable fraction of parse time at ~100k events/doc)
         def _start_doc(ctx):
-            self.target.start_document()
+            if self.error is None:
+                try:
+                    self.target.start_document()
+                except BaseException as e:
+                    self.error = e
 
-        @guard
         def _end_doc(ctx):
-            self.target.end_document()
+            if self.error is None:
+                try:
+                    self.target.end_document()
+                except BaseException as e:
+                    self.error = e
 
-        @guard
         def _start_el(ctx, name, atts):
             # SAX1: NULL-terminated flat (name, value, ...) array;
             # values may be NULL for valueless attributes
-            alist = None
-            if atts:
-                alist = []
-                i = 0
-                while atts[i] is not None:
-                    alist.append(atts[i])
-                    alist.append(atts[i + 1])  # may be None
-                    i += 2
-                if not alist:
-                    alist = None
-            self.target.start_element(name, alist)
+            if self.error is not None:
+                return
+            try:
+                alist = None
+                if atts:
+                    alist = []
+                    i = 0
+                    while atts[i] is not None:
+                        alist.append(atts[i])
+                        alist.append(atts[i + 1])  # may be None
+                        i += 2
+                    if not alist:
+                        alist = None
+                self.target.start_element(name, alist)
+            except BaseException as e:
+                self.error = e
 
-        @guard
         def _end_el(ctx, name):
-            self.target.end_element(name)
+            if self.error is not None:
+                return
+            try:
+                self.target.end_element(name)
+            except BaseException as e:
+                self.error = e
 
-        @guard
         def _chars(ctx, ch, length):
-            self.target.characters(string_at(ch, length))
+            if self.error is not None:
+                return
+            try:
+                self.target.characters(string_at(ch, length))
+            except BaseException as e:
+                self.error = e
 
-        @guard
         def _comment(ctx, data):
-            self.target.comment(data or b"")
+            if self.error is not None:
+                return
+            try:
+                self.target.comment(data or b"")
+            except BaseException as e:
+                self.error = e
 
-        @guard
-        def _start_el_ns(ctx, localname, prefix, uri, nb_ns, namespaces,
-                         nb_attrs, nb_defaulted, attributes):
+        def _start_el_ns_inner(ctx, localname, prefix, uri, nb_ns,
+                               namespaces, nb_attrs, nb_defaulted,
+                               attributes):
             # mystartElementNs (parser.c:876-961): 5 pointers per attr
             # (localname, prefix, URI, value_start, value_end); an attr
             # with an EMPTY value truncates the list at that position
@@ -216,9 +231,24 @@ class _Dispatcher:
             self.target.start_element_ns(localname, prefix or None,
                                          uri or None, alist)
 
-        @guard
+        def _start_el_ns(ctx, localname, prefix, uri, nb_ns, namespaces,
+                         nb_attrs, nb_defaulted, attributes):
+            if self.error is not None:
+                return
+            try:
+                _start_el_ns_inner(ctx, localname, prefix, uri, nb_ns,
+                                   namespaces, nb_attrs, nb_defaulted,
+                                   attributes)
+            except BaseException as e:
+                self.error = e
+
         def _end_el_ns(ctx, localname, prefix, uri):
-            self.target.end_element_ns(localname, prefix or None)
+            if self.error is not None:
+                return
+            try:
+                self.target.end_element_ns(localname, prefix or None)
+            except BaseException as e:
+                self.error = e
 
         self._thunks = dict(
             startDocument=_startDocumentF(_start_doc),

@@ -75,20 +75,24 @@ class MinHasher:
         self.key = key
 
     def shingles(self, text: str) -> np.ndarray:
+        """Vectorized word-k-gram hashing: crc32 per word (C speed),
+        then a polynomial combination of k consecutive word hashes —
+        no per-gram string building or digest objects."""
+        from zlib import crc32
         words = text.split()
+        wh = np.fromiter((crc32(w.encode()) for w in words),
+                         dtype=np.uint64, count=len(words))
         if len(words) < self.k:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [" ".join(words[i:i + self.k])
-                     for i in range(len(words) - self.k + 1)]
-        out = np.empty(len(grams), dtype=np.uint64)
-        for i, g in enumerate(grams):
-            out[i] = int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-        return out
+            return np.array([wh.sum() if len(words) else 0],
+                            dtype=np.uint64)
+        B = np.uint64(1000003)
+        g = wh[:len(wh) - self.k + 1].copy()
+        for j in range(1, self.k):
+            g = g * B + wh[j:len(wh) - self.k + 1 + j]
+        return g
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
+        sh = np.unique(self.shingles(text))
         # (a*x + b) mod p for each permutation, vectorized
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)

@@ -79,6 +79,13 @@ class ExtractPages:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         n = len(urls)
+        # optional per-row mime/parser overrides (the stdin-header
+        # path: Content-Type / Parser-Type, docinfo.c:123-199)
+        names = batch.column_names
+        mimes = (batch.column("mime").to_pylist() if "mime" in names
+                 else [None] * n)
+        parsers = (batch.column("parser").to_pylist() if "parser" in names
+                   else [None] * n)
 
         cols: dict[str, list] = {k: [] for k, _ in self.OUTPUT_BASE_FIELDS}
         emit_buffers = self.emit in ("buffers", "full")
@@ -100,7 +107,7 @@ class ExtractPages:
             if len(body) > cap:
                 body = body[:cap]
                 truncated = True
-            rec = ex.extract(url, body)
+            rec = ex.extract(url, body, mime=mimes[i], parser=parsers[i])
             di = rec.docinfo
             cols["url"].append(url)
             cols["mime"].append(di.mime)

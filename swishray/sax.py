@@ -42,18 +42,25 @@ class _Tag:
 
 class _TagStack:
     """parser.c:2939-3101. head == items[-1]; context built at push by
-    flattening baked names bottom->top with the stack's join char."""
+    flattening baked names bottom->top with the stack's join char.
 
-    __slots__ = ("items", "join")
+    ``build_context=False`` skips materializing contexts (used for the
+    domstack when no configured name contains a '.' — the dotted
+    DOM-path lookups can never hit, so the O(depth) join per push is
+    pure waste on deep HTML)."""
 
-    def __init__(self, join: str):
+    __slots__ = ("items", "join", "build_context")
+
+    def __init__(self, join: str, build_context: bool = True):
         self.items: list[_Tag] = []
         self.join = join
+        self.build_context = build_context
 
     def push(self, raw: str, baked: str) -> _Tag:
         t = _Tag(raw, baked, "")
         self.items.append(t)
-        t.context = self.join.join(x.baked for x in self.items)
+        if self.build_context:
+            t.context = self.join.join(x.baked for x in self.items)
         return t
 
     def pop(self) -> _Tag | None:
@@ -105,7 +112,18 @@ class ExtractionState(SaxTarget):
         self.metastack.push(C.DEFAULT_METANAME, C.DEFAULT_METANAME)
         self.propstack = _TagStack(C.DOM_CHAR)
         self.propstack.push(C.DOM_STR, C.DOM_STR)
-        self.domstack = _TagStack(C.DOT)
+        # dotted DOM-path lookups can only ever hit when some
+        # configured name contains a '.' — otherwise skip the per-push
+        # context join entirely (hot path on deep HTML)
+        self._dotted_names = any(
+            "." in k for k in config.metanames) or any(
+            "." in k for k in config.properties) or any(
+            "." in k for k in config.tag_aliases)
+        self.domstack = _TagStack(C.DOT, build_context=self._dotted_names)
+        # per-document bake cache: tag -> (baked, bump, undef_reset);
+        # only attribute-free bakes with side-effect-free policies land
+        # here (see bake_tag)
+        self._bake_cache: dict[str, tuple] = {}
 
     # -- config copy-on-write -------------------------------------------
 
@@ -131,10 +149,25 @@ class ExtractionState(SaxTarget):
     def _vivify_meta(self, name: str) -> None:
         self._own_config().new_metaname(name)
         self.metanames.setdefault(name, bytearray())
+        self._after_vivify(name)
 
     def _vivify_prop(self, name: str) -> None:
         self._own_config().new_property(name)
         self.properties.setdefault(name, bytearray())
+        self._after_vivify(name)
+
+    def _after_vivify(self, name: str) -> None:
+        # vivification changes what's "defined": drop cached bakes and,
+        # if a dotted name just appeared, start materializing domstack
+        # contexts so DOM-path matches can hit from here on
+        self._bake_cache.clear()
+        if "." in name and not self._dotted_names:
+            self._dotted_names = True
+            self.domstack.build_context = True
+            running: list[str] = []
+            for t in self.domstack.items:
+                running.append(t.baked)
+                t.context = C.DOT.join(running)
 
     # -- NamedBuffer ops (namedbuffer.c:166-241) ------------------------
 
@@ -219,6 +252,48 @@ class ExtractionState(SaxTarget):
 
     def bake_tag(self, tag: str, atts: list[str | None] | None,
                  xmlns_prefix: str | None) -> str | None:
+        """Cached front-end: attribute-free bakes of already-seen tags
+        are deterministic (given side-effect-free undef policies), so
+        the hot path is one dict hit. The cache is per-document — no
+        cross-document state (SURVEY.md §7.5 risk 3)."""
+        # attributes only influence an HTML bake for <meta> tags
+        # (parser.c:432-449), so attributed HTML opens still hit the
+        # cache; XML attrs promote to metanames and never do
+        if atts is not None and self.is_html and tag.lower() != "meta":
+            atts = None
+        if atts is None and (xmlns_prefix is None
+                             or self.config.ignore_xmlns):
+            c = self._bake_cache.get(tag)
+            if c is not None:
+                baked, bump, undef_reset = c
+                if bump is not None:
+                    self.bump_word = bump
+                if undef_reset and self.ignore_content:
+                    self.ignore_content = 0
+                return baked
+            baked = self._bake_tag_full(tag, atts, xmlns_prefix)
+            if not self._dotted_names:
+                cfg = self.config
+                swishtag = glibc_lower(tag)
+                if self.is_html:
+                    if swishtag in ("br", "img"):
+                        bump = True
+                    else:
+                        ii = html_tag_lookup_isinline(swishtag.encode())
+                        bump = None if ii is None else (ii == 0)
+                    self._bake_cache[tag] = (baked, bump, False)
+                else:
+                    defined = (swishtag in cfg.metanames
+                               or swishtag in cfg.tag_aliases)
+                    if defined:
+                        self._bake_cache[tag] = (baked, True, False)
+                    elif cfg.undef_metas == C.UNDEF_INDEX:
+                        self._bake_cache[tag] = (baked, True, True)
+            return baked
+        return self._bake_tag_full(tag, atts, xmlns_prefix)
+
+    def _bake_tag_full(self, tag: str, atts: list[str | None] | None,
+                       xmlns_prefix: str | None) -> str | None:
         cfg = self.config
         swishtag = glibc_lower(tag)
 
@@ -346,7 +421,9 @@ class ExtractionState(SaxTarget):
         alias = cfg.tag_aliases.get(swishtag)
         if alias is not None:
             swishtag = alias
-        else:
+        elif self._dotted_names:
+            # the dotted DOM-path alias can only exist when some
+            # configured name contains a '.'
             swishdomtag = self.domstack.flatten_with(swishtag)
             alias = cfg.tag_aliases.get(swishdomtag)
             if alias is not None:

@@ -127,8 +127,50 @@ def fixture_pages_table(n_rows: int, skew_big_frac: float = 0.0,
 def fixture_pages(n_rows: int, skew_big_frac: float = 0.0, seed: int = 42,
                   override_num_blocks: int | None = None):
     import ray.data as rd
-    tbl = fixture_pages_table(n_rows, skew_big_frac, seed)
-    ds = rd.from_arrow(tbl)
-    if override_num_blocks:
-        ds = ds.repartition(override_num_blocks)
-    return ds
+    if n_rows <= 8192:
+        tbl = fixture_pages_table(n_rows, skew_big_frac, seed)
+        ds = rd.from_arrow(tbl)
+        if override_num_blocks:
+            ds = ds.repartition(override_num_blocks)
+        return ds
+    # large corpora: generate in parallel, deterministically by row
+    # index, with the fixture bytes broadcast once via the object store
+    import ray
+    docs = []
+    for name in FIXTURE_DOCS:
+        p = _FIXDIR / name
+        if p.exists():
+            docs.append((name, p.read_bytes()))
+    docs_ref = ray.put(docs)
+    blocks = override_num_blocks or max(64, n_rows // 2000)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import random
+        d = ray.get(docs_ref)
+        big = [x for x in d if x[0] in ("revelation.txt", "testutf.xml")]
+        ids = batch.column("id").to_pylist()
+        urls, ts, bodies, langs = [], [], [], []
+        for i in ids:
+            rng = random.Random((seed << 24) ^ i)
+            if big and rng.random() < skew_big_frac:
+                name, body = big[i % len(big)]
+            else:
+                name, body = d[i % len(d)]
+            stem = (name.rsplit(".", 1)[0] if not name.endswith(".gz")
+                    else name[:-3].rsplit(".", 1)[0])
+            suffix = name[len(stem):] if name.startswith(stem) else ".html"
+            urls.append(f"https://{HOSTS[i % len(HOSTS)]}/{stem}/"
+                        f"{i:08d}{suffix}")
+            ts.append(_EPOCH + datetime.timedelta(seconds=i))
+            bodies.append(body)
+            langs.append("en")
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(bodies, type=pa.binary()),
+            "text": pa.array([""] * len(ids), type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        })
+
+    return rd.range(n_rows, override_num_blocks=blocks) \
+        .map_batches(gen, batch_format="pyarrow")

@@ -247,10 +247,19 @@ def _long_run_utf8(run: str, at_buffer_end: bool) -> list[bytes]:
     return out
 
 
+_RUN_RE = re.compile(f"[{_WORD_CLASS}]+")
+
+
 def tokenize_into(tl: TokenList, data: bytes, meta: str, context: str) -> int:
     """Tokenize one flushed buffer into ``tl``; returns tokens added
     (the nwords contribution, parser.c:2761-2788). ``data`` must be
-    valid UTF-8 (the parser layer guarantees it)."""
+    valid UTF-8 (the parser layer guarantees it).
+
+    Hot-path structure: split on the \\x03 bumper (each split point is
+    one position bump), findall word runs per segment (C speed), strip
+    edges with str.strip, and bulk-extend the token lists. Per-token
+    Python work is a few appends; the faithful per-char fallbacks only
+    run for >256-byte runs or quirky utf8 strips."""
     if not data:
         return 0
     ascii_mode = data.isascii()
@@ -266,35 +275,79 @@ def tokenize_into(tl: TokenList, data: bytes, meta: str, context: str) -> int:
         lower = s.translate(LOWER_MAP)
 
     nstart = len(tl)
-    end = len(lower)
-    add = tl.add
-    for m in _SCAN_RE.finditer(lower):
-        run = m.group()
-        if run == BUMPER_CHR:
-            tl.pos += 1
-            continue
-        at_end = m.end() == end
-        if ascii_mode:
-            if len(run) <= MAX_WORD_LEN:
-                if len(run) == 1 and at_end:
-                    add(run.encode(), meta, context)
-                else:
-                    t = run.strip(_STRIP_CHARS)
-                    if t:
-                        add(t.encode(), meta, context)
-            else:
-                for v in _long_run_ascii(run, at_end):
-                    add(v, meta, context)
-        else:
-            rb = run.encode("utf-8")
-            if len(rb) <= MAX_WORD_LEN:
-                if len(run) == 1 and at_end:
-                    add(rb, meta, context)
-                else:
-                    v = _emit_utf8(rb)
-                    if v is not None:
-                        add(v, meta, context)
-            else:
-                for v in _long_run_utf8(run, at_end):
-                    add(v, meta, context)
-    return len(tl) - nstart
+    values = tl.values
+    positions = tl.positions
+    offsets = tl.offsets
+    pos = tl.pos
+    off = tl._offset
+    findall = _RUN_RE.findall
+    strip_chars = _STRIP_CHARS
+
+    segments = lower.split(BUMPER_CHR)
+    last_seg = len(segments) - 1
+    for si, seg in enumerate(segments):
+        if seg:
+            runs = findall(seg)
+            if runs:
+                nruns = len(runs)
+                # single word char at the very end of the buffer is
+                # added unstripped (tokenizer.c:795-800)
+                final_single = (si == last_seg and len(runs[-1]) == 1
+                                and seg.endswith(runs[-1]))
+                for ri, run in enumerate(runs):
+                    if len(run) <= 64:  # <=64 chars can't exceed 256 bytes
+                        if final_single and ri == nruns - 1:
+                            v = run.encode()
+                        elif run[0] in strip_chars or run[-1] in strip_chars:
+                            if ascii_mode:
+                                t = run.strip(strip_chars)
+                                if not t:
+                                    continue
+                                v = t.encode()
+                            else:
+                                v = _emit_utf8(run.encode("utf-8"))
+                                if v is None:
+                                    continue
+                        else:
+                            v = run.encode("utf-8")
+                        pos += 1
+                        values.append(v)
+                        positions.append(pos)
+                        offsets.append(off)
+                        off += len(v) + 1
+                    else:
+                        at_end = (si == last_seg and seg.endswith(run)
+                                  and ri == nruns - 1)
+                        for v in _emit_run(run, ascii_mode, at_end):
+                            pos += 1
+                            values.append(v)
+                            positions.append(pos)
+                            offsets.append(off)
+                            off += len(v) + 1
+        if si != last_seg:
+            pos += 1  # the bumper byte this segment boundary represents
+    n_new = len(values) - nstart
+    if n_new:
+        tl.metas.extend([meta] * n_new)
+        tl.contexts.extend([context] * n_new)
+    tl.pos = pos
+    tl._offset = off
+    return n_new
+
+
+def _emit_run(run: str, ascii_mode: bool, at_end: bool) -> list[bytes]:
+    """Faithful emission for runs that may exceed MAX_WORD_LEN bytes."""
+    if ascii_mode:
+        if len(run) <= MAX_WORD_LEN:
+            if len(run) == 1 and at_end:
+                return [run.encode()]
+            t = run.strip(_STRIP_CHARS)
+            return [t.encode()] if t else []
+        return _long_run_ascii(run, at_end)
+    rb = run.encode("utf-8")
+    if len(rb) <= MAX_WORD_LEN:
+        if len(run) == 1 and at_end:
+            return [rb]
+        v = _emit_utf8(rb)
+        return [v] if v is not None else []
+    return _long_run_utf8(run, at_end)

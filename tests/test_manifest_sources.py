@@ -1,0 +1,116 @@
+"""Resumable partitioned output + alternative sources + config write."""
+
+import json
+import os
+import pathlib
+import tempfile
+
+import pyarrow as pa
+
+
+def test_write_partitioned_and_resume(ray_session):
+    from swishray.manifest import (read_manifests, write_partitioned,
+                                   completed_buckets)
+    from swishray.pipeline import extract_pages
+    from swishray.synth import fixture_pages
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        ext = extract_pages(fixture_pages(60), emit="text", concurrency=2)
+        s1 = write_partitioned(ext, out, num_buckets=8)
+        assert s1["rows"] == 60 and s1["skipped"] == 0
+        mans = read_manifests(out)
+        assert sum(m["rows"] for m in mans) == 60
+        assert all("nwords" in m and "seconds" in m for m in mans)
+        done_before = completed_buckets(out)
+        # rerun: everything already complete -> all skipped
+        ext2 = extract_pages(fixture_pages(60), emit="text", concurrency=2)
+        s2 = write_partitioned(ext2, out, num_buckets=8)
+        assert s2["written"] == 0 and s2["skipped"] == len(done_before)
+        # kill one bucket's manifest -> only that bucket rewrites
+        victim = sorted(done_before)[0]
+        os.remove(os.path.join(out, f"bucket={victim:04d}",
+                               "_manifest.json"))
+        ext3 = extract_pages(fixture_pages(60), emit="text", concurrency=2)
+        s3 = write_partitioned(ext3, out, num_buckets=8)
+        assert s3["written"] == 1
+        assert s3["skipped"] == len(done_before) - 1
+        # output is valid parquet
+        import pyarrow.parquet as pq
+        total = 0
+        for b in completed_buckets(out):
+            t = pq.read_table(os.path.join(out, f"bucket={b:04d}",
+                                           "part-0.parquet"))
+            total += t.num_rows
+        assert total == 60
+
+
+def test_swish_stream_source(ray_session):
+    from swishray.sources import swish_stream_table
+    from swishray.pipeline import extract_pages
+    import ray.data as rd
+
+    body1 = b"<html><title>T1</title><body>alpha beta</body></html>"
+    body2 = b"plain text words here"
+    stream = (
+        b"Content-Length: " + str(len(body1)).encode() + b"\n"
+        b"Content-Location: http://x.example/a.html\n\n" + body1 +
+        b"Content-Length: " + str(len(body2)).encode() + b"\n"
+        b"Content-Location: http://x.example/b.weird\n"
+        b"Parser-Type: TXT\n\n" + body2
+    )
+    tbl = swish_stream_table(stream)
+    assert tbl.num_rows == 2
+    out = {r["url"]: r for r in
+           extract_pages(rd.from_arrow(tbl), concurrency=1).take_all()}
+    a = out["http://x.example/a.html"]
+    assert a["title"] == "T1" and a["nwords"] == 3
+    b = out["http://x.example/b.weird"]
+    # Parser-Type header overrides the ext-based parser (t/001 stdin)
+    assert b["parser"] == "TXT"
+    # TXT adds the uri as title tokens
+    assert b["nwords"] > 4
+
+
+def test_filelist_source(ray_session):
+    from swishray.sources import read_filelist, is_skippable_line
+    assert is_skippable_line("# comment")
+    assert is_skippable_line("   ")
+    assert not is_skippable_line("foo.txt")
+    with tempfile.TemporaryDirectory() as tmp:
+        p1 = pathlib.Path(tmp) / "a.txt"
+        p1.write_text("hello world")
+        fl = pathlib.Path(tmp) / "filelist"
+        fl.write_text(f"# a comment\n\n{p1}\n")
+        ds = read_filelist(str(fl))
+        rows = ds.take_all()
+        assert len(rows) == 1
+        assert rows[0]["html"] == b"hello world"
+
+
+def test_directory_source(ray_session):
+    from swishray.sources import read_directory
+    with tempfile.TemporaryDirectory() as tmp:
+        (pathlib.Path(tmp) / "x.txt").write_text("one")
+        (pathlib.Path(tmp) / ".hidden").write_text("no")
+        sub = pathlib.Path(tmp) / "sub"
+        sub.mkdir()
+        (sub / "y.txt").write_text("two")
+        rows = read_directory(tmp).take_all()
+        names = sorted(r["url"].rsplit("/", 1)[-1] for r in rows)
+        assert names == ["x.txt", "y.txt"]
+
+
+def test_config_to_xml_roundtrip():
+    from swishray.config import Config
+    cfg = Config.default().add(
+        "/root/reference/src/test_configs/swish.xml")
+    xml = cfg.to_xml()
+    cfg2 = Config.default().add(xml)
+    assert set(cfg2.metanames) == set(cfg.metanames)
+    assert set(cfg2.properties) == set(cfg.properties)
+    assert cfg2.metanames["foo"].bias == 10
+    assert cfg2.properties["description"].verbatim is True
+    assert cfg2.parsers["text/foo"] == "XML"
+    assert cfg2.mimes["au"] == "foo/bar"
+    assert cfg2.cascade_meta_context is True
