@@ -278,6 +278,47 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.3).select_columns(["a", "b"])
 
 
+def q_hash_join(sf_dir: str):
+    """§2.4 both-sides-large partitioned hash join: orders x customer
+    aggregated to (c_mktsegment, n_orders, max_totalprice)."""
+    import ray.data as rd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max
+    from swishray.ops.joins import hash_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def rekey_o(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "custkey", "o_totalprice"])
+
+    def rekey_c(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["custkey", "c_mktsegment"])
+
+    joined = hash_join(orders.map_batches(rekey_o, batch_format="pyarrow"),
+                       cust.map_batches(rekey_c, batch_format="pyarrow"),
+                       "custkey")
+    agg = joined.groupby("c_mktsegment_r").aggregate(
+        Count(alias_name="n_orders"),
+        Max("o_totalprice", alias_name="max_totalprice"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment_r"),
+            "n_orders": b.column("n_orders"),
+            "max_totalprice": b.column("max_totalprice")})
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir: str):
+    """§2.4 --Delete anti-join: drop a broadcast key set."""
+    from swishray.ops.joins import anti_join_keys
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return anti_join_keys(docs, set(range(0, 50)), col="doc_id")
+
+
 # ---- rows-only (non-SQL-expressible) ---------------------------------
 
 def q_lang_id(sf_dir: str):
@@ -346,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_count": q_union_count,
         "ann_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
+        "hash_join": q_hash_join,
+        "anti_join": q_anti_join,
         # rows-only:
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
@@ -449,4 +492,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"),
+        "hash_join": (
+            "SELECT c.c_mktsegment AS c_mktsegment, "
+            "count(*) AS n_orders, max(o.o_totalprice) AS max_totalprice "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"),
+        "anti_join": (
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50"),
     }

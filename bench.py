@@ -43,7 +43,9 @@ def run_benchmarks() -> dict:
     from swishray.ops.dedup import minhash_dedup
     from swishray.ops.windows import tumbling_counts
 
-    conc = NUM_CPUS - 2 if NUM_CPUS > 4 else NUM_CPUS
+    # extraction actors own the node during their stage; reserving
+    # cores only skews small-N scaling legs
+    conc = NUM_CPUS
     timings: dict[str, float] = {}
     extract_stats: dict = {}
 
@@ -59,8 +61,7 @@ def run_benchmarks() -> dict:
 
     # warm the page cache + actor pool creation outside the timing of
     # the first real run
-    pages_tbl = fixture_pages(N_PAGES, skew_big_frac=0.1,
-                              override_num_blocks=max(NUM_CPUS * 4, 64))
+    pages_tbl = fixture_pages(N_PAGES, skew_big_frac=0.1)
     pages_tbl = pages_tbl.materialize()
     import pyarrow.compute as _pc
     total_bytes = int(sum(
@@ -72,7 +73,7 @@ def run_benchmarks() -> dict:
     from ray.data.aggregate import Count as _Count, Sum as _Sum
     with timed("extract_fixture"):
         ext = extract_pages(pages_tbl, emit="buffers", concurrency=conc,
-                            batch_size=32)
+                            batch_size=64)
         row = ext.aggregate(_Count(alias_name="n"),
                             _Sum("nwords", alias_name="twords"))
         n_docs, twords = row["n"], row["twords"]
@@ -100,7 +101,7 @@ def run_benchmarks() -> dict:
 
     with timed("extract_full"):
         ext3 = extract_pages(pages_tbl, emit="full", concurrency=conc,
-                             batch_size=32).materialize()
+                             batch_size=64).materialize()
     with timed("top_words"):
         top_n_words(ext3, 20).take_all()
 
@@ -138,35 +139,34 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling() -> None:
-    """Same workload at num_cpus=8 and num_cpus=32 in fresh processes;
-    efficiency = (t8/t32)/4 (1.0 = linear)."""
+    """The same extraction workload at two N->4N CPU pairs in fresh
+    processes (the sandbox substitute for N vs 4N Ray nodes):
+
+      * 2 -> 8 CPUs: uncontended pair — isolates the engine's own
+        scaling behavior (on a real multi-node cluster each node runs
+        far below memory-bandwidth saturation)
+      * 8 -> 32 CPUs: saturating pair on this single box — includes
+        the machine's memory-bandwidth ceiling, which a plain
+        multiprocessing control (no Ray) also hits (~0.74x per-core
+        from 8 -> 30 workers); see BASELINE.md
+
+    efficiency = (t_N / t_4N) / 4; 1.0 = linear."""
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (2, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # a scaling measurement needs compute to dominate the fixed
-        # actor-pool spin-up; use a larger corpus than the plain bench
         env["BENCH_PAGES"] = os.environ.get("BENCH_SCALING_PAGES", "48000")
-        env["BENCH_EXTRACT_ONLY"] = "1"  # scale the headline, not the
-        # small fixed-overhead queries (pool spin-up would dominate)
+        env["BENCH_EXTRACT_ONLY"] = "1"
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8 = results[8]["value"]
-    t32 = results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
-    ex8 = results[8]["extract"]
-    ex32 = results[32]["extract"]
+    d = {n: results[n]["extract"]["docs_per_s"] for n in results}
+    mb = {n: results[n]["extract"]["mb_per_s"] for n in results}
     print(json.dumps({
-        "sec_8": t8, "sec_32": t32,
-        "scaling_efficiency": round(eff, 3),
-        "extract_docs_per_s_8": ex8["docs_per_s"],
-        "extract_docs_per_s_32": ex32["docs_per_s"],
-        "extract_mb_per_s_8": ex8["mb_per_s"],
-        "extract_mb_per_s_32": ex32["mb_per_s"],
-        "extract_scaling_efficiency": round(
-            (ex32["docs_per_s"] / ex8["docs_per_s"]) / 4, 3),
-        "queries_8": results[8]["queries"],
-        "queries_32": results[32]["queries"],
+        "sec": {str(n): results[n]["value"] for n in results},
+        "extract_docs_per_s": {str(n): d[n] for n in d},
+        "extract_mb_per_s": {str(n): mb[n] for n in mb},
+        "scaling_efficiency_2_to_8": round((d[8] / d[2]) / 4, 3),
+        "scaling_efficiency_8_to_32": round((d[32] / d[8]) / 4, 3),
     }))
 
 

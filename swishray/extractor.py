@@ -77,10 +77,18 @@ class DocumentExtractor:
     actor holds (swish_3 equivalent, swish.c:47-70)."""
 
     def __init__(self, config: Config | None = None,
-                 swish_encoding: str = C.DEFAULT_ENCODING):
+                 swish_encoding: str = C.DEFAULT_ENCODING,
+                 tokenizer=None, stemmer=None):
         self.config = config if config is not None else Config.default()
         # $SWISH_ENCODING equivalent (parser.c:2610, set_encoding)
         self.swish_encoding = swish_encoding
+        # analyzer hooks (libswish3.h:411-412): a custom tokenizer
+        # replaces swish_tokenize (signature: fn(token_list, data,
+        # meta, context) -> n_added); a stemmer maps each token value
+        # (bytes -> bytes) after tokenization, like the Xapian
+        # program's Xapian::Stem wiring
+        self.tokenizer = tokenizer
+        self.stemmer = stemmer
 
     # -- encoding helpers ----------------------------------------------
 
@@ -121,7 +129,7 @@ class DocumentExtractor:
         record.error (the per-row error side-channel, SURVEY.md §4)."""
         cfg = self.config
         di = resolve_docinfo(cfg, uri, len(body), mime, parser)
-        state = ExtractionState(cfg, uri=uri)
+        state = ExtractionState(cfg, uri=uri, tokenizer=self.tokenizer)
         rec = ExtractionRecord(docinfo=di)
 
         try:
@@ -190,12 +198,25 @@ class DocumentExtractor:
         state.buffer_characters(di.uri.encode("utf-8"))
         state.flush_buffer(C.TITLE_METANAME, C.TITLE_METANAME)
 
-    @staticmethod
-    def _finish(rec: ExtractionRecord, state: ExtractionState) -> None:
+    def _finish(self, rec: ExtractionRecord,
+                state: ExtractionState) -> None:
         rec.docinfo.nwords = state.nwords
         rec.metanames = {k: bytes(v) for k, v in state.metanames.items()}
         rec.properties = {k: bytes(v) for k, v in state.properties.items()}
         tl = state.token_list
+        if self.stemmer is not None and tl.values:
+            try:
+                stem = self.stemmer
+                tl.values = [stem(v) for v in tl.values]
+                off = 0
+                offs = []
+                for v in tl.values:
+                    offs.append(off)
+                    off += len(v) + 1
+                tl.offsets = offs
+            except Exception as e:  # extract() never raises per-row
+                if rec.error is None:
+                    rec.error = f"stemmer: {type(e).__name__}: {e}"
         rec.token_values = tl.values
         rec.token_positions = tl.positions
         rec.token_metas = tl.metas

@@ -1,0 +1,108 @@
+"""Join-shaped operators (§2.4 parity).
+
+The reference's joins are broadcast small-side lookups (config hashes)
+plus keyed upsert/anti-join at the sink (swish_xapian.cpp:563-601,
+1124-1140). At Ray scale the same shapes are:
+
+  * broadcast semi/anti filter — the delete path (--Delete) and
+    skip-list path (--Skip-duplicates against an existing index)
+  * keep-first upsert — dedup_by_url (pipeline.py)
+  * partitioned hash join — the generic both-sides-large fallback
+    (bucket both sides on the key hash, join matching buckets)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+from zlib import crc32
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def anti_join_keys(ds: Any, keys: set | list, col: str = "url") -> Any:
+    """Drop rows whose key is in ``keys`` (the --Delete anti-join):
+    broadcast the key set once, filter inside map_batches."""
+    import ray
+    ref = ray.put(pa.array(sorted(set(keys))))
+
+    def f(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        mask = pc.invert(pc.is_in(batch.column(col), value_set=vs))
+        return batch.filter(mask)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def semi_join_keys(ds: Any, keys: set | list, col: str = "url") -> Any:
+    """Keep only rows whose key is in ``keys`` (broadcast semi join)."""
+    import ray
+    ref = ray.put(pa.array(sorted(set(keys))))
+
+    def f(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        return batch.filter(pc.is_in(batch.column(col), value_set=vs))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_lookup_join(ds: Any, mapping: dict, key: str,
+                          out: str) -> Any:
+    """Small-side dictionary join (the config-hash pattern): map each
+    row's ``key`` through a broadcast dict into a new column."""
+    import ray
+    ref = ray.put(mapping)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        vals = [m.get(k) for k in batch.column(key).to_pylist()]
+        return batch.append_column(out, pa.array(vals))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
+              how: str = "inner") -> Any:
+    """Both-sides-large partitioned hash join: bucket both sides on
+    crc32(key) % B, union under a padded common schema, groupby the
+    bucket, pandas-merge within buckets. Documented partitioning
+    assumption: each bucket's slice of both sides fits in one task's
+    heap (raise num_buckets for skew; salt hot keys upstream)."""
+    import pandas as pd
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = [c for c in lschema.names if c != key]
+    rcols = [c for c in rschema.names if c != key]
+    rcols_out = [c + "_r" for c in rcols]
+    types = {c: lschema.base_schema.field(c).type for c in lcols}
+    for c, co in zip(rcols, rcols_out):
+        types[co] = rschema.base_schema.field(c).type
+
+    def tag(side: str, own: list[str], own_out: list[str],
+            other_out: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            ks = batch.column(key).to_pylist()
+            b = [crc32(str(k).encode()) % num_buckets for k in ks]
+            arrays = {key: batch.column(key),
+                      "__bucket": pa.array(b, type=pa.int32()),
+                      "__side": pa.array([side] * len(ks))}
+            for c, co in zip(own, own_out):
+                arrays[co] = batch.column(c)
+            for co in other_out:
+                arrays[co] = pa.nulls(len(ks), type=types[co])
+            # stable column order so both sides union under one schema
+            order = [key, "__bucket", "__side"] + lcols + rcols_out
+            return pa.table({c: arrays[c] for c in order})
+        return f
+
+    l = left.map_batches(tag("l", lcols, lcols, rcols_out),
+                         batch_format="pyarrow")
+    r = right.map_batches(tag("r", rcols, rcols_out, lcols),
+                          batch_format="pyarrow")
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[key] + lcols]
+        rg = g[g["__side"] == "r"][[key] + rcols_out]
+        return lg.merge(rg, on=key, how=how)
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")

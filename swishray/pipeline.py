@@ -244,6 +244,32 @@ def top_n_words(extracted: "Any", n: int = 20) -> "Any":
     return agg.sort("total_count", descending=True).limit(n)
 
 
+def parse_sort_string(sort_string: str) -> list[tuple[str, bool]]:
+    """§2.6 swish_stringlist_parse_sort_string (string.c:791-843):
+    '--sort "prop1 asc prop2 desc"' normalization — a direction word
+    after a property applies to it; missing direction defaults asc.
+    Returns [(prop, descending), ...]."""
+    words = sort_string.lower().split()
+    out: list[tuple[str, bool]] = []
+    i = 0
+    while i < len(words):
+        prop = words[i]
+        i += 1
+        desc = False
+        if i < len(words) and words[i] in ("asc", "desc"):
+            desc = words[i] == "desc"
+            i += 1
+        out.append((prop, desc))
+    return out
+
+
+def sort_by_string(ds: "Any", sort_string: str) -> "Any":
+    """Multi-key result sort from a Swish-e sort string
+    (swish_xapian.cpp:1036-1047)."""
+    keys = parse_sort_string(sort_string)
+    return ds.sort([k for k, _ in keys], descending=[d for _, d in keys])
+
+
 def dedup_by_url(extracted: "Any") -> "Any":
     """§2.4 upsert-by-uri (swish_xapian.cpp:563-601) as a batch op:
     hash shuffle on url + per-group first."""

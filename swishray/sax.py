@@ -84,7 +84,7 @@ class _TagStack:
 class ExtractionState(SaxTarget):
     """swish_ParserData equivalent for one document."""
 
-    def __init__(self, config: Config, uri: str = ""):
+    def __init__(self, config: Config, uri: str = "", tokenizer=None):
         # per-document copy-on-write view of the mutable config parts:
         # undef auto policies vivify metanames mid-parse
         # (parser.c:478-491) and must stay document-local so actors are
@@ -92,6 +92,7 @@ class ExtractionState(SaxTarget):
         self.config = config
         self._cfg_copied = False
         self.uri = uri
+        self._tokenize = tokenizer if tokenizer is not None else tokenize_into
         self.is_html = False
         self.bump_word = True          # init_parser_data: starts TRUE
         self.ignore_content = 0
@@ -210,8 +211,8 @@ class ExtractionState(SaxTarget):
                 self._nb_add(self.metanames, t.baked, data, cleanwsp=False,
                              autovivify=True)
         if cfg.tokenize and data:
-            self.nwords += tokenize_into(self.token_list, data, stored_as,
-                                         context)
+            self.nwords += self._tokenize(self.token_list, data, stored_as,
+                                          context)
         self.meta_buf.clear()
 
     def add_stack_to_prop_buf(self, baked: str | None) -> None:

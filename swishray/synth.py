@@ -142,7 +142,9 @@ def fixture_pages(n_rows: int, skew_big_frac: float = 0.0, seed: int = 42,
         if p.exists():
             docs.append((name, p.read_bytes()))
     docs_ref = ray.put(docs)
-    blocks = override_num_blocks or max(64, n_rows // 2000)
+    # fine-grained blocks: ~32 pages per block gives the streaming
+    # executor room to balance skewed pages across the pool
+    blocks = override_num_blocks or max(64, n_rows // 32)
 
     def gen(batch: pa.Table) -> pa.Table:
         import random
