@@ -1,0 +1,150 @@
+"""CLI entry points mirroring the reference's programs (src/*.c):
+
+  python -m swishray lint [-c conf] <file|dir|filelist|->...
+      swish_lint: parse documents, print per-doc nwords + totals
+  python -m swishray tokenize <string>...
+      swish_tokenize: token counts + values per argument
+  python -m swishray header <conf.xml>
+      swish_header: read/merge/validate a config, write it back out
+  python -m swishray extract --pages <parquet> --out <dir> [options]
+      the Ray pipeline: pages table -> partitioned extraction records
+
+Only `extract` starts a Ray session; the first three are pure
+single-process (like the reference CLIs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def cmd_lint(args) -> int:
+    from .config import Config
+    from .extractor import DocumentExtractor
+    from .sources import is_skippable_line, iter_swish_stream
+
+    cfg = Config.default()
+    for c in args.config or []:
+        cfg.add(c)
+    ex = DocumentExtractor(cfg)
+    twords = 0
+    files = 0
+
+    def one(uri: str, body: bytes, mime=None, parser=None):
+        nonlocal twords, files
+        rec = ex.extract(uri, body, mime=mime, parser=parser)
+        if args.verbose:
+            print(f"nwords: {rec.docinfo.nwords}")
+        if rec.error:
+            print(f"error: {uri}: {rec.error}", file=sys.stderr)
+        twords += rec.docinfo.nwords
+        files += 1
+
+    for target in args.targets:
+        if target == "-":
+            for d in iter_swish_stream(sys.stdin.buffer.read()):
+                one(d["url"], d["html"], d["mime"], d["parser"])
+        elif os.path.isdir(target):
+            for root, dirs, fs in os.walk(target):
+                dirs[:] = [d for d in dirs if not d.startswith(".")]
+                for f in sorted(fs):
+                    if not f.startswith("."):
+                        p = os.path.join(root, f)
+                        with open(p, "rb") as fh:
+                            one(p, fh.read())
+        elif args.filelist:
+            with open(target) as fh:
+                for ln in fh:
+                    if not is_skippable_line(ln):
+                        p = ln.strip()
+                        with open(p, "rb") as f2:
+                            one(p, f2.read())
+        else:
+            with open(target, "rb") as fh:
+                one(target, fh.read())
+    print(f"{files} files parsed")
+    print(f"total words: {twords}")
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    from .tokenizer import TokenList, tokenize_into
+    for s in args.strings:
+        tl = TokenList()
+        tokenize_into(tl, s.encode(), "swishdefault", "swishdefault")
+        vals = b" ".join(tl.values).decode("utf-8", "replace")
+        print(f"parsed {len(tl)} tokens: {vals}")
+    return 0
+
+
+def cmd_header(args) -> int:
+    from .config import Config
+    cfg = Config.default().add(args.conf)
+    print(cfg.to_xml())
+    return 0
+
+
+def cmd_extract(args) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from .manifest import write_partitioned
+    from .pipeline import extract_pages
+
+    pages = rd.read_parquet(args.pages)
+    config_xml = None
+    if args.config:
+        with open(args.config[0]) as f:
+            config_xml = f.read()
+    ext = extract_pages(pages, emit=args.emit, config_xml=config_xml,
+                        concurrency=args.num_cpus,
+                        batch_size=args.batch_size)
+    summary = write_partitioned(ext, args.out,
+                                num_buckets=args.num_buckets,
+                                resume=not args.no_resume)
+    print(summary)
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="swishray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("lint")
+    pl.add_argument("targets", nargs="+")
+    pl.add_argument("-c", "--config", action="append")
+    pl.add_argument("-v", "--verbose", action="store_true")
+    pl.add_argument("-f", "--filelist", action="store_true")
+    pl.set_defaults(fn=cmd_lint)
+
+    pt = sub.add_parser("tokenize")
+    pt.add_argument("strings", nargs="+")
+    pt.set_defaults(fn=cmd_tokenize)
+
+    ph = sub.add_parser("header")
+    ph.add_argument("conf")
+    ph.set_defaults(fn=cmd_header)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("--pages", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--emit", default="buffers",
+                    choices=["text", "buffers", "full"])
+    pe.add_argument("--config", action="append")
+    pe.add_argument("--num-cpus", type=int, default=8)
+    pe.add_argument("--batch-size", type=int, default=64)
+    pe.add_argument("--num-buckets", type=int, default=64)
+    pe.add_argument("--no-resume", action="store_true")
+    pe.set_defaults(fn=cmd_extract)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
