@@ -130,9 +130,9 @@ def fixture_pages(n_rows: int, skew_big_frac: float = 0.0, seed: int = 42,
     if n_rows <= 8192:
         tbl = fixture_pages_table(n_rows, skew_big_frac, seed)
         ds = rd.from_arrow(tbl)
-        if override_num_blocks:
-            ds = ds.repartition(override_num_blocks)
-        return ds
+        # a single arrow block starves downstream actor pools
+        blocks = override_num_blocks or max(2, min(64, n_rows // 16))
+        return ds.repartition(blocks)
     # large corpora: generate in parallel, deterministically by row
     # index, with the fixture bytes broadcast once via the object store
     import ray

@@ -150,3 +150,45 @@ def test_windows_ops(ray_session):
     assert t.count() > 0
     s = sessionize(ev, 1800)
     assert s.count() > 0
+
+
+def test_size_aware_split_and_extract(ray_session):
+    import ray.data as rd
+    from swishray.ops.partitioning import (split_by_size,
+                                           extract_pages_size_aware)
+    tbl = pa.table({
+        "url": ["small.html", "big.html"],
+        "html": pa.array([b"<p>tiny</p>", b"<p>" + b"w " * 200000 + b"</p>"],
+                         type=pa.binary()),
+    })
+    ds = rd.from_arrow(tbl)
+    small, big = split_by_size(ds, threshold_bytes=1000)
+    assert small.count() == 1 and big.count() == 1
+    out = extract_pages_size_aware(rd.from_arrow(tbl),
+                                   threshold_bytes=1000,
+                                   concurrency=1).take_all()
+    by_url = {r["url"]: r for r in out}
+    assert by_url["small.html"]["nwords"] == 1
+    assert by_url["big.html"]["nwords"] == 200000
+
+
+def test_salted_group_count(ray_session):
+    import ray.data as rd
+    from swishray.ops.partitioning import (salted_group_count, url_host,
+                                           docs_per_host, add_host)
+    assert url_host("https://Hot.Example/a/b.html") == "hot.example"
+    # hot key: 900 of 1000 rows share one key
+    keys = ["hot"] * 900 + [f"cold{i}" for i in range(100)]
+    vals = list(range(1000))
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+    out = {r["k"]: (r["n"], r["sum_v"]) for r in
+           salted_group_count(ds, "k", salt_buckets=8,
+                              value_col="v").take_all()}
+    assert out["hot"][0] == 900
+    assert out["hot"][1] == sum(range(900))
+    assert out["cold5"] == (1, 905)
+    # host aggregate over extraction-shaped rows
+    ds2 = rd.from_arrow(pa.table({
+        "url": [f"https://h{i%3}.x/p{i}" for i in range(30)]}))
+    hosts = {r["host"]: r["n"] for r in docs_per_host(ds2).take_all()}
+    assert hosts == {"h0.x": 10, "h1.x": 10, "h2.x": 10}
