@@ -278,6 +278,68 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.3).select_columns(["a", "b"])
 
 
+def q_extract_txt(sf_dir: str):
+    """TXT parser path: .txt urls dispatch to the TXT parser, which
+    tokenizes the url itself as swishtitle (txt_parser,
+    parser.c:2692-2703) — nwords = body words + url tokens."""
+    import pyarrow as pa
+    from swishray.pipeline import extract_pages
+
+    def to_txt_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"https://files.example/{d:08d}.txt" for d in ids]
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array([(t or "").encode() for t in texts],
+                             type=pa.binary()),
+        })
+
+    pages = _docs(sf_dir).map_batches(to_txt_pages, batch_format="pyarrow")
+    ext = extract_pages(pages, emit="text", concurrency=4)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "url": batch.column("url"),
+            "parser": batch.column("parser"),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+            "title": pc.cast(batch.column("title"), pa.string()),
+        })
+    return ext.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_xml(sf_dir: str):
+    """XML parser path: dispatch + undef-tag INDEX policy over a
+    simple XML wrapper; body tokens equal the whitespace words."""
+    import pyarrow as pa
+    from swishray.pipeline import extract_pages
+
+    def to_xml_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"https://files.example/{d:08d}.xml" for d in ids]
+        bodies = [f"<doc><body>{t or ''}</body></doc>".encode()
+                  for t in texts]
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(bodies, type=pa.binary()),
+        })
+
+    pages = _docs(sf_dir).map_batches(to_xml_pages, batch_format="pyarrow")
+    ext = extract_pages(pages, emit="text", concurrency=4)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "url": batch.column("url"),
+            "parser": batch.column("parser"),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+            "text": pc.cast(batch.column("text"), pa.string()),
+        })
+    return ext.map_batches(shape, batch_format="pyarrow")
+
+
 def q_hash_join(sf_dir: str):
     """§2.4 both-sides-large partitioned hash join: orders x customer
     aggregated to (c_mktsegment, n_orders, max_totalprice)."""
@@ -387,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_count": q_union_count,
         "ann_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
+        "extract_txt": q_extract_txt,
+        "extract_xml": q_extract_xml,
         "hash_join": q_hash_join,
         "anti_join": q_anti_join,
         # rows-only:
@@ -492,6 +556,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"),
+        "extract_txt": (
+            "SELECT 'https://files.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.txt' AS url, "
+            "'TXT' AS parser, "
+            f"cast(len({_WORDS_SQL}) + 5 as bigint) AS nwords, "
+            "'https://files.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.txt' AS title "
+            "FROM documents"),
+        "extract_xml": (
+            "SELECT 'https://files.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.xml' AS url, "
+            "'XML' AS parser, "
+            f"cast(len({_WORDS_SQL}) as bigint) AS nwords, "
+            "text FROM documents"),
         "hash_join": (
             "SELECT c.c_mktsegment AS c_mktsegment, "
             "count(*) AS n_orders, max(o.o_totalprice) AS max_totalprice "
