@@ -100,8 +100,11 @@ def cmd_extract(args) -> int:
     if args.config:
         with open(args.config[0]) as f:
             config_xml = f.read()
+    # leave a core for the read/write task stages: an actor pool that
+    # reserves every CPU deadlocks the streaming executor
+    conc = max(1, args.num_cpus - 1)
     ext = extract_pages(pages, emit=args.emit, config_xml=config_xml,
-                        concurrency=args.num_cpus,
+                        concurrency=conc,
                         batch_size=args.batch_size)
     summary = write_partitioned(ext, args.out,
                                 num_buckets=args.num_buckets,

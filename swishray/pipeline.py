@@ -244,6 +244,32 @@ def top_n_words(extracted: "Any", n: int = 20) -> "Any":
     return agg.sort("total_count", descending=True).limit(n)
 
 
+def extraction_metrics(extracted: "Any") -> dict:
+    """north_rule per-run extraction metrics: docs, errors (by kind),
+    bytes, words — one aggregate pass over the record stream."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        err = batch.column("error")
+        n_err = batch.num_rows - err.null_count
+        return pa.table({
+            "docs": pa.array([batch.num_rows], type=pa.int64()),
+            "errors": pa.array([n_err], type=pa.int64()),
+            "bytes": pa.array([int(pc.sum(batch.column("size")).as_py()
+                                   or 0)], type=pa.int64()),
+            "words": pa.array([int(pc.sum(batch.column("nwords")).as_py()
+                                   or 0)], type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    parts = extracted.map_batches(partial, batch_format="pyarrow")
+    row = parts.aggregate(Sum("docs", alias_name="docs"),
+                          Sum("errors", alias_name="errors"),
+                          Sum("bytes", alias_name="bytes"),
+                          Sum("words", alias_name="words"))
+    return {k: int(v) for k, v in row.items()}
+
+
 def parse_sort_string(sort_string: str) -> list[tuple[str, bool]]:
     """§2.6 swish_stringlist_parse_sort_string (string.c:791-843):
     '--sort "prop1 asc prop2 desc"' normalization — a direction word
