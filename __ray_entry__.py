@@ -278,6 +278,20 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.3).select_columns(["a", "b"])
 
 
+def q_facet_title_property(sf_dir: str):
+    """§2.5 FacetFinder over the properties map (swishtitle values)."""
+    from swishray.pipeline import facet_counts_property
+    ext = _extracted(sf_dir, emit="buffers")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    fc = facet_counts_property(ext, "swishtitle")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"value": batch.column("value"),
+                         "n": pc.cast(batch.column("n"), pa.int64())})
+    return fc.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_txt(sf_dir: str):
     """TXT parser path: .txt urls dispatch to the TXT parser, which
     tokenizes the url itself as swishtitle (txt_parser,
@@ -449,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_count": q_union_count,
         "ann_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
+        "facet_title_property": q_facet_title_property,
         "extract_txt": q_extract_txt,
         "extract_xml": q_extract_xml,
         "hash_join": q_hash_join,
@@ -556,6 +571,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"),
+        "facet_title_property": (
+            "SELECT 'Doc ' || doc_id AS value, cast(1 as bigint) AS n "
+            "FROM documents"),
         "extract_txt": (
             "SELECT 'https://files.example/' || "
             "lpad(cast(doc_id as varchar), 8, '0') || '.txt' AS url, "

@@ -43,9 +43,11 @@ def run_benchmarks() -> dict:
     from swishray.ops.dedup import minhash_dedup
     from swishray.ops.windows import tumbling_counts
 
-    # extraction actors own the node during their stage; reserving
-    # cores only skews small-N scaling legs
-    conc = NUM_CPUS
+    # Materialized-input stages can use every core (no task stage
+    # competes); chains with live read/generation stages must leave
+    # cores for them or the streaming executor deadlocks.
+    conc = NUM_CPUS                      # for materialized inputs
+    conc_chain = max(1, NUM_CPUS - 2)    # for unmaterialized chains
     timings: dict[str, float] = {}
     extract_stats: dict = {}
 
@@ -95,7 +97,7 @@ def run_benchmarks() -> dict:
 
     with timed("extract_documents"):
         pages2 = pages_from_documents(SF_DIR)
-        ext2 = extract_pages(pages2, emit="text", concurrency=conc,
+        ext2 = extract_pages(pages2, emit="text", concurrency=conc_chain,
                              batch_size=64)
         ext2.sum("nwords")
 

@@ -212,28 +212,68 @@ def facet_counts(extracted: "Any", prop: str) -> "Any":
     return ds.groupby("value").count()
 
 
+def facet_counts_property(extracted: "Any", prop: str) -> "Any":
+    """§2.5 FacetFinder over the properties MAP column: each \\x03-split
+    value of the named property counts once per document."""
+    def explode(batch: pa.Table) -> pa.Table:
+        vals = []
+        for m in batch.column("properties").to_pylist():
+            d = dict(m) if not isinstance(m, dict) else m
+            v = d.get(prop)
+            if v:
+                vals.extend(v.split("\x03"))
+        return pa.table({"value": pa.array(vals, type=pa.string())})
+
+    from ray.data.aggregate import Count
+    ds = extracted.map_batches(explode, batch_format="pyarrow")
+    return ds.groupby("value").aggregate(Count(alias_name="n"))
+
+
+def configure_for_pages(target_block_mb: int = 64,
+                        preserve_order: bool = False) -> None:
+    """DataContext tuning for wide binary page rows (ray_guide.md
+    memory notes): smaller target blocks so a handful of giant html
+    blobs per block doesn't balloon worker heaps; order free unless a
+    sink needs it."""
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.target_max_block_size = target_block_mb * 1024 * 1024
+    ctx.execution_options.preserve_order = preserve_order
+
+
 def top_n_words(extracted: "Any", n: int = 20) -> "Any":
     """§2.5 countwords.pl: token -> (total count, doc count), sorted
-    desc, limit N. Pre-aggregates per batch before the shuffle so the
-    groupby moves (token, partial_count) rows, not every token."""
-    from collections import Counter
+    desc, limit N. Pre-aggregates per batch (vectorized in polars)
+    before the shuffle so the groupby moves (token, partial_count)
+    rows, not every token."""
+    import numpy as np
+    import polars as pl
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        docs: Counter = Counter()
-        for tokens in batch.column("token_values").to_pylist():
-            if not tokens:
-                continue
-            c = Counter(tokens)
-            counts.update(c)
-            docs.update(c.keys())
-        toks = list(counts.keys())
+        col = batch.column("token_values")
+        if batch.num_rows == 0:
+            return pa.table({
+                "token": pa.array([], type=pa.string()),
+                "count_partial": pa.array([], type=pa.int64()),
+                "docs_partial": pa.array([], type=pa.int64())})
+        flat = pc.list_flatten(col.combine_chunks())
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        df = pl.DataFrame({
+            "token": pl.from_arrow(flat.cast(pa.large_binary())),
+            "doc": doc_ids,
+        })
+        agg = df.group_by("token").agg(
+            pl.len().alias("count_partial"),
+            pl.col("doc").n_unique().alias("docs_partial"))
+        toks = [t.decode("utf-8", "replace") for t in agg["token"]]
         return pa.table({
-            "token": pa.array([t.decode("utf-8", "replace") for t in toks]),
-            "count_partial": pa.array([counts[t] for t in toks],
-                                      type=pa.int64()),
-            "docs_partial": pa.array([docs[t] for t in toks],
-                                     type=pa.int64()),
+            "token": pa.array(toks, type=pa.string()),
+            "count_partial": pa.array(agg["count_partial"].cast(pl.Int64)
+                                      .to_list(), type=pa.int64()),
+            "docs_partial": pa.array(agg["docs_partial"].cast(pl.Int64)
+                                     .to_list(), type=pa.int64()),
         })
 
     from ray.data.aggregate import Sum

@@ -76,8 +76,9 @@ def test_killed_run_resumes(tmp_path):
     out_int = str(tmp_path / "interrupted")
     rc, _ = _run(out_int, slow=True, kill_after=1.0)
     done_after_kill = completed_buckets(out_int)
-    if rc != -9:
-        # machine raced ahead and finished; still validates the write
+    if rc != -9 or len(done_after_kill) == 16:
+        # machine raced ahead and finished (or the kill landed after
+        # the last bucket went durable); still validates the write
         assert len(done_after_kill) == 16
     else:
         assert 0 < len(done_after_kill) < 16, \
