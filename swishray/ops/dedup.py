@@ -120,8 +120,9 @@ def minhash_signatures(ds: Any, num_perm: int = 64, shingle_k: int = 3,
 def lsh_candidate_pairs(sigs: Any, bands: int = 16,
                         key: str = "doc_id") -> Any:
     """Explode signatures to (band_id, band_hash, key) rows, shuffle on
-    the band bucket, pair up within buckets. Returns distinct candidate
-    pairs (a < b)."""
+    the band bucket, pair up within buckets. Returns candidate pairs
+    (a < b), deduped per block — a pair matching in several bands can
+    appear once per band; consumers dedup the (small) final set."""
     import pandas as pd
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -155,13 +156,15 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
-    # distinct pairs (a dedup shuffle over the small candidate set)
+    # distinct pairs: a lightweight per-block dedup (duplicates only
+    # recur across bands; a full extra shuffle isn't worth it — the
+    # caller dedups the final small set)
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def drop_dupes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
 
-    return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    return cand.map_batches(drop_dupes, batch_format="pandas")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -186,13 +189,14 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
     Returns (a, b, jaccard) pairs >= threshold."""
     import ray
 
+    import ray.data as rd
+
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
     cand = lsh_candidate_pairs(sigs, bands, key)
-    # broadcast the text of candidate ids only
-    cand_ids = set()
-    for row in cand.take_all():
-        cand_ids.add(row["a"])
-        cand_ids.add(row["b"])
+    # the candidate set is tiny relative to the corpus: dedup it once
+    # on the driver and broadcast the texts it references
+    pair_set = sorted({(row["a"], row["b"]) for row in cand.take_all()})
+    cand_ids = {x for p in pair_set for x in p}
     texts = {}
     if cand_ids:
         def pick(batch: pa.Table) -> pa.Table:
@@ -203,6 +207,14 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
         for row in small.select_columns([key, col]).take_all():
             texts[row[key]] = row[col]
     texts_ref = ray.put(texts)
+
+    if pair_set:
+        pairs_tbl = pa.table({"a": pa.array([p[0] for p in pair_set]),
+                              "b": pa.array([p[1] for p in pair_set])})
+    else:
+        pairs_tbl = pa.table({"a": pa.array([], type=pa.int64()),
+                              "b": pa.array([], type=pa.int64())})
+    pairs_ds = rd.from_arrow(pairs_tbl)
 
     def verify(batch: pa.Table) -> pa.Table:
         t = ray.get(texts_ref)
@@ -217,7 +229,7 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
         return pa.table({"a": pa.array(out_a), "b": pa.array(out_b),
                          "jaccard": pa.array(out_j, type=pa.float64())})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
 # ---- simhash ----------------------------------------------------------

@@ -276,9 +276,23 @@ def top_n_words(extracted: "Any", n: int = 20) -> "Any":
                                      .to_list(), type=pa.int64()),
         })
 
+    def combine(batch: pa.Table) -> pa.Table:
+        # tree combine: sum partials within a repartitioned block so
+        # the global groupby moves at most (distinct x n_blocks) rows
+        df = pl.from_arrow(batch)
+        agg = df.group_by("token").agg(
+            pl.col("count_partial").sum(),
+            pl.col("docs_partial").sum())
+        return agg.to_arrow().cast(pa.schema([
+            ("token", pa.string()),
+            ("count_partial", pa.int64()),
+            ("docs_partial", pa.int64())]))
+
     from ray.data.aggregate import Sum
     parts = extracted.map_batches(partial, batch_format="pyarrow")
-    agg = parts.groupby("token").aggregate(
+    combined = parts.repartition(16).map_batches(combine,
+                                                 batch_format="pyarrow")
+    agg = combined.groupby("token").aggregate(
         Sum("count_partial", alias_name="total_count"),
         Sum("docs_partial", alias_name="doc_count"))
     return agg.sort("total_count", descending=True).limit(n)
