@@ -75,7 +75,7 @@ def run_benchmarks() -> dict:
     from ray.data.aggregate import Count as _Count, Sum as _Sum
     with timed("extract_fixture"):
         ext = extract_pages(pages_tbl, emit="buffers", concurrency=conc,
-                            batch_size=64)
+                            batch_size=128)
         row = ext.aggregate(_Count(alias_name="n"),
                             _Sum("nwords", alias_name="twords"))
         n_docs, twords = row["n"], row["twords"]
@@ -156,7 +156,7 @@ def run_scaling() -> None:
     results = {}
     for ncpu in (2, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env["BENCH_PAGES"] = os.environ.get("BENCH_SCALING_PAGES", "48000")
+        env["BENCH_PAGES"] = os.environ.get("BENCH_SCALING_PAGES", "96000")
         env["BENCH_EXTRACT_ONLY"] = "1"
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)

@@ -249,8 +249,34 @@ def _long_run_utf8(run: str, at_buffer_end: bool) -> list[bytes]:
 
 _RUN_RE = re.compile(f"[{_WORD_CLASS}]+")
 
+try:  # optional C accelerator (A/B-verified identical; see _native)
+    from ._native import swishtok as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 
 def tokenize_into(tl: TokenList, data: bytes, meta: str, context: str) -> int:
+    if _native is not None:
+        vals, poss, newpos = _native.tokenize(data, tl.pos)
+        n = len(vals)
+        if n:
+            tl.values.extend(vals)
+            tl.positions.extend(poss)
+            offs = tl.offsets
+            off = tl._offset
+            for v in vals:
+                offs.append(off)
+                off += len(v) + 1
+            tl._offset = off
+            tl.metas.extend([meta] * n)
+            tl.contexts.extend([context] * n)
+        tl.pos = newpos
+        return n
+    return _tokenize_into_py(tl, data, meta, context)
+
+
+def _tokenize_into_py(tl: TokenList, data: bytes, meta: str,
+                      context: str) -> int:
     """Tokenize one flushed buffer into ``tl``; returns tokens added
     (the nwords contribution, parser.c:2761-2788). ``data`` must be
     valid UTF-8 (the parser layer guarantees it).
