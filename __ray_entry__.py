@@ -28,9 +28,14 @@ def _pages(sf_dir: str):
     return pages_from_documents(sf_dir)
 
 
+def _conc():
+    from swishray.util import default_concurrency
+    return default_concurrency(reserve=1, cap=8)
+
+
 def _extracted(sf_dir: str, emit: str = "text", **kw):
     from swishray.pipeline import extract_pages
-    return extract_pages(_pages(sf_dir), emit=emit, concurrency=4, **kw)
+    return extract_pages(_pages(sf_dir), emit=emit, concurrency=_conc(), **kw)
 
 
 def _docs(sf_dir: str):
@@ -44,8 +49,10 @@ def entry() -> Any:
     """Flagship: synthetic pages -> full extraction records."""
     from swishray.pipeline import extract_pages
     from swishray.synth import pages_from_documents
+    from swishray.util import default_concurrency
     pages = pages_from_documents("/root/testdata/sf0.001")
-    return extract_pages(pages, emit="full", concurrency=4)
+    return extract_pages(pages, emit="full",
+                         concurrency=default_concurrency())
 
 
 # ---------------------------------------------------------------------
@@ -310,7 +317,7 @@ def q_extract_txt(sf_dir: str):
         })
 
     pages = _docs(sf_dir).map_batches(to_txt_pages, batch_format="pyarrow")
-    ext = extract_pages(pages, emit="text", concurrency=4)
+    ext = extract_pages(pages, emit="text", concurrency=_conc())
 
     def shape(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -341,7 +348,7 @@ def q_extract_xml(sf_dir: str):
         })
 
     pages = _docs(sf_dir).map_batches(to_xml_pages, batch_format="pyarrow")
-    ext = extract_pages(pages, emit="text", concurrency=4)
+    ext = extract_pages(pages, emit="text", concurrency=_conc())
 
     def shape(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -429,8 +436,9 @@ def q_ivf_topk(sf_dir: str):
 
 def q_decode_images(sf_dir: str):
     from swishray.ops.multimodal import decode_images, synth_media_dataset
+    from swishray.util import default_concurrency
     media = synth_media_dataset(200, "image")
-    return decode_images(media, concurrency=2)
+    return decode_images(media, concurrency=default_concurrency(cap=2))
 
 
 def q_extract_fixture_corpus(sf_dir: str):
@@ -438,7 +446,9 @@ def q_extract_fixture_corpus(sf_dir: str):
     metanames/properties maps + token columns)."""
     from swishray.pipeline import extract_pages
     from swishray.synth import fixture_pages
-    return extract_pages(fixture_pages(120), emit="full", concurrency=4) \
+    from swishray.util import default_concurrency
+    return extract_pages(fixture_pages(120), emit="full",
+                         concurrency=default_concurrency()) \
         .select_columns(["url", "nwords", "title", "error"])
 
 

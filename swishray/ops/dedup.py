@@ -109,9 +109,10 @@ class MinHasher:
 
 def minhash_signatures(ds: Any, num_perm: int = 64, shingle_k: int = 3,
                        seed: int = 42, col: str = "text",
-                       key: str = "doc_id", concurrency=4) -> Any:
-    return ds.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(
+                       key: str = "doc_id", concurrency=None) -> Any:
+    from ..util import map_batches_stateful
+    return map_batches_stateful(
+        ds, MinHasher, fn_constructor_kwargs=dict(
             num_perm=num_perm, shingle_k=shingle_k, seed=seed,
             col=col, key=key),
         batch_format="pyarrow", concurrency=concurrency)

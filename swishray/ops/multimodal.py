@@ -98,8 +98,9 @@ def decode_images(ds: Any, key: str = "media_id", col: str = "payload",
                   concurrency=None, batch_size: int = 32) -> Any:
     """Small batch_size: media blobs are large; batch bytes — not row
     count — must bound worker heap (SURVEY.md §4 memory row)."""
-    return ds.map_batches(
-        DecodeImages, fn_constructor_kwargs=dict(key=key, col=col),
+    from ..util import map_batches_stateful
+    return map_batches_stateful(
+        ds, DecodeImages, fn_constructor_kwargs=dict(key=key, col=col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 

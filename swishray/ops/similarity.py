@@ -63,15 +63,16 @@ class _BruteScorer:
 def brute_force_topk(ds: Any, query_ids: list[int],
                      query_vecs: "np.ndarray", k: int = 10,
                      key: str = "vec_id", col: str = "embedding",
-                     concurrency=4) -> Any:
+                     concurrency=None) -> Any:
     """Exact cosine top-k for each query vector. Returns
     (query_id, vec_id, score) — k rows per query, ties broken by id."""
     import pandas as pd
     import ray
+    from ..util import map_batches_stateful
 
     qref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
-    partial = ds.map_batches(
-        _BruteScorer,
+    partial = map_batches_stateful(
+        ds, _BruteScorer,
         fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key, col=col),
         batch_format="pyarrow", concurrency=concurrency)
 
@@ -137,11 +138,12 @@ def ivf_topk(ds: Any, query_ids: list[int], query_vecs: "np.ndarray",
 
     probed = bucketed.map_batches(keep_probed, batch_format="pyarrow")
 
+    from ..util import map_batches_stateful
     qref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
-    partial = probed.map_batches(
-        _BruteScorer,
+    partial = map_batches_stateful(
+        probed, _BruteScorer,
         fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key, col=col),
-        batch_format="pyarrow", concurrency=4)
+        batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", key],

@@ -55,10 +55,12 @@ class BpeishCounter:
 
 
 def token_count_bpeish(ds: Any, col: str = "text",
-                       key: str = "doc_id", concurrency=4) -> Any:
-    return ds.map_batches(BpeishCounter,
-                          fn_constructor_kwargs=dict(col=col, key=key),
-                          batch_format="pyarrow", concurrency=concurrency)
+                       key: str = "doc_id", concurrency=None) -> Any:
+    from ..util import map_batches_stateful
+    return map_batches_stateful(ds, BpeishCounter,
+                                fn_constructor_kwargs=dict(col=col, key=key),
+                                batch_format="pyarrow",
+                                concurrency=concurrency)
 
 
 def quality_scores(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
@@ -124,10 +126,12 @@ class LangId:
 
 
 def lang_id(ds: Any, col: str = "text", key: str = "doc_id",
-            concurrency=4) -> Any:
-    return ds.map_batches(LangId,
-                          fn_constructor_kwargs=dict(col=col, key=key),
-                          batch_format="pyarrow", concurrency=concurrency)
+            concurrency=None) -> Any:
+    from ..util import map_batches_stateful
+    return map_batches_stateful(ds, LangId,
+                                fn_constructor_kwargs=dict(col=col, key=key),
+                                batch_format="pyarrow",
+                                concurrency=concurrency)
 
 
 def fingerprints(ds: Any, col: str = "text", key: str = "doc_id") -> Any:

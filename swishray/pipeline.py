@@ -169,10 +169,11 @@ def extract_pages(ds: "Any", *, config_xml: str | None = None,
     records. Actor pool with warm parser state; small batch_size
     because rows are whole web pages (memory-aware batching,
     SURVEY.md §4)."""
+    from .util import map_batches_stateful
     fn_kwargs = dict(config_xml=config_xml, swish_encoding=swish_encoding,
                      emit=emit, keep_input_columns=keep_input_columns)
-    return ds.map_batches(
-        ExtractPages,
+    return map_batches_stateful(
+        ds, ExtractPages,
         fn_constructor_kwargs=fn_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -1,0 +1,71 @@
+"""Small runtime helpers."""
+
+from __future__ import annotations
+
+# per-worker-process cache for stateless-task mode: Ray reuses worker
+# processes, so state built on first call is amortized like an actor's
+_TASK_STATE_CACHE: dict = {}
+
+
+def _cached_call(batch, _cls, _kwargs_items):
+    key = (_cls, _kwargs_items)
+    fn = _TASK_STATE_CACHE.get(key)
+    if fn is None:
+        fn = _TASK_STATE_CACHE[key] = _cls(**dict(_kwargs_items))
+    return fn(batch)
+
+
+def map_batches_stateful(ds, cls, fn_constructor_kwargs=None,
+                         concurrency=None, **mb_kwargs):
+    """map_batches with a stateful callable, deadlock-safe at any
+    session size.
+
+    On sessions with >=4 CPUs: a normal actor pool (state in
+    __init__, cores reserved). On tiny sessions (the 1-2 CPU case
+    where a reserved pool starves the read stage and hangs the
+    streaming executor): stateless TASKS with per-worker-process
+    cached state — same warm-state behavior, no reservation."""
+    import functools
+
+    kwargs = dict(fn_constructor_kwargs or {})
+    cpus = _session_cpus()
+    if cpus >= 4:
+        if concurrency is None:
+            concurrency = default_concurrency()
+        return ds.map_batches(cls, fn_constructor_kwargs=kwargs,
+                              concurrency=concurrency, **mb_kwargs)
+    fn = functools.partial(_cached_call, _cls=cls,
+                           _kwargs_items=tuple(sorted(kwargs.items())))
+    return ds.map_batches(fn, **mb_kwargs)
+
+
+def _session_cpus() -> int:
+    try:
+        import ray
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 4))
+        import os
+        return os.cpu_count() or 4
+    except Exception:
+        return 4
+
+
+def default_concurrency(reserve: int = 1, cap: int = 8) -> int:
+    """Actor-pool size that can never starve task stages: total CPUs
+    of the CURRENT Ray session minus ``reserve``, capped.
+
+    An actor pool that reserves every CPU while an upstream read /
+    generation task still needs a slot deadlocks the streaming
+    executor silently — this helper is the guard used by every default
+    concurrency in the engine (the driver controls the session size,
+    so a fixed number is never safe)."""
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        else:
+            import os
+            cpus = os.cpu_count() or 4
+    except Exception:
+        cpus = 4
+    return max(1, min(cap, cpus - reserve))

@@ -47,7 +47,9 @@ def main():
     only = set(sys.argv[2:])
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        import os
+        ncpu = int(os.environ.get("CHECK_CPUS", "8"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
