@@ -58,6 +58,28 @@ def broadcast_lookup_join(ds: Any, mapping: dict, key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def native_join(left: Any, right: Any, key: str, num_partitions: int = 32,
+                how: str = "inner") -> Any:
+    """Ray Data's built-in hash-partitioned join when this Ray version
+    ships it (2.49 does); falls back to the portable bucketed
+    hash_join otherwise. Right-side non-key columns get an ``_r``
+    suffix to match hash_join's output shape."""
+    if hasattr(left, "join"):
+        try:
+            # pre-suffix right's non-key columns so the output shape
+            # matches hash_join regardless of collisions (the built-in
+            # only suffixes colliding names)
+            renamed = right.map_batches(
+                lambda t: t.rename_columns(
+                    [c if c == key else c + "_r" for c in t.column_names]),
+                batch_format="pyarrow")
+            return left.join(renamed, join_type=how,
+                             num_partitions=num_partitions, on=(key,))
+        except Exception:
+            pass  # fall through to the portable implementation
+    return hash_join(left, right, key, num_buckets=num_partitions, how=how)
+
+
 def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
               how: str = "inner") -> Any:
     """Both-sides-large partitioned hash join: bucket both sides on

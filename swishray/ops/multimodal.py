@@ -145,6 +145,71 @@ class SampleAudioFrames:
         })
 
 
+def synth_video_blob(seed: int, width: int = 16, height: int = 12,
+                     n_frames: int = 8) -> bytes:
+    """Deterministic fake video container:
+    b"SWVI" + u16 w + u16 h + u16 n_frames + grayscale frames."""
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=width * height * n_frames,
+                         dtype=np.uint8).tobytes()
+    return b"SWVI" + struct.pack(">HHH", width, height, n_frames) + frames
+
+
+class SampleVideoFrames:
+    """Frame-sample stage for video blobs: decode every Nth frame,
+    emit per-sampled-frame mean luminance + a content feature. Same
+    stub discipline: only the SWVI fake container decodes; real codecs
+    raise into the error column."""
+
+    def __init__(self, every_n: int = 2, key: str = "media_id",
+                 col: str = "payload"):
+        self.every_n = every_n
+        self.key = key
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        blobs = batch.column(self.col).to_pylist()
+        nfr, sampled, lum, errs = [], [], [], []
+        for blob in blobs:
+            try:
+                if not blob or blob[:4] != b"SWVI":
+                    raise NotImplementedError(
+                        "real video codecs unavailable; only the SWVI "
+                        "fake container decodes (task brief)")
+                w, h, n = struct.unpack(">HHH", blob[4:10])
+                fsz = w * h
+                pix = np.frombuffer(blob[10:10 + fsz * n], dtype=np.uint8)
+                frames = pix.reshape(n, fsz)[::self.every_n]
+                nfr.append(n)
+                sampled.append(frames.shape[0])
+                lum.append([float(f.mean()) for f in frames])
+                errs.append(None)
+            except Exception as e:
+                nfr.append(0)
+                sampled.append(0)
+                lum.append([])
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            self.key: pa.array(keys),
+            "n_frames": pa.array(nfr, type=pa.int32()),
+            "n_sampled": pa.array(sampled, type=pa.int32()),
+            "frame_luminance": pa.array(lum, type=pa.list_(pa.float32())),
+            "error": pa.array(errs, type=pa.string()),
+        })
+
+
+def sample_video_frames(ds: Any, every_n: int = 2, key: str = "media_id",
+                        col: str = "payload", concurrency=None,
+                        batch_size: int = 16) -> Any:
+    from ..util import map_batches_stateful
+    return map_batches_stateful(
+        ds, SampleVideoFrames,
+        fn_constructor_kwargs=dict(every_n=every_n, key=key, col=col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
 def synth_media_dataset(n: int, kind: str = "image", seed: int = 42):
     """Deterministic media table for tests/demos."""
     import ray.data as rd
@@ -152,6 +217,8 @@ def synth_media_dataset(n: int, kind: str = "image", seed: int = 42):
     for i in range(n):
         if kind == "image":
             blobs.append(synth_image_blob(seed + i))
+        elif kind == "video":
+            blobs.append(synth_video_blob(seed + i))
         else:
             blobs.append(synth_audio_blob(seed + i))
     tbl = pa.table({

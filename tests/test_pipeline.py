@@ -192,3 +192,44 @@ def test_salted_group_count(ray_session):
         "url": [f"https://h{i%3}.x/p{i}" for i in range(30)]}))
     hosts = {r["host"]: r["n"] for r in docs_per_host(ds2).take_all()}
     assert hosts == {"h0.x": 10, "h1.x": 10, "h2.x": 10}
+
+
+def test_video_and_audio_stubs(ray_session):
+    from swishray.ops.multimodal import (SampleAudioFrames,
+                                         sample_video_frames,
+                                         synth_media_dataset)
+    vids = synth_media_dataset(6, "video")
+    out = sample_video_frames(vids, every_n=2).take_all()
+    assert len(out) == 6
+    assert all(r["n_frames"] == 8 and r["n_sampled"] == 4
+               and r["error"] is None for r in out)
+    # audio path
+    auds = synth_media_dataset(4, "audio")
+    import pyarrow as pa
+    res = auds.map_batches(SampleAudioFrames(every_n=100),
+                           batch_format="pyarrow").take_all()
+    assert len(res) == 4 and all(r["error"] is None for r in res)
+    # real-codec payload lands in the error column
+    import ray.data as rd
+    bad = rd.from_arrow(pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "payload": pa.array([b"\x00\x00\x01\xba mpeg-ps"],
+                            type=pa.binary())}))
+    e = sample_video_frames(bad).take_all()[0]
+    assert "NotImplementedError" in e["error"]
+
+
+def test_native_join_matches_hash_join(ray_session):
+    import ray.data as rd
+    from swishray.ops.joins import hash_join, native_join
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "a": list("wxyz")}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 5], "b": [20, 30, 50]}))
+    got_n = sorted((r["k"], r["a"], r["b_r"]) for r in
+                   native_join(left, right, "k", 4).take_all())
+    got_h = sorted((r["k"], r["a"], r["b_r"]) for r in
+                   hash_join(rd.from_arrow(pa.table({"k": [1, 2, 3, 4],
+                                                     "a": list("wxyz")})),
+                             rd.from_arrow(pa.table({"k": [2, 3, 5],
+                                                     "b": [20, 30, 50]})),
+                             "k").take_all())
+    assert got_n == got_h == [(2, "x", 20), (3, "y", 30)]
