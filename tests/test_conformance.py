@@ -77,3 +77,27 @@ def test_fixture_byte_identity(case):
         rec.token_values, rec.token_offsets,
         [len(v) for v in rec.token_values]))
     assert mine_tokens == ref_tokens, "token stream"
+
+
+def test_undef_metas_error_policy():
+    """t/006: UndefinedMetaTags=error croaks in the reference ("XML tag
+    'doc' is not a defined MetaName"); the engine lands the same
+    message in the per-row error column instead of dying."""
+    cfg = Config.default()
+    cfg.add(str(pathlib.Path(
+        "/root/reference/src/test_configs/undeftags-error.conf")))
+    ex = DocumentExtractor(cfg)
+    doc = FIX / "undeftags.xml"
+    rec = ex.extract(str(doc), doc.read_bytes())
+    assert rec.error is not None
+    assert "'doc' is not a defined MetaName" in rec.error
+    assert rec.docinfo.nwords == 0 or rec.token_values is not None
+
+
+def test_undef_attrs_error_policy():
+    cfg = Config.default()
+    cfg.undef_metas = "auto"
+    cfg.undef_attrs = "error"
+    ex = DocumentExtractor(cfg)
+    rec = ex.extract("x.xml", b'<doc name="v">hi</doc>')
+    assert rec.error is not None and "doc.name" in rec.error
