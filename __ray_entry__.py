@@ -285,6 +285,26 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.3).select_columns(["a", "b"])
 
 
+def q_extract_cascade(sf_dir: str):
+    """§2.11 CascadeMetaContext: title text cascades into every open
+    metaname on the stack (flush_buffer, parser.c:790-799), so
+    swishdefault = 'Doc N' + \x03 + body text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.pipeline import extract_pages
+    cfg_xml = "<swish><CascadeMetaContext>1</CascadeMetaContext></swish>"
+    ext = extract_pages(_pages(sf_dir), emit="text", concurrency=_conc(),
+                        config_xml=cfg_xml)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "text": pc.cast(batch.column("text"), pa.string()),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+        })
+    return ext.map_batches(shape, batch_format="pyarrow")
+
+
 def q_facet_title_property(sf_dir: str):
     """§2.5 FacetFinder over the properties map (swishtitle values)."""
     from swishray.pipeline import facet_counts_property
@@ -473,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_count": q_union_count,
         "ann_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
+        "extract_cascade": q_extract_cascade,
         "facet_title_property": q_facet_title_property,
         "extract_txt": q_extract_txt,
         "extract_xml": q_extract_xml,
@@ -581,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"),
+        "extract_cascade": (
+            f"SELECT {_URL_SQL} AS url, "
+            "'Doc ' || doc_id || chr(3) || text AS text, "
+            f"cast(2 + len({_WORDS_SQL}) as bigint) AS nwords "
+            "FROM documents"),
         "facet_title_property": (
             "SELECT 'Doc ' || doc_id AS value, cast(1 as bigint) AS n "
             "FROM documents"),
