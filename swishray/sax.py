@@ -218,10 +218,37 @@ class ExtractionState(SaxTarget):
     def add_stack_to_prop_buf(self, baked: str | None) -> None:
         """parser.c:2868-2916 — append prop_buf to the named property
         (alias-resolved) and, Swish-e 2.x style, to every open property
-        on the stack."""
+        on the stack.
+
+        Reference quirk reproduced: the cleanwsp pass MUTATES prop_buf
+        in place (swish_str_ctrl_to_ws rewrites control bytes to
+        spaces and swish_str_trim_ws NUL-truncates the tail,
+        namedbuffer.c:221-232), so later adds in the same call see the
+        cleaned string — a buffer that cleaned down to whitespace
+        joins only ONCE (e.g. nested <title>s around empty markup)."""
         cfg = self.config
         cleanwsp = True
-        data = bytes(self.prop_buf)
+        from .text import clean_wsp, ctrl_to_ws, trim_ws
+        cur = bytes(self.prop_buf)
+
+        def do_add(name: str) -> None:
+            nonlocal cur
+            if str_all_ws(cur):
+                return
+            buf = self.properties.get(name)
+            if buf is None:
+                raise ParseAbort(f"{name} is not a named buffer")
+            if buf:
+                buf += C.TOKENPOS_BUMPER
+            if cleanwsp:
+                cleaned = ctrl_to_ws(cur)
+                buf += clean_wsp(cur)
+                # the effective string the NEXT add's strlen sees:
+                # ctrl'd bytes with the trailing-ws NUL truncation
+                cur = trim_ws(cleaned)
+            else:
+                buf += cur
+
         if baked is not None:
             prop = cfg.properties.get(baked)
             if prop is None:
@@ -229,13 +256,11 @@ class ExtractionState(SaxTarget):
             stored = prop.alias_for if prop.alias_for is not None else baked
             if prop.verbatim:
                 cleanwsp = False
-            self._nb_add(self.properties, stored, data, cleanwsp,
-                         autovivify=False)
+            do_add(stored)
         for t in reversed(self.propstack.items):
             if t.baked == C.DOM_STR:
                 continue
-            self._nb_add(self.properties, t.baked, data, cleanwsp,
-                         autovivify=False)
+            do_add(t.baked)
 
     def buffer_characters(self, data: bytes) -> None:
         """parser.c:1253-1296."""

@@ -101,3 +101,19 @@ def test_undef_attrs_error_policy():
     ex = DocumentExtractor(cfg)
     rec = ex.extract("x.xml", b'<doc name="v">hi</doc>')
     assert rec.error is not None and "doc.name" in rec.error
+
+
+def test_cleanwsp_mutation_quirk():
+    """Found by tools/fuzz_extraction.py: the reference's cleanwsp pass
+    mutates prop_buf in place (namedbuffer.c:221-232), so when a
+    property buffer cleans down to whitespace, only the FIRST stack add
+    contributes a \\x03 joiner — nested <title>s around empty markup
+    yield 'alpha\\x03', not 'alpha\\x03\\x03'. Verified against the
+    reference binary."""
+    body = (b"<title>\nalpha\n<title>\n"
+            b'<doc type="v1">\n</doc>\n</title>')
+    ex = DocumentExtractor(Config.default())
+    rec = ex.extract("x.xml", body)
+    assert rec.properties["swishtitle"] == b"alpha\x03"
+    assert rec.metanames["swishtitle"] == b"\nalpha\n\x03\n\x03\n\x03\n" \
+        or rec.metanames["swishtitle"].startswith(b"\nalpha\n")
