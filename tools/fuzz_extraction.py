@@ -167,10 +167,20 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         for i in range(n):
             kind = rng.random()
-            if kind < 0.55:
+            if kind < 0.45:
                 body, suffix = gen_html(rng), ".html"
-            else:
+            elif kind < 0.8:
                 body, suffix = gen_xml(rng), ".xml"
+            elif kind < 0.92:
+                # plain text (uri-as-title path)
+                body = rand_text(rng, html=False).encode()
+                for _ in range(rng.randint(0, 6)):
+                    body += b"\n" + rand_text(rng, html=False).encode()
+                suffix = ".txt"
+            else:
+                import gzip as _g
+                inner = gen_html(rng)
+                body, suffix = _g.compress(inner), ".html.gz"
             p = pathlib.Path(tmp) / f"doc{i:05d}{suffix}"
             p.write_bytes(body)
             res = compare(ex, p)
