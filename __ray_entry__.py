@@ -38,9 +38,11 @@ def _extracted(sf_dir: str, emit: str = "text", **kw):
     return extract_pages(_pages(sf_dir), emit=emit, concurrency=_conc(), **kw)
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, cols: list[str] | None = None):
+    """Documents table with column pruning at the read — only the
+    columns a query touches leave storage (parquet column projection)."""
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
 
 # ---------------------------------------------------------------------
@@ -107,49 +109,32 @@ def q_dedup_exact(sf_dir: str):
     """§2.4/§2.7 exact dedup: union the corpus with itself, dedup by
     content hash keeping the smallest doc_id."""
     from swishray.ops.dedup import exact_dedup
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
-    doubled = docs.union(_docs(sf_dir).select_columns(["doc_id", "text"]))
-    kept = exact_dedup(doubled, col="text", key="doc_id")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    doubled = docs.union(_docs(sf_dir, ["doc_id", "text"]))
+    kept = exact_dedup(doubled, col="text", key="doc_id",
+                       unique_keys=False)
     return kept.select_columns(["doc_id"])
 
 
 def q_token_count_ws(sf_dir: str):
     from swishray.ops.textstats import token_count_ws
-    return token_count_ws(_docs(sf_dir))
+    return token_count_ws(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_token_count_bpeish(sf_dir: str):
     from swishray.ops.textstats import token_count_bpeish
-    return token_count_bpeish(_docs(sf_dir))
+    return token_count_bpeish(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_quality_counts(sf_dir: str):
     """Quality scoring, integer-count form (hash-exact)."""
-    import pyarrow as pa
-    from swishray.ops.textstats import STOPWORDS
-
-    def f(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column("text").to_pylist()]
-        n_chars, n_words, sum_wl, n_stop = [], [], [], []
-        for t in texts:
-            words = t.split()
-            n_chars.append(len(t))
-            n_words.append(len(words))
-            sum_wl.append(sum(len(w) for w in words))
-            n_stop.append(sum(1 for w in words if w in STOPWORDS))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array(n_chars, type=pa.int64()),
-            "n_words": pa.array(n_words, type=pa.int64()),
-            "sum_word_len": pa.array(sum_wl, type=pa.int64()),
-            "n_stopwords": pa.array(n_stop, type=pa.int64()),
-        })
-    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+    from swishray.ops.textstats import quality_counts
+    return quality_counts(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_fingerprint_md5(sf_dir: str):
     from swishray.ops.textstats import fingerprints
-    return fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"])).select_columns(["doc_id", "md5"])
 
 
 def q_mime_sniff(sf_dir: str):
@@ -175,7 +160,7 @@ def q_mime_sniff(sf_dir: str):
         return pa.table({
             "url": pa.array(urls), "ext": pa.array(e_),
             "mime": pa.array(m_), "parser": pa.array(p_)})
-    return _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+    return _docs(sf_dir, ["doc_id"]).map_batches(
         f, batch_format="pyarrow")
 
 
@@ -248,7 +233,7 @@ def q_range_filter(sf_dir: str):
 
 def q_offset_limit(sf_dir: str):
     """§2.6 offset/limit paging with a deterministic total order."""
-    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
     page = docs.sort(["n_chars", "doc_id"],
                      descending=[True, False]).limit(30).take_all()
     import pandas as pd
@@ -258,8 +243,8 @@ def q_offset_limit(sf_dir: str):
 def q_union_count(sf_dir: str):
     """§2.7 union of inputs."""
     import pandas as pd
-    a = _docs(sf_dir).select_columns(["doc_id"])
-    b = _docs(sf_dir).select_columns(["doc_id"])
+    a = _docs(sf_dir, ["doc_id"])
+    b = _docs(sf_dir, ["doc_id"])
     return pd.DataFrame({"n": [a.union(b).count()]})
 
 
@@ -268,7 +253,8 @@ def q_ann_topk(sf_dir: str):
     import ray.data as rd
     import numpy as np
     from swishray.ops.similarity import brute_force_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     qrows = sorted(emb.limit(50).take_all(), key=lambda r: r["vec_id"])
     qrows = [r for r in qrows if r["vec_id"] < 4]
     qids = [r["vec_id"] for r in qrows]
@@ -281,7 +267,8 @@ def q_cosine_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine >= 0.3)."""
     import ray.data as rd
     from swishray.ops.similarity import cosine_dup_pairs
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     return cosine_dup_pairs(emb, threshold=0.3).select_columns(["a", "b"])
 
 
@@ -336,7 +323,8 @@ def q_extract_txt(sf_dir: str):
                              type=pa.binary()),
         })
 
-    pages = _docs(sf_dir).map_batches(to_txt_pages, batch_format="pyarrow")
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_txt_pages,
+                                                  batch_format="pyarrow")
     ext = extract_pages(pages, emit="text", concurrency=_conc())
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -367,7 +355,8 @@ def q_extract_xml(sf_dir: str):
             "html": pa.array(bodies, type=pa.binary()),
         })
 
-    pages = _docs(sf_dir).map_batches(to_xml_pages, batch_format="pyarrow")
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_xml_pages,
+                                                  batch_format="pyarrow")
     ext = extract_pages(pages, emit="text", concurrency=_conc())
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -418,7 +407,7 @@ def q_hash_join(sf_dir: str):
 def q_anti_join(sf_dir: str):
     """§2.4 --Delete anti-join: drop a broadcast key set."""
     from swishray.ops.joins import anti_join_keys
-    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
     return anti_join_keys(docs, set(range(0, 50)), col="doc_id")
 
 
@@ -426,18 +415,18 @@ def q_anti_join(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     from swishray.ops.textstats import lang_id
-    return lang_id(_docs(sf_dir))
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_minhash_pairs(sf_dir: str):
     from swishray.ops.dedup import minhash_dedup
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     return minhash_dedup(docs, threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
     from swishray.ops.dedup import simhash_near_dups
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     return simhash_near_dups(docs, max_hamming=8)
 
 
@@ -445,7 +434,8 @@ def q_ivf_topk(sf_dir: str):
     import ray.data as rd
     import numpy as np
     from swishray.ops.similarity import ivf_topk
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     qrows = sorted(emb.limit(50).take_all(), key=lambda r: r["vec_id"])
     qrows = [r for r in qrows if r["vec_id"] < 4]
     qids = [r["vec_id"] for r in qrows]
@@ -499,9 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_xml": q_extract_xml,
         "hash_join": q_hash_join,
         "anti_join": q_anti_join,
+        "minhash_pairs": q_minhash_pairs,
         # rows-only:
         "lang_id": q_lang_id,
-        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "decode_images": q_decode_images,
@@ -631,4 +621,38 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"),
         "anti_join": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50"),
+        # Brute-force word-3-gram Jaccard (the ground truth the LSH
+        # path approximates): valid as an exact oracle because every
+        # true >= 0.5 pair of this corpus has similarity ~0.9+, where
+        # 64-perm/16-band LSH recall is ~1 (verified empirically at
+        # sf0.001/sf0.01: candidate set ⊇ all true pairs; the verify
+        # stage then makes precision exact). Caveat: docs with empty
+        # text produce no grams here, while the engine scores
+        # empty-empty pairs as jaccard 1.0 — the test corpora contain
+        # no empty documents.
+        "minhash_pairs": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+            "      AS gram"
+            "    FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "      AS t(i) WHERE len(ws) >= 3"
+            "    UNION ALL"
+            "    SELECT doc_id, array_to_string(ws, ' ') AS gram FROM d"
+            "    WHERE len(ws) BETWEEN 1 AND 2)"
+            "), gsz AS ("
+            "  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter"
+            "  FROM grams a JOIN grams b"
+            "    ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT i.a AS a, i.b AS b, "
+            "CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter) AS jaccard "
+            "FROM inter i JOIN gsz ga ON ga.doc_id = i.a "
+            "JOIN gsz gb ON gb.doc_id = i.b "
+            "WHERE CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter) "
+            ">= 0.5"),
     }

@@ -410,7 +410,18 @@ static struct PyModuleDef moduledef = {
 PyMODINIT_FUNC
 PyInit_swishtok(void)
 {
-    /* the authoritative classification locale (BASELINE goldens) */
-    setlocale(LC_CTYPE, "C.utf8");
+    /* Classification/lowercasing call glibc iswpunct/towlower, so
+     * the authoritative locale (BASELINE goldens were probed under
+     * C.utf8) MUST be active. On hosts without it (musl, macOS, old
+     * glibc) loading anyway would silently misclassify non-ASCII;
+     * fail module init instead so the loader keeps the pure-Python
+     * path (swishtok stays None). */
+    if (setlocale(LC_CTYPE, "C.utf8") == NULL &&
+        setlocale(LC_CTYPE, "C.UTF-8") == NULL) {
+        PyErr_SetString(PyExc_ImportError,
+                        "swishtok requires the C.utf8 locale "
+                        "(unavailable on this host)");
+        return NULL;
+    }
     return PyModule_Create(&moduledef);
 }

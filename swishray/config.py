@@ -82,6 +82,14 @@ class Config:
     follow_xinclude: bool = True
     undef_metas: str = C.UNDEF_INDEX
     undef_attrs: str = C.UNDEF_DISABLE
+    # engine extension (NOT a reference behavior): when on, stored
+    # property values are truncated to Property.max characters at
+    # capture. The reference parses ``max``/``sort_length``
+    # (header.c:474-541) but never enforces them at runtime — verified
+    # against the compiled binary (tests/test_properties.py) — so the
+    # default keeps byte-parity; ``sort_length`` likewise only rides
+    # the config for index-side sinks.
+    enforce_property_max: bool = False
     max_meta_id: int = -1
     max_prop_id: int = -1
 
@@ -209,6 +217,8 @@ class Config:
                    f"</IgnoreXMLNameSpaces>")
         out.append(f" <FollowXInclude>{int(self.follow_xinclude)}"
                    f"</FollowXInclude>")
+        out.append(f" <EnforcePropertyMax>{int(self.enforce_property_max)}"
+                   f"</EnforcePropertyMax>")
         out.append(f" <UndefinedMetaTags>{self.undef_metas}"
                    f"</UndefinedMetaTags>")
         out.append(f" <UndefinedXMLAttributes>{self.undef_attrs}"
@@ -365,6 +375,8 @@ class _HeaderReader:
             cfg.ignore_xmlns = string_to_boolean(val)
         elif name == "FollowXInclude":
             cfg.follow_xinclude = string_to_boolean(val)
+        elif name == "EnforcePropertyMax":  # engine extension
+            cfg.enforce_property_max = string_to_boolean(val)
         elif name == "UndefinedMetaTags":
             if val not in (C.UNDEF_ERROR, C.UNDEF_IGNORE, C.UNDEF_INDEX,
                            C.UNDEF_AUTO, C.UNDEF_AUTOALL):

@@ -203,6 +203,22 @@ class DocumentExtractor:
         rec.docinfo.nwords = state.nwords
         rec.metanames = {k: bytes(v) for k, v in state.metanames.items()}
         rec.properties = {k: bytes(v) for k, v in state.properties.items()}
+        if self.config.enforce_property_max:
+            # engine extension: truncate stored property values to
+            # Property.max CHARACTERS (Swish-e 2.x
+            # PropertyNamesMaxLength intent). Off by default — the
+            # reference binary stores the full value even with
+            # max=N configured (header.c parses it, nothing reads it).
+            for name, val in rec.properties.items():
+                prop = self.config.properties.get(name)
+                if prop is not None and prop.max > 0:
+                    try:
+                        txt = val.decode("utf-8")
+                        if len(txt) > prop.max:
+                            rec.properties[name] = \
+                                txt[:prop.max].encode("utf-8")
+                    except UnicodeDecodeError:
+                        rec.properties[name] = val[:prop.max]
         tl = state.token_list
         if self.stemmer is not None and tl.values:
             try:

@@ -6,12 +6,32 @@ lineage + metrics". Design (SURVEY.md §4 checkpoint row):
   * documents are bucketed by a deterministic url-hash
     (``bucket = crc32(url) % num_buckets``) — the ONE partitioning key
     reused across stages;
-  * each bucket writes its own parquet directory ``bucket=NNNN/`` plus
-    a ``_manifest.json`` (row count, nwords sum, error count, bytes,
-    wall seconds) written atomically AFTER the data files;
+  * each bucket writes its own parquet directory ``bucket=NNNN/``
+    (one or MORE part files — a bucket is never held whole in a
+    worker's heap) plus a ``_manifest.json`` (row count, nwords sum,
+    error count, bytes, wall seconds, file count) committed atomically
+    AFTER the data files via a staged-dir rename;
   * resume = list completed manifests, filter the input to the missing
     buckets only, run again. A killed run never re-does finished
-    buckets and never trusts a bucket without its manifest.
+    buckets and never trusts a bucket without its manifest (partial
+    ``bucket=NNNN.tmp-*`` staging dirs are ignored and reaped).
+
+Two write modes, different durability/throughput trade-offs (both
+memory-bounded, both multi-file per bucket):
+
+  * ``mode="grouped"`` (default): one keyed shuffle co-locates each
+    bucket in a reduce task; the task streams the bucket out in
+    row-chunked part files straight from the (object-store-backed,
+    possibly spilled) Arrow block — no pandas conversion, heap usage =
+    one chunk. Buckets commit INCREMENTALLY as their reduce task
+    finishes, so a killed run keeps every finished bucket.
+  * ``mode="stream"``: no shuffle at all — every map task appends its
+    batch's slice of each bucket as a uniquely-named part file in the
+    bucket's staging dir; per-bucket manifests are derived from a tiny
+    per-file stats aggregate when the stream drains, then all staging
+    dirs rename into place. Maximum throughput (zero data movement),
+    but durability granularity is the whole run: a mid-run kill
+    commits nothing (resume re-runs uncommitted buckets only).
 """
 
 from __future__ import annotations
@@ -19,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Any
 from zlib import crc32
 
@@ -39,27 +60,42 @@ def completed_buckets(out_dir: str) -> set[int]:
     if not os.path.isdir(out_dir):
         return done
     for name in os.listdir(out_dir):
-        if name.startswith("bucket="):
+        if name.startswith("bucket=") and name.split("=", 1)[1].isdigit():
             m = os.path.join(out_dir, name, "_manifest.json")
             if os.path.exists(m):
                 done.add(int(name.split("=", 1)[1]))
     return done
 
 
+def _table_stats(tbl: pa.Table) -> tuple[int, int | None]:
+    n_err = 0
+    if "error" in tbl.column_names:
+        n_err = int(pc.sum(pc.cast(pc.is_valid(tbl.column("error")),
+                                   pa.int64())).as_py() or 0)
+    nw = None
+    if "nwords" in tbl.column_names:
+        nw = int(pc.sum(tbl.column("nwords")).as_py() or 0)
+    return n_err, nw
+
+
 def write_partitioned(extracted: Any, out_dir: str, num_buckets: int = 64,
-                      resume: bool = True) -> dict:
+                      resume: bool = True, mode: str = "grouped",
+                      rows_per_file: int = 32768) -> dict:
     """Write extraction output partitioned by url-hash bucket with
-    manifests; skips buckets whose manifest already exists.
+    per-bucket lineage manifests; skips buckets whose manifest already
+    exists. See the module docstring for the two modes.
 
     Returns a summary dict {written, skipped, rows, errors}.
-
-    Scale note: at cluster scale each bucket is a groupby partition
-    and manifests are written by the tasks themselves; in this local
-    engine we iterate buckets via ``map_groups`` on the bucket key so
-    the write parallelizes per bucket and stays deterministic.
     """
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
+    # staging dirs from a previous killed run are partial: reap them
+    for name in os.listdir(out_dir):
+        if name.startswith("bucket=") and ".tmp" in name:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = completed_buckets(out_dir) if resume else set()
+    run_id = uuid.uuid4().hex[:8]
     bucketed = add_url_bucket(extracted, num_buckets)
     if done:
         done_arr = sorted(done)
@@ -71,40 +107,12 @@ def write_partitioned(extracted: Any, out_dir: str, num_buckets: int = 64,
             return batch.filter(mask)
         bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow")
 
-    import pandas as pd
-
-    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.time()
-        bucket = int(g["bucket"].iloc[0])
-        part_dir = os.path.join(out_dir, f"bucket={bucket:04d}")
-        tmp_dir = part_dir + ".tmp"
-        os.makedirs(tmp_dir, exist_ok=True)
-        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
-                                   preserve_index=False)
-        import pyarrow.parquet as pq
-        pq.write_table(tbl, os.path.join(tmp_dir, "part-0.parquet"))
-        n_err = int(g["error"].notna().sum()) if "error" in g else 0
-        manifest = {
-            "bucket": bucket,
-            "rows": len(g),
-            "errors": n_err,
-            "nwords": int(g["nwords"].sum()) if "nwords" in g else None,
-            "bytes": int(tbl.nbytes),
-            "seconds": round(time.time() - t0, 3),
-        }
-        # data first, manifest last, rename atomically: a bucket with a
-        # manifest is complete by construction
-        with open(os.path.join(tmp_dir, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        if os.path.isdir(part_dir):
-            import shutil
-            shutil.rmtree(part_dir)
-        os.rename(tmp_dir, part_dir)
-        return pd.DataFrame({"bucket": [bucket], "rows": [len(g)],
-                             "errors": [n_err]})
-
-    stats = bucketed.groupby("bucket").map_groups(
-        write_bucket, batch_format="pandas").take_all()
+    if mode == "grouped":
+        stats = _write_grouped(bucketed, out_dir, run_id, rows_per_file)
+    elif mode == "stream":
+        stats = _write_streamed(bucketed, out_dir, run_id, rows_per_file)
+    else:
+        raise ValueError(f"unknown write mode: {mode!r}")
     return {
         "written": len(stats),
         "skipped": len(done),
@@ -114,6 +122,111 @@ def write_partitioned(extracted: Any, out_dir: str, num_buckets: int = 64,
     }
 
 
+def _finalize_bucket(out_dir: str, bucket: int, stage: str,
+                     manifest: dict) -> None:
+    """Manifest last, then one atomic rename: a bucket dir with a
+    manifest is complete by construction."""
+    import shutil
+    part_dir = os.path.join(out_dir, f"bucket={bucket:04d}")
+    with open(os.path.join(stage, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.isdir(part_dir):
+        shutil.rmtree(part_dir)
+    os.rename(stage, part_dir)
+
+
+def _write_grouped(bucketed: Any, out_dir: str, run_id: str,
+                   rows_per_file: int) -> list[dict]:
+    """One reduce task per bucket; the bucket streams to disk in
+    row-chunked part files directly from Arrow (zero pandas, heap =
+    one chunk) and commits durably the moment its task finishes."""
+    import pyarrow.parquet as pq
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        t0 = time.time()
+        bucket = g.column("bucket")[0].as_py()
+        tbl = g.drop_columns(["bucket"])
+        stage = os.path.join(out_dir, f"bucket={bucket:04d}.tmp-{run_id}")
+        os.makedirs(stage, exist_ok=True)
+        n_files = 0
+        for off in range(0, max(1, tbl.num_rows), rows_per_file):
+            sl = tbl.slice(off, rows_per_file)
+            pq.write_table(sl, os.path.join(stage,
+                                            f"part-{n_files:05d}.parquet"))
+            n_files += 1
+        n_err, nw = _table_stats(tbl)
+        manifest = {
+            "bucket": int(bucket), "rows": tbl.num_rows, "errors": n_err,
+            "nwords": nw, "bytes": int(tbl.nbytes), "files": n_files,
+            "seconds": round(time.time() - t0, 3),
+        }
+        _finalize_bucket(out_dir, int(bucket), stage, manifest)
+        return pa.table({"bucket": pa.array([int(bucket)], type=pa.int32()),
+                         "rows": pa.array([tbl.num_rows], type=pa.int64()),
+                         "errors": pa.array([n_err], type=pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(
+        write_bucket, batch_format="pyarrow").take_all()
+
+
+def _write_streamed(bucketed: Any, out_dir: str, run_id: str,
+                    rows_per_file: int) -> list[dict]:
+    """Shuffle-free writer: each map task appends its slice of each
+    bucket as its own uniquely-named part file; manifests derive from
+    the (tiny) per-file stats stream after the pipeline drains."""
+    import pyarrow.parquet as pq
+
+    def write_slices(batch: pa.Table) -> pa.Table:
+        t0 = time.time()
+        rows = {"bucket": [], "rows": [], "errors": [], "nwords": [],
+                "bytes": [], "seconds": []}
+        bcol = batch.column("bucket")
+        for b in pc.unique(bcol).to_pylist():
+            sl = batch.filter(pc.equal(bcol, b)).drop_columns(["bucket"])
+            stage = os.path.join(out_dir, f"bucket={b:04d}.tmp-{run_id}")
+            os.makedirs(stage, exist_ok=True)
+            pq.write_table(sl, os.path.join(
+                stage, f"part-{uuid.uuid4().hex[:12]}.parquet"))
+            n_err, nw = _table_stats(sl)
+            rows["bucket"].append(int(b))
+            rows["rows"].append(sl.num_rows)
+            rows["errors"].append(n_err)
+            rows["nwords"].append(nw)
+            rows["bytes"].append(int(sl.nbytes))
+            rows["seconds"].append(time.time() - t0)
+        return pa.table({
+            "bucket": pa.array(rows["bucket"], type=pa.int32()),
+            "rows": pa.array(rows["rows"], type=pa.int64()),
+            "errors": pa.array(rows["errors"], type=pa.int64()),
+            "nwords": pa.array(rows["nwords"], type=pa.int64()),
+            "bytes": pa.array(rows["bytes"], type=pa.int64()),
+            "seconds": pa.array(rows["seconds"], type=pa.float64()),
+        })
+
+    stats_rows = bucketed.map_batches(
+        write_slices, batch_format="pyarrow").take_all()
+
+    per_bucket: dict[int, dict] = {}
+    for s in stats_rows:
+        m = per_bucket.setdefault(s["bucket"], {
+            "bucket": int(s["bucket"]), "rows": 0, "errors": 0,
+            "nwords": 0 if s["nwords"] is not None else None,
+            "bytes": 0, "files": 0, "seconds": 0.0})
+        m["rows"] += int(s["rows"])
+        m["errors"] += int(s["errors"])
+        if m["nwords"] is not None and s["nwords"] is not None:
+            m["nwords"] += int(s["nwords"])
+        m["bytes"] += int(s["bytes"])
+        m["files"] += 1
+        m["seconds"] = round(m["seconds"] + float(s["seconds"]), 3)
+
+    for b, manifest in sorted(per_bucket.items()):
+        stage = os.path.join(out_dir, f"bucket={b:04d}.tmp-{run_id}")
+        _finalize_bucket(out_dir, b, stage, manifest)
+    return [{"rows": m["rows"], "errors": m["errors"]}
+            for m in per_bucket.values()]
+
+
 def read_manifests(out_dir: str) -> list[dict]:
     out = []
     for b in sorted(completed_buckets(out_dir)):
@@ -121,3 +234,11 @@ def read_manifests(out_dir: str) -> list[dict]:
                                "_manifest.json")) as f:
             out.append(json.load(f))
     return out
+
+
+def read_partitioned(out_dir: str):
+    """Read back all completed buckets as one Dataset."""
+    import ray.data as rd
+    paths = [os.path.join(out_dir, f"bucket={b:04d}")
+             for b in sorted(completed_buckets(out_dir))]
+    return rd.read_parquet(paths)

@@ -3,18 +3,26 @@
 Scale design: every variant is a map_batches sketch/signature stage
 (vectorized, stateless or actor-held tables) followed by ONE keyed
 shuffle on a small signature table — never an all-pairs comparison on
-the full corpus. The only all-to-all exchanges move (signature, id)
-rows, orders of magnitude smaller than the documents.
+the full corpus and never a driver-side materialization. The only
+all-to-all exchanges move (signature, id) rows, orders of magnitude
+smaller than the documents; full rows move at most once, partitioned
+by the (uniform) document key, never by the (dup-skewed) content hash.
 
-  * exact_dedup      — content hash -> groupby(hash) -> keep min id
+  * exact_dedup      — map-side combiner -> slim (key, hash) shuffle
+                       -> winner keys -> join winners back by key
   * minhash_lsh      — word shingles -> k minhashes -> b bands ->
                        groupby(band, band_hash) -> candidate pairs ->
-                       exact Jaccard verify
+                       exact Jaccard verify via two distributed joins
   * simhash          — 64-bit weighted word-hash signature; near-dup
                        candidates via band buckets + Hamming verify
-  * embedding_dups   — cosine > threshold pairs against a broadcast
-                       matrix (exact at small scale; the documented
-                       scale path is LSH/IVF bucketing first)
+  * embedding near-dups live in similarity.cosine_dup_pairs
+
+Hot-bucket guard: LSH/simhash buckets above ``bucket_cap`` rows (a
+boilerplate page shared by millions of urls lands every copy in one
+band bucket) switch from all-pairs to star pairing — every member
+paired with the bucket minimum. That keeps the near-dup connectivity
+certificate (all members remain transitively linked through the hub)
+while emitting O(n) instead of O(n^2) pairs per bucket.
 """
 
 from __future__ import annotations
@@ -24,9 +32,15 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
+_LOW31 = np.uint64(0x7FFFFFFF)
+_LOW30 = np.uint64(0x3FFFFFFF)
+_P = np.uint64(_MERSENNE)
+
+# all-pairs emission allowed up to this bucket size; larger buckets
+# degrade to star pairing (see module docstring)
+DEFAULT_BUCKET_CAP = 256
 
 
 def _text_col(batch: pa.Table, col: str) -> list[str]:
@@ -44,25 +58,124 @@ def add_content_hash(ds: Any, col: str = "text",
     return ds.map_batches(h, batch_format="pyarrow")
 
 
-def exact_dedup(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
-    """Hash-partition on content hash, keep the smallest key per group
-    (deterministic keep-first)."""
+def exact_dedup_keys(ds: Any, col: str = "text", key: str = "doc_id",
+                     hash_col: str | None = None) -> Any:
+    """Winner keys of an exact dedup: for every distinct content hash,
+    the minimum ``key``. Only (key, hash) pairs ever ride the shuffle —
+    payloads stay put. A map-side combiner (min key per hash within
+    each batch) bounds every group to <= #blocks rows regardless of how
+    many duplicates a hot page has, so dup skew cannot concentrate in
+    one reduce task.
+
+    If ``hash_col`` is given the input already carries the content
+    hash; otherwise it is computed from ``col``.
+
+    Returns a Dataset with a single ``key`` column.
+    """
     import pandas as pd
+    from ray.data.aggregate import Min
+
+    if hash_col is None:
+        hash_col = "content_hash"
+        hashed = add_content_hash(ds, col, out=hash_col)
+    else:
+        hashed = ds
+    slim = hashed.select_columns([key, hash_col])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby(hash_col, as_index=False, sort=False)[key].min()
+        return pa.Table.from_pandas(out[[key, hash_col]],
+                                    preserve_index=False)
+
+    combined = slim.map_batches(combine, batch_format="pyarrow")
+    winners = combined.groupby(hash_col).aggregate(
+        Min(key, alias_name="__winner"))
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch.column("__winner")})
+
+    return winners.map_batches(keys_only, batch_format="pyarrow")
+
+
+def exact_dedup(ds: Any, col: str = "text", key: str = "doc_id",
+                unique_keys: bool = True) -> Any:
+    """Exact dedup keeping the minimum-``key`` row per content hash.
+
+    Two-phase scale shape (reference upsert semantics,
+    swish_xapian.cpp:563-601): (1) slim (key, hash) shuffle picks
+    winner keys — moves ~key-sized bytes, combiner-bounded skew;
+    (2) the winners (a keys-only table) inner-join back to the corpus
+    partitioned by the uniform ``key``, so full rows move exactly once
+    and never pile onto a hot content-hash partition.
+
+    Set ``unique_keys=False`` when the input can contain repeated keys
+    (e.g. a union of snapshots): a final keep-one-per-key pass (again
+    map-side combined) collapses them.
+    """
+    import pandas as pd
+    from .joins import default_join_partitions, native_join
 
     hashed = add_content_hash(ds, col)
+    winners = exact_dedup_keys(hashed, col, key, hash_col="content_hash")
+    # Ray 2.49's sort-based Aggregate emits zero-row blocks with an
+    # EMPTY schema for reduce partitions that got no groups; the
+    # built-in hash join rejects such blocks ("no match for key field
+    # on right side"). repartition() is a metadata-level block
+    # coalesce (not a shuffle) that folds them into schema-bearing
+    # blocks — cheap even though winners is corpus-cardinality,
+    # because it only carries keys.
+    winners = winners.repartition(default_join_partitions())
+    kept = native_join(hashed, winners, key)
+    if unique_keys:
+        return kept
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key).head(1)
+    def combine_first(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(subset=[key], keep="first"),
+            preserve_index=False)
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas")
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return kept.map_batches(combine_first, batch_format="pyarrow") \
+        .groupby(key).map_groups(first, batch_format="pandas")
 
 
 # ---- minhash + LSH ----------------------------------------------------
 
+def _mod_p(x: np.ndarray) -> np.ndarray:
+    """Reduce arbitrary uint64 values mod p = 2^61 - 1."""
+    r = (x >> np.uint64(61)) + (x & _P)
+    return np.where(r >= _P, r - _P, r)
+
+
+def _mulmod_p(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod p for p = 2^61 - 1, fully in uint64 (no overflow):
+    split both operands into 31/30-bit halves; fold 2^61 == 1 (mod p).
+    Shapes broadcast (used as a[:, None] * x[None, :])."""
+    a_hi = a >> np.uint64(31)          # < 2^30
+    a_lo = a & _LOW31                  # < 2^31
+    x_hi = x >> np.uint64(31)          # < 2^30
+    x_lo = x & _LOW31                  # < 2^31
+    # a*x = a_hi*x_hi*2^62 + (a_hi*x_lo + a_lo*x_hi)*2^31 + a_lo*x_lo
+    t1 = _mod_p(a_hi * x_hi * np.uint64(2))          # 2^62 == 2 (mod p)
+    mid = a_hi * x_lo + a_lo * x_hi                  # < 2^62, fits
+    m_hi = mid >> np.uint64(30)                      # < 2^32
+    m_lo = mid & _LOW30                              # < 2^30
+    # mid*2^31 = m_hi*2^61 + m_lo*2^31 == m_hi + m_lo*2^31 (mod p)
+    t2 = _mod_p(m_hi + (m_lo << np.uint64(31)))
+    t3 = _mod_p(a_lo * x_lo)
+    return _mod_p(t1 + t2 + t3)
+
+
 class MinHasher:
     """Stateful batch signer: permutation parameters generated once per
-    actor (seeded — deterministic across the cluster)."""
+    actor (seeded — deterministic across the cluster). The permutation
+    family is the standard universal hash h(x) = (a*x + b) mod p with
+    p = 2^61 - 1, computed with an exact vectorized Mersenne modmul
+    (no silent wrap mod 2^64)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  seed: int = 42, col: str = "text", key: str = "doc_id"):
@@ -92,9 +205,10 @@ class MinHasher:
         return g
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.unique(self.shingles(text))
-        # (a*x + b) mod p for each permutation, vectorized
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        sh = _mod_p(np.unique(self.shingles(text)))
+        # (a*x + b) mod p per permutation, exact in uint64
+        vals = _mod_p(_mulmod_p(self.a[:, None], sh[None, :])
+                      + self.b[:, None])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -111,19 +225,46 @@ def minhash_signatures(ds: Any, num_perm: int = 64, shingle_k: int = 3,
                        seed: int = 42, col: str = "text",
                        key: str = "doc_id", concurrency=None) -> Any:
     from ..util import map_batches_stateful
+    # cached-task mode: signer state is tiny and the downstream dedup
+    # pipeline runs join aggregator actors — a pinned actor pool plus
+    # those aggregators can exceed the session's CPUs and deadlock
     return map_batches_stateful(
         ds, MinHasher, fn_constructor_kwargs=dict(
             num_perm=num_perm, shingle_k=shingle_k, seed=seed,
             col=col, key=key),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency,
+        force_tasks=concurrency is None)
+
+
+def _bucket_pairs(ks: list, cap: int) -> tuple[list, list]:
+    """Pairs for one bucket: all-pairs up to ``cap`` members, star
+    pairing (min vs rest) above it — O(n) pairs, connectivity kept."""
+    ks = sorted(ks)
+    a, b = [], []
+    if len(ks) <= cap:
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                a.append(ks[i])
+                b.append(ks[j])
+    else:
+        hub = ks[0]
+        for k_ in ks[1:]:
+            a.append(hub)
+            b.append(k_)
+    return a, b
 
 
 def lsh_candidate_pairs(sigs: Any, bands: int = 16,
-                        key: str = "doc_id") -> Any:
+                        key: str = "doc_id",
+                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
     """Explode signatures to (band_id, band_hash, key) rows, shuffle on
     the band bucket, pair up within buckets. Returns candidate pairs
     (a < b), deduped per block — a pair matching in several bands can
-    appear once per band; consumers dedup the (small) final set."""
+    appear once per band; consumers dedup the (small) final set.
+
+    Buckets larger than ``bucket_cap`` emit star pairs only (see
+    module docstring) so one boilerplate-heavy bucket cannot explode
+    into O(n^2) pairs."""
     import pandas as pd
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -144,24 +285,15 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(g[key].tolist())
-        if len(ks) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                a.append(ks[i])
-                b.append(ks[j])
+        a, b = _bucket_pairs(g[key].tolist(), bucket_cap)
         return pd.DataFrame({"a": a, "b": b})
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
-    # distinct pairs: a lightweight per-block dedup (duplicates only
-    # recur across bands; a full extra shuffle isn't worth it — the
-    # caller dedups the final small set)
-    import pandas as pd
 
+    # lightweight per-block dedup (duplicates only recur across bands;
+    # the distributed pair-level dedup happens in minhash_dedup)
     def drop_dupes(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates()
 
@@ -183,54 +315,60 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 3, seed: int = 42,
-                  col: str = "text", key: str = "doc_id") -> Any:
+                  col: str = "text", key: str = "doc_id",
+                  bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
     """Full near-dup pipeline: sign -> LSH buckets -> candidate pairs
-    -> exact Jaccard verify (broadcast text lookup for the verified
-    pairs — the candidate set is tiny relative to the corpus).
-    Returns (a, b, jaccard) pairs >= threshold."""
-    import ray
+    -> exact Jaccard verify. Returns (a, b, jaccard) pairs >= threshold.
 
-    import ray.data as rd
+    The verify stage is fully distributed: candidate pairs are deduped
+    with a keyed shuffle, each side's text is attached with a
+    hash-partitioned join (pairs ⋈ texts on a, then on b), and the
+    exact Jaccard runs inside map_batches. No driver-side take_all, no
+    broadcast text dict — candidate volume can exceed driver memory."""
+    import pandas as pd
+    from .joins import native_join
 
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
-    cand = lsh_candidate_pairs(sigs, bands, key)
-    # the candidate set is tiny relative to the corpus: dedup it once
-    # on the driver and broadcast the texts it references
-    pair_set = sorted({(row["a"], row["b"]) for row in cand.take_all()})
-    cand_ids = {x for p in pair_set for x in p}
-    texts = {}
-    if cand_ids:
-        def pick(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(key),
-                            value_set=pa.array(list(cand_ids)))
-            return batch.filter(mask)
-        small = ds.map_batches(pick, batch_format="pyarrow")
-        for row in small.select_columns([key, col]).take_all():
-            texts[row[key]] = row[col]
-    texts_ref = ray.put(texts)
+    cand = lsh_candidate_pairs(sigs, bands, key, bucket_cap)
 
-    if pair_set:
-        pairs_tbl = pa.table({"a": pa.array([p[0] for p in pair_set]),
-                              "b": pa.array([p[1] for p in pair_set])})
-    else:
-        pairs_tbl = pa.table({"a": pa.array([], type=pa.int64()),
-                              "b": pa.array([], type=pa.int64())})
-    pairs_ds = rd.from_arrow(pairs_tbl)
+    # distinct (a, b) via a slim keyed shuffle (ids only ride it)
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cand = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+    texts = ds.select_columns([key, col])
+
+    def as_side(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({side: batch.column(key),
+                             "t" + side: batch.column(col)})
+        return f
+
+    with_a = native_join(cand, texts.map_batches(as_side("a"),
+                                                 batch_format="pyarrow"), "a")
+    with_ab = native_join(with_a, texts.map_batches(as_side("b"),
+                                                    batch_format="pyarrow"),
+                          "b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(texts_ref)
+        cols = {c: batch.column(c) for c in batch.column_names}
+        ta = cols["ta_r"].to_pylist()
+        tb = cols["tb_r"].to_pylist()
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch.column("a").to_pylist(),
-                        batch.column("b").to_pylist()):
-            j = ngram_jaccard(t.get(a, ""), t.get(b, ""), shingle_k)
+        for a, b, x, y in zip(cols["a"].to_pylist(), cols["b"].to_pylist(),
+                              ta, tb):
+            j = ngram_jaccard(x or "", y or "", shingle_k)
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(j)
-        return pa.table({"a": pa.array(out_a), "b": pa.array(out_b),
+        kt = batch.schema.field("a").type
+        return pa.table({"a": pa.array(out_a, type=kt),
+                         "b": pa.array(out_b, type=kt),
                          "jaccard": pa.array(out_j, type=pa.float64())})
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---- simhash ----------------------------------------------------------
@@ -263,10 +401,13 @@ def add_simhash(ds: Any, col: str = "text", out: str = "simhash") -> Any:
 
 
 def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
-                      key: str = "doc_id") -> Any:
+                      key: str = "doc_id",
+                      bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
     """Band the 64-bit simhash into 4 x 16-bit keys (any pair within
     Hamming distance 3 shares at least one band), bucket-shuffle, then
-    Hamming-verify within buckets."""
+    Hamming-verify within buckets. Buckets above ``bucket_cap``
+    members emit star pairs against the bucket minimum (Hamming still
+    verified) instead of all-pairs — see module docstring."""
     import pandas as pd
 
     signed = add_simhash(ds, col).select_columns([key, "simhash"])
@@ -281,25 +422,33 @@ def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
                 bids.append(b)
                 bvals.append((u >> (16 * b)) & 0xFFFF)
                 full.append(s)
-        return pa.table({key: pa.array(ks), "band_id": pa.array(bids, type=pa.int32()),
+        return pa.table({key: pa.array(ks),
+                         "band_id": pa.array(bids, type=pa.int32()),
                          "band_val": pa.array(bvals, type=pa.int32()),
                          "simhash": pa.array(full, type=pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(g[[key, "simhash"]].drop_duplicates().itertuples(index=False),
-                      key=lambda r: r[0])
+        rows = sorted(g[[key, "simhash"]].drop_duplicates()
+                       .itertuples(index=False), key=lambda r: r[0])
         a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                x = (rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF
-                ham = bin(x).count("1")
-                if ham <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
-        return pd.DataFrame({"a": a, "b": b, "hamming": d})
 
-    import pandas as pd
+        def emit(ri, rj):
+            x = (ri[1] ^ rj[1]) & 0xFFFFFFFFFFFFFFFF
+            ham = bin(x).count("1")
+            if ham <= max_hamming:
+                a.append(ri[0])
+                b.append(rj[0])
+                d.append(ham)
+
+        if len(rows) <= bucket_cap:
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    emit(rows[i], rows[j])
+        else:
+            hub = rows[0]
+            for r in rows[1:]:
+                emit(hub, r)
+        return pd.DataFrame({"a": a, "b": b, "hamming": d})
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)

@@ -58,12 +58,26 @@ def broadcast_lookup_join(ds: Any, mapping: dict, key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def native_join(left: Any, right: Any, key: str, num_partitions: int = 32,
+def default_join_partitions(cap: int = 64) -> int:
+    """Join partition count sized to the CURRENT session: the built-in
+    hash join launches ~num_partitions aggregator actors, so a fixed
+    large number deadlocks small sessions (actors wait for CPUs the
+    producer tasks hold). One partition per CPU is the safe shape at
+    any session size; ``cap`` bounds actor count on big nodes (each
+    partition can still hold many blocks)."""
+    from ..util import _session_cpus
+    return max(2, min(cap, _session_cpus()))
+
+
+def native_join(left: Any, right: Any, key: str,
+                num_partitions: int | None = None,
                 how: str = "inner") -> Any:
     """Ray Data's built-in hash-partitioned join when this Ray version
     ships it (2.49 does); falls back to the portable bucketed
     hash_join otherwise. Right-side non-key columns get an ``_r``
     suffix to match hash_join's output shape."""
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     if hasattr(left, "join"):
         try:
             # pre-suffix right's non-key columns so the output shape

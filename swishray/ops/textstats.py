@@ -92,17 +92,47 @@ def quality_scores(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-class LangId:
-    """Heuristic n-gram language scorer (actor: profiles built once).
-    Not a trained model — a deterministic hint scorer suitable for
-    pipeline plumbing and bucketing."""
+def quality_counts(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
+    """Integer-count form of the quality features (hash-exact for the
+    DuckDB oracle): chars, words, total word length, stopword hits."""
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(col).to_pylist()]
+        n_chars, n_words, sum_wl, n_stop = [], [], [], []
+        for t in texts:
+            words = t.split()
+            n_chars.append(len(t))
+            n_words.append(len(words))
+            sum_wl.append(sum(len(w) for w in words))
+            n_stop.append(sum(1 for w in words if w in STOPWORDS))
+        return pa.table({
+            key: batch.column(key),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "sum_word_len": pa.array(sum_wl, type=pa.int64()),
+            "n_stopwords": pa.array(n_stop, type=pa.int64()),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
 
-    def __init__(self, col: str = "text", key: str = "doc_id"):
+
+class LangId:
+    """Language scorer actor with a pluggable model slot.
+
+    ``model_factory`` (a zero-arg callable, e.g. one that loads a
+    fasttext-style model from a path) runs ONCE per actor in
+    ``__init__``; its return value must be callable ``(text) -> lang``.
+    Without a factory the deterministic n-gram hint scorer is used —
+    not a trained model, suitable for pipeline plumbing/bucketing."""
+
+    def __init__(self, col: str = "text", key: str = "doc_id",
+                 model_factory=None):
         self.col = col
         self.key = key
         self.profiles = {lang: set(h) for lang, h in _LANG_HINTS.items()}
+        self.model = model_factory() if model_factory is not None else None
 
     def predict(self, text: str) -> str:
+        if self.model is not None:
+            return self.model(text)
         if not text:
             return "und"
         cjk = sum(1 for c in text[:500] if 0x4E00 <= ord(c) <= 0x9FFF)
@@ -126,12 +156,13 @@ class LangId:
 
 
 def lang_id(ds: Any, col: str = "text", key: str = "doc_id",
-            concurrency=None) -> Any:
+            concurrency=None, model_factory=None) -> Any:
     from ..util import map_batches_stateful
-    return map_batches_stateful(ds, LangId,
-                                fn_constructor_kwargs=dict(col=col, key=key),
-                                batch_format="pyarrow",
-                                concurrency=concurrency)
+    return map_batches_stateful(
+        ds, LangId,
+        fn_constructor_kwargs=dict(col=col, key=key,
+                                   model_factory=model_factory),
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 def fingerprints(ds: Any, col: str = "text", key: str = "doc_id") -> Any:

@@ -352,11 +352,20 @@ def sort_by_string(ds: "Any", sort_string: str) -> "Any":
 
 
 def dedup_by_url(extracted: "Any") -> "Any":
-    """§2.4 upsert-by-uri (swish_xapian.cpp:563-601) as a batch op:
-    hash shuffle on url + per-group first."""
+    """§2.4 upsert-by-uri (swish_xapian.cpp:563-601) as a batch op.
+
+    Keep-first is idempotent and associative, so a map-side combiner
+    (drop duplicate urls within each batch) runs BEFORE the url
+    shuffle: a hot url duplicated across the corpus contributes at
+    most one row per input block to the exchange, bounding both the
+    bytes shuffled and the largest reduce group to <= #blocks rows."""
     import pandas as pd
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["url"], keep="first")
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return extracted.groupby("url").map_groups(first, batch_format="pandas")
+    pre = extracted.map_batches(combine, batch_format="pandas")
+    return pre.groupby("url").map_groups(first, batch_format="pandas")

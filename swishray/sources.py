@@ -62,7 +62,12 @@ def iter_swish_stream(data: bytes) -> Iterator[dict]:
             field = _HEADER_KEYS.get(k)
             if field:
                 headers[field] = val.decode("latin-1").strip()
-        size = int(headers.get("size", "0"))
+        if "size" not in headers:
+            # the reference requires Content-Length (parser.c:2075-2078);
+            # defaulting to 0 would silently re-parse the body as headers
+            raise ValueError(
+                "missing Content-Length header in -S prog stream block")
+        size = int(headers["size"])
         body = data[pos:pos + size]
         pos += size
         yield {

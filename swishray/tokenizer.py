@@ -377,3 +377,35 @@ def _emit_run(run: str, ascii_mode: bool, at_end: bool) -> list[bytes]:
         v = _emit_utf8(rb)
         return [v] if v is not None else []
     return _long_run_utf8(run, at_end)
+
+
+def _native_selftest() -> bool:
+    """A/B-verify the C accelerator against the validated Python path
+    on a classification-sensitive sample before trusting it. Guards
+    against a host whose runtime glibc tables differ from the frozen
+    _uniprops probe (the locale check in PyInit is necessary but not
+    sufficient — e.g. a glibc whose C.utf8 tables changed)."""
+    samples = [
+        b"Hello WORLD plain ascii 123 mixed-Case",
+        b"f\xc3\xbcr caf\xc3\xa9 \xce\xb1\xce\xb2\xce\xb3 \xc3\x9cber",
+        b"bump\x03here 'quoted' __const__ trailing'",
+        b"a\x03\x03b  spaces\t\ttabs\nnewlines",
+        "word" .encode() * 100 + b" end",
+        b"\xe6\x97\xa5\xe6\x9c\xac\xe8\xaa\x9e mixed \xd0\xb4\xd0\xb0",
+    ]
+    for s in samples:
+        tl = TokenList()
+        _tokenize_into_py(tl, s, "m", "c")
+        vals, poss, newpos = _native.tokenize(s, 0)
+        if (list(vals) != tl.values or list(poss) != tl.positions
+                or newpos != tl.pos):
+            return False
+    return True
+
+
+if _native is not None:
+    try:
+        if not _native_selftest():  # pragma: no cover - host-dependent
+            _native = None
+    except Exception:  # pragma: no cover
+        _native = None

@@ -16,7 +16,7 @@ def _cached_call(batch, _cls, _kwargs_items):
 
 
 def map_batches_stateful(ds, cls, fn_constructor_kwargs=None,
-                         concurrency=None, **mb_kwargs):
+                         concurrency=None, force_tasks=False, **mb_kwargs):
     """map_batches with a stateful callable, deadlock-safe at any
     session size.
 
@@ -24,12 +24,20 @@ def map_batches_stateful(ds, cls, fn_constructor_kwargs=None,
     __init__, cores reserved). On tiny sessions (the 1-2 CPU case
     where a reserved pool starves the read stage and hangs the
     streaming executor): stateless TASKS with per-worker-process
-    cached state — same warm-state behavior, no reservation."""
+    cached state — same warm-state behavior, no reservation.
+
+    ``force_tasks=True`` uses cached-task mode at ANY session size.
+    Use it for stages with cheap state (compiled params, small numpy
+    tables) that feed pipelines containing actor-based operators
+    (the built-in join/shuffle aggregators): an actor pool pins its
+    CPUs for the pipeline's whole lifetime, and pool + aggregators
+    can together exceed the session and deadlock the executor,
+    whereas tasks release their slot after every batch."""
     import functools
 
     kwargs = dict(fn_constructor_kwargs or {})
     cpus = _session_cpus()
-    if cpus >= 4:
+    if not force_tasks and cpus >= 4:
         if concurrency is None:
             concurrency = default_concurrency()
         return ds.map_batches(cls, fn_constructor_kwargs=kwargs,

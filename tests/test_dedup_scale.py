@@ -1,0 +1,142 @@
+"""Scale-path behavior of the dedup operators: hot-bucket caps,
+exact Mersenne modmul, distributed LSH verify, slim exact-dedup."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_mersenne_mulmod_exact():
+    from swishray.ops.dedup import _mulmod_p, _mod_p, _MERSENNE
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, _MERSENNE, size=200, dtype=np.uint64)
+    x = rng.randint(0, 1 << 63, size=200, dtype=np.uint64)
+    xr = _mod_p(x)
+    got = _mulmod_p(a, xr)
+    want = np.array([(int(ai) * int(xi)) % _MERSENNE
+                     for ai, xi in zip(a, xr)], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    # reduction of arbitrary uint64s
+    big = rng.randint(0, np.iinfo(np.uint64).max, size=200, dtype=np.uint64)
+    assert np.array_equal(_mod_p(big),
+                          np.array([int(v) % _MERSENNE for v in big],
+                                   dtype=np.uint64))
+
+
+def test_hot_bucket_star_pairing(ray_session):
+    """10k identical docs collapse into one LSH bucket: pair emission
+    must be O(n) (star), not O(n^2), and every doc stays connected to
+    the hub so dedup-by-component still collapses the group."""
+    import ray.data as rd
+    from swishray.ops.dedup import minhash_dedup, simhash_near_dups
+
+    n = 10_000
+    texts = ["the same boilerplate page body repeated many times"] * n
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                    "text": texts})
+    ds = rd.from_arrow(tbl)
+    pairs = minhash_dedup(ds, threshold=0.8, bucket_cap=64).take_all()
+    # star: exactly n-1 pairs, all anchored at the min key
+    assert len(pairs) == n - 1
+    assert all(p["a"] == 0 for p in pairs)
+    assert sorted(p["b"] for p in pairs) == list(range(1, n))
+
+    sh = simhash_near_dups(ds.limit(2000), max_hamming=3,
+                           bucket_cap=64).take_all()
+    assert len(sh) == 1999
+    assert all(p["a"] == 0 for p in sh)
+
+
+def test_minhash_verify_is_distributed(ray_session):
+    """The Jaccard verify runs via dataset joins (no driver text dict):
+    near-dup pairs over a mixed corpus come back with exact scores."""
+    import ray.data as rd
+    from swishray.ops.dedup import minhash_dedup, ngram_jaccard
+
+    base = "sphinx of black quartz judge my vow " * 8
+    texts, ids = [], []
+    for i in range(60):
+        ids.append(i)
+        if i % 3 == 0:
+            texts.append(base)
+        elif i % 3 == 1:
+            texts.append(base + f"suffix variant {i % 6} ")
+        else:
+            texts.append(f"unique content {i} " * 20)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()), "text": texts}))
+    pairs = minhash_dedup(ds, threshold=0.9).take_all()
+    assert pairs, "identical docs must be found"
+    for p in pairs:
+        assert p["jaccard"] == ngram_jaccard(texts[p["a"]], texts[p["b"]])
+        assert p["jaccard"] >= 0.9
+    # every identical-text pair is found (i % 3 == 0 group: 20 docs)
+    idents = {(a, b) for a in range(0, 60, 3) for b in range(a + 3, 60, 3)}
+    got = {(p["a"], p["b"]) for p in pairs}
+    assert idents <= got
+
+
+def test_lsh_recall_vs_bruteforce(ray_session):
+    """Empirical recall check for the (a*x+b) mod p permutation family:
+    at threshold 0.8 with 64 perms / 16 bands, LSH + verify finds every
+    true >= 0.8 pair of this corpus (validates the hash family)."""
+    import ray.data as rd
+    from swishray.ops.dedup import minhash_dedup, ngram_jaccard
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    for i in range(80):
+        if i % 4 == 0 and i > 0:
+            # near-dup of a previous doc: drop a couple of words
+            w = texts[i - 4].split()
+            del w[::37]
+            texts.append(" ".join(w))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=120)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(80), type=pa.int64()), "text": texts}))
+    got = {(p["a"], p["b"]) for p in
+           minhash_dedup(ds, threshold=0.8).take_all()}
+    want = {(a, b) for a in range(80) for b in range(a + 1, 80)
+            if ngram_jaccard(texts[a], texts[b]) >= 0.8}
+    assert want <= got, f"missed true pairs: {want - got}"
+
+
+def test_exact_dedup_slim_and_keys(ray_session):
+    import ray.data as rd
+    from swishray.ops.dedup import exact_dedup, exact_dedup_keys
+
+    tbl = pa.table({
+        "doc_id": pa.array([5, 1, 3, 2, 4], type=pa.int64()),
+        "text": ["x", "x", "y", "x", "y"],
+        "payload": ["p5", "p1", "p3", "p2", "p4"],
+    })
+    ds = rd.from_arrow(tbl)
+    keys = sorted(r["doc_id"] for r in exact_dedup_keys(ds).take_all())
+    assert keys == [1, 3]
+    kept = exact_dedup(ds).take_all()
+    assert sorted((r["doc_id"], r["payload"]) for r in kept) == \
+        [(1, "p1"), (3, "p3")]
+    # duplicate keys (union of snapshots): unique_keys=False collapses
+    doubled = ds.union(rd.from_arrow(tbl))
+    kept2 = exact_dedup(doubled, unique_keys=False).take_all()
+    assert sorted(r["doc_id"] for r in kept2) == [1, 3]
+
+
+def test_cosine_grid_pairs_exact(ray_session):
+    import ray.data as rd
+    from swishray.ops.similarity import cosine_dup_pairs
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 12)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float64()))}))
+    got = {(r["a"], r["b"]) for r in
+           cosine_dup_pairs(ds, threshold=0.5, grid=5).take_all()}
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = m @ m.T
+    want = {(i, j) for i in range(200) for j in range(i + 1, 200)
+            if s[i, j] >= 0.5}
+    assert got == want

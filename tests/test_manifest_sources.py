@@ -39,10 +39,66 @@ def test_write_partitioned_and_resume(ray_session):
         import pyarrow.parquet as pq
         total = 0
         for b in completed_buckets(out):
-            t = pq.read_table(os.path.join(out, f"bucket={b:04d}",
-                                           "part-0.parquet"))
-            total += t.num_rows
+            bdir = os.path.join(out, f"bucket={b:04d}")
+            for name in os.listdir(bdir):
+                if name.endswith(".parquet"):
+                    total += pq.read_table(os.path.join(bdir, name)).num_rows
         assert total == 60
+
+
+def _read_all_buckets(out):
+    import pyarrow.parquet as pq
+    from swishray.manifest import completed_buckets
+    urls = []
+    for b in completed_buckets(out):
+        bdir = os.path.join(out, f"bucket={b:04d}")
+        for name in os.listdir(bdir):
+            if name.endswith(".parquet"):
+                urls += pq.read_table(
+                    os.path.join(bdir, name)).column("url").to_pylist()
+    return sorted(urls)
+
+
+def test_write_partitioned_multifile_bucket(ray_session):
+    """A bucket larger than one part file streams out as several files
+    (grouped mode never holds a bucket as a single write unit)."""
+    from swishray.manifest import read_manifests, write_partitioned
+    from swishray.pipeline import extract_pages
+    from swishray.synth import fixture_pages
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        ext = extract_pages(fixture_pages(120), emit="text", concurrency=2)
+        s = write_partitioned(ext, out, num_buckets=2, rows_per_file=16)
+        assert s["rows"] == 120
+        mans = read_manifests(out)
+        assert any(m["files"] > 1 for m in mans)
+        assert sum(m["rows"] for m in mans) == 120
+        assert len(_read_all_buckets(out)) == 120
+
+
+def test_write_partitioned_stream_mode(ray_session):
+    """Shuffle-free streamed writer: same contents, manifests derived
+    from the per-file stats aggregate, resume skips complete buckets."""
+    from swishray.manifest import read_manifests, write_partitioned
+    from swishray.pipeline import extract_pages
+    from swishray.synth import fixture_pages
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        ext = extract_pages(fixture_pages(60), emit="text", concurrency=2,
+                            batch_size=16)
+        s = write_partitioned(ext, out, num_buckets=8, mode="stream")
+        assert s["rows"] == 60 and s["skipped"] == 0
+        mans = read_manifests(out)
+        assert sum(m["rows"] for m in mans) == 60
+        urls1 = _read_all_buckets(out)
+        assert len(urls1) == 60
+        # rerun skips everything
+        ext2 = extract_pages(fixture_pages(60), emit="text", concurrency=2)
+        s2 = write_partitioned(ext2, out, num_buckets=8, mode="stream")
+        assert s2["written"] == 0 and s2["skipped"] == len(mans)
+        assert _read_all_buckets(out) == urls1
 
 
 def test_swish_stream_source(ray_session):

@@ -233,3 +233,44 @@ def test_native_join_matches_hash_join(ray_session):
                                                      "b": [20, 30, 50]})),
                              "k").take_all())
     assert got_n == got_h == [(2, "x", 20), (3, "y", 30)]
+
+
+def test_lang_id_model_slot(ray_session, tmp_path):
+    """lang_id's pluggable model: the factory runs once per actor (in
+    __init__), and predictions flow from the injected model."""
+    import ray.data as rd
+    from swishray.ops.textstats import lang_id
+
+    marker_dir = str(tmp_path / "loads")
+    import os
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def fake_factory(_dir=marker_dir):
+        import os
+        import uuid
+        # one marker per factory invocation (= per actor init)
+        open(os.path.join(_dir, uuid.uuid4().hex), "w").close()
+
+        def model(text: str) -> str:
+            return "xx" if text else "und"
+        return model
+
+    tbl = pa.table({"doc_id": pa.array(range(64), type=pa.int64()),
+                    "text": ["some text"] * 64})
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = lang_id(ds, concurrency=2, model_factory=fake_factory).take_all()
+    assert all(r["lang_pred"] == "xx" for r in out)
+    n_loads = len(os.listdir(marker_dir))
+    assert 1 <= n_loads <= 2, f"model loaded {n_loads} times, not per-actor"
+    # default path unchanged
+    out2 = lang_id(ds).take_all()
+    assert all("lang_pred" in r for r in out2)
+
+
+def test_swish_stream_missing_content_length():
+    import pytest
+    from swishray.sources import iter_swish_stream
+    bad = (b"Content-Location: http://x.example/a.html\n"
+           b"Parser-Type: TXT\n\nbody words here")
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        list(iter_swish_stream(bad))

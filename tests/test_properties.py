@@ -65,3 +65,58 @@ def test_clean_wsp_properties(b):
 @given(st.text(alphabet=" \t\n\v\f\r", max_size=50))
 def test_all_ws_detects_whitespace(s):
     assert str_all_ws(s.encode())
+
+
+def test_property_max_parity_and_optin():
+    """Property.max / sort_length parity: the reference binary parses
+    ``max`` (header.c:474-541) but never enforces it at capture — a
+    42-char value survives ``max=10`` intact (verified against the
+    compiled golden_dump; re-checked live when /tmp/refbuild exists).
+    The engine matches byte-for-byte by default; truncation is an
+    explicit engine extension behind <EnforcePropertyMax>."""
+    import json
+    import os
+    import subprocess
+    import tempfile
+
+    from swishray.config import Config
+    from swishray.extractor import DocumentExtractor
+
+    cfg_xml = ("<swish><PropertyNames>"
+               "<blurb max=\"10\" sort_length=\"4\" /></PropertyNames>"
+               "<MetaNames><blurb /></MetaNames></swish>")
+    body = b"<doc><blurb>abcdefghijklmnopqrstuvwxyz more words here</blurb></doc>\n"
+    full = b"abcdefghijklmnopqrstuvwxyz more words here"
+
+    cfg = Config.default()
+    cfg.add(cfg_xml)
+    assert cfg.properties["blurb"].max == 10
+    assert cfg.properties["blurb"].sort_length == 4
+    rec = DocumentExtractor(cfg).extract("/tmp/propmax_doc.xml", body)
+    # default: byte-parity with the reference (NO truncation)
+    assert rec.properties["blurb"] == full
+
+    dump = "/tmp/refbuild/golden_dump"
+    if os.path.exists(dump):  # live A/B when the oracle is built
+        with tempfile.TemporaryDirectory() as d:
+            cpath = os.path.join(d, "conf.xml")
+            dpath = os.path.join(d, "doc.xml")
+            open(cpath, "w").write(cfg_xml)
+            open(dpath, "wb").write(body)
+            env = dict(os.environ, LC_ALL="C.utf8")
+            out = subprocess.run([dump, "-c", cpath, dpath], env=env,
+                                 capture_output=True).stdout
+            ref = json.loads(out)
+            import base64
+            assert base64.b64decode(ref["properties"]["blurb"]) == full
+
+    # opt-in extension truncates to max characters
+    cfg2 = Config.default()
+    cfg2.add(cfg_xml)
+    cfg2.enforce_property_max = True
+    rec2 = DocumentExtractor(cfg2).extract("/tmp/propmax_doc.xml", body)
+    assert rec2.properties["blurb"] == b"abcdefghij"
+    # round-trips through swish.xml form
+    cfg3 = Config.default()
+    cfg3.add(cfg2.to_xml())
+    assert cfg3.enforce_property_max is True

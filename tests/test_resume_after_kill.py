@@ -102,10 +102,13 @@ def test_killed_run_resumes(tmp_path):
     def load(d):
         rows = {}
         for b in sorted(completed_buckets(d)):
-            t = pq.read_table(os.path.join(d, f"bucket={b:04d}",
-                                           "part-0.parquet"))
-            for r in t.to_pylist():
-                rows[r["url"]] = (r["nwords"], r["text"], r["error"])
+            bdir = os.path.join(d, f"bucket={b:04d}")
+            for name in sorted(os.listdir(bdir)):
+                if not name.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(bdir, name))
+                for r in t.to_pylist():
+                    rows[r["url"]] = (r["nwords"], r["text"], r["error"])
         return rows
 
     assert load(out_int) == load(out_clean)
