@@ -27,15 +27,61 @@ N_PAGES = int(os.environ.get("BENCH_PAGES", "12000"))
 EXTRACT_ONLY = os.environ.get("BENCH_EXTRACT_ONLY") == "1"
 
 
+_QUIET_RAY_DATA_LOGGING = """
+version: 1
+disable_existing_loggers: false
+formatters:
+  ray:
+    format: "%(asctime)s\\t%(levelname)s %(filename)s:%(lineno)s -- %(message)s"
+handlers:
+  file:
+    class: ray.data._internal.logging.SessionFileHandler
+    formatter: ray
+    filename: ray-data.log
+  console:
+    class: ray._private.log.PlainRayHandler
+    formatter: ray
+    level: ERROR
+loggers:
+  ray.data:
+    level: INFO
+    handlers: [file, console]
+    propagate: false
+"""
+
+
+def _quiet_ray_data_workers() -> None:
+    """Route ray.data worker log noise (benign schema-hash /
+    schema-consistency warnings from pandas-metadata'd parquet and
+    shuffle empty blocks) to the session log file only. Must run
+    BEFORE ray.init so the raylet (our child process) and its workers
+    inherit the env var."""
+    path = "/tmp/swishray-ray-data-logging.yaml"
+    with open(path, "w") as f:
+        f.write(_QUIET_RAY_DATA_LOGGING)
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+
+
 def run_benchmarks() -> dict:
+    import logging
+    import warnings
     import ray
     if not ray.is_initialized():
+        _quiet_ray_data_workers()
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # known-benign log noise: map-typed columns (metanames/properties)
+    # defeat Ray's schema-dedup hashing, and sort-based shuffles emit
+    # schema-less empty blocks that trip a schema-consistency warning
+    warnings.filterwarnings(
+        "ignore", message=".*minimum number of concurrent actors.*")
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     import ray.data as rd
     from swishray.pipeline import extract_pages, top_n_words

@@ -1,13 +1,17 @@
-"""Optional native accelerator (import-try gated, per task brief).
+"""Optional native accelerators (import-try gated, per task brief).
 
-On first import, tries to load a prebuilt ``swishtok`` extension from
-this directory; if absent and a C compiler is available, compiles it
+Two extensions, each independently optional:
+  * ``swishtok`` — the C tokenizer (A/B-verified against
+    swishray/tokenizer.py by tokenizer._native_selftest before use)
+  * ``swishsax`` — the C event-batching SAX front-end (A/B-verified
+    against the ctypes event stream by libxml._sax_selftest before use)
+
+On first import, tries to load a prebuilt extension from this
+directory; if absent and a C compiler is available, compiles it
 quietly (atomic rename, safe under concurrent workers). Any failure
-leaves ``swishtok = None`` and the pure-Python tokenizer runs — the
-two implementations are A/B-verified identical by
-tools/fuzz_tokenizer.py and the conformance suite.
+leaves the symbol ``None`` and the pure-Python/ctypes path runs.
 
-Set SWISHRAY_NO_NATIVE=1 to force the pure-Python path.
+Set SWISHRAY_NO_NATIVE=1 to force the non-native paths.
 """
 
 from __future__ import annotations
@@ -18,23 +22,28 @@ import sys
 import sysconfig
 
 swishtok = None
+swishsax = None
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
+_LIBXML2_CFLAGS = ["-I/usr/include/libxml2"]
+_LIBXML2_LIBS = ["-L/usr/lib/x86_64-linux-gnu", "-lxml2"]
 
-def _so_path() -> str:
+
+def _so_path(name: str) -> str:
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return os.path.join(_HERE, "swishtok" + suffix)
+    return os.path.join(_HERE, name + suffix)
 
 
-def _try_build() -> bool:
-    src = os.path.join(_HERE, "swishtok.c")
-    out = _so_path()
+def _try_build(name: str, cflags: list[str], libs: list[str]) -> bool:
+    src = os.path.join(_HERE, name + ".c")
+    out = _so_path(name)
     if not os.path.exists(src):
         return False
     include = sysconfig.get_paths()["include"]
     tmp = out + f".tmp.{os.getpid()}"
-    cmd = ["gcc", "-O2", "-shared", "-fPIC", f"-I{include}", src, "-o", tmp]
+    cmd = (["gcc", "-O2", "-shared", "-fPIC", f"-I{include}"]
+           + cflags + [src, "-o", tmp] + libs)
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
         if r.returncode != 0:
@@ -51,20 +60,25 @@ def _try_build() -> bool:
                 pass
 
 
-def _load():
-    global swishtok
-    if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
-        return
+def _load_one(name: str, cflags: list[str], libs: list[str]):
     try:
-        if not os.path.exists(_so_path()):
-            if not _try_build():
-                return
+        if not os.path.exists(_so_path(name)):
+            if not _try_build(name, cflags, libs):
+                return None
         if _HERE not in sys.path:
             sys.path.insert(0, _HERE)
-        import swishtok as _m  # noqa: F401
-        swishtok = _m
+        import importlib
+        return importlib.import_module(name)
     except Exception:
-        swishtok = None
+        return None
+
+
+def _load() -> None:
+    global swishtok, swishsax
+    if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
+        return
+    swishtok = _load_one("swishtok", [], [])
+    swishsax = _load_one("swishsax", _LIBXML2_CFLAGS, _LIBXML2_LIBS)
 
 
 _load()

@@ -19,7 +19,7 @@ from . import constants as C
 from .config import Config
 from .libxml import check_utf8, html_parse, xml_parse
 from .mime import file_ext, get_mime_type, get_parser
-from .sax import ExtractionState, ParseAbort
+from .sax import ExtractionState, ParseAbort, concat_buffers
 from .text import scrub_nulls
 
 
@@ -78,7 +78,7 @@ class DocumentExtractor:
 
     def __init__(self, config: Config | None = None,
                  swish_encoding: str = C.DEFAULT_ENCODING,
-                 tokenizer=None, stemmer=None):
+                 tokenizer=None, stemmer=None, xinclude_resolver=None):
         self.config = config if config is not None else Config.default()
         # $SWISH_ENCODING equivalent (parser.c:2610, set_encoding)
         self.swish_encoding = swish_encoding
@@ -89,6 +89,13 @@ class DocumentExtractor:
         # program's Xapian::Stem wiring
         self.tokenizer = tokenizer
         self.stemmer = stemmer
+        # XInclude seam (process_xinclude, parser.c:990-1079): the
+        # reference resolves hrefs against the filesystem; a table-
+        # scale engine reads bodies from columns, so the caller
+        # provides ``fn(resolved_uri: str) -> bytes | None`` (None =
+        # skip, mirroring SWISH_WARN "Skipping XInclude"). With no
+        # resolver, xi:include elements record an error marker row.
+        self.xinclude_resolver = xinclude_resolver
 
     # -- encoding helpers ----------------------------------------------
 
@@ -130,44 +137,12 @@ class DocumentExtractor:
         cfg = self.config
         di = resolve_docinfo(cfg, uri, len(body), mime, parser)
         state = ExtractionState(cfg, uri=uri, tokenizer=self.tokenizer)
+        if self.xinclude_resolver is not None and cfg.follow_xinclude:
+            state.xinclude_cb = self._xinclude_cb(state, 0)
         rec = ExtractionRecord(docinfo=di)
 
         try:
-            if di.is_gzipped:
-                try:
-                    body = _gzip.decompress(body)
-                except Exception as e:
-                    raise ParseAbort(f"gzip: {e}") from e
-            # io.c no_nulls: NUL and \x03 -> newline (only when a NUL
-            # exists, matching the reference's guard)
-            body = scrub_nulls(body)
-            if di.is_gzipped:
-                di.size = len(body)  # docparser resets size post-gunzip
-
-            if not body:
-                # docparser: empty doc -> warn, no parse, empty record
-                rec.error = "empty-document"
-                self._finish(rec, state)
-                return rec
-
-            p0 = di.parser[:1].upper()
-            if p0 == "H":
-                state.is_html = True
-                # html_parser (parser.c:2537-2597): docinfo encoding is
-                # the env default — libxml2 does its own charset
-                # switching internally
-                di.encoding = self.swish_encoding
-                html_parse(body.split(b"\x00")[0], state)
-            elif p0 == "X":
-                xml_parse(body, state)
-                enc = self._xml_declared_encoding(body)
-                di.encoding = enc if enc else self.swish_encoding
-            elif p0 == "T":
-                self._txt_parse(body, state, di)
-            else:
-                raise ParseAbort(
-                    f"no parser known for MIME '{di.mime}' "
-                    f"parser '{di.parser}'")
+            self._docparse(body, state, di)
         except ParseAbort as e:
             rec.error = str(e)
         except Exception as e:  # defensive: never kill the batch
@@ -175,6 +150,120 @@ class DocumentExtractor:
 
         self._finish(rec, state)
         return rec
+
+    def _docparse(self, body: bytes, state: ExtractionState,
+                  di: DocInfo) -> None:
+        """docparser (parser.c:2450-2535): gunzip, NUL scrub, dispatch
+        to the HTML/XML/TXT parser. Shared by extract() and XInclude
+        child parses; raises ParseAbort on unparseable input."""
+        if di.is_gzipped:
+            try:
+                body = _gzip.decompress(body)
+            except Exception as e:
+                raise ParseAbort(f"gzip: {e}") from e
+        # io.c no_nulls: NUL and \x03 -> newline (only when a NUL
+        # exists, matching the reference's guard)
+        body = scrub_nulls(body)
+        if di.is_gzipped:
+            di.size = len(body)  # docparser resets size post-gunzip
+
+        if not body:
+            # docparser: empty doc -> warn, no parse, empty record
+            raise ParseAbort("empty-document")
+
+        p0 = di.parser[:1].upper()
+        if p0 == "H":
+            state.is_html = True
+            # html_parser (parser.c:2537-2597): docinfo encoding is
+            # the env default — libxml2 does its own charset
+            # switching internally
+            di.encoding = self.swish_encoding
+            html_parse(body.split(b"\x00")[0], state)
+        elif p0 == "X":
+            xml_parse(body, state)
+            enc = self._xml_declared_encoding(body)
+            di.encoding = enc if enc else self.swish_encoding
+        elif p0 == "T":
+            self._txt_parse(body, state, di)
+        else:
+            raise ParseAbort(
+                f"no parser known for MIME '{di.mime}' "
+                f"parser '{di.parser}'")
+
+    # -- XInclude (process_xinclude / xinclude_handler) ------------------
+
+    _XINCLUDE_MAX_DEPTH = 16
+
+    def _xinclude_cb(self, state: ExtractionState, depth: int):
+        def cb(href: str, is_text: bool) -> None:
+            self._process_xinclude(state, href, is_text, depth)
+        return cb
+
+    def _process_xinclude(self, parent: ExtractionState, href: str,
+                          is_text: bool, depth: int) -> None:
+        """parser.c:990-1079 (process_xinclude) + :964-988
+        (xinclude_handler): flush the parent's pending buffer, parse
+        the referenced doc with a fresh state sharing the parent's
+        doc-local config view (the reference shares s3->config, so
+        child-vivified metanames are visible to the parent), then merge
+        tokens (renumbered into the parent stream), nwords, and the
+        \\x03-joined buffers. The depth cap is an engine guard the
+        reference lacks (a self-including doc recurses it to death)."""
+        head = parent.metastack.head
+        parent.flush_buffer(head.baked, head.context)
+        if depth >= self._XINCLUDE_MAX_DEPTH:
+            if parent.parse_error is None:
+                parent.parse_error = "xinclude-depth-exceeded"
+            return
+        if href.startswith("/"):
+            xuri = href
+        else:
+            # xmlBuildURI(href, dirname-with-trailing-sep) equivalent
+            from urllib.parse import urljoin
+            i = parent.uri.rfind("/")
+            base = parent.uri[:i + 1] if i >= 0 else "./"
+            xuri = urljoin(base, href)
+        try:
+            body = self.xinclude_resolver(xuri)
+        except Exception:
+            body = None
+        if body is None:
+            return  # SWISH_WARN("Skipping XInclude %s") — skip row-local
+
+        di = resolve_docinfo(parent.config, xuri, len(body))
+        if is_text and di.parser != C.PARSER_TXT:
+            # parse="text" forces the TXT parser (parser.c:1048-1051)
+            di.parser = C.PARSER_TXT
+        parent._own_config()
+        child = ExtractionState(parent.config, uri=xuri,
+                                tokenizer=self.tokenizer)
+        # share the parent's (already copied) doc-local config view so
+        # vivifications propagate BOTH ways, like the reference's
+        # single s3->config — while the top-level CoW still isolates
+        # this whole document cluster from the actor's pristine config
+        child._cfg_copied = True
+        child.xinclude_cb = self._xinclude_cb(child, depth + 1)
+        try:
+            self._docparse(body, child, di)
+        except ParseAbort:
+            pass  # reference merges whatever parsed (rc is ignored)
+        except Exception:
+            pass
+
+        # xinclude_handler: child tokens append with fresh consecutive
+        # parent positions (swish_token_list_add_token ++pos)
+        tl = child.token_list
+        for v, m, c in zip(tl.values, tl.metas, tl.contexts):
+            parent.token_list.add(v, m, c)
+        parent.nwords += child.nwords
+        concat_buffers(parent.metanames, child.metanames)
+        concat_buffers(parent.properties, child.properties)
+        # bubble the engine's own xinclude guard markers to the root
+        # record; other child parse errors stay silent like the
+        # reference (docparser rc is ignored there)
+        if (child.parse_error is not None and parent.parse_error is None
+                and child.parse_error.startswith("xinclude-")):
+            parent.parse_error = child.parse_error
 
     def _txt_parse(self, body: bytes, state: ExtractionState,
                    di: DocInfo) -> None:

@@ -277,10 +277,7 @@ def _get_dispatcher() -> _Dispatcher:
     return _dispatcher
 
 
-def xml_parse(buffer: bytes, target: SaxTarget) -> int:
-    """SAX2 parse of an in-memory XML document (parser.c:2450-2535).
-    Returns 0 if well-formed, else the libxml2 errNo; SAX events fired
-    for whatever prefix parsed (no recovery flag, like the reference)."""
+def _xml_parse_ctypes(buffer: bytes, target: SaxTarget) -> int:
     lib = _load()
     d = _get_dispatcher()
     prev_t, prev_e = d.target, d.error
@@ -295,10 +292,7 @@ def xml_parse(buffer: bytes, target: SaxTarget) -> int:
         d.target, d.error = prev_t, prev_e
 
 
-def html_parse(buffer: bytes, target: SaxTarget) -> int:
-    """HTML tag-soup SAX parse (parser.c:2537-2597): NUL-terminated
-    buffer, libxml2's own meta-charset detection, default encoding
-    ISO-8859-1 per the HTML spec — all inside libxml2."""
+def _html_parse_ctypes(buffer: bytes, target: SaxTarget) -> int:
     lib = _load()
     d = _get_dispatcher()
     prev_t, prev_e = d.target, d.error
@@ -313,6 +307,61 @@ def html_parse(buffer: bytes, target: SaxTarget) -> int:
         return 0
     finally:
         d.target, d.error = prev_t, prev_e
+
+
+def _replay(events: list, target: SaxTarget) -> None:
+    """Feed a swishsax event batch through the SaxTarget interface —
+    same calls, same order, same payloads as the ctypes thunks (the
+    shim merges only CONSECUTIVE characters events, an equivalence of
+    buffer_characters; see swishsax.c). An exception stops the replay
+    exactly where the ctypes error latch would have frozen state."""
+    chars = target.characters
+    start_el = target.start_element
+    end_el = target.end_element
+    start_ns = target.start_element_ns
+    end_ns = target.end_element_ns
+    for ev in events:
+        t = ev[0]
+        if t == 3:
+            chars(ev[1])
+        elif t == 1:
+            start_el(ev[1], ev[2])
+        elif t == 2:
+            end_el(ev[1])
+        elif t == 5:
+            start_ns(ev[1], ev[2], ev[3], ev[4])
+        elif t == 6:
+            end_ns(ev[1], ev[2])
+        elif t == 4:
+            target.comment(ev[1])
+        elif t == 7:
+            target.start_document()
+        elif t == 8:
+            target.end_document()
+
+
+def xml_parse(buffer: bytes, target: SaxTarget) -> int:
+    """SAX2 parse of an in-memory XML document (parser.c:2450-2535).
+    Returns 0 if well-formed, else the libxml2 errNo; SAX events fired
+    for whatever prefix parsed (no recovery flag, like the reference).
+    Uses the C event-batching front-end when available (same libxml2,
+    A/B-verified at import)."""
+    if _sax_native is not None:
+        rc, events = _sax_native.parse_xml(buffer)
+        _replay(events, target)
+        return rc
+    return _xml_parse_ctypes(buffer, target)
+
+
+def html_parse(buffer: bytes, target: SaxTarget) -> int:
+    """HTML tag-soup SAX parse (parser.c:2537-2597): NUL-terminated
+    buffer, libxml2's own meta-charset detection, default encoding
+    ISO-8859-1 per the HTML spec — all inside libxml2."""
+    if _sax_native is not None:
+        rc, events = _sax_native.parse_html(buffer)
+        _replay(events, target)
+        return rc
+    return _html_parse_ctypes(buffer, target)
 
 
 def check_utf8(data: bytes) -> bool:
@@ -349,3 +398,87 @@ def html_tag_lookup_isinline(tag: bytes) -> int | None:
         v = ord(p.contents.isinline) if p else None
         _inline_cache[tag] = v
     return v
+
+
+class _RecordingTarget(SaxTarget):
+    """Self-test capture: records the normalized call stream."""
+
+    def __init__(self) -> None:
+        self.calls: list = []
+
+    def _chars(self, data: bytes) -> None:
+        # normalize: merge consecutive characters (the shim's merge is
+        # an equivalence; comparison must be over the merged form)
+        if self.calls and self.calls[-1][0] == "chars":
+            self.calls[-1] = ("chars", self.calls[-1][1] + data)
+        else:
+            self.calls.append(("chars", data))
+
+    def start_document(self) -> None:
+        self.calls.append(("startdoc",))
+
+    def end_document(self) -> None:
+        self.calls.append(("enddoc",))
+
+    def start_element(self, name, atts) -> None:
+        self.calls.append(("start", name, atts))
+
+    def end_element(self, name) -> None:
+        self.calls.append(("end", name))
+
+    def start_element_ns(self, localname, prefix, uri, atts) -> None:
+        self.calls.append(("startns", localname, prefix, uri, atts))
+
+    def end_element_ns(self, localname, prefix) -> None:
+        self.calls.append(("endns", localname, prefix))
+
+    def characters(self, data: bytes) -> None:
+        self._chars(data)
+
+    def comment(self, data: bytes) -> None:
+        self.calls.append(("comment", data))
+
+
+_SAX_SELFTEST_DOCS = [
+    ("html", b"<html><head><title>T &amp; t</title>"
+             b"<meta name=\"a\" content=\"b\"></head>"
+             b"<body class=x checked>Hello <b>world</b>"
+             b"<!-- note --> tail</body></html>"),
+    ("html", b"<p>broken <div unclosed>soup &lt;tag"),
+    ("xml", b"<?xml version=\"1.0\"?>\n<doc xmlns:n=\"urn:x\">"
+            b"<n:a k=\"v\" empty=\"\" later=\"skipped\">body</n:a>"
+            b"<![CDATA[cd &amp; ata]]><!-- c --></doc>"),
+    ("xml", b"<doc><open>no close"),
+    ("xml", b"<a><b x=\"1\" y=\"2\">t1</b>t2<c/></a>"),
+]
+
+
+def _sax_selftest() -> bool:
+    for kind, doc in _SAX_SELFTEST_DOCS:
+        ct, nt = _RecordingTarget(), _RecordingTarget()
+        try:
+            if kind == "html":
+                rc1 = _html_parse_ctypes(doc, ct)
+                rc2, events = _sax_native.parse_html(doc)
+            else:
+                rc1 = _xml_parse_ctypes(doc, ct)
+                rc2, events = _sax_native.parse_xml(doc)
+            _replay(events, nt)
+        except Exception:
+            return False
+        if rc1 != rc2 or ct.calls != nt.calls:
+            return False
+    return True
+
+
+try:  # optional C event-batching front-end (see _native/swishsax.c)
+    from ._native import swishsax as _sax_native
+except Exception:  # pragma: no cover
+    _sax_native = None
+
+if _sax_native is not None:
+    try:
+        if not _sax_selftest():  # pragma: no cover - host-dependent
+            _sax_native = None
+    except Exception:  # pragma: no cover
+        _sax_native = None

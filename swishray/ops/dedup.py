@@ -326,7 +326,7 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
     exact Jaccard runs inside map_batches. No driver-side take_all, no
     broadcast text dict — candidate volume can exceed driver memory."""
     import pandas as pd
-    from .joins import native_join
+    from .joins import default_join_partitions, native_join
 
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
     cand = lsh_candidate_pairs(sigs, bands, key, bucket_cap)
@@ -336,39 +336,66 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
         return g.head(1)
 
     cand = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    # coalesce away the schema-less empty blocks sort-based shuffles
+    # emit for groupless partitions — the built-in join rejects them
+    # (see exact_dedup); cheap here, the pair table is ids-only
+    cand = cand.repartition(default_join_partitions())
 
-    texts = ds.select_columns([key, col])
+    # attach texts with ONE hash-partitioned join (not two chained
+    # joins — Ray 2.49's JoinOperator emits schema-less empty blocks
+    # for empty partitions, so a join output can't safely feed another
+    # join): explode each pair to two (member-key, pair) edge rows,
+    # join edges ⋈ texts on the member key, then group the <=2 rows of
+    # each pair back together and Jaccard-verify inside the group.
+    def explode_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        b = batch.column("b")
+        kt = a.type
+        import pyarrow.compute as pc
+        keys = pa.concat_arrays([pc.cast(a, kt).combine_chunks(),
+                                 pc.cast(b, kt).combine_chunks()])
+        n = batch.num_rows
+        return pa.table({
+            "__k": keys,
+            "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+            "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+            "__side": pa.array([0] * n + [1] * n, type=pa.int8()),
+        })
 
-    def as_side(side: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({side: batch.column(key),
-                             "t" + side: batch.column(col)})
-        return f
+    def texts_keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({"__k": batch.column(key),
+                         "__t": batch.column(col)})
 
-    with_a = native_join(cand, texts.map_batches(as_side("a"),
-                                                 batch_format="pyarrow"), "a")
-    with_ab = native_join(with_a, texts.map_batches(as_side("b"),
-                                                    batch_format="pyarrow"),
-                          "b")
+    edges = cand.map_batches(explode_edges, batch_format="pyarrow")
+    texts = ds.select_columns([key, col]).map_batches(
+        texts_keyed, batch_format="pyarrow")
+    joined = native_join(edges, texts, "__k")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        cols = {c: batch.column(c) for c in batch.column_names}
-        ta = cols["ta_r"].to_pylist()
-        tb = cols["tb_r"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for a, b, x, y in zip(cols["a"].to_pylist(), cols["b"].to_pylist(),
-                              ta, tb):
-            j = ngram_jaccard(x or "", y or "", shingle_k)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        kt = batch.schema.field("a").type
-        return pa.table({"a": pa.array(out_a, type=kt),
-                         "b": pa.array(out_b, type=kt),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ta = tb = ""
+        for _, row in g.iterrows():
+            if row["__side"] == 0:
+                ta = row["__t_r"] or ""
+            else:
+                tb = row["__t_r"] or ""
+        j = ngram_jaccard(ta, tb, shingle_k)
+        if j < threshold:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]],
+                             "jaccard": [j]})
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    out = joined.groupby(["a", "b"]).map_groups(verify,
+                                                batch_format="pandas")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "a": pc.cast(batch.column("a"), pa.int64()),
+            "b": pc.cast(batch.column("b"), pa.int64()),
+            "jaccard": pc.cast(batch.column("jaccard"), pa.float64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
 
 
 # ---- simhash ----------------------------------------------------------

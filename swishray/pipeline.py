@@ -58,12 +58,17 @@ class ExtractPages:
                  swish_encoding: str = C.DEFAULT_ENCODING,
                  emit: Literal["text", "buffers", "full"] = "buffers",
                  max_doc_bytes: int = C.MAX_FILE_LEN,
-                 keep_input_columns: tuple[str, ...] = ()):
+                 keep_input_columns: tuple[str, ...] = (),
+                 xinclude_docs=None):
         self.config_xml = config_xml
         self.swish_encoding = swish_encoding
         self.emit = emit
         self.max_doc_bytes = max_doc_bytes
         self.keep_input_columns = tuple(keep_input_columns)
+        # XInclude doc map: {resolved_uri: bytes}, a plain dict or a
+        # ray.ObjectRef to one (broadcast with ray.put once — fetched
+        # zero-copy per actor in __init__, never re-shipped per batch)
+        self.xinclude_docs = xinclude_docs
         self._ex: DocumentExtractor | None = None
 
     def _extractor(self) -> DocumentExtractor:
@@ -71,7 +76,18 @@ class ExtractPages:
             cfg = Config.default()
             if self.config_xml:
                 cfg.add(self.config_xml)
-            self._ex = DocumentExtractor(cfg, self.swish_encoding)
+            resolver = None
+            docs = self.xinclude_docs
+            if docs is not None:
+                try:
+                    import ray
+                    if isinstance(docs, ray.ObjectRef):
+                        docs = ray.get(docs)
+                except Exception:
+                    pass
+                resolver = docs.get
+            self._ex = DocumentExtractor(cfg, self.swish_encoding,
+                                         xinclude_resolver=resolver)
         return self._ex
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -164,14 +180,16 @@ def extract_pages(ds: "Any", *, config_xml: str | None = None,
                   emit: Literal["text", "buffers", "full"] = "buffers",
                   concurrency: int | tuple[int, int] | None = None,
                   batch_size: int = 64,
-                  keep_input_columns: tuple[str, ...] = ()) -> "Any":
+                  keep_input_columns: tuple[str, ...] = (),
+                  xinclude_docs=None) -> "Any":
     """The flagship stage: Dataset of pages -> Dataset of extraction
     records. Actor pool with warm parser state; small batch_size
     because rows are whole web pages (memory-aware batching,
     SURVEY.md §4)."""
     from .util import map_batches_stateful
     fn_kwargs = dict(config_xml=config_xml, swish_encoding=swish_encoding,
-                     emit=emit, keep_input_columns=keep_input_columns)
+                     emit=emit, keep_input_columns=keep_input_columns,
+                     xinclude_docs=xinclude_docs)
     return map_batches_stateful(
         ds, ExtractPages,
         fn_constructor_kwargs=fn_kwargs,

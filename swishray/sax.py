@@ -26,6 +26,20 @@ from .tokenizer import TokenList, tokenize_into
 _XINCLUDE_NS = b"http://www.w3.org/2003/XInclude"
 _XINCLUDE_OLD_NS = b"http://www.w3.org/2001/XInclude"
 
+# process-wide tag-name decode cache: tag vocabularies are tiny and
+# wildly repetitive (~50 distinct names per million events), so the
+# per-event utf-8 decode is pure waste; capped defensively
+_DECODE_CACHE: dict[bytes, str] = {}
+
+
+def _dtag(name: bytes) -> str:
+    s = _DECODE_CACHE.get(name)
+    if s is None:
+        s = name.decode("utf-8", "replace")
+        if len(_DECODE_CACHE) < 1 << 16:
+            _DECODE_CACHE[name] = s
+    return s
+
 
 class ParseAbort(Exception):
     """Raised where the reference would SWISH_CROAK (process exit)."""
@@ -102,6 +116,10 @@ class ExtractionState(SaxTarget):
         self.token_list = TokenList()
         self.nwords = 0
         self.parse_error: str | None = None
+        # set by the extractor when an XInclude resolver is configured:
+        # fn(href: str, is_text: bool) parses the referenced doc and
+        # merges it into this state (process_xinclude, parser.c:990)
+        self.xinclude_cb = None
         # NamedBuffers pre-created for every configured name, aliases
         # included (swish_nb_init, namedbuffer.c:86-102)
         self.metanames: dict[str, bytearray] = {
@@ -142,7 +160,8 @@ class ExtractionState(SaxTarget):
                 ignore_xmlns=cfg.ignore_xmlns,
                 follow_xinclude=cfg.follow_xinclude,
                 undef_metas=cfg.undef_metas, undef_attrs=cfg.undef_attrs,
-                max_meta_id=cfg.max_meta_id, max_prop_id=cfg.max_prop_id)
+                max_meta_id=cfg.max_meta_id, max_prop_id=cfg.max_prop_id,
+                enforce_property_max=cfg.enforce_property_max)
             self.config = clone
             self._cfg_copied = True
         return self.config
@@ -509,38 +528,52 @@ class ExtractionState(SaxTarget):
 
     def start_element(self, name: bytes,
                       atts: list[bytes | None] | None) -> None:
+        t = _dtag(name)
         a = None
-        if atts is not None:
+        # SAX1 == the HTML parser; attributes only influence an HTML
+        # bake for <meta> tags (bake_tag, parser.c:432-449), so skip
+        # the per-attribute decode everywhere else
+        if atts is not None and t.lower() == "meta":
             a = [x.decode("utf-8", "replace") if x is not None else None
                  for x in atts]
-        self.open_tag(name.decode("utf-8", "replace"), a, None)
+        self.open_tag(t, a, None)
 
     def end_element(self, name: bytes) -> None:
-        self.close_tag(name.decode("utf-8", "replace"), None)
+        self.close_tag(_dtag(name), None)
 
     def start_element_ns(self, localname: bytes, prefix: bytes | None,
                          uri: bytes | None,
                          atts: list[bytes] | None) -> None:
-        # XInclude detection (parser.c:924-951): the engine does not
-        # follow file-system XIncludes at table scale — it records the
-        # miss instead (FIXTURES.md: out of scope v1)
+        # XInclude (parser.c:924-951): with a resolver wired in, the
+        # referenced doc is parsed and merged in-line (process_xinclude
+        # semantics); without one, the engine records the miss instead
+        # of touching the filesystem (table-scale rows have no paths)
         if (uri in (_XINCLUDE_NS, _XINCLUDE_OLD_NS)
                 and localname == b"include" and atts
                 and self.config.follow_xinclude):
-            self.parse_error = "xinclude-not-followed"
+            href = None
+            is_text = False
+            for i in range(0, len(atts) - 1, 2):
+                if atts[i] == b"href" and atts[i + 1] is not None:
+                    href = atts[i + 1]
+                elif atts[i] == b"parse":
+                    is_text = atts[i + 1] == b"text"
+            if href is not None:
+                if self.xinclude_cb is not None:
+                    self.xinclude_cb(href.decode("utf-8", "replace"),
+                                     is_text)
+                else:
+                    self.parse_error = "xinclude-not-followed"
         a = None
         if atts is not None:
             a = [x.decode("utf-8", "replace") if x is not None else None
                  for x in atts]
-        self.open_tag(localname.decode("utf-8", "replace"), a,
-                      prefix.decode("utf-8", "replace") if prefix else None)
+        self.open_tag(_dtag(localname), a,
+                      _dtag(prefix) if prefix else None)
 
     def end_element_ns(self, localname: bytes, prefix: bytes | None) -> None:
-        self.close_tag(localname.decode("utf-8", "replace"),
-                       prefix.decode("utf-8", "replace") if prefix else None)
-
-    def characters(self, data: bytes) -> None:
-        self.buffer_characters(data)
+        self.close_tag(_dtag(localname),
+                       _dtag(prefix) if prefix else None)
 
     def comment(self, data: bytes) -> None:
         """mycomments (parser.c:1318-1388)."""
@@ -564,3 +597,21 @@ class ExtractionState(SaxTarget):
             return
         # any other comment bumps position (prevents phrase matching)
         self.bump_word = True
+
+
+ExtractionState.characters = ExtractionState.buffer_characters
+
+
+def concat_buffers(parent_nb: dict, child_nb: dict) -> None:
+    """swish_buffer_concat (namedbuffer.c:268-291) for an XInclude
+    merge: iterate the PARENT's names only — the reference scans nb1's
+    hash, so names that exist only in the child are dropped from the
+    buffers (their tokens still merge) — and append each non-empty
+    child value with the \\x03 token-position bumper when the parent
+    side already has content."""
+    for name, pbuf in parent_nb.items():
+        cbuf = child_nb.get(name)
+        if cbuf:
+            if pbuf:
+                pbuf += C.TOKENPOS_BUMPER
+            pbuf += cbuf

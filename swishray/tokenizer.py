@@ -262,12 +262,14 @@ def tokenize_into(tl: TokenList, data: bytes, meta: str, context: str) -> int:
         if n:
             tl.values.extend(vals)
             tl.positions.extend(poss)
-            offs = tl.offsets
-            off = tl._offset
-            for v in vals:
-                offs.append(off)
-                off += len(v) + 1
-            tl._offset = off
+            # offsets[i] = _offset + sum(len(v)+1 for previous v) —
+            # all in C via accumulate (the per-token Python loop was a
+            # visible slice of single-core extraction time)
+            from itertools import accumulate
+            lens = [len(v) + 1 for v in vals]
+            run = list(accumulate(lens, initial=tl._offset))
+            tl.offsets.extend(run[:-1])
+            tl._offset = run[-1]
             tl.metas.extend([meta] * n)
             tl.contexts.extend([context] * n)
         tl.pos = newpos

@@ -7,11 +7,10 @@ from __future__ import annotations
 _TASK_STATE_CACHE: dict = {}
 
 
-def _cached_call(batch, _cls, _kwargs_items):
-    key = (_cls, _kwargs_items)
-    fn = _TASK_STATE_CACHE.get(key)
+def _cached_call(batch, _cls, _kwargs, _key):
+    fn = _TASK_STATE_CACHE.get((_cls, _key))
     if fn is None:
-        fn = _TASK_STATE_CACHE[key] = _cls(**dict(_kwargs_items))
+        fn = _TASK_STATE_CACHE[(_cls, _key)] = _cls(**_kwargs)
     return fn(batch)
 
 
@@ -42,8 +41,18 @@ def map_batches_stateful(ds, cls, fn_constructor_kwargs=None,
             concurrency = default_concurrency()
         return ds.map_batches(cls, fn_constructor_kwargs=kwargs,
                               concurrency=concurrency, **mb_kwargs)
-    fn = functools.partial(_cached_call, _cls=cls,
-                           _kwargs_items=tuple(sorted(kwargs.items())))
+    # cache key: deterministic digest of the constructor kwargs,
+    # computed ONCE on the driver (kwargs values may be unhashable —
+    # dicts, ObjectRefs — so a hash of the pickled form is used)
+    import hashlib
+    import pickle
+    try:
+        blob = pickle.dumps(tuple(sorted(kwargs.items())))
+    except Exception:
+        from ray import cloudpickle
+        blob = cloudpickle.dumps(tuple(sorted(kwargs.items())))
+    key = hashlib.md5(blob).hexdigest()
+    fn = functools.partial(_cached_call, _cls=cls, _kwargs=kwargs, _key=key)
     return ds.map_batches(fn, **mb_kwargs)
 
 

@@ -31,8 +31,19 @@ def _build_config(case: dict) -> Config:
     if case["config"]:
         cfg.add(case["config"])
     for k, v in case["flags"].items():
-        setattr(cfg, k, v)
+        if not k.startswith("_"):  # harness wiring, not config flags
+            setattr(cfg, k, v)
     return cfg
+
+
+def _fs_resolver(uri: str) -> bytes | None:
+    """XInclude resolver replaying the reference's filesystem follow
+    (process_xinclude, parser.c:990) for the followed-xinclude goldens."""
+    try:
+        with open(uri, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
 
 
 @pytest.mark.parametrize("case", CASES, ids=[c["case"] for c in CASES])
@@ -41,7 +52,8 @@ def test_fixture_byte_identity(case):
     if not doc.exists():
         pytest.skip("fixture missing")
     cfg = _build_config(case)
-    ex = DocumentExtractor(cfg)
+    resolver = _fs_resolver if case["flags"].get("_resolver") == "fs" else None
+    ex = DocumentExtractor(cfg, xinclude_resolver=resolver)
     rec = ex.extract(str(doc), doc.read_bytes())
 
     g = case["golden"]

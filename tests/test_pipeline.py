@@ -274,3 +274,62 @@ def test_swish_stream_missing_content_length():
            b"Parser-Type: TXT\n\nbody words here")
     with pytest.raises(ValueError, match="missing Content-Length"):
         list(iter_swish_stream(bad))
+
+
+def test_xinclude_pipeline(ray_session):
+    """In-memory XInclude through the Ray stage: hrefs resolve against
+    a broadcast doc map (ray.put once, fetched per actor)."""
+    import ray
+    import ray.data as rd
+    from swishray.pipeline import extract_pages
+
+    child = b"<doc2>\n i am included\n</doc2>\n"
+    parent = (b'<?xml version="1.0"?>\n'
+              b'<doc xmlns:xi="http://www.w3.org/2001/XInclude">\n'
+              b' hello world\n'
+              b' <xi:include href="part.xml"/>\n'
+              b'</doc>\n')
+    docs_ref = ray.put({"https://x.example/part.xml": child})
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://x.example/doc.xml"]),
+        "html": pa.array([parent], type=pa.binary()),
+    }))
+    out = extract_pages(pages, emit="full", concurrency=2,
+                        xinclude_docs=docs_ref).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["error"] is None
+    # 2 parent words + 3 included words, positions renumbered
+    assert r["nwords"] == 5
+    vals = [bytes(v) for v in r["token_values"]]
+    assert vals == [b"hello", b"world", b"i", b"am", b"included"]
+    assert list(r["token_positions"]) == [1, 2, 3, 4, 5]
+
+
+def test_xinclude_depth_cap():
+    """A self-including doc (the reference recurses to death) stops at
+    the engine's depth cap with a per-row error marker."""
+    from swishray.config import Config
+    from swishray.extractor import DocumentExtractor
+
+    body = (b'<doc xmlns:xi="http://www.w3.org/2001/XInclude">'
+            b'x <xi:include href="/self.xml"/></doc>')
+    ex = DocumentExtractor(Config.default(),
+                           xinclude_resolver={"/self.xml": body}.get)
+    rec = ex.extract("/self.xml", body)
+    assert rec.error == "xinclude-depth-exceeded"
+    assert rec.docinfo.nwords > 0  # partial content still extracted
+
+
+def test_xinclude_missing_doc_skipped():
+    """Unresolvable href mirrors the reference's SWISH_WARN skip: no
+    error row, include merged as nothing."""
+    from swishray.config import Config
+    from swishray.extractor import DocumentExtractor
+
+    body = (b'<doc xmlns:xi="http://www.w3.org/2001/XInclude">'
+            b'alpha <xi:include href="/nope.xml"/> beta</doc>')
+    ex = DocumentExtractor(Config.default(), xinclude_resolver=lambda u: None)
+    rec = ex.extract("/d.xml", body)
+    assert rec.error is None
+    assert rec.docinfo.nwords == 2

@@ -46,9 +46,15 @@ CONF_CASES = [
     ("xmlns.xml", "xmlns.xml", {}),
     ("meta.html", "swish.xml", {}),
     ("properties.html", "swish.xml", {}),
-    # engine never follows filesystem XIncludes; goldens pin -X 0
+    # engine never follows filesystem XIncludes on its own; goldens
+    # pin -X 0 ...
     ("xinclude.xml", None, {"follow_xinclude": False}),
     ("include-recursive.xml", None, {"follow_xinclude": False}),
+    # ... and the resolver seam replays the reference's follow
+    # semantics exactly ("_resolver" is harness wiring, not a config
+    # flag: the test passes a filesystem resolver to the extractor)
+    ("xinclude.xml", None, {"_resolver": "fs"}),
+    ("include-recursive.xml", None, {"_resolver": "fs"}),
     # cascade_meta_context exercises the flush fan-out
     ("nested_meta.xml", None, {"cascade_meta_context": True}),
     ("dom.xml", "dom.conf", {"cascade_meta_context": True}),
