@@ -490,8 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q_hash_join,
         "anti_join": q_anti_join,
         "minhash_pairs": q_minhash_pairs,
-        # rows-only:
         "lang_id": q_lang_id,
+        # rows-only:
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "decode_images": q_decode_images,
@@ -621,6 +621,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"),
         "anti_join": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50"),
+        # The default lang_id heuristic transliterated to SQL: per-
+        # language hint-gram occurrence counts (non-overlapping, same
+        # as str.count), first-500-char CJK density gate, strict-
+        # greater argmax in en/es/de/fr iteration order (earlier lang
+        # wins ties), 'und' when nothing scores.
+        "lang_id": "WITH b AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents), t AS (SELECT doc_id, tx, lower(substr(tx, 1, 2000)) AS t2, substr(tx, 1, 500) AS t5 FROM b), s AS (SELECT doc_id, tx, t5, length(regexp_replace(t5, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS ncjk, (length(t2) - length(replace(t2, 'the', ''))) / 3 + (length(t2) - length(replace(t2, 'and', ''))) / 3 + (length(t2) - length(replace(t2, 'ing', ''))) / 3 + (length(t2) - length(replace(t2, 'ion', ''))) / 3 + (length(t2) - length(replace(t2, 'he ', ''))) / 3 AS s_en, (length(t2) - length(replace(t2, 'de ', ''))) / 3 + (length(t2) - length(replace(t2, 'la ', ''))) / 3 + (length(t2) - length(replace(t2, 'os ', ''))) / 3 + (length(t2) - length(replace(t2, 'ión', ''))) / 3 + (length(t2) - length(replace(t2, 'el ', ''))) / 3 AS s_es, (length(t2) - length(replace(t2, 'der', ''))) / 3 + (length(t2) - length(replace(t2, 'die', ''))) / 3 + (length(t2) - length(replace(t2, 'und', ''))) / 3 + (length(t2) - length(replace(t2, 'sch', ''))) / 3 + (length(t2) - length(replace(t2, 'en ', ''))) / 3 AS s_de, (length(t2) - length(replace(t2, 'le ', ''))) / 3 + (length(t2) - length(replace(t2, 'es ', ''))) / 3 + (length(t2) - length(replace(t2, 'de ', ''))) / 3 + (length(t2) - length(replace(t2, 'ent', ''))) / 3 + (length(t2) - length(replace(t2, 'tion', ''))) / 4 AS s_fr FROM t) SELECT doc_id, CASE WHEN tx = '' THEN 'und' WHEN ncjk > length(t5) * 0.2 THEN 'zh' WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und' WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM s",
         # Brute-force word-3-gram Jaccard (the ground truth the LSH
         # path approximates): valid as an exact oracle because every
         # true >= 0.5 pair of this corpus has similarity ~0.9+, where

@@ -79,6 +79,58 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_dump(args) -> int:
+    """SWISH_DEBUG_NAMEDBUFFER-style per-record introspection
+    (namedbuffer.c dumps / tools/golden_dump.c shape): one JSON line
+    per document with docinfo, base64 buffers and the token stream —
+    the engine-side twin of the reference's debug dumps, so records
+    can be diffed directly against golden_dump output."""
+    import base64
+    import json
+
+    from .config import Config
+    from .extractor import DocumentExtractor
+
+    cfg = Config.default()
+    for c in args.config or []:
+        cfg.add(c)
+    if args.tokenize is not None:
+        cfg.tokenize = bool(args.tokenize)
+    if args.cascade:
+        cfg.cascade_meta_context = True
+    resolver = None
+    if args.follow_xinclude:
+        def resolver(uri):
+            try:
+                with open(uri, "rb") as f:
+                    return f.read()
+            except OSError:
+                return None
+    ex = DocumentExtractor(cfg, xinclude_resolver=resolver)
+    for path in args.files:
+        with open(path, "rb") as f:
+            body = f.read()
+        rec = ex.extract(path, body)
+        di = rec.docinfo
+        b64 = lambda b: base64.b64encode(bytes(b)).decode()
+        out = {
+            "uri": path, "nwords": di.nwords, "mime": di.mime,
+            "parser": di.parser, "encoding": di.encoding, "ext": di.ext,
+            "size": di.size, "error": rec.error,
+            "metanames": {k: b64(v) for k, v in rec.metanames.items()},
+            "properties": {k: b64(v) for k, v in rec.properties.items()},
+            "tokens": [
+                [pos, meta, ctx, b64(val), off, len(val)]
+                for pos, meta, ctx, val, off in zip(
+                    rec.token_positions, rec.token_metas,
+                    rec.token_contexts, rec.token_values,
+                    rec.token_offsets)
+            ],
+        }
+        print(json.dumps(out))
+    return 0
+
+
 def cmd_header(args) -> int:
     from .config import Config
     cfg = Config.default().add(args.conf)
@@ -128,6 +180,14 @@ def main(argv=None) -> int:
     pt = sub.add_parser("tokenize")
     pt.add_argument("strings", nargs="+")
     pt.set_defaults(fn=cmd_tokenize)
+
+    pd = sub.add_parser("dump")
+    pd.add_argument("files", nargs="+")
+    pd.add_argument("-c", "--config", action="append")
+    pd.add_argument("-t", "--tokenize", type=int, default=None)
+    pd.add_argument("-C", "--cascade", action="store_true")
+    pd.add_argument("-X", "--follow-xinclude", action="store_true")
+    pd.set_defaults(fn=cmd_dump)
 
     ph = sub.add_parser("header")
     ph.add_argument("conf")

@@ -326,66 +326,81 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
     exact Jaccard runs inside map_batches. No driver-side take_all, no
     broadcast text dict — candidate volume can exceed driver memory."""
     import pandas as pd
-    from .joins import default_join_partitions, native_join
 
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
     cand = lsh_candidate_pairs(sigs, bands, key, bucket_cap)
 
-    # distinct (a, b) via a slim keyed shuffle (ids only ride it)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    cand = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
-    # coalesce away the schema-less empty blocks sort-based shuffles
-    # emit for groupless partitions — the built-in join rejects them
-    # (see exact_dedup); cheap here, the pair table is ids-only
-    cand = cand.repartition(default_join_partitions())
-
-    # attach texts with ONE hash-partitioned join (not two chained
-    # joins — Ray 2.49's JoinOperator emits schema-less empty blocks
-    # for empty partitions, so a join output can't safely feed another
-    # join): explode each pair to two (member-key, pair) edge rows,
-    # join edges ⋈ texts on the member key, then group the <=2 rows of
-    # each pair back together and Jaccard-verify inside the group.
+    # Attach texts without the built-in join (its aggregator actors
+    # add a barrier + spin-up per use, and it rejects the schema-less
+    # empty blocks sort-based shuffles emit): each pair explodes to
+    # two (member-key, pair, side) EDGE rows; edges union with the
+    # (key, text) table under one padded schema; ONE groupby on the
+    # member key hands every edge its text; a second groupby on the
+    # pair brings both sides together for the exact-Jaccard verify.
+    # Pairs duplicated across LSH bands need no pre-dedup pass — the
+    # verify group collapses them. Bytes moved: the text table rides
+    # the attach shuffle once (same as a join would move), edges and
+    # per-edge texts are candidate-volume.
     def explode_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("a")
-        b = batch.column("b")
-        kt = a.type
-        import pyarrow.compute as pc
-        keys = pa.concat_arrays([pc.cast(a, kt).combine_chunks(),
-                                 pc.cast(b, kt).combine_chunks()])
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
         n = batch.num_rows
         return pa.table({
-            "__k": keys,
-            "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
-            "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+            "__k": pa.concat_arrays([a, b]),
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
             "__side": pa.array([0] * n + [1] * n, type=pa.int8()),
+            "__t": pa.nulls(2 * n, type=pa.large_string()),
         })
 
-    def texts_keyed(batch: pa.Table) -> pa.Table:
-        return pa.table({"__k": batch.column(key),
-                         "__t": batch.column(col)})
+    def texts_tagged(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        kcol = batch.column(key)
+        return pa.table({
+            "__k": kcol,
+            "a": pa.nulls(n, type=kcol.type),
+            "b": pa.nulls(n, type=kcol.type),
+            "__side": pa.nulls(n, type=pa.int8()),
+            "__t": pc.cast(batch.column(col), pa.large_string()),
+        })
 
     edges = cand.map_batches(explode_edges, batch_format="pyarrow")
     texts = ds.select_columns([key, col]).map_batches(
-        texts_keyed, batch_format="pyarrow")
-    joined = native_join(edges, texts, "__k")
+        texts_tagged, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["__side"].isna()
+        tvals = g.loc[is_text, "__t"]
+        t = tvals.iloc[0] if len(tvals) else ""
+        e = g.loc[~is_text, ["a", "b", "__side"]]
+        if not len(e):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "__side": pd.Series([], dtype="int8"),
+                                 "__t": pd.Series([], dtype="object")})
+        e = e.drop_duplicates()
+        e = e.assign(__t=t if t is not None else "")
+        return e
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         ta = tb = ""
-        for _, row in g.iterrows():
-            if row["__side"] == 0:
-                ta = row["__t_r"] or ""
+        for side, t in zip(g["__side"], g["__t"]):
+            if side == 0:
+                ta = t or ""
             else:
-                tb = row["__t_r"] or ""
+                tb = t or ""
         j = ngram_jaccard(ta, tb, shingle_k)
         if j < threshold:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
         return pd.DataFrame({"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]],
                              "jaccard": [j]})
 
-    out = joined.groupby(["a", "b"]).map_groups(verify,
-                                                batch_format="pandas")
+    out = edges.union(texts).groupby("__k") \
+        .map_groups(attach, batch_format="pandas") \
+        .groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
 
     def shape(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

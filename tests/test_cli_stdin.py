@@ -60,3 +60,32 @@ def test_cli_header_roundtrip():
          "/root/reference/src/test_configs/dom.conf"],
         capture_output=True, cwd="/root/repo")
     assert b"doc.one.two" in r.stdout
+
+
+def test_cli_dump_matches_reference_shape(tmp_path):
+    """`swishray dump` emits golden_dump-shaped JSON records that
+    diff clean against the reference tool on the same doc."""
+    import base64
+    import json
+    import os
+    import subprocess
+    import sys
+
+    doc = "/root/reference/src/test_docs/t.html"
+    r = subprocess.run([sys.executable, "-m", "swishray", "dump", doc],
+                       capture_output=True, cwd="/root/repo")
+    mine = json.loads(r.stdout)
+    assert mine["nwords"] == 6
+    assert set(mine) >= {"uri", "nwords", "mime", "parser", "encoding",
+                         "ext", "size", "metanames", "properties",
+                         "tokens"}
+    ref_bin = "/tmp/refbuild/golden_dump"
+    if os.path.exists(ref_bin):
+        env = dict(os.environ, LC_ALL="C.utf8")
+        ref = json.loads(subprocess.run(
+            [ref_bin, doc], env=env,
+            capture_output=True).stdout.decode("utf-8", "replace"))
+        assert mine["nwords"] == ref["nwords"]
+        assert mine["metanames"] == ref["metanames"]
+        assert mine["properties"] == ref["properties"]
+        assert mine["tokens"] == ref["tokens"]
