@@ -462,6 +462,77 @@ def q_extract_fixture_corpus(sf_dir: str):
         .select_columns(["url", "nwords", "title", "error"])
 
 
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator, composition c of the brief): each
+    event picks up the latest order date at/before its timestamp for
+    the same customer key."""
+    import ray.data as rd
+    import pyarrow as pa
+    from swishray.ops.joins import asof_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["user_id", "o_orderdate"])
+
+    joined = asof_join(ev, orders.map_batches(rekey, batch_format="pyarrow"),
+                       on="user_id", left_ts="ts", right_ts="o_orderdate",
+                       right_cols=["o_orderdate"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "o_orderdate": b.column("__r_o_orderdate"),
+        })
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def q_range_join(sf_dir: str):
+    """Range join against a broadcast interval table + aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from swishray.ops.joins import range_join_broadcast
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    iv = [(1, 10, "low"), (10, 25, "mid"), (25, 40, "high"),
+          (40, 51, "top")]
+    tagged = range_join_broadcast(li, iv, "l_quantity")
+    return tagged.groupby("bucket").aggregate(Count(alias_name="n_rows"))
+
+
+def q_quantiles(sf_dir: str):
+    """Exact discrete quantiles via a combined value histogram."""
+    import ray.data as rd
+    from swishray.ops.aggregates import discrete_quantiles
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    return discrete_quantiles(li, "l_quantity",
+                              [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def q_topk_per_group(sf_dir: str):
+    """Per-group top-k (ROW_NUMBER <= k) with a map-side combiner."""
+    import ray.data as rd
+    from swishray.ops.aggregates import topk_per_group
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    return topk_per_group(o, group="o_orderpriority", order="o_totalprice",
+                          k=3, tiebreak="o_orderkey")
+
+
+def q_ngrams(sf_dir: str):
+    """Corpus word-trigram counts, deterministic top-30."""
+    from swishray.ops.textstats import ngram_counts
+    return ngram_counts(_docs(sf_dir, ["doc_id", "text"]), n=3, top=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -491,6 +562,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "minhash_pairs": q_minhash_pairs,
         "lang_id": q_lang_id,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "quantiles": q_quantiles,
+        "topk_per_group": q_topk_per_group,
+        "ngrams": q_ngrams,
         # rows-only:
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
@@ -621,6 +697,30 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"),
         "anti_join": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50"),
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, o.o_orderdate "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
+        "range_join": (
+            "SELECT r.bucket AS bucket, count(*) AS n_rows "
+            "FROM lineitem l JOIN (VALUES ('low', 1, 10), ('mid', 10, 25), "
+            "('high', 25, 40), ('top', 40, 51)) r(bucket, lo, hi) "
+            "ON l.l_quantity >= r.lo AND l.l_quantity < r.hi "
+            "GROUP BY r.bucket"),
+        "quantiles": 'SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem UNION ALL SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.5) AS value FROM lineitem UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.75) AS value FROM lineitem UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.9) AS value FROM lineitem',
+        "topk_per_group": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"),
+        "ngrams": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL.replace('{', '{{').replace('}', '}}')} AS ws FROM documents"
+            "), g AS ("
+            "  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+            "  FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "    AS t(i) WHERE len(ws) >= 3)"
+            "SELECT gram, count(*) AS n FROM g GROUP BY gram "
+            "ORDER BY n DESC, gram ASC LIMIT 30"),
         # The default lang_id heuristic transliterated to SQL: per-
         # language hint-gram occurrence counts (non-overlapping, same
         # as str.count), first-500-char CJK density gate, strict-

@@ -1,0 +1,75 @@
+"""Aggregate-shaped operators beyond Ray's built-ins (§2.5 analogs
+for a training-data pipeline): exact quantiles over discrete columns
+and per-group top-k with a map-side combiner.
+
+Scale notes are per function — both avoid full-row shuffles."""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import pyarrow as pa
+
+
+def discrete_quantiles(ds: Any, col: str, qs: Sequence[float]) -> Any:
+    """EXACT quantiles via a value histogram: one slim shuffle of
+    (value, partial_count) pairs — map-side combined, so the exchange
+    carries at most #distinct x #blocks rows — then the quantile walk
+    runs over the (tiny) histogram. Semantics match SQL's
+    quantile_disc: value at index floor(q * (n-1)) of the sorted
+    multiset.
+
+    Partitioning assumption: the DISTINCT value set is small (ids,
+    grades, bucketed measures); for continuous doubles bucket first
+    or use a sketch."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([col]).to_pandas()
+        vc = df[col].value_counts()
+        return pa.table({col: pa.array(vc.index.to_list()),
+                         "__n": pa.array(vc.to_list(), type=pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(col).aggregate(Sum("__n", alias_name="n"))
+    rows = sorted(hist.take_all(), key=lambda r: r[col])
+    total = sum(r["n"] for r in rows)
+    out_q, out_v = [], []
+    for q in qs:
+        target = int(q * (total - 1)) if total else 0
+        acc = 0
+        val = rows[-1][col] if rows else None
+        for r in rows:
+            if acc + r["n"] > target:
+                val = r[col]
+                break
+            acc += r["n"]
+        out_q.append(float(q))
+        out_v.append(val)
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v)})
+
+
+def topk_per_group(ds: Any, group: str, order: str, k: int = 3,
+                   tiebreak: str | None = None,
+                   descending: bool = True) -> Any:
+    """Per-group top-k (the ROW_NUMBER() <= k window shape) with a
+    map-side combiner: each batch keeps only its own per-group top-k
+    BEFORE the shuffle, so the exchange carries <= k x #groups x
+    #blocks rows and a hot group cannot concentrate its full row set
+    in one reduce task."""
+    import pandas as pd
+
+    by = [order] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([True] if tiebreak else [])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by, ascending=asc)
+                  .groupby(group, sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc).head(k)
+
+    pre = ds.map_batches(combine, batch_format="pandas")
+    return pre.groupby(group).map_groups(final, batch_format="pandas")

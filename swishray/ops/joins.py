@@ -142,3 +142,132 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
 
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pandas")
+
+
+def asof_join(left: Any, right: Any, on: str, left_ts: str,
+              right_ts: str, right_cols: list[str],
+              right_tiebreak: str | None = None) -> Any:
+    """Backward as-of join: for each left row, attach the right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same
+    ``on`` key group (no match -> nulls).
+
+    Ray Data has no native as-of; the scale shape is the tagged-union
+    + keyed-shuffle composition: both sides project to slim tagged
+    rows, ONE groupby on the join key co-locates each key's rows, and
+    a per-group pandas merge_asof does the time alignment. Moves each
+    side once; group size = rows per key (salt hot keys upstream).
+
+    Ties on ``right_ts`` pick the last row in (right_ts,
+    right_tiebreak) sort order — pass ``right_tiebreak`` for a
+    deterministic winner when duplicate timestamps are possible.
+    """
+    import pandas as pd
+
+    # resolve schemas ON THE DRIVER — dataset handles must not leak
+    # into UDF closures
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    ltypes = {c: lschema.field(c).type for c in lcols}
+    rtypes = {c: rschema.field(c).type for c in [right_ts] + right_cols}
+    out_r = ["__r_" + rc for rc in right_cols]
+    ts_type = rtypes[right_ts]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in lcols}
+        cols["__side"] = pa.array([1] * n, type=pa.int8())
+        cols["__rts"] = pa.nulls(n, type=ts_type)
+        for rc in right_cols:
+            cols["__r_" + rc] = pa.nulls(n, type=rtypes[rc])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in lcols:
+            cols[c] = (batch.column(on) if c == on
+                       else pa.nulls(n, type=ltypes[c]))
+        cols["__side"] = pa.array([0] * n, type=pa.int8())
+        cols["__rts"] = batch.column(right_ts)
+        for rc in right_cols:
+            cols["__r_" + rc] = batch.column(rc)
+        return pa.table(cols)
+
+    l = left.map_batches(tag_left, batch_format="pyarrow")
+    r = right.select_columns(
+        list(dict.fromkeys([on, right_ts] + right_cols))).map_batches(
+        tag_right, batch_format="pyarrow")
+
+    tb = ("__r_" + right_tiebreak
+          if right_tiebreak and right_tiebreak in right_cols else None)
+
+    def _pd_dtype(t) -> str:
+        # the padded union runs int columns through NaN-bearing
+        # float64; restore nullable pandas dtypes so Arrow gets the
+        # original types back (ints with nulls -> Int64 -> int64+null)
+        if pa.types.is_integer(t):
+            return "Int64"
+        if pa.types.is_floating(t):
+            return "float64"
+        if pa.types.is_timestamp(t):
+            return f"datetime64[{t.unit}]"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return "object"
+
+    dtype_map = {c: _pd_dtype(ltypes[c]) for c in lcols}
+    dtype_map.update({"__r_" + rc: _pd_dtype(rtypes[rc])
+                      for rc in right_cols})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 1]
+        rg = g[g["__side"] == 0]
+        if not len(lg):
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in dtype_map.items()})
+        if not len(rg):
+            out = lg[lcols].copy()
+            for c in out_r:
+                out[c] = None
+            return out.astype(dtype_map)
+        rs = rg.sort_values(["__rts"] + ([tb] if tb else []))
+        ls = lg.sort_values(left_ts)
+        merged = pd.merge_asof(
+            ls[lcols], rs[["__rts"] + out_r],
+            left_on=left_ts, right_on="__rts",
+            direction="backward")
+        return merged[lcols + out_r].astype(dtype_map)
+
+    return l.union(r).groupby(on).map_groups(merge, batch_format="pandas")
+
+
+def range_join_broadcast(ds: Any, intervals: list[tuple], value_col: str,
+                         label_col: str = "bucket") -> Any:
+    """Range join against a SMALL interval table: broadcast the sorted
+    interval bounds once (ray.put), assign each row's bucket with one
+    vectorized searchsorted inside map_batches — no shuffle at all
+    (the canonical small-side range-join shape at any scale).
+
+    ``intervals``: [(lo, hi, label)] — half-open [lo, hi); rows
+    outside every interval get a null label. Intervals must be
+    non-overlapping and sorted."""
+    import numpy as np
+    import ray
+
+    los = np.asarray([iv[0] for iv in intervals], dtype=np.float64)
+    his = np.asarray([iv[1] for iv in intervals], dtype=np.float64)
+    labels = [iv[2] for iv in intervals]
+    ref = ray.put((los, his, labels))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lo, hi, lab = ray.get(ref)
+        v = np.asarray(batch.column(value_col).to_pylist(),
+                       dtype=np.float64)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.clip(idx, 0, len(hi) - 1)])
+        out = [lab[i] if k else None for i, k in zip(idx, ok)]
+        return batch.append_column(label_col,
+                                   pa.array(out, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -189,3 +189,35 @@ def fingerprints(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
             "rolling_hash": pa.array(rolls, type=pa.int64()),
         })
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_counts(ds: Any, n: int = 3, col: str = "text",
+                 key: str = "doc_id", top: int | None = None) -> Any:
+    """Corpus-wide word n-gram counts: per-batch partial Counter
+    (map-side combine — the shuffle moves (gram, partial_count), never
+    documents), groupby-sum, optional deterministic top cut
+    (count desc, gram asc). The n-gram generator is shared with the
+    dedup verify path's shingling semantics (whitespace words,
+    space-joined)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column(col).to_pylist():
+            w = (t or "").split()
+            if len(w) < n:
+                continue
+            for i in range(len(w) - n + 1):
+                c[" ".join(w[i:i + n])] += 1
+        return pa.table({
+            "gram": pa.array(list(c.keys()), type=pa.string()),
+            "__n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("__n", alias_name="n"))
+    if top is not None:
+        counts = counts.sort(["n", "gram"],
+                             descending=[True, False]).limit(top)
+    return counts

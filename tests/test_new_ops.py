@@ -1,0 +1,90 @@
+"""as-of join, range join, quantiles, per-group top-k, ngrams."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_asof_join_interleaved(ray_session):
+    """Genuinely interleaved timestamps: each left row matches the
+    greatest right ts <= its ts within its key, nulls when none."""
+    import ray.data as rd
+    from swishray.ops.joins import asof_join
+
+    left = pa.table({
+        "lid": pa.array(range(6), type=pa.int64()),
+        "k": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "ts": pa.array([5, 15, 25, 10, 3, 7], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 2, 9], type=pa.int64()),
+        "rts": pa.array([10, 20, 20, 4, 1], type=pa.int64()),
+        "val": pa.array([100, 200, 201, 400, 900], type=pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    on="k", left_ts="ts", right_ts="rts",
+                    right_cols=["val"], right_tiebreak="val").take_all()
+    got = {r["lid"]: r["__r_val"] for r in out}
+    #  lid0 ts5 k1 -> none; lid1 ts15 -> rts10 val100; lid2 ts25 ->
+    #  rts20 tie -> larger tiebreak val 201; lid3 ts10 k2 -> 400;
+    #  lid4 ts3 k2 -> none; lid5 k3 -> no right rows -> none
+    assert got == {0: None, 1: 100, 2: 201, 3: 400, 4: None, 5: None}
+
+
+def test_range_join_edges(ray_session):
+    import ray.data as rd
+    from swishray.ops.joins import range_join_broadcast
+
+    t = pa.table({"v": pa.array([0.5, 1.0, 9.99, 10.0, 50.0, 51.0],
+                                type=pa.float64())})
+    iv = [(1, 10, "a"), (10, 25, "b"), (40, 51, "d")]
+    out = range_join_broadcast(rd.from_arrow(t), iv, "v").take_all()
+    got = [r["bucket"] for r in sorted(out, key=lambda r: r["v"])]
+    assert got == [None, "a", "a", "b", "d", None]
+
+
+def test_discrete_quantiles_exact(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import discrete_quantiles
+
+    rng = np.random.RandomState(0)
+    vals = rng.randint(1, 30, size=5000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.int64())}))
+    out = {r["q"]: r["value"]
+           for r in discrete_quantiles(ds, "v", [0.0, 0.5, 0.9, 1.0])
+           .to_pylist()}
+    sv = np.sort(vals)
+    for q in [0.0, 0.5, 0.9, 1.0]:
+        assert out[q] == sv[int(q * (len(sv) - 1))]
+
+
+def test_topk_per_group_combiner_equivalence(ray_session):
+    """The map-side combiner must not change results vs a plain
+    per-group sort+head."""
+    import ray.data as rd
+    from swishray.ops.aggregates import topk_per_group
+
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 7, size=2000),
+        "x": rng.randint(0, 100, size=2000),
+        "id": np.arange(2000),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    got = topk_per_group(ds, "g", "x", k=4, tiebreak="id").to_pandas()
+    want = (df.sort_values(["x", "id"], ascending=[False, True])
+              .groupby("g", sort=False).head(4))
+    key = lambda d: sorted(map(tuple, d[["g", "x", "id"]].to_numpy()))
+    assert key(got) == key(want)
+
+
+def test_ngram_counts(ray_session):
+    import ray.data as rd
+    from swishray.ops.textstats import ngram_counts
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["a b c a b c", "a b c d"],
+    }))
+    out = {r["gram"]: r["n"] for r in ngram_counts(ds, 3).take_all()}
+    assert out == {"a b c": 3, "b c a": 1, "c a b": 1, "b c d": 1}
