@@ -199,8 +199,10 @@ def run_scaling() -> None:
         from 8 -> 30 workers); see BASELINE.md
 
     efficiency = (t_N / t_4N) / 4; 1.0 = linear."""
+    levels = [int(x) for x in os.environ.get(
+        "BENCH_SCALING_LEVELS", "2,4,8,16,32").split(",")]
     results = {}
-    for ncpu in (2, 8, 32):
+    for ncpu in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env["BENCH_PAGES"] = os.environ.get("BENCH_SCALING_PAGES", "96000")
         env["BENCH_EXTRACT_ONLY"] = "1"
@@ -209,13 +211,16 @@ def run_scaling() -> None:
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
     d = {n: results[n]["extract"]["docs_per_s"] for n in results}
     mb = {n: results[n]["extract"]["mb_per_s"] for n in results}
-    print(json.dumps({
+    report = {
         "sec": {str(n): results[n]["value"] for n in results},
         "extract_docs_per_s": {str(n): d[n] for n in d},
         "extract_mb_per_s": {str(n): mb[n] for n in mb},
-        "scaling_efficiency_2_to_8": round((d[8] / d[2]) / 4, 3),
-        "scaling_efficiency_8_to_32": round((d[32] / d[8]) / 4, 3),
-    }))
+    }
+    for n in levels:
+        if n * 4 in d:
+            report[f"scaling_efficiency_{n}_to_{n * 4}"] = round(
+                (d[n * 4] / d[n]) / 4, 3)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
