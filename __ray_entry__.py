@@ -533,6 +533,19 @@ def q_ngrams(sf_dir: str):
     return ngram_counts(_docs(sf_dir, ["doc_id", "text"]), n=3, top=30)
 
 
+
+
+def q_cosine_pairs_ivf(sf_dir: str):
+    """Approximate (IVF-bucketed) embedding near-dup pairs — the
+    10^12-row scale path; recall checked vs the exact grid join in
+    tests/test_new_ops.py."""
+    import ray.data as rd
+    from swishray.ops.similarity import cosine_dup_pairs_ivf
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return cosine_dup_pairs_ivf(emb, threshold=0.3).select_columns(["a", "b"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -569,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngrams": q_ngrams,
         # rows-only:
         "simhash_pairs": q_simhash_pairs,
+        "cosine_pairs_ivf": q_cosine_pairs_ivf,
         "ivf_topk": q_ivf_topk,
         "decode_images": q_decode_images,
         "extract_fixture_corpus": q_extract_fixture_corpus,

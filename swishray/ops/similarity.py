@@ -84,19 +84,11 @@ def brute_force_topk(ds: Any, query_ids: list[int],
         final_topk, batch_format="pandas")
 
 
-def ivf_topk(ds: Any, query_ids: list[int], query_vecs: "np.ndarray",
-             k: int = 10, n_centroids: int = 8, n_probe: int = 2,
-             seed: int = 42, key: str = "vec_id",
-             col: str = "embedding", sample_limit: int = 2048) -> Any:
-    """IVF-bucketed approximate top-k: train centroids on a bounded
-    sample (k-means-lite, deterministic), assign every vector to its
-    nearest centroid inside map_batches, and score only vectors in the
-    n_probe buckets nearest each query. At cluster scale the bucket
-    assignment is the partitioning key — each probe touches 1/B of the
-    corpus."""
-    import pandas as pd
-    import ray
-
+def _train_centroids(ds: Any, n_centroids: int, seed: int, col: str,
+                     sample_limit: int) -> "np.ndarray":
+    """Deterministic k-means-lite centroids from a BOUNDED sample (the
+    only driver-side materialization in the IVF family, capped at
+    sample_limit rows)."""
     sample = ds.limit(sample_limit).select_columns([col]).take_all()
     sm = _norm(np.asarray([r[col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
@@ -111,6 +103,23 @@ def ivf_topk(ds: Any, query_ids: list[int], query_vecs: "np.ndarray",
                 nv = np.linalg.norm(v)
                 if nv > 0:
                     cent[c] = v / nv
+    return cent
+
+
+def ivf_topk(ds: Any, query_ids: list[int], query_vecs: "np.ndarray",
+             k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+             seed: int = 42, key: str = "vec_id",
+             col: str = "embedding", sample_limit: int = 2048) -> Any:
+    """IVF-bucketed approximate top-k: train centroids on a bounded
+    sample (k-means-lite, deterministic), assign every vector to its
+    nearest centroid inside map_batches, and score only vectors in the
+    n_probe buckets nearest each query. At cluster scale the bucket
+    assignment is the partitioning key — each probe touches 1/B of the
+    corpus."""
+    import pandas as pd
+    import ray
+
+    cent = _train_centroids(ds, n_centroids, seed, col, sample_limit)
     cent_ref = ray.put(cent)
 
     qm = _norm(np.asarray(query_vecs, dtype=np.float64))
@@ -238,3 +247,59 @@ def cosine_dup_pairs(ds: Any, threshold: float = 0.95,
         explode, batch_format="pyarrow")
     return exploded.groupby("grp").map_groups(
         score_group, batch_format="pyarrow")
+
+
+def cosine_dup_pairs_ivf(ds: Any, threshold: float = 0.95,
+                         n_centroids: int = 16, seed: int = 42,
+                         key: str = "vec_id", col: str = "embedding",
+                         sample_limit: int = 2048) -> Any:
+    """APPROXIMATE embedding near-dup pairs — the 10^12-row scale path
+    (cosine_dup_pairs' grid join is exact but still does all-pairs
+    FLOPs; this caps compute at sum-of-bucket-squares):
+
+      1. train centroids on a bounded sample (driver holds only the
+         sample, never the corpus);
+      2. assign every vector to its nearest centroid in map_batches
+         (the bucket is the ONE partitioning key);
+      3. groupby bucket, all-pairs matmul within each bucket.
+
+    Pairs whose members land in different buckets are missed — recall
+    is tunable via n_centroids (fewer/larger buckets = higher recall,
+    more compute). High-threshold near-dups co-assign with high
+    probability since both vectors sit near the same centroid."""
+    import ray
+
+    cent = _train_centroids(ds, n_centroids, seed, col, sample_limit)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _norm(_mat(batch.column(col)))
+        b = np.argmax(m @ c.T, axis=1)
+        return pa.table({
+            key: batch.column(key),
+            col: batch.column(col),
+            "ivf_bucket": pa.array(b, type=pa.int32()),
+        })
+
+    bucketed = ds.select_columns([key, col]).map_batches(
+        assign, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(key).to_pylist(), dtype=np.int64)
+        m = _norm(_mat(g.column(col)))
+        s = m @ m.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            js = np.nonzero(s[i] >= threshold)[0]
+            for j in js:
+                if ids[i] < ids[j]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_s.append(float(s[i, j]))
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    return bucketed.groupby("ivf_bucket").map_groups(
+        pairs, batch_format="pyarrow")

@@ -88,3 +88,29 @@ def test_ngram_counts(ray_session):
     }))
     out = {r["gram"]: r["n"] for r in ngram_counts(ds, 3).take_all()}
     assert out == {"a b c": 3, "b c a": 1, "c a b": 1, "b c d": 1}
+
+
+def test_cosine_ivf_recall(ray_session):
+    """IVF-bucketed near-dup pairs: exact precision (scores computed
+    directly), high recall at high threshold vs the exact grid join."""
+    import ray.data as rd
+    from swishray.ops.similarity import cosine_dup_pairs, cosine_dup_pairs_ivf
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(60, 16)
+    # plant near-dups: small perturbations of base vectors
+    dups = base + rng.randn(60, 16) * 0.05
+    vecs = np.vstack([base, dups])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float64()))}))
+    exact = {(r["a"], r["b"]) for r in
+             cosine_dup_pairs(ds, threshold=0.98, grid=4).take_all()}
+    approx = {(r["a"], r["b"]) for r in
+              cosine_dup_pairs_ivf(ds, threshold=0.98,
+                                   n_centroids=6).take_all()}
+    assert approx <= exact  # precision is exact
+    assert len(exact) >= 50
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
