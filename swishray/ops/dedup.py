@@ -316,7 +316,8 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 3, seed: int = 42,
                   col: str = "text", key: str = "doc_id",
-                  bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
+                  bucket_cap: int = DEFAULT_BUCKET_CAP,
+                  candidate_broadcast_limit: int = 0) -> Any:
     """Full near-dup pipeline: sign -> LSH buckets -> candidate pairs
     -> exact Jaccard verify. Returns (a, b, jaccard) pairs >= threshold.
 
@@ -329,6 +330,27 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
 
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
     cand = lsh_candidate_pairs(sigs, bands, key, bucket_cap)
+
+    # Optional candidate-key text pruning (candidate_broadcast_limit >
+    # 0): when candidates are known to be ≪ corpus (a mostly-unique
+    # corpus at 100 TB), materialize the slim pair table, broadcast
+    # its bounded key set, and semi-join the text table down to
+    # candidate members before the attach shuffle — the exchange then
+    # carries candidate texts instead of the corpus. Disabled by
+    # default: the materialize barrier breaks stage overlap, which
+    # costs more than the pruning saves when candidates ~ corpus (the
+    # test corpora are dup-heavy). The driver never holds more than
+    # the cap in pairs; above it the fully distributed path runs.
+    texts_src = ds.select_columns([key, col])
+    if candidate_broadcast_limit > 0:
+        cand = cand.materialize()  # ids-only; enables the cheap count
+        if cand.count() <= candidate_broadcast_limit:
+            pair_rows = cand.take_all()
+            cand_keys = ({r["a"] for r in pair_rows}
+                         | {r["b"] for r in pair_rows})
+            if cand_keys:
+                from .joins import semi_join_keys
+                texts_src = semi_join_keys(texts_src, cand_keys, col=key)
 
     # Attach texts without the built-in join (its aggregator actors
     # add a barrier + spin-up per use, and it rejects the schema-less
@@ -366,8 +388,7 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
         })
 
     edges = cand.map_batches(explode_edges, batch_format="pyarrow")
-    texts = ds.select_columns([key, col]).map_batches(
-        texts_tagged, batch_format="pyarrow")
+    texts = texts_src.map_batches(texts_tagged, batch_format="pyarrow")
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         is_text = g["__side"].isna()

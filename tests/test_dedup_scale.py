@@ -140,3 +140,21 @@ def test_cosine_grid_pairs_exact(ray_session):
     want = {(i, j) for i in range(200) for j in range(i + 1, 200)
             if s[i, j] >= 0.5}
     assert got == want
+
+
+def test_minhash_candidate_broadcast_pruning(ray_session):
+    """Opt-in candidate pruning path returns identical pairs."""
+    import ray.data as rd
+    from swishray.ops.dedup import minhash_dedup
+
+    texts = (["sphinx of black quartz judge my vow " * 6 + f"v{i % 2} "
+              for i in range(20)]
+             + [f"unique text number {i} " * 10 for i in range(40)])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()), "text": texts}))
+    base = {(p["a"], p["b"]) for p in
+            minhash_dedup(ds, threshold=0.9).take_all()}
+    pruned = {(p["a"], p["b"]) for p in
+              minhash_dedup(ds, threshold=0.9,
+                            candidate_broadcast_limit=10_000).take_all()}
+    assert base == pruned and base
