@@ -546,6 +546,29 @@ def q_cosine_pairs_ivf(sf_dir: str):
     return cosine_dup_pairs_ivf(emb, threshold=0.3).select_columns(["a", "b"])
 
 
+
+
+def q_sessionize_salted(sf_dir: str):
+    """Skew-proof two-phase sessionization — must equal plain
+    sessionize (same oracle SQL)."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.windows import sessionize_salted
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    sess = sessionize_salted(ev, 1800, "day")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "session_start": batch.column("session_start"),
+            "session_end": batch.column("session_end"),
+            "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+        })
+    return sess.map_batches(shape, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -561,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mime_sniff": q_mime_sniff,
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
+        "sessionize_salted": q_sessionize_salted,
         "multi_key_sort": q_multi_key_sort,
         "range_filter": q_range_filter,
         "offset_limit": q_offset_limit,
@@ -648,6 +672,16 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS max_value FROM events "
             "GROUP BY event_type, date_trunc('hour', ts)"),
         "sessionize": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            "      > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "
+            " FROM events), s AS (SELECT user_id, event_id, ts, "
+            " sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            " ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events "
+            "FROM s GROUP BY user_id, sid"),
+        "sessionize_salted": (
             "WITH g AS (SELECT user_id, event_id, ts, "
             " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
             "      > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "

@@ -47,3 +47,67 @@ def sessionize(ds: Any, gap_seconds: int = 1800) -> Any:
         return out.reset_index(drop=True)
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def sessionize_salted(ds: Any, gap_seconds: int = 1800,
+                      salt_unit: str = "day") -> Any:
+    """Skew-proof sessionization: salt the key to (user, period) so a
+    pathological user's events split across many groups, sessionize
+    within each salted group, then merge ONLY the boundary-adjacent
+    session pieces in a second, session-level pass.
+
+    Correctness: a session crossing a period boundary is split into
+    pieces whose boundary gap equals the original inter-event gap, so
+    "merge adjacent pieces when start_next - end_prev <= gap" restores
+    exactly the unsalted sessions (t:test_sessionize_salted_equal).
+    The second pass groups SESSIONS per user (not events): group size
+    = sessions per user, orders of magnitude below event counts.
+    """
+    import pandas as pd
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = pc.floor_temporal(batch.column("ts"), unit=salt_unit)
+        return batch.append_column("__salt", salt)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
+        sid = (gaps > gap_seconds).cumsum()
+        out = g.groupby(sid).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("event_id", "count"), sum_value=("value", "sum"))
+        out["user_id"] = g["user_id"].iloc[0]
+        return out.reset_index(drop=True)
+
+    pieces = ds.map_batches(add_salt, batch_format="pyarrow") \
+        .groupby(["user_id", "__salt"]).map_groups(
+            sessions, batch_format="pandas")
+
+    def merge_boundaries(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start").reset_index(drop=True)
+        rows = []
+        cur = None
+        for r in g.itertuples(index=False):
+            if cur is not None and (
+                    (r.session_start - cur["session_end"])
+                    .total_seconds() <= gap_seconds):
+                cur["session_end"] = max(cur["session_end"],
+                                         r.session_end)
+                cur["n_events"] += r.n_events
+                cur["sum_value"] += r.sum_value
+            else:
+                if cur is not None:
+                    rows.append(cur)
+                cur = {"user_id": r.user_id,
+                       "session_start": r.session_start,
+                       "session_end": r.session_end,
+                       "n_events": r.n_events,
+                       "sum_value": r.sum_value}
+        if cur is not None:
+            rows.append(cur)
+        return pd.DataFrame(rows, columns=["user_id", "session_start",
+                                           "session_end", "n_events",
+                                           "sum_value"])
+
+    return pieces.groupby("user_id").map_groups(
+        merge_boundaries, batch_format="pandas")

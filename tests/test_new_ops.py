@@ -114,3 +114,49 @@ def test_cosine_ivf_recall(ray_session):
     assert len(exact) >= 50
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_sessionize_salted_equal(ray_session):
+    """Salted sessionization (skew-proof two-phase) equals the plain
+    per-user form, including sessions crossing the salt boundary."""
+    import datetime
+    import ray.data as rd
+    from swishray.ops.windows import sessionize, sessionize_salted
+
+    rng = np.random.RandomState(2)
+    rows = {"event_id": [], "user_id": [], "ts": [], "value": []}
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for u in range(6):
+        t = base + datetime.timedelta(minutes=int(rng.randint(0, 600)))
+        for _ in range(300):
+            # cluster of short gaps, occasional > gap jumps; some
+            # sessions deliberately straddle midnight
+            step = int(rng.choice([60, 120, 200, 5000],
+                                  p=[0.5, 0.3, 0.15, 0.05]))
+            t = t + datetime.timedelta(seconds=step)
+            rows["event_id"].append(eid)
+            rows["user_id"].append(u)
+            rows["ts"].append(t)
+            rows["value"].append(float(rng.rand()))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array(rows["event_id"], type=pa.int64()),
+        "user_id": pa.array(rows["user_id"], type=pa.int64()),
+        "ts": pa.array(rows["ts"], type=pa.timestamp("us")),
+        "value": pa.array(rows["value"], type=pa.float64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    def norm(res):
+        out = sorted(
+            ((r["user_id"], r["session_start"], r["session_end"],
+              r["n_events"], round(r["sum_value"], 6)) for r in res))
+        return out
+
+    plain = norm(sessionize(ds, 1800).take_all())
+    salted = norm(sessionize_salted(ds, 1800, "day").take_all())
+    # sanity: boundary-straddling sessions exist in this corpus
+    days = {s[1].date() != s[2].date() for s in plain}
+    assert True in days
+    assert plain == salted
