@@ -78,6 +78,14 @@ def native_join(left: Any, right: Any, key: str,
     suffix to match hash_join's output shape."""
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    from ..util import _session_cpus
+    if _session_cpus() < 2:
+        # the built-in join's aggregator ACTORS (0.125 CPU each) plus
+        # 1-CPU producer tasks cannot co-schedule on a single-CPU
+        # session — the executor deadlocks silently; the portable
+        # task-based join has no actors to starve
+        return hash_join(left, right, key, num_buckets=num_partitions,
+                         how=how)
     if hasattr(left, "join"):
         try:
             # pre-suffix right's non-key columns so the output shape
