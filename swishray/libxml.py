@@ -315,6 +315,11 @@ def _replay(events: list, target: SaxTarget) -> None:
     shim merges only CONSECUTIVE characters events, an equivalence of
     buffer_characters; see swishsax.c). An exception stops the replay
     exactly where the ctypes error latch would have frozen state."""
+    replay = getattr(target, "replay", None)
+    if replay is not None:
+        # targets may provide a fused consumer (ExtractionState.replay)
+        replay(events)
+        return
     chars = target.characters
     start_el = target.start_element
     end_el = target.end_element

@@ -541,6 +541,42 @@ class ExtractionState(SaxTarget):
     def end_element(self, name: bytes) -> None:
         self.close_tag(_dtag(name), None)
 
+    def replay(self, events: list) -> None:
+        """Specialized swishsax event-batch consumer: identical
+        semantics to the per-event SaxTarget methods (libxml._replay
+        falls back to those for targets without this hook), with the
+        per-event wrapper frames inlined — measurably faster on the
+        ~100k-events/doc HTML hot path."""
+        buffer_characters = self.buffer_characters
+        open_tag = self.open_tag
+        close_tag = self.close_tag
+        dtag = _dtag
+        for ev in events:
+            t = ev[0]
+            if t == 3:
+                buffer_characters(ev[1])
+            elif t == 1:
+                name = dtag(ev[1])
+                atts = ev[2]
+                if atts is not None and name.lower() == "meta":
+                    a = [x.decode("utf-8", "replace")
+                         if x is not None else None for x in atts]
+                else:
+                    a = None
+                open_tag(name, a, None)
+            elif t == 2:
+                close_tag(dtag(ev[1]), None)
+            elif t == 5:
+                self.start_element_ns(ev[1], ev[2], ev[3], ev[4])
+            elif t == 6:
+                self.end_element_ns(ev[1], ev[2])
+            elif t == 4:
+                self.comment(ev[1])
+            elif t == 7:
+                self.start_document()
+            elif t == 8:
+                self.end_document()
+
     def start_element_ns(self, localname: bytes, prefix: bytes | None,
                          uri: bytes | None,
                          atts: list[bytes] | None) -> None:
