@@ -220,3 +220,63 @@ def time_format(epoch: int | float) -> str:
     SWISH_DATE_FORMAT_STRING '%Y-%m-%d %H:%M:%S %Z'."""
     import time as _time
     return _time.strftime("%Y-%m-%d %H:%M:%S %Z", _time.localtime(epoch))
+
+
+# ---- UTF-8 codepoint ops (string.c:171-258, utf8.c u8_inc/u8_dec) -----
+
+def utf8_chr_len(b: bytes, pos: int = 0) -> int:
+    """swish_utf8_chr_len via xmlUTF8Size: byte length of the UTF-8
+    character starting at ``pos``; raises on a bad lead byte (the
+    reference croaks)."""
+    c = b[pos]
+    if c < 0x80:
+        return 1
+    if 0xC2 <= c <= 0xDF:
+        return 2
+    if 0xE0 <= c <= 0xEF:
+        return 3
+    if 0xF0 <= c <= 0xF4:
+        return 4
+    raise ValueError(f"Bad UTF8 string at {pos}: {b[pos:pos+4]!r}")
+
+
+def utf8_codepoint(b: bytes, pos: int = 0) -> int:
+    """swish_utf8_codepoint: decode one codepoint (the reference's
+    arithmetic, no validation of continuation bytes)."""
+    n = utf8_chr_len(b, pos)
+    if n == 1:
+        return b[pos]
+    if n == 2:
+        return (b[pos] - 192) * 64 + b[pos + 1] - 128
+    if n == 3:
+        return ((b[pos] - 224) * 4096 + (b[pos + 1] - 128) * 64
+                + b[pos + 2] - 128)
+    return ((b[pos] - 240) * 262144 + (b[pos + 1] - 128) * 4096
+            + (b[pos + 2] - 128) * 64 + b[pos + 3] - 128)
+
+
+def utf8_num_chrs(b: bytes) -> int:
+    """swish_utf8_num_chrs via xmlUTF8Strlen."""
+    n = 0
+    i = 0
+    while i < len(b):
+        i += utf8_chr_len(b, i)
+        n += 1
+    return n
+
+
+def utf8_next_chr(b: bytes, i: int) -> int:
+    """swish_utf8_next_chr (u8_inc): advance ``i`` past one character
+    by skipping continuation bytes."""
+    i += 1
+    while i < len(b) and (b[i] & 0xC0) == 0x80:
+        i += 1
+    return i
+
+
+def utf8_prev_chr(b: bytes, i: int) -> int:
+    """swish_utf8_prev_chr (u8_dec): step ``i`` back one character."""
+    i -= 1
+    while i > 0 and (b[i] & 0xC0) == 0x80:
+        i -= 1
+    return i

@@ -81,3 +81,43 @@ def test_scalars_ab_vs_reference():
         assert str(int(string_to_boolean(v))) == _ref("bool", v)
     assert double_to_string(1.5) == _ref("double", "1.5")
     assert time_format(1700000000) == _ref("time", "1700000000")
+
+
+def test_utf8_codepoint_ops():
+    from swishray.text import (utf8_chr_len, utf8_codepoint, utf8_next_chr,
+                               utf8_num_chrs, utf8_prev_chr)
+    b = "aé€😀z".encode()
+    assert utf8_num_chrs(b) == 5
+    i = 0
+    cps = []
+    while i < len(b):
+        cps.append(utf8_codepoint(b, i))
+        i = utf8_next_chr(b, i)
+    assert cps == [ord(c) for c in "aé€😀z"]
+    # prev walks back over the same boundaries
+    back = []
+    j = len(b)
+    while j > 0:
+        j = utf8_prev_chr(b, j)
+        back.append(j)
+    assert back[::-1] == [0, 1, 3, 6, 10]
+    assert utf8_chr_len(b, 1) == 2 and utf8_chr_len(b, 6) == 4
+    import pytest
+    with pytest.raises(ValueError):
+        utf8_chr_len(b"\xff", 0)
+
+
+@pytest.mark.skipif(not os.path.exists(DUMP), reason="oracle not built")
+def test_utf8_codepoint_ops_ab_vs_reference():
+    from swishray.text import utf8_chr_len, utf8_codepoint, utf8_next_chr, \
+        utf8_num_chrs
+    for s in ["plain", "aé€😀z", "ñandú ∎ 日本語", "x"]:
+        b = s.encode()
+        out = _ref("cp", s).splitlines()
+        assert out[0] == f"num={utf8_num_chrs(b)}"
+        mine = []
+        i = 0
+        while i < len(b):
+            mine.append(f"{i} {utf8_chr_len(b, i)} {utf8_codepoint(b, i)}")
+            i = utf8_next_chr(b, i)
+        assert out[1:] == mine

@@ -10,6 +10,7 @@
  *   scalar_dump bool <str>         -> swish_string_to_boolean
  *   scalar_dump double <val>       -> swish_double_to_string
  *   scalar_dump time <epoch>       -> swish_time_format
+ *   scalar_dump cp <str>           -> per-char codepoint/len/numchrs
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -47,6 +48,16 @@ main(int argc, char **argv)
     else if (!strcmp(argv[1], "time")) {
         char *r = swish_time_format((time_t)atol(argv[2]));
         printf("%s\n", r);
+    }
+    else if (!strcmp(argv[1], "cp")) {
+        xmlChar *u = (xmlChar *)argv[2];
+        int i = 0, n = (int)strlen(argv[2]);
+        printf("num=%d\n", swish_utf8_num_chrs(u));
+        while (i < n) {
+            printf("%d %d %d\n", i, swish_utf8_chr_len(u + i),
+                   swish_utf8_codepoint(u + i));
+            swish_utf8_next_chr(u, &i);
+        }
     }
     else {
         return 2;
