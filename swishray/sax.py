@@ -567,9 +567,23 @@ class ExtractionState(SaxTarget):
             elif t == 2:
                 close_tag(dtag(ev[1]), None)
             elif t == 5:
-                self.start_element_ns(ev[1], ev[2], ev[3], ev[4])
+                uri = ev[3]
+                if uri is not None and uri in (_XINCLUDE_NS,
+                                               _XINCLUDE_OLD_NS):
+                    # rare path with side effects (xinclude hook)
+                    self.start_element_ns(ev[1], ev[2], ev[3], ev[4])
+                else:
+                    atts = ev[4]
+                    a = None
+                    if atts is not None:
+                        a = [x.decode("utf-8", "replace")
+                             if x is not None else None for x in atts]
+                    prefix = ev[2]
+                    open_tag(dtag(ev[1]), a,
+                             dtag(prefix) if prefix else None)
             elif t == 6:
-                self.end_element_ns(ev[1], ev[2])
+                prefix = ev[2]
+                close_tag(dtag(ev[1]), dtag(prefix) if prefix else None)
             elif t == 4:
                 self.comment(ev[1])
             elif t == 7:
