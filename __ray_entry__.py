@@ -569,6 +569,14 @@ def q_sessionize_salted(sf_dir: str):
     return sess.map_batches(shape, batch_format="pyarrow")
 
 
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash sampling (stable train/val splits)."""
+    from swishray.ops.aggregates import hash_sample
+    return hash_sample(_docs(sf_dir, ["doc_id", "n_chars"]), rate=0.25)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -603,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "quantiles": q_quantiles,
         "topk_per_group": q_topk_per_group,
+        "hash_sample": q_hash_sample,
         "ngrams": q_ngrams,
         # rows-only:
         "simhash_pairs": q_simhash_pairs,
@@ -760,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
             "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"),
+        "hash_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) < CAST(0.25 * 4294967296 AS BIGINT)"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL.replace('{', '{{').replace('}', '}}')} AS ws FROM documents"

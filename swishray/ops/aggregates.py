@@ -73,3 +73,29 @@ def topk_per_group(ds: Any, group: str, order: str, k: int = 3,
 
     pre = ds.map_batches(combine, batch_format="pandas")
     return pre.groupby(group).map_groups(final, batch_format="pandas")
+
+
+def hash_sample(ds: Any, rate: float, key: str = "doc_id",
+                invert: bool = False) -> Any:
+    """Deterministic hash sampling / stable train-val splitting: keep
+    rows whose md5(key)-derived uniform value falls below ``rate``
+    (``invert=True`` gives the complementary split). Pure map-side —
+    no shuffle, no RNG state, reproducible across runs and engines
+    (the same predicate is expressible in SQL for the oracle).
+
+    The uniform value is the first 8 hex digits of md5(str(key)) as a
+    32-bit integer / 2^32 — independent of row order and partitioning,
+    so a sampled pipeline can resume or re-run with identical
+    membership (the property a seeded random_sample lacks)."""
+    import hashlib
+
+    threshold = int(rate * (1 << 32))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = []
+        for k in batch.column(key).to_pylist():
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+            keep.append((h < threshold) != invert)
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

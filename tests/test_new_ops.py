@@ -160,3 +160,21 @@ def test_sessionize_salted_equal(ray_session):
     days = {s[1].date() != s[2].date() for s in plain}
     assert True in days
     assert plain == salted
+
+
+def test_hash_sample_stable_split(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import hash_sample
+
+    t = pa.table({"doc_id": pa.array(range(1000), type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    train = {r["doc_id"] for r in hash_sample(ds, 0.8).take_all()}
+    val = {r["doc_id"] for r in hash_sample(ds, 0.8, invert=True)
+           .take_all()}
+    # disjoint, exhaustive, order/partitioning independent, ~rate-sized
+    assert train | val == set(range(1000)) and not (train & val)
+    assert 700 < len(train) < 900
+    train2 = {r["doc_id"]
+              for r in hash_sample(rd.from_arrow(t).repartition(3), 0.8)
+              .take_all()}
+    assert train2 == train
