@@ -227,3 +227,70 @@ def synth_media_dataset(n: int, kind: str = "image", seed: int = 42):
         "payload": pa.array(blobs, type=pa.binary()),
     })
     return rd.from_arrow(tbl)
+
+
+class ResizeImages:
+    """Actor-pool resize stage (the brief's resize verb): nearest-
+    neighbor downscale of the SWIM fake container's pixel grid — the
+    resampling math is REAL numpy (a production build swaps only the
+    container codec), output is a new SWIM blob plus dimensions, with
+    the same per-row error discipline as DecodeImages."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 6,
+                 key: str = "media_id", col: str = "payload"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.key = key
+        self.col = col
+        # real build: self.codec = load_image_codec()  (once per actor)
+
+    def _resize(self, blob: bytes) -> bytes:
+        if blob[:4] != b"SWIM":
+            raise NotImplementedError(
+                "real image codecs unavailable in this container; only "
+                "the SWIM fake container resizes (task brief)")
+        w, h, c = struct.unpack(">HHB", blob[4:9])
+        px = np.frombuffer(blob[9:9 + w * h * c],
+                           dtype=np.uint8).reshape(h, w, c)
+        ys = (np.arange(self.out_h) * h // self.out_h)
+        xs = (np.arange(self.out_w) * w // self.out_w)
+        small = px[ys][:, xs]
+        return (b"SWIM"
+                + struct.pack(">HHB", self.out_w, self.out_h, c)
+                + small.tobytes())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        blobs = batch.column(self.col).to_pylist()
+        out_b, out_w, out_h, out_e = [], [], [], []
+        for blob in blobs:
+            try:
+                nb = self._resize(blob or b"")
+                out_b.append(nb)
+                out_w.append(self.out_w)
+                out_h.append(self.out_h)
+                out_e.append(None)
+            except Exception as e:
+                out_b.append(b"")
+                out_w.append(0)
+                out_h.append(0)
+                out_e.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            self.key: pa.array(keys),
+            "payload": pa.array(out_b, type=pa.binary()),
+            "width": pa.array(out_w, type=pa.int32()),
+            "height": pa.array(out_h, type=pa.int32()),
+            "error": pa.array(out_e, type=pa.string()),
+        })
+
+
+def resize_images(ds: Any, out_w: int = 8, out_h: int = 6,
+                  key: str = "media_id", col: str = "payload",
+                  concurrency=None, batch_size: int = 32) -> Any:
+    from ..util import map_batches_stateful
+    return map_batches_stateful(
+        ds, ResizeImages,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h,
+                                   key=key, col=col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

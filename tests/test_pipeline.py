@@ -333,3 +333,27 @@ def test_xinclude_missing_doc_skipped():
     rec = ex.extract("/d.xml", body)
     assert rec.error is None
     assert rec.docinfo.nwords == 2
+
+
+def test_resize_images_stage(ray_session):
+    """Resize verb: output blobs re-decode at the new dimensions and
+    pixels come from the source grid; non-SWIM payloads error per-row."""
+    from swishray.ops.multimodal import (DecodeImages, ResizeImages,
+                                         resize_images, synth_media_dataset)
+    media = synth_media_dataset(30, "image")
+    out = resize_images(media, out_w=8, out_h=6, concurrency=2).take_all()
+    assert len(out) == 30
+    assert all(r["error"] is None for r in out)
+    dec = DecodeImages()
+    import pyarrow as pa2
+    t = pa2.table({"media_id": [r["media_id"] for r in out],
+                   "payload": pa2.array([r["payload"] for r in out],
+                                        type=pa2.binary())})
+    decoded = dec(t)
+    assert decoded.column("width").to_pylist() == [8] * 30
+    assert decoded.column("height").to_pylist() == [6] * 30
+    # bad payload -> error row, stable schema
+    bad = ResizeImages()(pa2.table({
+        "media_id": pa2.array([0], type=pa2.int64()),
+        "payload": pa2.array([b"JUNK"], type=pa2.binary())}))
+    assert bad.column("error").to_pylist()[0] is not None
