@@ -165,24 +165,60 @@ def lang_id(ds: Any, col: str = "text", key: str = "doc_id",
         batch_format="pyarrow", concurrency=concurrency)
 
 
+_ROLL_B = 1000003
+_ROLL_POWERS = None  # cached B^k mod p table, grown on demand
+
+
+def _roll_powers(n: int):
+    """B^k mod p for k in [0, n) — built once per process with the
+    exact Mersenne modmul, so the polynomial rolling hash evaluates as
+    one vectorized dot instead of a per-word Python fold."""
+    import numpy as np
+    from .dedup import _mulmod_p
+    global _ROLL_POWERS
+    if _ROLL_POWERS is None or len(_ROLL_POWERS) < n:
+        size = max(n, 4096)
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = 1
+        b = np.uint64(_ROLL_B)
+        for i in range(1, size):
+            p[i:i + 1] = _mulmod_p(p[i - 1:i], b.reshape(1))
+        _ROLL_POWERS = p
+    return _ROLL_POWERS
+
+
+def rolling_hash64(text: str) -> int:
+    """Polynomial rolling hash over words, mod p = 2^61 - 1 —
+    vectorized: crc32 word hashes mixed to 61 bits, dotted against the
+    cached power table with exact Mersenne modmul (the per-word
+    blake2b + Python Horner loop this replaces was the hot cost)."""
+    import numpy as np
+    from zlib import crc32
+    from .dedup import _mix64, _mod_p, _mulmod_p
+    words = text.split()
+    if not words:
+        return 0
+    wh = _mod_p(_mix64(np.fromiter((crc32(w.encode()) for w in words),
+                                   dtype=np.uint64, count=len(words))))
+    powers = _roll_powers(len(words))[:len(words)][::-1]
+    terms = _mulmod_p(wh, powers.copy())
+    # sum mod p via vectorized pairwise tree reduction (each pairwise
+    # sum of two < 2^61 values fits uint64; log2(n) numpy passes)
+    while len(terms) > 1:
+        if len(terms) & 1:
+            terms = np.append(terms, np.uint64(0))
+        terms = _mod_p(terms[0::2] + terms[1::2])
+    return int(terms[0])
+
+
 def fingerprints(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
     """Two fingerprints per doc: md5 hex (oracle-checkable in DuckDB)
     and a 64-bit polynomial rolling hash over words (the streaming
     variant a shingling pipeline uses)."""
-    B, M = 1000003, (1 << 61) - 1
-
     def f(batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column(col).to_pylist()]
         md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        rolls = []
-        for t in texts:
-            h = 0
-            for w in t.split():
-                wh = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                    "big")
-                h = (h * B + wh) % M
-            rolls.append(h)
+        rolls = [rolling_hash64(t) for t in texts]
         return pa.table({
             key: batch.column(key),
             "md5": pa.array(md5s, type=pa.string()),
