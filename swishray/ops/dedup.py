@@ -268,20 +268,32 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
     import pandas as pd
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_pylist()
-        sig_list = batch.column("minhash").to_pylist()
-        bids, bhashes, ks = [], [], []
-        for k_, sig in zip(keys, sig_list):
-            rows = len(sig) // bands
-            for b in range(bands):
-                chunk = tuple(sig[b * rows:(b + 1) * rows])
-                bids.append(b)
-                bhashes.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-                ks.append(k_)
+        """Vectorized banding: the (n, num_perm) signature matrix
+        reshapes to (n, bands, r); each band folds its r minhashes
+        through splitmix64 mixing into one 63-bit bucket hash — no
+        per-row Python loop, no per-band tuple hashing."""
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                key: pa.array([], type=batch.schema.field(key).type),
+            })
+        sigs = np.asarray(batch.column("minhash").to_pylist(),
+                          dtype=np.uint64)
+        mat = sigs.reshape(n, bands, -1)
+        h = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(mat.shape[2]):
+            h = _mix64(h ^ mat[:, :, j])
+        bh = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        keys_np = np.repeat(
+            np.asarray(batch.column(key).to_pylist()), bands)
         return pa.table({
-            "band_id": pa.array(bids, type=pa.int32()),
-            "band_hash": pa.array(bhashes, type=pa.int64()),
-            key: pa.array(ks),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                        n)),
+            "band_hash": pa.array(bh.ravel()),
+            key: pa.array(keys_np,
+                          type=batch.schema.field(key).type),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -491,19 +503,21 @@ def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
     signed = add_simhash(ds, col).select_columns([key, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ks, bids, bvals, full = [], [], [], []
-        for k_, s in zip(batch.column(key).to_pylist(),
-                         batch.column("simhash").to_pylist()):
-            u = s & 0xFFFFFFFFFFFFFFFF
-            for b in range(4):
-                ks.append(k_)
-                bids.append(b)
-                bvals.append((u >> (16 * b)) & 0xFFFF)
-                full.append(s)
-        return pa.table({key: pa.array(ks),
-                         "band_id": pa.array(bids, type=pa.int32()),
-                         "band_val": pa.array(bvals, type=pa.int32()),
-                         "simhash": pa.array(full, type=pa.int64())})
+        n = batch.num_rows
+        sh = np.asarray(batch.column("simhash").to_pylist(),
+                        dtype=np.int64)
+        u = sh.view(np.uint64)
+        bvals = np.empty((n, 4), dtype=np.int32)
+        for b in range(4):
+            bvals[:, b] = ((u >> np.uint64(16 * b))
+                           & np.uint64(0xFFFF)).astype(np.int32)
+        ks = np.repeat(np.asarray(batch.column(key).to_pylist()), 4)
+        return pa.table({
+            key: pa.array(ks, type=batch.schema.field(key).type),
+            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "band_val": pa.array(bvals.ravel()),
+            "simhash": pa.array(np.repeat(sh, 4)),
+        })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(g[[key, "simhash"]].drop_duplicates()
