@@ -40,9 +40,18 @@ def _extracted(sf_dir: str, emit: str = "text", **kw):
 
 def _docs(sf_dir: str, cols: list[str] | None = None):
     """Documents table with column pruning at the read — only the
-    columns a query touches leave storage (parquet column projection)."""
+    columns a query touches leave storage (parquet column projection).
+
+    The test tables are ONE file with ONE row group, so the read
+    yields a single block and every downstream map stage would run as
+    one serial task (measured: the whole minhash sign phase on one
+    core). A session-sized repartition fans the small table out; at
+    production scale the read is already many-blocked (thousands of
+    files / row groups) and a driver would skip this."""
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    from swishray.util import _session_cpus
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return ds.repartition(max(8, 2 * _session_cpus()))
 
 
 # ---------------------------------------------------------------------
@@ -775,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
             "1, 8)) AS BIGINT) < CAST(0.25 * 4294967296 AS BIGINT)"),
         "ngrams": (
             "WITH d AS ("
-            f"  SELECT doc_id, {_WORDS_SQL.replace('{', '{{').replace('}', '}}')} AS ws FROM documents"
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
             "), g AS ("
             "  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
             "  FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"

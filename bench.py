@@ -154,8 +154,12 @@ def run_benchmarks() -> dict:
         top_n_words(ext3, 20).take_all()
 
     with timed("minhash_dedup"):
+        # the test table is one file / one row group -> one block; fan
+        # it out or the sign stage runs as a single serial task (a
+        # production corpus arrives many-blocked from the read)
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"]) \
+            .repartition(2 * NUM_CPUS)
         minhash_dedup(docs, threshold=0.5).count()
 
     with timed("events_tumbling"):

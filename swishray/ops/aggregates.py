@@ -35,9 +35,13 @@ def discrete_quantiles(ds: Any, col: str, qs: Sequence[float]) -> Any:
         .groupby(col).aggregate(Sum("__n", alias_name="n"))
     rows = sorted(hist.take_all(), key=lambda r: r[col])
     total = sum(r["n"] for r in rows)
+    from fractions import Fraction
     out_q, out_v = [], []
     for q in qs:
-        target = int(q * (total - 1)) if total else 0
+        # exact floor(q * (n-1)) via rational arithmetic — float
+        # truncation can be off by one (e.g. q=0.29, n=101 gives
+        # 28.999...), breaking the EXACT quantile_disc contract
+        target = (int(Fraction(str(q)) * (total - 1)) if total else 0)
         acc = 0
         val = rows[-1][col] if rows else None
         for r in rows:

@@ -20,9 +20,18 @@ by the (uniform) document key, never by the (dup-skewed) content hash.
 Hot-bucket guard: LSH/simhash buckets above ``bucket_cap`` rows (a
 boilerplate page shared by millions of urls lands every copy in one
 band bucket) switch from all-pairs to star pairing — every member
-paired with the bucket minimum. That keeps the near-dup connectivity
-certificate (all members remain transitively linked through the hub)
-while emitting O(n) instead of O(n^2) pairs per bucket.
+paired with the bucket minimum, emitting O(n) instead of O(n^2) pairs
+per bucket.
+
+Star-pairing certificate, precisely: members stay transitively linked
+through the hub ONLY for members whose hub pair survives the
+downstream verify. A member that band-hash-collided into the bucket
+without being a near-dup of the hub loses both its hub pairs at
+verify, so a true near-dup pair between two such residual members is
+not emitted (no signal). This is the accepted trade of capping: a
+>cap bucket is overwhelmingly one template cluster, where the hub
+verifies against everyone; raise ``bucket_cap`` (or band count) if
+residual-member pairs matter more than the O(n^2) guard.
 """
 
 from __future__ import annotations
@@ -145,6 +154,42 @@ def exact_dedup(ds: Any, col: str = "text", key: str = "doc_id",
 
 # ---- minhash + LSH ----------------------------------------------------
 
+def gram_hashes(text: str, k: int) -> np.ndarray:
+    """Vectorized word-k-gram hashing (possibly repeated grams): crc32
+    per word (C speed), then a polynomial combination of k consecutive
+    word hashes — no per-gram string building or digest objects. Docs
+    shorter than k words hash their whole word sequence as one gram
+    (order-sensitive, mirroring the single ``" ".join(words)`` gram of
+    the string-set semantics in :func:`ngram_jaccard`); empty docs
+    yield an empty array (= the empty gram set)."""
+    from zlib import crc32
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((crc32(w.encode()) for w in words),
+                     dtype=np.uint64, count=len(words))
+    B = np.uint64(1000003)
+    if len(words) < k:
+        g = wh[0:1].copy()
+        for j in range(1, len(words)):
+            g = g * B + wh[j:j + 1]
+        return g
+    g = wh[:len(wh) - k + 1].copy()
+    for j in range(1, k):
+        g = g * B + wh[j:len(wh) - k + 1 + j]
+    return g
+
+
+def hashed_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard over two UNIQUE gram-hash sets (the verify step on
+    hashed shingle sets — one vectorized intersect instead of building
+    Python string sets per pair). Equals the string-set Jaccard of
+    :func:`ngram_jaccard` except under 64-bit gram-hash collisions."""
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return 1.0 if union == 0 else inter / union
+
+
 def _mod_p(x: np.ndarray) -> np.ndarray:
     """Reduce arbitrary uint64 values mod p = 2^61 - 1."""
     r = (x >> np.uint64(61)) + (x & _P)
@@ -188,36 +233,32 @@ class MinHasher:
         self.key = key
 
     def shingles(self, text: str) -> np.ndarray:
-        """Vectorized word-k-gram hashing: crc32 per word (C speed),
-        then a polynomial combination of k consecutive word hashes —
-        no per-gram string building or digest objects."""
-        from zlib import crc32
-        words = text.split()
-        wh = np.fromiter((crc32(w.encode()) for w in words),
-                         dtype=np.uint64, count=len(words))
-        if len(words) < self.k:
-            return np.array([wh.sum() if len(words) else 0],
-                            dtype=np.uint64)
-        B = np.uint64(1000003)
-        g = wh[:len(wh) - self.k + 1].copy()
-        for j in range(1, self.k):
-            g = g * B + wh[j:len(wh) - self.k + 1 + j]
-        return g
+        return gram_hashes(text, self.k)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _mod_p(np.unique(self.shingles(text)))
+        sh = self.shingles(text)
+        if sh.size == 0:  # empty doc: sign the empty-gram sentinel
+            sh = np.zeros(1, dtype=np.uint64)
+        sh = _mod_p(np.unique(sh))
         # (a*x + b) mod p per permutation, exact in uint64
         vals = _mod_p(_mulmod_p(self.a[:, None], sh[None, :])
                       + self.b[:, None])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).to_pylist()
         sigs = [self.signature(t) for t in _text_col(batch, self.col)]
+        n = len(sigs)
+        # zero-copy list column: one flat uint64 buffer + offsets (a
+        # per-element tolist() materializes Python ints — measured cost)
+        flat = (np.concatenate(sigs) if n
+                else np.empty(0, dtype=np.uint64))
+        offsets = np.arange(0, (n + 1) * self.num_perm, self.num_perm,
+                            dtype=np.int32)
         return pa.table({
-            self.key: pa.array(keys),
-            "minhash": pa.array([s.tolist() for s in sigs],
-                                type=pa.list_(pa.uint64())),
+            self.key: batch.column(self.key),
+            "minhash": pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat, type=pa.uint64())),
         })
 
 
@@ -236,80 +277,99 @@ def minhash_signatures(ds: Any, num_perm: int = 64, shingle_k: int = 3,
         force_tasks=concurrency is None)
 
 
-def _bucket_pairs(ks: list, cap: int) -> tuple[list, list]:
-    """Pairs for one bucket: all-pairs up to ``cap`` members, star
-    pairing (min vs rest) above it — O(n) pairs, connectivity kept."""
-    ks = sorted(ks)
-    a, b = [], []
-    if len(ks) <= cap:
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                a.append(ks[i])
-                b.append(ks[j])
-    else:
-        hub = ks[0]
-        for k_ in ks[1:]:
-            a.append(hub)
-            b.append(k_)
-    return a, b
+def _bucket_pairs(ks: np.ndarray, cap: int) -> tuple:
+    """Pairs for one bucket (``ks``: sorted unique member array):
+    vectorized all-pairs via triu indices up to ``cap`` members, star
+    pairing (min vs rest) above it — O(n) pairs (see module docstring
+    for the exact connectivity certificate)."""
+    ks = np.asarray(ks)
+    n = len(ks)
+    if n < 2:
+        return ks[:0], ks[:0]
+    if n <= cap:
+        i, j = np.triu_indices(n, 1)
+        return ks[i], ks[j]
+    return np.repeat(ks[0:1], n - 1), ks[1:]
 
 
 def lsh_candidate_pairs(sigs: Any, bands: int = 16,
                         key: str = "doc_id",
-                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
+                        bucket_cap: int = DEFAULT_BUCKET_CAP,
+                        num_superbuckets: int | None = None) -> Any:
     """Explode signatures to (band_id, band_hash, key) rows, shuffle on
-    the band bucket, pair up within buckets. Returns candidate pairs
-    (a < b), deduped per block — a pair matching in several bands can
-    appear once per band; consumers dedup the (small) final set.
+    a SUPERBUCKET (band_hash mod a small fixed count), pair up within
+    band buckets. Returns candidate pairs (a < b), deduped per block —
+    a pair matching in several bands can appear once per band;
+    consumers dedup the (small) final set.
+
+    Superbuckets keep the reduce side vectorized: the shuffle
+    co-locates many band buckets per group, and one PANDAS groupby
+    inside the task walks them — thousands of per-band-bucket Ray
+    map_groups invocations (one Python frame + block build each) were
+    the measured r2 cost, not the bytes. Skew note: a superbucket
+    holds ~#buckets/num_superbuckets band buckets, and the star cap
+    below bounds any single bucket, so group size stays ~uniform.
 
     Buckets larger than ``bucket_cap`` emit star pairs only (see
     module docstring) so one boilerplate-heavy bucket cannot explode
     into O(n^2) pairs."""
     import pandas as pd
 
+    if num_superbuckets is None:
+        from .joins import default_join_partitions
+        num_superbuckets = 4 * default_join_partitions()
+
     def explode(batch: pa.Table) -> pa.Table:
         """Vectorized banding: the (n, num_perm) signature matrix
         reshapes to (n, bands, r); each band folds its r minhashes
         through splitmix64 mixing into one 63-bit bucket hash — no
-        per-row Python loop, no per-band tuple hashing."""
+        per-row Python loop, no per-band tuple hashing, and the
+        signature lists decode zero-copy (no to_pylist of uint64)."""
         n = batch.num_rows
         if n == 0:
             return pa.table({
                 "band_id": pa.array([], type=pa.int32()),
                 "band_hash": pa.array([], type=pa.int64()),
+                "__sb": pa.array([], type=pa.int32()),
                 key: pa.array([], type=batch.schema.field(key).type),
             })
-        sigs = np.asarray(batch.column("minhash").to_pylist(),
-                          dtype=np.uint64)
-        mat = sigs.reshape(n, bands, -1)
+        mh = batch.column("minhash").combine_chunks()
+        flat = mh.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        mat = flat.reshape(n, bands, -1)
         h = np.zeros((n, bands), dtype=np.uint64)
         for j in range(mat.shape[2]):
             h = _mix64(h ^ mat[:, :, j])
-        bh = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        keys_np = np.repeat(
-            np.asarray(batch.column(key).to_pylist()), bands)
+        bh = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table({
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32),
                                         n)),
-            "band_hash": pa.array(bh.ravel()),
-            key: pa.array(keys_np,
-                          type=batch.schema.field(key).type),
+            "band_hash": pa.array(bh),
+            "__sb": pa.array((bh % num_superbuckets).astype(np.int32)),
+            key: batch.column(key).combine_chunks().take(idx),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = _bucket_pairs(g[key].tolist(), bucket_cap)
-        return pd.DataFrame({"a": a, "b": b})
+    def pairs_super(g: pd.DataFrame) -> pd.DataFrame:
+        """One task handles a superbucket: vectorized pandas groupby
+        over its band buckets, numpy pair expansion per bucket."""
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            ks = np.unique(grp[key].to_numpy())
+            a, b = _bucket_pairs(ks, bucket_cap)
+            if len(a):
+                outs_a.append(a)
+                outs_b.append(b)
+        if not outs_a:
+            return pd.DataFrame({"a": g[key].iloc[0:0],
+                                 "b": g[key].iloc[0:0]})
+        return pd.DataFrame({
+            "a": np.concatenate(outs_a),
+            "b": np.concatenate(outs_b)}).drop_duplicates()
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-
-    # lightweight per-block dedup (duplicates only recur across bands;
-    # the distributed pair-level dedup happens in minhash_dedup)
-    def drop_dupes(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
-
-    return cand.map_batches(drop_dupes, batch_format="pandas")
+    return exploded.groupby("__sb").map_groups(
+        pairs_super, batch_format="pandas")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -329,121 +389,172 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 3, seed: int = 42,
                   col: str = "text", key: str = "doc_id",
                   bucket_cap: int = DEFAULT_BUCKET_CAP,
-                  candidate_broadcast_limit: int = 0) -> Any:
+                  prune: bool = True) -> Any:
     """Full near-dup pipeline: sign -> LSH buckets -> candidate pairs
     -> exact Jaccard verify. Returns (a, b, jaccard) pairs >= threshold.
 
-    The verify stage is fully distributed: candidate pairs are deduped
-    with a keyed shuffle, each side's text is attached with a
-    hash-partitioned join (pairs ⋈ texts on a, then on b), and the
-    exact Jaccard runs inside map_batches. No driver-side take_all, no
-    broadcast text dict — candidate volume can exceed driver memory."""
+    Verify-stage scale design (no driver-side key sets, no text bytes
+    on any exchange):
+
+      * documents never ride a shuffle — each doc's UNIQUE gram-hash
+        set (uint64, computed map-side by :func:`gram_hashes`, the
+        same gram universe the signatures use) stands in for its text
+        everywhere downstream. A semi-JOIN prune was considered and
+        rejected: an inner join hash-partitions BOTH sides, so the
+        full corpus would still cross the join exchange; here only
+        the (much smaller, high-dup-compressible) gram sets move.
+      * ``prune=True`` (default) additionally drops non-candidate docs
+        BEFORE their gram sets are computed or shuffled: a distributed
+        Bloom bitmap of candidate member keys (joins.bloom_keys —
+        fixed-size driver state, superset semantics, no false
+        negatives) filters the corpus map-side. On a mostly-unique
+        100-TB corpus this prunes ~everything; false positives only
+        add stray set rows that the attach group drops. The price is
+        one materialize barrier on the (slim, pair-shaped) candidate
+        table, which also sanitizes the schema-less empty blocks the
+        groupby-based candidate stage emits.
+      * attach/verify: two BUCKETED merges (pairs ⋈ sets on a, then
+        on b) — union under one schema, groupby a fixed hash-bucket
+        count, one vectorized pandas merge per bucket. Grouping on
+        buckets rather than keys matters: Ray invokes the map_groups
+        function once per group, and per-KEY invocation overhead (a
+        Python frame + block build per document) was the measured r2
+        bench cost. Pair dedup across LSH bands is free in stage A
+        (all copies hash to the same a-bucket). The final exact
+        Jaccard is one vectorized ``np.intersect1d`` per pair
+        (:func:`hashed_jaccard`) inside map_batches.
+
+    The ``key`` column may be any integer or string type — its Arrow
+    type is carried through to the output ``a``/``b`` columns."""
     import pandas as pd
+
+    ktype = ds.schema().base_schema.field(key).type
 
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
     cand = lsh_candidate_pairs(sigs, bands, key, bucket_cap)
 
-    # Optional candidate-key text pruning (candidate_broadcast_limit >
-    # 0): when candidates are known to be ≪ corpus (a mostly-unique
-    # corpus at 100 TB), materialize the slim pair table, broadcast
-    # its bounded key set, and semi-join the text table down to
-    # candidate members before the attach shuffle — the exchange then
-    # carries candidate texts instead of the corpus. Disabled by
-    # default: the materialize barrier breaks stage overlap, which
-    # costs more than the pruning saves when candidates ~ corpus (the
-    # test corpora are dup-heavy). The driver never holds more than
-    # the cap in pairs; above it the fully distributed path runs.
-    texts_src = ds.select_columns([key, col])
-    if candidate_broadcast_limit > 0:
-        cand = cand.materialize()  # ids-only; enables the cheap count
-        if cand.count() <= candidate_broadcast_limit:
-            pair_rows = cand.take_all()
-            cand_keys = ({r["a"] for r in pair_rows}
-                         | {r["b"] for r in pair_rows})
-            if cand_keys:
-                from .joins import semi_join_keys
-                texts_src = semi_join_keys(texts_src, cand_keys, col=key)
+    sets_src = ds.select_columns([key, col])
+    if prune:
+        from .joins import bloom_keys, bloom_semi_filter, \
+            default_join_partitions
+        # repartition folds the groupby's schema-less empty blocks into
+        # schema-bearing ones; materialize so the two consumers (bloom
+        # build + edge explode) don't re-run the LSH lineage
+        cand = cand.repartition(default_join_partitions()).materialize()
+        mask_ref = bloom_keys(cand, ["a", "b"])
+        sets_src = bloom_semi_filter(sets_src, mask_ref, key)
 
-    # Attach texts without the built-in join (its aggregator actors
-    # add a barrier + spin-up per use, and it rejects the schema-less
-    # empty blocks sort-based shuffles emit): each pair explodes to
-    # two (member-key, pair, side) EDGE rows; edges union with the
-    # (key, text) table under one padded schema; ONE groupby on the
-    # member key hands every edge its text; a second groupby on the
-    # pair brings both sides together for the exact-Jaccard verify.
-    # Pairs duplicated across LSH bands need no pre-dedup pass — the
-    # verify group collapses them. Bytes moved: the text table rides
-    # the attach shuffle once (same as a join would move), edges and
-    # per-edge texts are candidate-volume.
-    def explode_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        n = batch.num_rows
+    def to_sets(batch: pa.Table) -> pa.Table:
+        # each doc's unique gram-hash set as ONE binary blob: moves
+        # through shuffles as plain bytes (no per-element Python, no
+        # list-column sort cost) and decodes zero-copy via frombuffer
+        sets = [np.unique(gram_hashes(t or "", shingle_k)).tobytes()
+                for t in batch.column(col).to_pylist()]
         return pa.table({
-            "__k": pa.concat_arrays([a, b]),
-            "a": pa.concat_arrays([a, a]),
-            "b": pa.concat_arrays([b, b]),
-            "__side": pa.array([0] * n + [1] * n, type=pa.int8()),
-            "__t": pa.nulls(2 * n, type=pa.large_string()),
+            key: batch.column(key),
+            "__sh": pa.array(sets, type=pa.large_binary()),
         })
 
-    def texts_tagged(batch: pa.Table) -> pa.Table:
+    gram_sets = sets_src.map_batches(to_sets, batch_format="pyarrow")
+
+    # ---- attach: two bucketed merges (the hash_join shape inlined).
+    # Grouping is on a FIXED bucket count (not per key): each reduce
+    # task runs one vectorized pandas merge over its bucket instead of
+    # Ray invoking a Python function per key — the r2 per-group
+    # invocation overhead was the measured cost at sf0.1, not bytes.
+    # All copies of a pair (duplicated across LSH bands) hash to the
+    # same a-bucket, so stage A's drop_duplicates is a GLOBAL pair
+    # dedup for free. No column is ever null-padded (set rows carry
+    # their own key in the unused slot), so int64 keys never pass
+    # through float64/NaN (exact for keys > 2^53 too).
+    from .joins import _key_hash64, default_join_partitions
+    B = default_join_partitions()
+
+    def _bk(arr) -> pa.Array:
+        return pa.array((_key_hash64(arr) % np.uint64(B))
+                        .astype(np.int32))
+
+    def tag_pairs_a(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        return pa.table({
+            "a": a, "b": batch.column("b"),
+            "__sh": pa.array([b""] * batch.num_rows,
+                             type=pa.large_binary()),
+            "__bk": _bk(a),
+            "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    def tag_sets(side: str):
+        # set rows carry their key in BOTH slots (no null padding —
+        # see note above); column order matches the pair side exactly
+        # so the union concatenates under one schema
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column(key)
+            ones = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+            if side == "a":
+                return pa.table({
+                    "a": k, "b": k, "__sh": batch.column("__sh"),
+                    "__bk": _bk(k), "__is_set": ones})
+            return pa.table({
+                "a": k, "b": k,
+                "__sha": pa.array([b""] * batch.num_rows,
+                                  type=pa.large_binary()),
+                "__sh": batch.column("__sh"),
+                "__bk": _bk(k), "__is_set": ones})
+        return f
+
+    def merge_a(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.loc[g["__is_set"] == 0, ["a", "b"]].drop_duplicates()
+        ss = g.loc[g["__is_set"] == 1, ["a", "__sh"]] \
+            .drop_duplicates(subset=["a"])
+        m = ps.merge(ss, on="a", how="inner")
+        return m.rename(columns={"__sh": "__sha"})
+
+    stage_a = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
+        .union(gram_sets.map_batches(tag_sets("a"),
+                                     batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(merge_a, batch_format="pandas")
+
+    def tag_pairs_b(batch: pa.Table) -> pa.Table:
+        b = batch.column("b")
+        return pa.table({
+            "a": batch.column("a"), "b": b,
+            "__sha": batch.column("__sha"),
+            "__sh": pa.array([b""] * batch.num_rows,
+                             type=pa.large_binary()),
+            "__bk": _bk(b),
+            "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.loc[g["__is_set"] == 0, ["a", "b", "__sha"]]
+        ss = g.loc[g["__is_set"] == 1, ["b", "__sh"]] \
+            .drop_duplicates(subset=["b"])
+        m = ps.merge(ss, on="b", how="inner")
+        return m.rename(columns={"__sh": "__shb"})
+
+    attached = stage_a.map_batches(tag_pairs_b, batch_format="pyarrow") \
+        .union(gram_sets.map_batches(tag_sets("b"),
+                                     batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(merge_b, batch_format="pandas")
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        n = batch.num_rows
-        kcol = batch.column(key)
-        return pa.table({
-            "__k": kcol,
-            "a": pa.nulls(n, type=kcol.type),
-            "b": pa.nulls(n, type=kcol.type),
-            "__side": pa.nulls(n, type=pa.int8()),
-            "__t": pc.cast(batch.column(col), pa.large_string()),
+        sha = batch.column("__sha").to_pylist()
+        shb = batch.column("__shb").to_pylist()
+        js = np.empty(len(sha), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(sha, shb)):
+            js[i] = hashed_jaccard(
+                np.frombuffer(x or b"", dtype=np.uint64),
+                np.frombuffer(y or b"", dtype=np.uint64))
+        out = pa.table({
+            "a": pc.cast(batch.column("a"), ktype),
+            "b": pc.cast(batch.column("b"), ktype),
+            "jaccard": pa.array(js, type=pa.float64()),
         })
+        return out.filter(pa.array(js >= threshold))
 
-    edges = cand.map_batches(explode_edges, batch_format="pyarrow")
-    texts = texts_src.map_batches(texts_tagged, batch_format="pyarrow")
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        is_text = g["__side"].isna()
-        tvals = g.loc[is_text, "__t"]
-        t = tvals.iloc[0] if len(tvals) else ""
-        e = g.loc[~is_text, ["a", "b", "__side"]]
-        if not len(e):
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "__side": pd.Series([], dtype="int8"),
-                                 "__t": pd.Series([], dtype="object")})
-        e = e.drop_duplicates()
-        e = e.assign(__t=t if t is not None else "")
-        return e
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ta = tb = ""
-        for side, t in zip(g["__side"], g["__t"]):
-            if side == 0:
-                ta = t or ""
-            else:
-                tb = t or ""
-        j = ngram_jaccard(ta, tb, shingle_k)
-        if j < threshold:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]],
-                             "jaccard": [j]})
-
-    out = edges.union(texts).groupby("__k") \
-        .map_groups(attach, batch_format="pandas") \
-        .groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
-
-    def shape(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({
-            "a": pc.cast(batch.column("a"), pa.int64()),
-            "b": pc.cast(batch.column("b"), pa.int64()),
-            "jaccard": pc.cast(batch.column("jaccard"), pa.float64()),
-        })
-
-    return out.map_batches(shape, batch_format="pyarrow")
+    return attached.map_batches(verify_batch, batch_format="pyarrow")
 
 
 # ---- simhash ----------------------------------------------------------

@@ -58,6 +58,102 @@ def broadcast_lookup_join(ds: Any, mapping: dict, key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+DEFAULT_BLOOM_BITS = 1 << 23  # 1 MiB bitmap
+
+
+def _key_hash64(arr: pa.Array):
+    """Vectorized 64-bit key hash: splitmix64 over integer keys
+    (pure numpy), crc32 (C speed) + splitmix64 over strings — no
+    per-row Python digest objects."""
+    import numpy as np
+    from .dedup import _mix64
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+    else:
+        v = np.fromiter((crc32(str(s).encode()) for s in arr.to_pylist()),
+                        dtype=np.uint64, count=len(arr))
+    return _mix64(v)
+
+
+def _bloom_indices(h, m_bits: int, p: int):
+    """Double-hashing probe p: (lo + p*hi) % m, hi forced odd."""
+    import numpy as np
+    lo = h & np.uint64(0xFFFFFFFF)
+    hi = (h >> np.uint64(32)) | np.uint64(1)
+    return ((lo + np.uint64(p) * hi) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_keys(keys_ds: Any, cols: list[str],
+               m_bits: int = DEFAULT_BLOOM_BITS, probes: int = 2):
+    """Build a broadcast Bloom bitmap of every value in ``cols`` of
+    ``keys_ds``, fully distributed: each block emits its own bitmap, a
+    small repartition tree ORs them, and the driver holds only the
+    final FIXED-SIZE mask (returned as a ray ObjectRef of
+    (mask_bytes, m_bits, probes)). No false negatives; false positives
+    are ~fill_ratio**probes and only cost extra rows at the consumer
+    (``bloom_semi_filter`` is a SUPERSET filter) — never correctness.
+    Driver memory is O(m_bits), independent of key count, which is
+    what makes this the scale-safe replacement for a driver-side
+    ``take_all`` of keys."""
+    import numpy as np
+    import ray
+
+    m_bytes = m_bits // 8
+
+    def block_mask(batch: pa.Table) -> pa.Table:
+        mask = np.zeros(m_bytes, dtype=np.uint8)
+        for c in cols:
+            h = _key_hash64(batch.column(c))
+            for p in range(probes):
+                idx = _bloom_indices(h, m_bits, p)
+                np.bitwise_or.at(
+                    mask, idx >> 3,
+                    (np.int64(1) << (idx & 7)).astype(np.uint8))
+        return pa.table({"__mask": pa.array([mask.tobytes()],
+                                            type=pa.large_binary())})
+
+    def or_block(batch: pa.Table) -> pa.Table:
+        out = np.zeros(m_bytes, dtype=np.uint8)
+        for b in batch.column("__mask").to_pylist():
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return pa.table({"__mask": pa.array([out.tobytes()],
+                                            type=pa.large_binary())})
+
+    masks = keys_ds.map_batches(block_mask, batch_format="pyarrow") \
+        .repartition(8).map_batches(or_block, batch_format="pyarrow")
+    final = np.zeros(m_bytes, dtype=np.uint8)
+    for row in masks.take_all():  # <= 8 rows of m_bytes each
+        final |= np.frombuffer(row["__mask"], dtype=np.uint8)
+    return ray.put((final.tobytes(), m_bits, probes))
+
+
+def bloom_semi_filter(ds: Any, mask_ref, col: str) -> Any:
+    """Keep rows whose ``col`` value is (probably) in the Bloom mask
+    built by :func:`bloom_keys` — the distributed semi-join shape for
+    a large build side: the mask ships once per worker via the object
+    store and the filter runs map-side, so NEITHER side rides a
+    shuffle. May keep false-positive rows (superset), never drops a
+    true member."""
+    import numpy as np
+    import ray
+
+    def f(batch: pa.Table) -> pa.Table:
+        mb, m_bits, probes = ray.get(mask_ref)
+        mask = np.frombuffer(mb, dtype=np.uint8)
+        h = _key_hash64(batch.column(col))
+        keep = np.ones(len(h), dtype=bool)
+        for p in range(probes):
+            idx = _bloom_indices(h, m_bits, p)
+            keep &= (mask[idx >> 3]
+                     & (np.int64(1) << (idx & 7)).astype(np.uint8)) != 0
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def default_join_partitions(cap: int = 64) -> int:
     """Join partition count sized to the CURRENT session: the built-in
     hash join launches ~num_partitions aggregator actors, so a fixed
@@ -219,7 +315,10 @@ def asof_join(left: Any, right: Any, on: str, left_ts: str,
         if pa.types.is_floating(t):
             return "float64"
         if pa.types.is_timestamp(t):
-            return f"datetime64[{t.unit}]"
+            # keep the tz for tz-aware columns — a naive dtype string
+            # would strip it (or raise) in astype
+            return (f"datetime64[{t.unit}, {t.tz}]" if t.tz
+                    else f"datetime64[{t.unit}]")
         if pa.types.is_boolean(t):
             return "boolean"
         return "object"
@@ -270,6 +369,9 @@ def range_join_broadcast(ds: Any, intervals: list[tuple], value_col: str,
 
     def assign(batch: pa.Table) -> pa.Table:
         lo, hi, lab = ray.get(ref)
+        if len(lo) == 0:  # no intervals: every row gets a null label
+            return batch.append_column(
+                label_col, pa.nulls(batch.num_rows, type=pa.string()))
         v = np.asarray(batch.column(value_col).to_pylist(),
                        dtype=np.float64)
         idx = np.searchsorted(lo, v, side="right") - 1

@@ -39,8 +39,14 @@ def map_batches_stateful(ds, cls, fn_constructor_kwargs=None,
     if not force_tasks and cpus >= 4:
         if concurrency is None:
             concurrency = default_concurrency()
+        # max_restarts=0: fault tolerance comes from task lineage +
+        # pool-level actor replacement; a per-actor restart would pull
+        # constructor args back out of the object store and fail if
+        # they were lost (ray#53727 — this also silences its
+        # misleading core_worker warning on every pool)
         return ds.map_batches(cls, fn_constructor_kwargs=kwargs,
-                              concurrency=concurrency, **mb_kwargs)
+                              concurrency=concurrency,
+                              max_restarts=0, **mb_kwargs)
     # cache key: deterministic digest of the constructor kwargs,
     # computed ONCE on the driver (kwargs values may be unhashable —
     # dicts, ObjectRefs — so a hash of the pickled form is used)

@@ -142,8 +142,10 @@ def test_cosine_grid_pairs_exact(ray_session):
     assert got == want
 
 
-def test_minhash_candidate_broadcast_pruning(ray_session):
-    """Opt-in candidate pruning path returns identical pairs."""
+def test_minhash_bloom_prune_equivalence(ray_session):
+    """The Bloom candidate prune (default) returns exactly the pairs
+    of the unpruned path — false positives only cost bytes, false
+    negatives are impossible."""
     import ray.data as rd
     from swishray.ops.dedup import minhash_dedup
 
@@ -153,8 +155,30 @@ def test_minhash_candidate_broadcast_pruning(ray_session):
     ds = rd.from_arrow(pa.table({
         "doc_id": pa.array(range(60), type=pa.int64()), "text": texts}))
     base = {(p["a"], p["b"]) for p in
-            minhash_dedup(ds, threshold=0.9).take_all()}
+            minhash_dedup(ds, threshold=0.9, prune=False).take_all()}
     pruned = {(p["a"], p["b"]) for p in
-              minhash_dedup(ds, threshold=0.9,
-                            candidate_broadcast_limit=10_000).take_all()}
+              minhash_dedup(ds, threshold=0.9, prune=True).take_all()}
     assert base == pruned and base
+
+
+def test_minhash_string_keys(ray_session):
+    """ADVICE r2: the verify path must carry the key column's Arrow
+    type — string doc ids crashed the old int64-hardcoded shape()."""
+    import ray.data as rd
+    from swishray.ops.dedup import minhash_dedup, ngram_jaccard
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 5
+             for _ in range(6)] + \
+            [f"totally different unique page {i} " * 10 for i in range(6)]
+    urls = [f"https://example.com/page/{i:03d}" for i in range(12)]
+    ds = rd.from_arrow(pa.table({"url": urls, "text": texts}))
+    pairs = minhash_dedup(ds, threshold=0.9, key="url").take_all()
+    assert pairs
+    for p in pairs:
+        assert isinstance(p["a"], str) and isinstance(p["b"], str)
+        assert p["a"] < p["b"]
+        ia, ib = int(p["a"][-3:]), int(p["b"][-3:])
+        assert p["jaccard"] == ngram_jaccard(texts[ia], texts[ib])
+    want = {(urls[i], urls[j]) for i in range(6) for j in range(i + 1, 6)}
+    got = {(p["a"], p["b"]) for p in pairs}
+    assert want <= got
