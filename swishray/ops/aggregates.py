@@ -90,16 +90,16 @@ def hash_sample(ds: Any, rate: float, key: str = "doc_id",
     The uniform value is the first 8 hex digits of md5(str(key)) as a
     32-bit integer / 2^32 — independent of row order and partitioning,
     so a sampled pipeline can resume or re-run with identical
-    membership (the property a seeded random_sample lacks)."""
-    import hashlib
+    membership (the property a seeded random_sample lacks). The digest
+    runs numpy-vectorized across the batch (ops.md5vec), hashlib-exact."""
+    import numpy as np
+    from .md5vec import md5_u32
 
-    threshold = int(rate * (1 << 32))
+    threshold = int(rate * (1 << 32))  # may be 2^32 at rate=1.0
 
     def f(batch: pa.Table) -> pa.Table:
-        keep = []
-        for k in batch.column(key).to_pylist():
-            h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
-            keep.append((h < threshold) != invert)
-        return batch.filter(pa.array(keep, type=pa.bool_()))
+        h = md5_u32(batch.column(key).to_pylist()).astype(np.int64)
+        keep = (h < threshold) != invert
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")

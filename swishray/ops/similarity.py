@@ -184,25 +184,21 @@ def cosine_dup_pairs(ds: Any, threshold: float = 0.95,
     suits test-scale embedding tables. For approximate-but-cheaper
     near-dups at 100 TB, bucket by IVF centroid first (see ivf_topk)
     and run this within buckets."""
-    from zlib import crc32
-
     def explode(batch: pa.Table) -> pa.Table:
+        """Grid replication, fully vectorized: cell assignment via the
+        shared vectorized key hash, the (row x grid) group matrix via
+        broadcast min/max — no per-row Python loop."""
+        from .joins import _key_hash64
         n = batch.num_rows
-        ks = batch.column(key)
-        cells = np.asarray(
-            [crc32(str(k).encode()) % grid for k in ks.to_pylist()],
-            dtype=np.int64)
-        groups, idx = [], []
-        for r in range(n):
-            p = cells[r]
-            for q in range(grid):
-                i, j = (p, q) if p <= q else (q, p)
-                groups.append(i * grid + j)
-                idx.append(r)
-        idx_arr = pa.array(idx, type=pa.int64())
-        out = batch.select([key, col]).take(idx_arr)
+        cells = (_key_hash64(batch.column(key)) % np.uint64(grid)) \
+            .astype(np.int64)
+        p = cells[:, None]                      # (n, 1)
+        q = np.arange(grid, dtype=np.int64)[None, :]   # (1, grid)
+        groups = (np.minimum(p, q) * grid + np.maximum(p, q)).ravel()
+        idx = np.repeat(np.arange(n, dtype=np.int64), grid)
+        out = batch.select([key, col]).take(pa.array(idx))
         out = out.append_column("cell", pa.array(
-            cells[np.asarray(idx)], type=pa.int32()))
+            cells[idx], type=pa.int32()))
         return out.append_column("grp", pa.array(groups, type=pa.int32()))
 
     def score_group(g: pa.Table) -> pa.Table:

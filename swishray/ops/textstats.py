@@ -32,12 +32,16 @@ _LANG_HINTS = {
 
 
 def token_count_ws(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
-    """Whitespace token count (vectorized)."""
+    """Whitespace token count — one vectorized RE2 match count per
+    batch (``\\S+`` runs), no Python loop. Token boundary contract:
+    ASCII whitespace (RE2 ``\\s``); equals str.split() on any corpus
+    without exotic Unicode whitespace."""
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column(col).to_pylist()
-        n = [len((t or "").split()) for t in texts]
-        return pa.table({key: batch.column(key),
-                         "n_tokens_ws": pa.array(n, type=pa.int64())})
+        txt = pc.coalesce(batch.column(col), "")
+        n = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+        return pa.table({key: batch.column(key), "n_tokens_ws": n})
     return ds.map_batches(f, batch_format="pyarrow")
 
 
@@ -48,10 +52,14 @@ class BpeishCounter:
         self.key = key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.col).to_pylist()
-        n = [len(self.re.findall(t or "")) for t in texts]
+        import pyarrow.compute as pc
+        # same pattern, counted by RE2 inside Arrow (no per-row findall
+        # list materialization)
+        txt = pc.coalesce(batch.column(self.col), "")
+        n = pc.cast(pc.count_substring_regex(txt, self.re.pattern),
+                    pa.int64())
         return pa.table({self.key: batch.column(self.key),
-                         "n_tokens_bpeish": pa.array(n, type=pa.int64())})
+                         "n_tokens_bpeish": n})
 
 
 def token_count_bpeish(ds: Any, col: str = "text",
@@ -63,47 +71,75 @@ def token_count_bpeish(ds: Any, col: str = "text",
                                 concurrency=concurrency)
 
 
+def _word_stat_arrays(txt):
+    """Vectorized per-doc word statistics over an Arrow string array:
+    (n_chars, n_words, sum_word_len, n_stopwords) as numpy int64.
+
+    All four run as Arrow/RE2 kernels or flat numpy over the split
+    word buffer — no per-row Python. sum_word_len is derived as
+    chars - whitespace chars (each ``\\s`` match is one char);
+    stopword hits come from one ``is_in`` over the FLATTENED split
+    words reduced back per row with a cumsum-gather (safe for empty
+    rows, unlike reduceat)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    n_words = pc.count_substring_regex(txt, r"\S+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ws = pc.count_substring_regex(txt, r"\s") \
+        .to_numpy(zero_copy_only=False)
+    sum_wl = n_chars - n_ws
+
+    words = pc.utf8_split_whitespace(txt)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    hits = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS))) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = words.offsets.to_numpy(zero_copy_only=False)
+    c = np.concatenate([[0], np.cumsum(hits)])
+    n_stop = c[offsets[1:] - offsets[0]] - c[offsets[:-1] - offsets[0]]
+    return (n_chars.astype(np.int64), n_words, sum_wl.astype(np.int64),
+            n_stop.astype(np.int64))
+
+
 def quality_scores(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
     """Per-doc quality features: length, word count, mean word length,
     stopword ratio, punctuation ratio. All DuckDB-expressible for the
-    correctness oracle."""
+    correctness oracle; all vectorized (Arrow/RE2 kernels)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column(col).to_pylist()]
-        n_chars, n_words, mean_wl, stop_r, punct_r = [], [], [], [], []
-        for t in texts:
-            words = t.split()
-            nw = len(words)
-            n_chars.append(len(t))
-            n_words.append(nw)
-            total_wl = sum(len(w) for w in words)
-            mean_wl.append(total_wl / nw if nw else 0.0)
-            stop_r.append(sum(1 for w in words if w in STOPWORDS) / nw
-                          if nw else 0.0)
-            np_ = sum(1 for c in t if not c.isalnum() and not c.isspace())
-            punct_r.append(np_ / len(t) if t else 0.0)
+        txt = pc.coalesce(batch.column(col), "")
+        n_chars, n_words, sum_wl, n_stop = _word_stat_arrays(txt)
+        n_alnum = pc.count_substring_regex(txt, r"[\p{L}\p{N}]") \
+            .to_numpy(zero_copy_only=False)
+        n_ws = n_chars - sum_wl
+        n_punct = n_chars - n_alnum - n_ws
+        nw = np.maximum(n_words, 1)
+        nc = np.maximum(n_chars, 1)
         return pa.table({
             key: batch.column(key),
             "n_chars": pa.array(n_chars, type=pa.int64()),
             "n_words": pa.array(n_words, type=pa.int64()),
-            "mean_word_len": pa.array(mean_wl, type=pa.float64()),
-            "stopword_ratio": pa.array(stop_r, type=pa.float64()),
-            "punct_ratio": pa.array(punct_r, type=pa.float64()),
+            "mean_word_len": pa.array(sum_wl / nw, type=pa.float64()),
+            "stopword_ratio": pa.array(n_stop / nw, type=pa.float64()),
+            "punct_ratio": pa.array(n_punct / nc, type=pa.float64()),
         })
     return ds.map_batches(f, batch_format="pyarrow")
 
 
 def quality_counts(ds: Any, col: str = "text", key: str = "doc_id") -> Any:
     """Integer-count form of the quality features (hash-exact for the
-    DuckDB oracle): chars, words, total word length, stopword hits."""
+    DuckDB oracle): chars, words, total word length, stopword hits.
+    Vectorized — see :func:`_word_stat_arrays`."""
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column(col).to_pylist()]
-        n_chars, n_words, sum_wl, n_stop = [], [], [], []
-        for t in texts:
-            words = t.split()
-            n_chars.append(len(t))
-            n_words.append(len(words))
-            sum_wl.append(sum(len(w) for w in words))
-            n_stop.append(sum(1 for w in words if w in STOPWORDS))
+        txt = pc.coalesce(batch.column(col), "")
+        n_chars, n_words, sum_wl, n_stop = _word_stat_arrays(txt)
         return pa.table({
             key: batch.column(key),
             "n_chars": pa.array(n_chars, type=pa.int64()),
@@ -148,11 +184,49 @@ class LangId:
                 best, best_score = lang, score
         return best
 
+    def _predict_batch(self, txt) -> pa.Array:
+        """Vectorized heuristic: per-language hint-gram counts via
+        Arrow's non-overlapping count_substring (same semantics as
+        str.count), CJK density via one RE2 class count, argmax with
+        strict-greater tie-breaking in insertion order — bit-identical
+        to :meth:`predict`."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = len(txt)
+        t5 = pc.utf8_slice_codeunits(txt, 0, 500)
+        t2 = pc.utf8_lower(pc.utf8_slice_codeunits(txt, 0, 2000))
+        cjk = pc.count_substring_regex(t5, r"[\x{4e00}-\x{9fff}]") \
+            .to_numpy(zero_copy_only=False)
+        len5 = pc.utf8_length(t5).to_numpy(zero_copy_only=False)
+        langs = [lang for lang, g in _LANG_HINTS.items() if g]
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for i, lang in enumerate(langs):
+            for g in _LANG_HINTS[lang]:
+                scores[:, i] += pc.count_substring(t2, g) \
+                    .to_numpy(zero_copy_only=False)
+        # strict-greater argmax in iteration order == first maximum
+        best_i = np.argmax(scores, axis=1)
+        best_s = scores[np.arange(n), best_i]
+        preds = np.array(langs, dtype=object)[best_i]
+        preds[best_s <= 0] = "und"
+        preds[cjk > len5 * 0.2] = "zh"
+        empty = pc.equal(pc.utf8_length(txt), 0) \
+            .to_numpy(zero_copy_only=False)
+        preds[empty] = "und"
+        return pa.array(preds, type=pa.string())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.predict(t or "")
-                 for t in batch.column(self.col).to_pylist()]
+        import pyarrow.compute as pc
+        txt = pc.coalesce(batch.column(self.col), "")
+        if self.model is not None:  # pluggable model: per-row calls
+            preds = pa.array([self.model(t or "")
+                              for t in txt.to_pylist()],
+                             type=pa.string())
+        else:
+            preds = self._predict_batch(txt)
         return pa.table({self.key: batch.column(self.key),
-                         "lang_pred": pa.array(preds, type=pa.string())})
+                         "lang_pred": preds})
 
 
 def lang_id(ds: Any, col: str = "text", key: str = "doc_id",

@@ -369,21 +369,42 @@ def sort_by_string(ds: "Any", sort_string: str) -> "Any":
     return ds.sort([k for k, _ in keys], descending=[d for _, d in keys])
 
 
-def dedup_by_url(extracted: "Any") -> "Any":
+def dedup_by_url(extracted: "Any", num_buckets: int | None = None) -> "Any":
     """§2.4 upsert-by-uri (swish_xapian.cpp:563-601) as a batch op.
 
     Keep-first is idempotent and associative, so a map-side combiner
-    (drop duplicate urls within each batch) runs BEFORE the url
-    shuffle: a hot url duplicated across the corpus contributes at
-    most one row per input block to the exchange, bounding both the
-    bytes shuffled and the largest reduce group to <= #blocks rows."""
+    (drop duplicate urls within each batch) runs BEFORE any exchange:
+    a hot url duplicated across the corpus contributes at most one row
+    per input block, bounding both the bytes moved and the largest
+    group to <= #blocks rows.
+
+    The exchange itself is a HASH-BUCKET groupby (crc32-family hash of
+    url mod a fixed bucket count), not a groupby on the url itself:
+    full extraction records cross the wire once and are never SORTED
+    by their wide columns (the r2 shape sorted whole records by url —
+    the sort, not the bytes, was the avoidable cost), and the collapse
+    is one vectorized drop_duplicates per bucket instead of a Python
+    head(1) per url. Partitioning assumption: one bucket's combined
+    candidates (<= #blocks rows per url in it) fit a task heap; raise
+    ``num_buckets`` for very wide corpora."""
+    import numpy as np
     import pandas as pd
+    from .ops.joins import _key_hash64, default_join_partitions
+
+    B = num_buckets or 4 * default_join_partitions()
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["url"], keep="first")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bk = (_key_hash64(batch.column("url")) % np.uint64(B)) \
+            .astype(np.int32)
+        return batch.append_column("__bk", pa.array(bk))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["url"], keep="first") \
+            .drop(columns=["__bk"])
 
     pre = extracted.map_batches(combine, batch_format="pandas")
-    return pre.groupby("url").map_groups(first, batch_format="pandas")
+    return pre.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(collapse, batch_format="pandas")

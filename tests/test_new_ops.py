@@ -178,3 +178,57 @@ def test_hash_sample_stable_split(ray_session):
               for r in hash_sample(rd.from_arrow(t).repartition(3), 0.8)
               .take_all()}
     assert train2 == train
+
+
+def test_md5vec_matches_hashlib():
+    """The vectorized single-block MD5 must be bit-identical to
+    hashlib on every stringified key shape, including the >55-byte
+    fallback boundary."""
+    import hashlib
+    import random
+    import string
+    import numpy as np
+    from swishray.ops.md5vec import md5_u32
+
+    random.seed(7)
+    keys = [0, 1, -3, "", "a", 3.5, None, True, "x" * 54, "x" * 55,
+            "x" * 56, "x" * 57, "é中" * 10] + \
+        ["".join(random.choices(string.printable, k=random.randint(0, 90)))
+         for _ in range(500)] + list(range(200))
+    got = md5_u32(keys)
+    want = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+                     for k in keys], dtype=np.uint32)
+    assert np.array_equal(got, want)
+
+
+def test_vectorized_textstats_match_python(ray_session):
+    """The Arrow/RE2 stat kernels must equal the per-row Python
+    semantics they replaced (split/len/stopword/punct counting)."""
+    import ray.data as rd
+    from swishray.ops.textstats import (STOPWORDS, quality_scores,
+                                        token_count_ws)
+
+    texts = ["", "  ", "the quick brown fox", "a  b   c ", "und der die",
+             "péril; 3.14 -- ok?", "the the the a of to in is",
+             " leading and trailing  ", "punct!!! ??? ,,,", "one"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": texts}))
+
+    ws = {r["doc_id"]: r["n_tokens_ws"]
+          for r in token_count_ws(ds).take_all()}
+    for i, t in enumerate(texts):
+        assert ws[i] == len(t.split()), (i, t)
+
+    qs = {r["doc_id"]: r for r in quality_scores(ds).take_all()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        nw = len(words)
+        assert qs[i]["n_chars"] == len(t)
+        assert qs[i]["n_words"] == nw
+        assert qs[i]["mean_word_len"] == (
+            sum(len(w) for w in words) / nw if nw else 0.0)
+        assert qs[i]["stopword_ratio"] == (
+            sum(1 for w in words if w in STOPWORDS) / nw if nw else 0.0)
+        np_ = sum(1 for c in t if not c.isalnum() and not c.isspace())
+        assert qs[i]["punct_ratio"] == (np_ / len(t) if t else 0.0), (i, t)
