@@ -20,11 +20,14 @@ Two write modes, different durability/throughput trade-offs (both
 memory-bounded, both multi-file per bucket):
 
   * ``mode="grouped"`` (default): one keyed shuffle co-locates each
-    bucket in a reduce task; the task streams the bucket out in
-    row-chunked part files straight from the (object-store-backed,
-    possibly spilled) Arrow block — no pandas conversion, heap usage =
-    one chunk. Buckets commit INCREMENTALLY as their reduce task
-    finishes, so a killed run keeps every finished bucket.
+    bucket in a reduce task; the task writes the bucket out in
+    row-chunked part files — no pandas conversion. Buckets commit
+    INCREMENTALLY as their reduce task finishes, so a killed run
+    keeps every finished bucket. A reduce task holds its whole bucket,
+    so the bucket COUNT is auto-sized from the input's byte size
+    (``target_bucket_bytes`` per bucket, default 2 GiB) and persisted
+    in ``_layout.json`` for resume — a fixed count would put ~1.5 TB
+    in one task at 100 TB.
   * ``mode="stream"``: no shuffle at all — every map task appends its
     batch's slice of each bucket as a uniquely-named part file in the
     bucket's staging dir; per-bucket manifests are derived from a tiny
@@ -78,18 +81,72 @@ def _table_stats(tbl: pa.Table) -> tuple[int, int | None]:
     return n_err, nw
 
 
-def write_partitioned(extracted: Any, out_dir: str, num_buckets: int = 64,
+DEFAULT_TARGET_BUCKET_BYTES = 1 << 31  # 2 GiB per reduce task
+
+
+def _resolve_layout(extracted: Any, out_dir: str,
+                    num_buckets: int | None, mode: str,
+                    target_bucket_bytes: int) -> tuple[Any, int]:
+    """Pick (and PERSIST) the bucket count.
+
+    ``num_buckets=None`` auto-sizes from the input's materialized
+    byte size so one bucket targets ``target_bucket_bytes`` — a fixed
+    count (the r2 default of 64) puts ~1.5 TB in a single reduce
+    task's group at 100 TB. The materialize is the same full
+    object-store pass the grouped mode's shuffle performs anyway
+    (spill-backed, streaming-safe), so auto-sizing costs no extra
+    I/O class, only an earlier barrier.
+
+    The chosen layout is written to ``_layout.json`` BEFORE any data:
+    bucket ids are only meaningful relative to the bucket count, so a
+    resumed run MUST reuse the original count even if the input size
+    estimate drifted — resume correctness, not convenience."""
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            layout = json.load(f)
+        if layout.get("mode") != mode:
+            raise ValueError(
+                f"resume with mode={mode!r} but {layout_path} recorded "
+                f"mode={layout['mode']!r}")
+        if num_buckets is not None and num_buckets != layout["num_buckets"]:
+            raise ValueError(
+                f"resume with num_buckets={num_buckets} but "
+                f"{layout_path} recorded {layout['num_buckets']}")
+        return extracted, int(layout["num_buckets"])
+    if num_buckets is None:
+        extracted = extracted.materialize()
+        size = int(extracted.size_bytes() or 0)
+        import math
+        num_buckets = int(min(65536, max(
+            16, math.ceil(size / max(1, target_bucket_bytes)))))
+    with open(layout_path, "w") as f:
+        json.dump({"num_buckets": int(num_buckets), "mode": mode}, f)
+    return extracted, int(num_buckets)
+
+
+def write_partitioned(extracted: Any, out_dir: str,
+                      num_buckets: int | None = None,
                       resume: bool = True, mode: str = "grouped",
-                      rows_per_file: int = 32768) -> dict:
+                      rows_per_file: int = 32768,
+                      target_bucket_bytes: int =
+                      DEFAULT_TARGET_BUCKET_BYTES) -> dict:
     """Write extraction output partitioned by url-hash bucket with
     per-bucket lineage manifests; skips buckets whose manifest already
     exists. See the module docstring for the two modes.
+
+    ``num_buckets=None`` (default) auto-sizes buckets to
+    ``target_bucket_bytes`` each and records the layout in
+    ``_layout.json`` so resumed runs keep the same partitioning (see
+    :func:`_resolve_layout`).
 
     Returns a summary dict {written, skipped, rows, errors}.
     """
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
+    extracted, num_buckets = _resolve_layout(
+        extracted, out_dir, num_buckets, mode, target_bucket_bytes)
     # staging dirs from a previous killed run are partial: reap them
     for name in os.listdir(out_dir):
         if name.startswith("bucket=") and ".tmp" in name:

@@ -170,3 +170,45 @@ def test_config_to_xml_roundtrip():
     assert cfg2.parsers["text/foo"] == "XML"
     assert cfg2.mimes["au"] == "foo/bar"
     assert cfg2.cascade_meta_context is True
+
+
+def test_write_partitioned_autosized_layout(ray_session, tmp_path):
+    """num_buckets=None sizes buckets from input bytes (one bucket
+    targets target_bucket_bytes) and persists the layout; a resumed
+    run MUST reuse the recorded count and reject a conflicting one."""
+    import json
+    import os
+    import pytest
+    import ray.data as rd
+    from swishray.manifest import read_manifests, write_partitioned
+
+    n = 2000
+    tbl = pa.table({
+        "url": [f"https://ex.com/{i}" for i in range(n)],
+        "text": ["payload " * 50] * n,          # ~400 B/row -> ~0.8 MB
+        "nwords": pa.array([50] * n, type=pa.int32()),
+    })
+    out = str(tmp_path / "auto")
+    ds = rd.from_arrow(tbl).repartition(8)
+    s = write_partitioned(ds, out, num_buckets=None,
+                          target_bucket_bytes=64 * 1024)
+    layout = json.load(open(os.path.join(out, "_layout.json")))
+    # ~0.8 MB / 64 KiB -> >= 10 buckets, and every bucket well under
+    # a few x target (the whole-bucket-in-one-task budget holds)
+    assert layout["num_buckets"] >= 10
+    assert s["written"] == layout["num_buckets"] >= 10
+    ms = read_manifests(out)
+    assert sum(m["rows"] for m in ms) == n
+    assert max(m["bytes"] for m in ms) < 4 * 64 * 1024
+
+    # resume reuses the persisted layout (num_buckets=None again)
+    s2 = write_partitioned(rd.from_arrow(tbl).repartition(8), out,
+                           num_buckets=None,
+                           target_bucket_bytes=64 * 1024)
+    assert s2["written"] == 0 and s2["skipped"] == layout["num_buckets"]
+
+    # conflicting explicit count or mode is an error, not corruption
+    with pytest.raises(ValueError):
+        write_partitioned(ds, out, num_buckets=layout["num_buckets"] + 1)
+    with pytest.raises(ValueError):
+        write_partitioned(ds, out, mode="stream")
