@@ -379,6 +379,139 @@ def q_extract_xml(sf_dir: str):
     return ext.map_batches(shape, batch_format="pyarrow")
 
 
+def q_typed_property_sort(sf_dir: str):
+    """§2.3 typed property projection (swish_xapian.cpp:437-483,
+    header.c:474-541): an INT-typed PropertyName projects to an int64
+    column and sorts NUMERICALLY. The bottom-120 by (prop_docnum, url)
+    is a numerically-defined subset a lexicographic sort of the raw
+    property strings would get wrong ('5' sorts after '104')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.config import Config
+    from swishray.pipeline import extract_pages, project_properties
+
+    cfg_xml = ('<swish><PropertyNames><docnum type="int"/>'
+               '</PropertyNames></swish>')
+
+    def to_xml_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls = [f"https://files.example/{d:08d}.xml" for d in ids]
+        bodies = [
+            (f"<doc><title>Doc {d}</title>"
+             f"<docnum> {(d * 37) % 997 + 5} </docnum>"
+             f"<body>{t or ''}</body></doc>").encode()
+            for d, t in zip(ids, texts)]
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(bodies, type=pa.binary()),
+        })
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_xml_pages, batch_format="pyarrow")
+    ext = extract_pages(pages, emit="buffers", concurrency=_conc(),
+                        config_xml=cfg_xml)
+    cfg = Config.default()
+    cfg.add(cfg_xml)
+    proj = project_properties(ext, cfg, props=["docnum", "swishtitle"])
+    out = proj.sort(["prop_docnum", "url"]).limit(120)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "prop_docnum": pc.cast(batch.column("prop_docnum"),
+                                   pa.int64()),
+            "title": pc.cast(batch.column("prop_swishtitle"),
+                             pa.string()),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_stream_source(sf_dir: str):
+    """§2.1 -S prog stream seam (parser.c:2050-2216): a synthesized
+    aggregator byte stream (Content-Location/Content-Length blocks)
+    parses into pages rows and extracts; counts are DuckDB-checkable
+    from the documents the stream was built from."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from swishray.pipeline import extract_pages
+    from swishray.sources import read_swish_stream
+    from swishray.synth import page_html_for_doc
+    from swishray.util import _session_cpus
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    blocks = []
+    for d, txt in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        body = page_html_for_doc(d, txt or "")
+        blocks.append(
+            f"Content-Location: https://stream.example/{d:08d}.html\n"
+            f"Content-Length: {len(body)}\n\n".encode() + body)
+    path = "/tmp/swishray_stream_src.bin"
+    with open(path, "wb") as f:
+        f.write(b"".join(blocks))
+
+    pages = read_swish_stream(path).repartition(
+        max(8, 2 * _session_cpus()))
+    ext = extract_pages(pages, emit="text", concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+            "title": pc.cast(batch.column("title"), pa.string()),
+        })
+    return ext.map_batches(shape, batch_format="pyarrow")
+
+
+def q_filelist_source(sf_dir: str):
+    """§2.1 filelist seam (io.c:275-297 skippable lines + relative
+    path resolution): documents 0..99 written as files, driven through
+    a filelist with comments/blanks, extracted, counted."""
+    import os
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from swishray.pipeline import extract_pages
+    from swishray.sources import read_filelist
+    from swishray.synth import page_html_for_doc
+    from swishray.util import _session_cpus
+
+    base = "/tmp/swishray_flsrc"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    lines = ["# filelist source seam", ""]
+    for d, txt in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        if d >= 100:
+            continue
+        name = f"{d:08d}.html"
+        with open(os.path.join(base, name), "wb") as f:
+            f.write(page_html_for_doc(d, txt or ""))
+        lines.append(name)            # relative: resolved against base
+        if d % 25 == 0:
+            lines.append("   ")       # skippable whitespace line
+    fl = os.path.join(base, "filelist.txt")
+    with open(fl, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    pages = read_filelist(fl).repartition(max(8, 2 * _session_cpus()))
+    ext = extract_pages(pages, emit="text", concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+            "title": pc.cast(batch.column("title"), pa.string()),
+        })
+    return ext.map_batches(shape, batch_format="pyarrow")
+
+
 def q_hash_join(sf_dir: str):
     """§2.4 both-sides-large partitioned hash join: orders x customer
     aggregated to (c_mktsegment, n_orders, max_totalprice)."""
@@ -612,6 +745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_title_property": q_facet_title_property,
         "extract_txt": q_extract_txt,
         "extract_xml": q_extract_xml,
+        "typed_property_sort": q_typed_property_sort,
+        "stream_source": q_stream_source,
+        "filelist_source": q_filelist_source,
         "hash_join": q_hash_join,
         "anti_join": q_anti_join,
         "minhash_pairs": q_minhash_pairs,
@@ -742,6 +878,23 @@ def oracle_sql() -> dict[str, str]:
         "facet_title_property": (
             "SELECT 'Doc ' || doc_id AS value, cast(1 as bigint) AS n "
             "FROM documents"),
+        "typed_property_sort": (
+            "SELECT 'https://files.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.xml' AS url, "
+            "cast((doc_id * 37) % 997 + 5 as bigint) AS prop_docnum, "
+            "'Doc ' || doc_id AS title "
+            "FROM documents ORDER BY prop_docnum, url LIMIT 120"),
+        "stream_source": (
+            "SELECT 'https://stream.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.html' AS url, "
+            f"cast(2 + len({_WORDS_SQL}) as bigint) AS nwords, "
+            "'Doc ' || doc_id AS title FROM documents"),
+        "filelist_source": (
+            "SELECT '/tmp/swishray_flsrc/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.html' AS url, "
+            f"cast(2 + len({_WORDS_SQL}) as bigint) AS nwords, "
+            "'Doc ' || doc_id AS title FROM documents "
+            "WHERE doc_id < 100"),
         "extract_txt": (
             "SELECT 'https://files.example/' || "
             "lpad(cast(doc_id as varchar), 8, '0') || '.txt' AS url, "

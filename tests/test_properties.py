@@ -120,3 +120,49 @@ def test_property_max_parity_and_optin():
     cfg3 = Config.default()
     cfg3.add(cfg2.to_xml())
     assert cfg3.enforce_property_max is True
+
+
+def test_project_properties_typed(ray_session):
+    """Typed projection parity with the Xapian sink
+    (swish_xapian.cpp:437-483): bumper joins become spaces, int
+    properties parse with strtol semantics into int64 (numeric sort),
+    dates stay verbatim strings, absent/empty -> null."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.config import Config
+    from swishray.pipeline import extract_pages, project_properties
+
+    cfg_xml = ('<swish><PropertyNames><docnum type="int"/>'
+               '<docdate type="date"/></PropertyNames></swish>')
+    docs = [
+        (0, b"<doc><docnum> 42 </docnum><docdate>2010-01-02</docdate>"
+            b"<body>x</body></doc>"),
+        (1, b"<doc><docnum>7</docnum><docnum>9</docnum>"
+            b"<body>x</body></doc>"),          # multi-value -> bumper
+        (2, b"<doc><docnum>junk</docnum><body>x</body></doc>"),
+        (3, b"<doc><body>x</body></doc>"),      # absent -> null
+        (4, b"<doc><docnum>5</docnum><body>x</body></doc>"),
+        (5, b"<doc><docnum>104</docnum><body>x</body></doc>"),
+    ]
+    pages = rd.from_arrow(pa.table({
+        "url": [f"https://x/{i}.xml" for i, _ in docs],
+        "html": pa.array([b for _, b in docs], type=pa.binary()),
+    }))
+    ext = extract_pages(pages, emit="buffers", config_xml=cfg_xml,
+                        concurrency=2)
+    cfg = Config.default()
+    cfg.add(cfg_xml)
+    proj = project_properties(ext, cfg, props=["docnum", "docdate"])
+    rows = {r["url"]: r for r in proj.take_all()}
+    assert rows["https://x/0.xml"]["prop_docnum"] == 42
+    assert rows["https://x/0.xml"]["prop_docdate"] == "2010-01-02"
+    # multi-value property: strtol stops at the first non-digit of
+    # the space-joined "7 9" -> 7 (the reference serializes the same
+    # joined buffer through string_to_int)
+    assert rows["https://x/1.xml"]["prop_docnum"] == 7
+    assert rows["https://x/2.xml"]["prop_docnum"] == 0  # strtol junk
+    assert rows["https://x/3.xml"]["prop_docnum"] is None
+    # numeric sort: 5 < 104 (lexicographic would invert)
+    s = proj.sort("prop_docnum").take_all()
+    nums = [r["prop_docnum"] for r in s if r["prop_docnum"] is not None]
+    assert nums == sorted(nums) and nums.index(5) < nums.index(104)
