@@ -94,8 +94,17 @@ def run_benchmarks() -> dict:
     # cores for them or the streaming executor deadlocks.
     conc = NUM_CPUS                      # for materialized inputs
     conc_chain = max(1, NUM_CPUS - 2)    # for unmaterialized chains
+    # single-box run-to-run variance is ±10-40% under outside load;
+    # the full bench repeats each query and reports PER-QUERY MEDIANS
+    # (+ min/max spread) so one noisy pass can't read as a regression.
+    # EXTRACT_ONLY (the scaling ladder) defaults to one pass — its 96k
+    # pages amortize noise and the ladder is 5 fresh processes already.
+    repeats = int(os.environ.get("BENCH_REPEATS",
+                                 "1" if EXTRACT_ONLY else "3"))
     timings: dict[str, float] = {}
     extract_stats: dict = {}
+
+    all_timings: dict[str, list] = {}
 
     def timed(name):
         class _T:
@@ -104,7 +113,8 @@ def run_benchmarks() -> dict:
                 return self
 
             def __exit__(self, *a):
-                timings[name] = round(time.perf_counter() - self.t0, 3)
+                all_timings.setdefault(name, []).append(
+                    round(time.perf_counter() - self.t0, 3))
         return _T()
 
     # warm the page cache + actor pool creation outside the timing of
@@ -119,12 +129,63 @@ def run_benchmarks() -> dict:
             batch_format="pyarrow").take_all()))
 
     from ray.data.aggregate import Count as _Count, Sum as _Sum
-    with timed("extract_fixture"):
-        ext = extract_pages(pages_tbl, emit="buffers", concurrency=conc,
-                            batch_size=128)
-        row = ext.aggregate(_Count(alias_name="n"),
-                            _Sum("nwords", alias_name="twords"))
-        n_docs, twords = row["n"], row["twords"]
+    n_docs = twords = 0
+
+    def one_pass():
+        nonlocal n_docs, twords
+        with timed("extract_fixture"):
+            ext = extract_pages(pages_tbl, emit="buffers",
+                                concurrency=conc, batch_size=128)
+            row = ext.aggregate(_Count(alias_name="n"),
+                                _Sum("nwords", alias_name="twords"))
+            n_docs, twords = row["n"], row["twords"]
+        if EXTRACT_ONLY:
+            return
+
+        with timed("extract_documents"):
+            pages2 = pages_from_documents(SF_DIR)
+            ext2 = extract_pages(pages2, emit="text",
+                                 concurrency=conc_chain, batch_size=64)
+            ext2.sum("nwords")
+
+        with timed("extract_full"):
+            ext3 = extract_pages(pages_tbl, emit="full", concurrency=conc,
+                                 batch_size=64).materialize()
+        with timed("top_words"):
+            top_n_words(ext3, 20).take_all()
+
+        with timed("minhash_dedup"):
+            # the test table is one file / one row group -> one block;
+            # fan it out or the sign stage runs as a single serial task
+            # (a production corpus arrives many-blocked from the read)
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"]) \
+                .repartition(2 * NUM_CPUS)
+            minhash_dedup(docs, threshold=0.5).count()
+
+        with timed("events_tumbling"):
+            ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+            tumbling_counts(ev, "hour").count()
+
+        with timed("lineitem_agg"):
+            from ray.data.aggregate import Count, Sum
+            li = rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice"])
+            li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+                Count(alias_name="n"),
+                Sum("l_quantity", alias_name="sum_qty"),
+                Sum("l_extendedprice", alias_name="sum_price")).take_all()
+
+    import statistics
+    for _ in range(repeats):
+        one_pass()
+    timings = {q: round(statistics.median(ts), 3)
+               for q, ts in all_timings.items()}
+    spread = {q: [min(ts), max(ts)] for q, ts in all_timings.items()
+              if len(ts) > 1}
+
     dt = timings["extract_fixture"]
     extract_stats = {
         "docs": n_docs, "mb": round(total_bytes / 1e6, 1),
@@ -133,54 +194,10 @@ def run_benchmarks() -> dict:
         "mb_per_s": round(total_bytes / 1e6 / dt, 2),
     }
 
-    if EXTRACT_ONLY:
-        total = round(sum(timings.values()), 3)
-        return {
-            "metric": "swishray extraction wall-time",
-            "value": total, "unit": "sec", "queries": timings,
-            "sf": SF_DIR, "num_cpus": NUM_CPUS, "extract": extract_stats,
-        }
-
-    with timed("extract_documents"):
-        pages2 = pages_from_documents(SF_DIR)
-        ext2 = extract_pages(pages2, emit="text", concurrency=conc_chain,
-                             batch_size=64)
-        ext2.sum("nwords")
-
-    with timed("extract_full"):
-        ext3 = extract_pages(pages_tbl, emit="full", concurrency=conc,
-                             batch_size=64).materialize()
-    with timed("top_words"):
-        top_n_words(ext3, 20).take_all()
-
-    with timed("minhash_dedup"):
-        # the test table is one file / one row group -> one block; fan
-        # it out or the sign stage runs as a single serial task (a
-        # production corpus arrives many-blocked from the read)
-        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text"]) \
-            .repartition(2 * NUM_CPUS)
-        minhash_dedup(docs, threshold=0.5).count()
-
-    with timed("events_tumbling"):
-        ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
-        tumbling_counts(ev, "hour").count()
-
-    with timed("lineitem_agg"):
-        import pyarrow.compute as pc
-        from ray.data.aggregate import Count, Sum
-        li = rd.read_parquet(
-            f"{SF_DIR}/lineitem.parquet",
-            columns=["l_returnflag", "l_linestatus", "l_quantity",
-                     "l_extendedprice"])
-        li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Count(alias_name="n"),
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_price")).take_all()
-
     total = round(sum(timings.values()), 3)
-    return {
-        "metric": "swishray headline pipelines wall-time",
+    out = {
+        "metric": ("swishray extraction wall-time" if EXTRACT_ONLY
+                   else "swishray headline pipelines wall-time"),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -188,6 +205,10 @@ def run_benchmarks() -> dict:
         "num_cpus": NUM_CPUS,
         "extract": extract_stats,
     }
+    if spread:
+        out["repeats"] = repeats
+        out["spread"] = spread
+    return out
 
 
 def run_scaling() -> None:
