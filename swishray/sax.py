@@ -143,6 +143,11 @@ class ExtractionState(SaxTarget):
         # only attribute-free bakes with side-effect-free policies land
         # here (see bake_tag)
         self._bake_cache: dict[str, tuple] = {}
+        # replay fast path: RAW tag bytes -> (baked, bump) for tags
+        # whose open/close provably reduce to a bump_word update (see
+        # _classify_fast); keyed by bytes so the hot loop skips even
+        # the name decode
+        self._fast_sax: dict[bytes, tuple] = {}
 
     # -- config copy-on-write -------------------------------------------
 
@@ -181,6 +186,7 @@ class ExtractionState(SaxTarget):
         # if a dotted name just appeared, start materializing domstack
         # contexts so DOM-path matches can hit from here on
         self._bake_cache.clear()
+        self._fast_sax.clear()
         if "." in name and not self._dotted_names:
             self._dotted_names = True
             self.domstack.build_context = True
@@ -541,21 +547,79 @@ class ExtractionState(SaxTarget):
     def end_element(self, name: bytes) -> None:
         self.close_tag(_dtag(name), None)
 
+    def _classify_fast(self, raw: bytes, name: str) -> None:
+        """Admit ``name`` to the replay fast map when its open/close
+        provably reduce to a bump_word update under the CURRENT state:
+
+          * its attribute-free bake is cached with no side effects
+            (undef_reset False — HTML entries always are);
+          * it is not <meta> (attributes change its bake);
+          * its baked name is in neither metanames nor properties, so
+            open_tag pushes no meta/prop stack entry — and therefore
+            no stack head can carry this RAW name (an alias maps raw
+            to a member baked, which classifies interesting), so
+            close_tag's pop_on_match can never fire for it;
+          * the domstack push/pop it would do is INERT: with no dotted
+            configured names, contexts are never built ("" misses
+            every hash) and flatten_with is never called — guarded by
+            the caller's can_fast gate, which also excludes the
+            undef auto policies that could vivify new members (or a
+            first dotted name) mid-document via <meta>.
+        """
+        c = self._bake_cache.get(name)
+        if c is None or c[2]:
+            return
+        baked = c[0]
+        cfg = self.config
+        if name.lower() == "meta":
+            return
+        if baked is not None and (baked in cfg.metanames
+                                  or baked in cfg.properties):
+            return
+        if len(self._fast_sax) < 1 << 14:
+            self._fast_sax[raw] = (baked, c[1])
+
     def replay(self, events: list) -> None:
         """Specialized swishsax event-batch consumer: identical
         semantics to the per-event SaxTarget methods (libxml._replay
         falls back to those for targets without this hook), with the
-        per-event wrapper frames inlined — measurably faster on the
-        ~100k-events/doc HTML hot path."""
+        per-event wrapper frames inlined and a per-tag-name FAST PATH
+        for boring tags (see _classify_fast) — the per-tag Python
+        state machine was the measured per-core hot path (~480k
+        open/close calls per 200 HTML docs)."""
         buffer_characters = self.buffer_characters
         open_tag = self.open_tag
         close_tag = self.close_tag
         dtag = _dtag
+        bumper = C.TOKENPOS_BUMPER
+        cfg = self.config
+        can_fast = (self.is_html and not self._dotted_names
+                    and cfg.undef_metas not in (C.UNDEF_AUTO,
+                                                C.UNDEF_AUTOALL))
+        fast = self._fast_sax
         for ev in events:
             t = ev[0]
             if t == 3:
-                buffer_characters(ev[1])
+                # inlined buffer_characters (parser.c:1253-1296)
+                if not self.ignore_content:
+                    mb = self.meta_buf
+                    pb = self.prop_buf
+                    if self.bump_word:
+                        if mb:
+                            mb += bumper
+                        if pb:
+                            pb += bumper
+                        self.bump_word = False
+                    mb += ev[1]
+                    pb += ev[1]
             elif t == 1:
+                if can_fast:
+                    c = fast.get(ev[1])
+                    if c is not None:
+                        self.tag = c[0]
+                        if c[1] is not None:
+                            self.bump_word = c[1]
+                        continue
                 name = dtag(ev[1])
                 atts = ev[2]
                 if atts is not None and name.lower() == "meta":
@@ -564,7 +628,16 @@ class ExtractionState(SaxTarget):
                 else:
                     a = None
                 open_tag(name, a, None)
+                if can_fast and a is None:
+                    self._classify_fast(ev[1], name)
             elif t == 2:
+                if can_fast:
+                    c = fast.get(ev[1])
+                    if c is not None:
+                        self.tag = c[0]
+                        if c[1] is not None:
+                            self.bump_word = c[1]
+                        continue
                 close_tag(dtag(ev[1]), None)
             elif t == 5:
                 uri = ev[3]

@@ -129,3 +129,41 @@ def test_cleanwsp_mutation_quirk():
     assert rec.properties["swishtitle"] == b"alpha\x03"
     assert rec.metanames["swishtitle"] == b"\nalpha\n\x03\n\x03\n\x03\n" \
         or rec.metanames["swishtitle"].startswith(b"\nalpha\n")
+
+
+def test_fast_replay_matches_per_event_path():
+    """The replay fast path (boring-tag classification) must produce
+    records byte-identical to the slow per-event path — toggled by
+    no-op'ing the classifier so the fast map never populates."""
+    from unittest import mock
+
+    from swishray.extractor import DocumentExtractor
+    from swishray.sax import ExtractionState
+
+    docs = [
+        (b"<html><head><title>T one</title>"
+         b"<meta name=\"keywords\" content=\"k1 k2\"></head>"
+         b"<body><p>alpha <b>beta</b></p><br><img src=x>"
+         b"<div>gamma <span>delta</span></div>"
+         b"<!-- noindex -->hidden<!-- index -->shown"
+         b"<ul><li>a</li><li>b</li></ul></body></html>"),
+        (b"<html><body><p>unclosed <b>bold <i>ital</p>"
+         b"<td>stray</td><customtag>cust</customtag>"
+         b"<script>var x=1;</script><style>.a{}</style>tail"),
+        (b"<p>" + "naïve café 中文".encode()
+         + b" plain</p>" * 50),
+    ]
+    ex = DocumentExtractor()
+    fast = [ex.extract(f"https://x/{i}.html", d)
+            for i, d in enumerate(docs)]
+    with mock.patch.object(ExtractionState, "_classify_fast",
+                           lambda self, raw, name: None):
+        slow = [ex.extract(f"https://x/{i}.html", d)
+                for i, d in enumerate(docs)]
+    for f, s in zip(fast, slow):
+        assert f.metanames == s.metanames
+        assert f.properties == s.properties
+        assert f.docinfo.nwords == s.docinfo.nwords
+        assert f.token_values == s.token_values
+        assert f.token_positions == s.token_positions
+        assert f.token_metas == s.token_metas
