@@ -719,6 +719,70 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(_docs(sf_dir, ["doc_id", "n_chars"]), rate=0.25)
 
 
+_INDEX_TERMS = ["batch", "hash", "join", "scan", "window"]
+
+
+def _fresh_index_dir() -> str:
+    import tempfile
+    return tempfile.mkdtemp(prefix="swishray-index-", dir="/tmp")
+
+
+def q_index_search(sf_dir: str):
+    """Index-build sink + pruned-lookup search (swish_xapian analog,
+    swishray/index.py): per-term document frequency and total tf read
+    back from the hive-partitioned postings segments."""
+    import shutil
+    from swishray.index import build_index, search_counts
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text"]), out,
+                    key="doc_id", text_col="text", num_buckets=8)
+        return search_counts(out, _INDEX_TERMS)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_index_topdocs(sf_dir: str):
+    """Ranked retrieval through the index: top-8 docs for one term,
+    deterministic tie-break (tf desc, doc_id asc)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.index import IndexSearcher, build_index
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text"]), out,
+                    key="doc_id", text_col="text", num_buckets=8)
+        hits = IndexSearcher(out).search(["join"], k=8)
+        return pa.table({
+            "doc_id": pc.cast(hits.column("key"), pa.int64()),
+            "tf": pc.cast(hits.column("score"), pa.int64()),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_index_upsert(sf_dir: str):
+    """Idempotent upsert semantics (replace_document,
+    swish_xapian.cpp:563-601): docs 0..9 re-indexed with new text in a
+    second segment shadow their first-segment postings."""
+    import shutil
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.index import build_index, search_counts
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text"]), out,
+                    key="doc_id", text_col="text", num_buckets=8)
+        up = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(["xup xup"] * 10, pa.string())}))
+        build_index(up, out, key="doc_id", text_col="text", num_buckets=2)
+        return search_counts(out, _INDEX_TERMS + ["xup"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -758,6 +822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q_topk_per_group,
         "hash_sample": q_hash_sample,
         "ngrams": q_ngrams,
+        "index_search": q_index_search,
+        "index_topdocs": q_index_topdocs,
+        "index_upsert": q_index_upsert,
         # rows-only:
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs_ivf": q_cosine_pairs_ivf,
@@ -935,6 +1002,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
             "1, 8)) AS BIGINT) < CAST(0.25 * 4294967296 AS BIGINT)"),
+        "index_search": (
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "
+            "SELECT term, count(distinct doc_id) AS doc_count, "
+            "cast(count(*) as bigint) AS total_tf FROM w "
+            "WHERE term IN ('batch','hash','join','scan','window') "
+            "GROUP BY term"),
+        "index_topdocs": (
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "
+            "SELECT doc_id, cast(count(*) as bigint) AS tf FROM w "
+            "WHERE term = 'join' GROUP BY doc_id "
+            "ORDER BY tf DESC, doc_id ASC LIMIT 8"),
+        "index_upsert": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id < 10 "
+            "THEN 'xup xup' ELSE text END AS text FROM documents), "
+            "w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM d) "
+            "SELECT term, count(distinct doc_id) AS doc_count, "
+            "cast(count(*) as bigint) AS total_tf FROM w "
+            "WHERE term IN ('batch','hash','join','scan','window','xup') "
+            "GROUP BY term"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

@@ -1,0 +1,354 @@
+"""Inverted-index sink + searcher — the ``swish_xapian`` consumer analog.
+
+The reference's flagship consumer feeds extraction records into a Xapian
+``WritableDatabase``: postings (term, wdf) per metaname prefix, stored
+properties, and idempotent upsert keyed by a unique uri term
+(``/root/reference/src/xapian/swish_xapian.cpp:485-602`` — handler builds
+the document, ``replace_document(uniqterm, ...)`` at :563-601 makes
+re-indexing a replace, not a duplicate; typed property serialization at
+:437-483).
+
+Ray-Data-native re-expression (no Xapian, no native store):
+
+* **Postings are a slim exchange, not a B-tree.** One streaming
+  ``map_batches`` pass over the input turns each doc into
+  ``(term, meta, key, tf)`` rows plus one docstore row, bucketed by
+  term-hash (postings) / key-hash (docstore) and written as
+  hive-partitioned parquet via ``Dataset.write_parquet(partition_cols)``.
+  Nothing is materialized driver-side; the only "shuffle" is the sink's
+  partition fan-out. Per-batch rows are sorted by term so parquet
+  row-group stats prune term lookups inside each bucket.
+* **Segments are immutable; upsert = shadowing.** Each ``build_index``
+  call appends a numbered segment. A doc re-indexed in a newer segment
+  shadows all older postings for the same key (the ``replace_document``
+  semantic); ``delete_keys`` writes a tombstone segment. Resolution cost
+  is proportional to the *candidate* set of a query, never the corpus:
+  the searcher probes newer segments' docstores with a key-bucket +
+  ``isin`` filtered parquet read.
+* **Search is a pruned lookup, not a scan.** A term lookup reads only
+  its bucket partition (hive prune) and only row groups whose term
+  min/max covers it — the parquet analog of Xapian's B-tree descent.
+
+100-TB sizing rule: ``num_buckets`` defaults from the input's estimated
+in-memory size so one bucket targets ≲ ``TARGET_BUCKET_BYTES`` of
+postings; buckets are further split into ≤ ``max_rows_per_file`` files,
+so no task and no reader ever holds a whole bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+
+TARGET_BUCKET_BYTES = 1 << 30  # ~1 GB of postings per bucket partition
+_SEGMENTS_FILE = "segments.json"
+_DEFAULT_META = "swishdefault"
+
+
+def _bucket_of(arr: pa.Array, n: int):
+    """Vectorized bucket id for a term/key column (shared key-hash)."""
+    import numpy as np
+
+    from .ops.joins import _key_hash64
+    return (_key_hash64(arr) % np.uint64(n)).astype(np.int32)
+
+
+def _load_segments(out_dir: str) -> list[dict]:
+    p = os.path.join(out_dir, _SEGMENTS_FILE)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _append_segment(out_dir: str, entry: dict) -> None:
+    segs = _load_segments(out_dir)
+    segs.append(entry)
+    tmp = os.path.join(out_dir, _SEGMENTS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(segs, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _SEGMENTS_FILE))
+
+
+def _auto_buckets(ds: Any) -> int:
+    try:
+        est = ds.size_bytes() or 0
+    except Exception:
+        est = 0
+    # postings ≈ input text bytes (term strings + key + tf)
+    return max(1, min(4096, (est + TARGET_BUCKET_BYTES - 1)
+                      // TARGET_BUCKET_BYTES))
+
+
+def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
+                text_col: str | None = "text",
+                token_col: str | None = None,
+                meta_col: str | None = None,
+                num_buckets: int | None = None,
+                max_rows_per_file: int = 1 << 20) -> dict:
+    """Index ``ds`` into a new immutable segment under ``out_dir``.
+
+    Input is either a plain corpus (``text_col`` whitespace-tokenized,
+    matching the ``_WORDS_SQL`` oracle contract) or extraction records
+    (``token_col`` = the ``emit="full"`` token stream, ``meta_col`` =
+    the per-token metaname — the reference's prefixed-term model,
+    swish_xapian.cpp:505-541).
+
+    Returns ``{"segment", "num_buckets", "path"}``. Never materializes
+    the dataset; one streaming pass, one partitioned parquet sink.
+    """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(ds)
+    os.makedirs(out_dir, exist_ok=True)
+    seg_id = len(_load_segments(out_dir)) + 1
+    seg_name = f"seg-{seg_id:06d}"
+    seg_dir = os.path.join(out_dir, seg_name)
+
+    nb = num_buckets
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        keys = batch.column(key)
+        if token_col is not None:
+            toks_col = batch.column(token_col).to_pylist()
+            metas_col = (batch.column(meta_col).to_pylist()
+                         if meta_col else None)
+        else:
+            import pyarrow.compute as pc
+            toks_col = pc.split_pattern_regex(
+                pc.coalesce(batch.column(text_col), ""), " +").to_pylist()
+            metas_col = None
+        p_term: list[str] = []
+        p_meta: list[str] = []
+        p_key: list = []
+        p_tf: list[int] = []
+        d_key: list = []
+        d_len: list[int] = []
+        kpy = keys.to_pylist()
+        for i, toks in enumerate(toks_col):
+            toks = toks or []
+            if metas_col is not None:
+                cnt = Counter(
+                    ((m or _DEFAULT_META),
+                     t.decode("utf-8", "replace")
+                     if isinstance(t, bytes) else t)
+                    for m, t in zip(metas_col[i], toks))
+                doclen = len(toks)
+                for (m, t), c in cnt.items():
+                    p_term.append(t)
+                    p_meta.append(m)
+                    p_key.append(kpy[i])
+                    p_tf.append(c)
+            else:
+                cnt = Counter(t for t in toks if t)
+                doclen = sum(cnt.values())
+                for t, c in cnt.items():
+                    p_term.append(t)
+                    p_meta.append(_DEFAULT_META)
+                    p_key.append(kpy[i])
+                    p_tf.append(c)
+            d_key.append(kpy[i])
+            d_len.append(doclen)
+        ktype = keys.type
+        pk = pa.array(p_key, type=ktype)
+        dk = pa.array(d_key, type=ktype)
+        post = pa.table({
+            "kind": pa.array(["p"] * len(p_term)),
+            "bucket": pa.array(_bucket_of(pa.array(p_term, pa.string()), nb)
+                               if p_term else [], type=pa.int32()),
+            "term": pa.array(p_term, pa.string()),
+            "meta": pa.array(p_meta, pa.string()),
+            "key": pk,
+            "tf": pa.array(p_tf, pa.int64()),
+        }).sort_by("term")  # row-group stats prune term lookups
+        docs = pa.table({
+            "kind": pa.array(["d"] * len(d_key)),
+            "bucket": pa.array(_bucket_of(dk, nb) if d_key else [],
+                               type=pa.int32()),
+            "term": pa.array([""] * len(d_key), pa.string()),
+            "meta": pa.array([""] * len(d_key), pa.string()),
+            "key": dk,
+            "tf": pa.array(d_len, pa.int64()),  # doc length for ranking
+        })
+        return pa.concat_tables([post, docs])
+
+    out = ds.map_batches(to_rows, batch_format="pyarrow")
+    out.write_parquet(os.path.join(seg_dir, "data"),
+                      partition_cols=["kind", "bucket"],
+                      max_rows_per_file=max_rows_per_file)
+    entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
+             "created": time.time()}
+    _append_segment(out_dir, entry)
+    return {"segment": seg_name, "num_buckets": nb, "path": seg_dir}
+
+
+def delete_keys(out_dir: str, keys: list) -> dict:
+    """Tombstone segment: the reference's ``delete_document(uniqterm)``
+    analog (swish_xapian.cpp uses the -d/--delete path). Keys deleted
+    here are invisible to any search until re-added by a newer
+    ``build_index`` call."""
+    import pyarrow.parquet as pq
+    seg_id = len(_load_segments(out_dir)) + 1
+    seg_name = f"seg-{seg_id:06d}"
+    seg_dir = os.path.join(out_dir, seg_name)
+    os.makedirs(seg_dir, exist_ok=True)
+    pq.write_table(pa.table({"key": pa.array(keys)}),
+                   os.path.join(seg_dir, "tombstones.parquet"))
+    entry = {"segment": seg_name, "kind": "tombstone",
+             "created": time.time()}
+    _append_segment(out_dir, entry)
+    return {"segment": seg_name, "path": seg_dir}
+
+
+class IndexSearcher:
+    """Driver-side pruned-lookup searcher over the segment set.
+
+    Each lookup touches one bucket partition per segment and only the
+    row groups whose term range covers the probe — candidate-
+    proportional work, corpus-size independent, which is why the
+    searcher is deliberately NOT a Ray pipeline (the reference's
+    swish_query is likewise a point-lookup client, not a batch job).
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.segments = _load_segments(out_dir)
+        if not self.segments:
+            raise FileNotFoundError(f"no index segments under {out_dir}")
+
+    # -- internals ---------------------------------------------------
+
+    def _seg_dataset(self, seg: dict):
+        import pyarrow.dataset as pads
+        return pads.dataset(
+            os.path.join(self.out_dir, seg["segment"], "data"),
+            partitioning="hive")
+
+    def _postings(self, term: str, meta: str | None) -> pa.Table:
+        """Raw (pre-shadowing) postings for one term across segments,
+        tagged with the segment ordinal."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        parts = []
+        for ord_, seg in enumerate(self.segments, start=1):
+            if seg.get("kind") != "index":
+                continue
+            b = int(_bucket_of(pa.array([term], pa.string()),
+                               seg["num_buckets"])[0])
+            flt = ((pads.field("kind") == "p")
+                   & (pads.field("bucket") == b)
+                   & (pads.field("term") == term))
+            if meta is not None:
+                flt = flt & (pads.field("meta") == meta)
+            t = self._seg_dataset(seg).to_table(
+                filter=flt, columns=["term", "meta", "key", "tf"])
+            if t.num_rows:
+                parts.append(t.append_column(
+                    "seg", pa.array([ord_] * t.num_rows, pa.int32())))
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "meta": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "seg": pa.array([], pa.int32())})
+        return pa.concat_tables(parts)
+
+    def _latest_seg(self, keys: pa.Array) -> dict:
+        """key -> ordinal of the newest segment that re-indexed or
+        tombstoned it (0 = none). Probes newest→oldest with key-bucket
+        + isin pruned reads; cost ∝ len(keys)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        latest: dict = {}
+        pending = set(keys.to_pylist())
+        for ord_ in range(len(self.segments), 0, -1):
+            if not pending:
+                break
+            seg = self.segments[ord_ - 1]
+            if seg.get("kind") == "tombstone":
+                p = os.path.join(self.out_dir, seg["segment"],
+                                 "tombstones.parquet")
+                hit = set(pq.read_table(p).column("key").to_pylist())
+            else:
+                probe = pa.array(list(pending))
+                nb = seg["num_buckets"]
+                bs = sorted({int(b) for b in _bucket_of(probe, nb)})
+                flt = ((pads.field("kind") == "d")
+                       & pads.field("bucket").isin(bs)
+                       & pads.field("key").isin(probe))
+                t = self._seg_dataset(seg).to_table(
+                    filter=flt, columns=["key"])
+                hit = set(t.column("key").to_pylist())
+            for k in hit & pending:
+                latest[k] = ord_
+                pending.discard(k)
+        return latest
+
+    def _resolved(self, term: str, meta: str | None) -> pa.Table:
+        """Postings after upsert/tombstone shadowing: a row survives
+        only if its segment IS the newest segment that touched its key
+        and that segment is an index segment."""
+        raw = self._postings(term, meta)
+        if raw.num_rows == 0:
+            return raw
+        latest = self._latest_seg(raw.column("key"))
+        tomb = {i + 1 for i, s in enumerate(self.segments)
+                if s.get("kind") == "tombstone"}
+        keep = [i for i, (k, s) in enumerate(
+            zip(raw.column("key").to_pylist(),
+                raw.column("seg").to_pylist()))
+            if latest.get(k, 0) == s and s not in tomb]
+        return raw.take(pa.array(keep, pa.int64()))
+
+    # -- public ------------------------------------------------------
+
+    def doc_stats(self, term: str, meta: str | None = None) -> dict:
+        t = self._resolved(term, meta)
+        keys = t.column("key").to_pylist()
+        return {"term": term, "doc_count": len(set(keys)),
+                "total_tf": sum(t.column("tf").to_pylist())}
+
+    def search(self, terms: list[str], mode: str = "or", k: int = 10,
+               meta: str | None = None) -> pa.Table:
+        """Ranked retrieval: score = Σ tf over matched terms,
+        deterministic tie-break (score desc, key asc). ``mode="and"``
+        requires every term to match (the reference's default query
+        combiner, OP_AND in swish_query)."""
+        import pandas as pd
+        frames = []
+        for term in terms:
+            t = self._resolved(term, meta)
+            if t.num_rows:
+                df = t.select(["key", "tf"]).to_pandas()
+                df["term"] = term
+                frames.append(df)
+        if not frames:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64()),
+                             "n_terms": pa.array([], pa.int64())})
+        allp = pd.concat(frames, ignore_index=True)
+        g = allp.groupby("key", sort=False).agg(
+            score=("tf", "sum"), n_terms=("term", "nunique")).reset_index()
+        if mode == "and":
+            g = g[g["n_terms"] == len(set(terms))]
+        g = g.sort_values(["score", "key"],
+                          ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(g.reset_index(drop=True),
+                                    preserve_index=False)
+
+
+def search_counts(out_dir: str, terms: list[str]) -> pa.Table:
+    """Per-term (doc_count, total_tf) — the oracle-comparable surface."""
+    s = IndexSearcher(out_dir)
+    rows = [s.doc_stats(t) for t in sorted(terms)]
+    rows = [r for r in rows if r["doc_count"] > 0]
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+        "total_tf": pa.array([r["total_tf"] for r in rows], pa.int64()),
+    })

@@ -1,0 +1,109 @@
+"""Inverted-index sink + searcher (swish_xapian analog, swishray/index.py)."""
+
+import collections
+import shutil
+
+import pyarrow as pa
+import pytest
+
+
+CORPUS = [
+    (1, "alpha beta beta gamma"),
+    (2, "beta gamma gamma delta"),
+    (3, "alpha alpha epsilon"),
+    (4, "delta"),
+    (5, ""),
+]
+
+
+@pytest.fixture()
+def idx_dir(tmp_path):
+    return str(tmp_path / "idx")
+
+
+def _build(ray, idx_dir, rows=CORPUS, **kw):
+    import ray.data as rd
+    from swishray.index import build_index
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    return build_index(rd.from_arrow(t), idx_dir, key="doc_id",
+                       text_col="text", num_buckets=kw.pop("num_buckets", 3),
+                       **kw)
+
+
+def test_counts_match_python_recount(ray_session, idx_dir):
+    from swishray.index import search_counts
+    _build(ray_session, idx_dir)
+    df = collections.Counter()
+    tf = collections.Counter()
+    for _, text in CORPUS:
+        c = collections.Counter(text.split())
+        for w, n in c.items():
+            df[w] += 1
+            tf[w] += n
+    got = search_counts(idx_dir, list(df) + ["missing"]).to_pydict()
+    for i, term in enumerate(got["term"]):
+        assert got["doc_count"][i] == df[term]
+        assert got["total_tf"][i] == tf[term]
+    assert "missing" not in got["term"]
+    assert set(got["term"]) == set(df)
+
+
+def test_search_and_or_ranking(ray_session, idx_dir):
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir)
+    s = IndexSearcher(idx_dir)
+    # OR: doc2 scores beta(1)+gamma(2)=3; doc1 beta(2)+gamma(1)=3;
+    # tie-break by key asc -> doc1 first
+    out = s.search(["beta", "gamma"], mode="or", k=10).to_pydict()
+    assert out["key"][:2] == [1, 2]
+    assert out["score"][:2] == [3, 3]
+    # AND: only docs with both terms
+    out = s.search(["alpha", "epsilon"], mode="and", k=10).to_pydict()
+    assert out["key"] == [3]
+
+
+def test_upsert_shadows_and_tombstones(ray_session, idx_dir):
+    from swishray.index import delete_keys, search_counts
+    _build(ray_session, idx_dir)
+    # replace doc1: old postings (alpha/beta/gamma for key 1) must vanish
+    _build(ray_session, idx_dir, rows=[(1, "zeta zeta")], num_buckets=2)
+    got = search_counts(idx_dir, ["alpha", "beta", "zeta"]).to_pydict()
+    d = dict(zip(got["term"], zip(got["doc_count"], got["total_tf"])))
+    assert d["zeta"] == (1, 2)
+    assert d["alpha"] == (1, 2)       # only doc3 now
+    assert d["beta"] == (1, 1)        # only doc2 now
+    # tombstone doc3 -> alpha disappears entirely
+    delete_keys(idx_dir, [3])
+    got = search_counts(idx_dir, ["alpha", "zeta"]).to_pydict()
+    assert got["term"] == ["zeta"]
+    # re-add after tombstone resurrects the key
+    _build(ray_session, idx_dir, rows=[(3, "alpha")], num_buckets=2)
+    got = search_counts(idx_dir, ["alpha"]).to_pydict()
+    assert got["doc_count"] == [1] and got["total_tf"] == [1]
+
+
+def test_meta_prefixed_terms_from_extraction_stream(ray_session, idx_dir):
+    """token_col/meta_col path: the reference's prefixed-term model
+    (swish_xapian.cpp:505-541) — the same word under different
+    metanames is a distinct posting."""
+    import ray.data as rd
+    from swishray.index import IndexSearcher, build_index
+    t = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "token_values": pa.array([[b"hello", b"world", b"hello"],
+                                  [b"hello"]], pa.list_(pa.binary())),
+        "token_metas": pa.array([["swishdefault", "swishtitle",
+                                  "swishdefault"], ["swishtitle"]],
+                                pa.list_(pa.string())),
+    })
+    build_index(rd.from_arrow(t), idx_dir, key="url", text_col=None,
+                token_col="token_values", meta_col="token_metas",
+                num_buckets=2)
+    s = IndexSearcher(idx_dir)
+    assert s.doc_stats("hello", meta="swishdefault") == {
+        "term": "hello", "doc_count": 1, "total_tf": 2}
+    assert s.doc_stats("hello", meta="swishtitle") == {
+        "term": "hello", "doc_count": 1, "total_tf": 1}
+    # no meta filter -> both
+    assert s.doc_stats("hello")["total_tf"] == 3
