@@ -719,6 +719,80 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(_docs(sf_dir, ["doc_id", "n_chars"]), rate=0.25)
 
 
+def q_line_dedup(sf_dir: str):
+    """C4/CCNet-style corpus-wide duplicate-line removal
+    (swishray/ops/boilerplate.py) over synthetic multi-line pages:
+    header + body + one of five footers. The hot census must strip
+    the header (every doc) and each footer (~N/5 docs) while keeping
+    unique body lines. Runs the fully distributed join mode — the
+    100-TB path; pytest asserts broadcast mode is identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.boilerplate import remove_duplicate_lines
+
+    def pages(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        footer = pc.binary_join_element_wise(
+            "footer ", pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 5), 5)), pa.string()), "")
+        t = pc.binary_join_element_wise(
+            "SITE HEADER", pc.coalesce(batch.column("text"), ""),
+            footer, "\n")
+        return pa.table({"doc_id": did, "text": t})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pages, batch_format="pyarrow")
+    return remove_duplicate_lines(ds, mode="join", key="doc_id")
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrub (emails then phone numbers, vectorized RE2): the
+    corpus gets deterministic synthetic PII appended so the redaction
+    provably fires; the oracle runs the identical RE2 patterns via
+    DuckDB regexp_replace/extract_all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import redact_pii
+
+    def with_pii(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        ds4 = pc.utf8_lpad(pc.cast(did, pa.string()), 4, "0")
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch.column("text"), ""), " contact user",
+            pc.cast(did, pa.string()), "@example.com or 555-",
+            pc.utf8_slice_codeunits(ds4, 0, 4), "")
+        return pa.table({"doc_id": did, "text": t})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_pii, batch_format="pyarrow")
+    return redact_pii(ds, key="doc_id")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher/MassiveText repetition signals (integer-count form):
+    duplicate-line instances and max single-word tf per doc, over
+    synthetic pages where every third doc repeats its header line."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import repetition_stats
+
+    def pages(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        mod3 = pc.subtract(did, pc.multiply(pc.divide(did, 3), 3))
+        tail = pc.if_else(
+            pc.equal(mod3, 0), "SITE HEADER",
+            pc.binary_join_element_wise(
+                "tail ", pc.cast(did, pa.string()), ""))
+        t = pc.binary_join_element_wise(
+            "SITE HEADER", pc.coalesce(batch.column("text"), ""),
+            tail, "\n")
+        return pa.table({"doc_id": did, "text": t})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pages, batch_format="pyarrow")
+    return repetition_stats(ds, key="doc_id")
+
+
 _INDEX_TERMS = ["batch", "hash", "join", "scan", "window"]
 
 
@@ -825,6 +899,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_search": q_index_search,
         "index_topdocs": q_index_topdocs,
         "index_upsert": q_index_upsert,
+        "line_dedup": q_line_dedup,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
         # rows-only:
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs_ivf": q_cosine_pairs_ivf,
@@ -1024,6 +1101,64 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) as bigint) AS total_tf FROM w "
             "WHERE term IN ('batch','hash','join','scan','window','xup') "
             "GROUP BY term"),
+        "line_dedup": (
+            "WITH pages AS (SELECT doc_id, 'SITE HEADER' || chr(10) || "
+            "text || chr(10) || 'footer ' || cast(doc_id % 5 as varchar) "
+            "AS page FROM documents), "
+            "ls AS (SELECT doc_id, string_split(page, chr(10)) AS lls "
+            "FROM pages), "
+            "lines AS (SELECT doc_id, lls[i] AS line, i FROM ls, "
+            "unnest(range(1, len(lls) + 1)) AS t(i)), "
+            "hot AS (SELECT line FROM lines GROUP BY line "
+            "HAVING count(distinct doc_id) >= 2), "
+            "kept AS (SELECT l.* FROM lines l "
+            "WHERE l.line NOT IN (SELECT line FROM hot)), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) "
+            "ORDER BY i) AS text_clean, count(*) AS n_kept FROM kept "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_total FROM lines "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean, "
+            "cast(t.n_total - coalesce(a.n_kept, 0) as bigint) "
+            "AS n_lines_removed FROM tot t LEFT JOIN agg a USING(doc_id)"),
+        "redact_pii": (
+            "WITH p AS (SELECT doc_id, text || ' contact user' || "
+            "cast(doc_id as varchar) || '@example.com or 555-' || "
+            "substr(lpad(cast(doc_id as varchar), 4, '0'), 1, 4) AS t "
+            "FROM documents) "
+            "SELECT doc_id, regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), '\\b\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') "
+            "AS text_redacted, "
+            "cast(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "as bigint) AS n_emails, "
+            "cast(len(regexp_extract_all(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), '\\b\\d{3}[-.]\\d{4}\\b')) as bigint) "
+            "AS n_phones FROM p"),
+        "repetition_stats": (
+            "WITH p AS (SELECT doc_id, 'SITE HEADER' || chr(10) || text "
+            "|| chr(10) || CASE WHEN doc_id % 3 = 0 THEN 'SITE HEADER' "
+            "ELSE 'tail ' || cast(doc_id as varchar) END AS page "
+            "FROM documents), "
+            "l AS (SELECT doc_id, unnest(string_split(page, chr(10))) "
+            "AS line FROM p), "
+            "lc AS (SELECT doc_id, line, count(*) AS c FROM l "
+            "GROUP BY doc_id, line), "
+            "lstat AS (SELECT doc_id, cast(sum(c) as bigint) AS n_lines, "
+            "cast(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) as bigint) "
+            "AS n_dup_lines FROM lc GROUP BY doc_id), "
+            "w AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(page, '\\s+'), x -> x <> '')) AS word "
+            "FROM p), "
+            "wc AS (SELECT doc_id, word, count(*) AS c FROM w "
+            "GROUP BY doc_id, word), "
+            "wstat AS (SELECT doc_id, cast(sum(c) as bigint) AS n_words, "
+            "cast(max(c) as bigint) AS max_word_tf FROM wc "
+            "GROUP BY doc_id) "
+            "SELECT doc_id, n_lines, n_dup_lines, n_words, max_word_tf "
+            "FROM lstat JOIN wstat USING(doc_id)"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

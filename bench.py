@@ -92,8 +92,14 @@ def run_benchmarks() -> dict:
     # Materialized-input stages can use every core (no task stage
     # competes); chains with live read/generation stages must leave
     # cores for them or the streaming executor deadlocks.
-    conc = NUM_CPUS                      # for materialized inputs
-    conc_chain = max(1, NUM_CPUS - 2)    # for unmaterialized chains
+    # Bandwidth-aware sizing: past ~16 one-core actors this box's
+    # memory bandwidth saturates and extraction throughput REGRESSES
+    # (32x1: ~4-5k docs/s vs 16x2: ~6.4k). Large sessions therefore
+    # run fewer, 2-core extraction actors (see extract_pages docstring).
+    ex_cpus = int(os.environ.get("BENCH_EX_CPUS",
+                                 "2" if NUM_CPUS > 16 else "1"))
+    conc = NUM_CPUS // ex_cpus           # for materialized inputs
+    conc_chain = max(1, (NUM_CPUS - 2) // ex_cpus)  # unmaterialized chains
     # single-box run-to-run variance is ±10-40% under outside load;
     # the full bench repeats each query and reports PER-QUERY MEDIANS
     # (+ min/max spread) so one noisy pass can't read as a regression.
@@ -134,7 +140,7 @@ def run_benchmarks() -> dict:
     def one_pass():
         nonlocal n_docs, twords
         with timed("extract_fixture"):
-            ext = extract_pages(pages_tbl, emit="buffers",
+            ext = extract_pages(pages_tbl, emit="buffers", num_cpus=ex_cpus,
                                 concurrency=conc, batch_size=128)
             row = ext.aggregate(_Count(alias_name="n"),
                                 _Sum("nwords", alias_name="twords"))
@@ -144,12 +150,13 @@ def run_benchmarks() -> dict:
 
         with timed("extract_documents"):
             pages2 = pages_from_documents(SF_DIR)
-            ext2 = extract_pages(pages2, emit="text",
+            ext2 = extract_pages(pages2, emit="text", num_cpus=ex_cpus,
                                  concurrency=conc_chain, batch_size=64)
             ext2.sum("nwords")
 
         with timed("extract_full"):
-            ext3 = extract_pages(pages_tbl, emit="full", concurrency=conc,
+            ext3 = extract_pages(pages_tbl, emit="full", num_cpus=ex_cpus,
+                                 concurrency=conc,
                                  batch_size=64).materialize()
         with timed("top_words"):
             top_n_words(ext3, 20).take_all()

@@ -1,0 +1,206 @@
+"""Corpus-wide duplicate-line removal (C4 / CCNet-style boilerplate
+strip) — drop every line that occurs in >= ``min_docs`` distinct
+documents (site headers, nav bars, cookie banners, footers).
+
+Public recipe shape: C4 removed repeated three-sentence spans, CCNet
+dedupes paragraphs by hash across shards; this is the line-granular
+variant over the extraction output's ``text`` column.
+
+Ray-Data shape (two passes, one slim exchange):
+
+* **Pass 1 — hot-line census.** Per-batch: split each doc, hash each
+  line (vectorized crc32+splitmix64, the shared key-hash kernel), emit
+  per-batch partial ``(line_hash, n_docs)`` counts (a line counted once
+  per doc). ``groupby(hash).sum`` then filters to hashes with
+  ``n_docs >= min_docs``. Only 16-byte hash/count pairs ride this
+  exchange — never line text.
+* **Pass 2 — strip.**
+  - ``mode="broadcast"`` (default): the hot-hash set is ``ray.put``
+    once and read inside a map-only pass that splits, filters, and
+    reassembles each doc **within its own batch** — zero shuffles, no
+    text movement. Right whenever the hot set fits in a worker heap
+    (it is bounded by lines repeated across >= min_docs docs — site
+    boilerplate, orders of magnitude smaller than the corpus).
+  - ``mode="join"``: fully distributed — docs explode to
+    ``(key, line_no, line, hash)`` rows, co-partitioned with the hot
+    hashes by hash bucket (anti semi-join), then re-grouped by key to
+    reassemble. Line text rides exactly two exchanges; no driver state,
+    no size cap. Use when the hot set itself is huge.
+
+64-bit hashing note: equality is by hash, so a 2^-64 collision can
+strip a unique line; the same trade CCNet's shard-hash dedup makes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+
+def _split_lines(txt_col, sep: str):
+    import pyarrow.compute as pc
+    return pc.split_pattern(pc.coalesce(txt_col, ""), sep)
+
+
+def _line_hashes(lines: list[str]):
+    from .joins import _key_hash64
+    return _key_hash64(pa.array(lines, pa.string()))
+
+
+def hot_line_hashes(ds: Any, col: str = "text", min_docs: int = 2,
+                    sep: str = "\n") -> Any:
+    """Dataset of ``(line_hash,)`` for lines in >= min_docs docs."""
+    import numpy as np
+
+    def census(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for ls in _split_lines(batch.column(col), sep).to_pylist():
+            uniq = set(ls)
+            if uniq:
+                h = _line_hashes(list(uniq))
+                cnt.update(h.tolist())
+        ks = np.fromiter(cnt.keys(), dtype=np.uint64, count=len(cnt))
+        vs = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+        return pa.table({"line_hash": pa.array(ks.astype(np.int64)),
+                         "n_docs": pa.array(vs)})
+
+    agg = (ds.map_batches(census, batch_format="pyarrow")
+             .groupby("line_hash").sum("n_docs"))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.greater_equal(batch.column("sum(n_docs)"), min_docs)
+        return batch.filter(m).select(["line_hash"])
+    return agg.map_batches(keep_hot, batch_format="pyarrow")
+
+
+def remove_duplicate_lines(ds: Any, col: str = "text",
+                           key: str = "doc_id", min_docs: int = 2,
+                           sep: str = "\n", mode: str = "broadcast",
+                           out_col: str = "text_clean") -> Any:
+    """Strip corpus-wide duplicate lines from every doc.
+
+    Output: ``(key, out_col, n_lines_removed)``; a doc whose every
+    line is boilerplate keeps an empty string, not a dropped row.
+    """
+    import numpy as np
+    hot = hot_line_hashes(ds, col=col, min_docs=min_docs, sep=sep)
+
+    if mode == "broadcast":
+        import ray
+        hot_np = np.array(
+            [r["line_hash"] for r in hot.take_all()], dtype=np.int64)
+        hot_ref = ray.put(np.sort(hot_np))
+
+        def strip(batch: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            out_txt: list[str] = []
+            out_rm: list[int] = []
+            for ls in _split_lines(batch.column(col), sep).to_pylist():
+                if not ls:
+                    out_txt.append("")
+                    out_rm.append(0)
+                    continue
+                h = _line_hashes(ls).astype(np.int64)
+                # sorted-membership: searchsorted beats a Python set
+                idx = np.searchsorted(hs, h)
+                idx[idx == len(hs)] = 0
+                dup = (hs[idx] == h) if len(hs) else np.zeros(
+                    len(h), dtype=bool)
+                out_txt.append(sep.join(
+                    l for l, d in zip(ls, dup) if not d))
+                out_rm.append(int(dup.sum()))
+            return pa.table({
+                key: batch.column(key),
+                out_col: pa.array(out_txt, pa.large_string()),
+                "n_lines_removed": pa.array(out_rm, pa.int64()),
+            })
+        return ds.map_batches(strip, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"mode must be broadcast|join, got {mode!r}")
+
+    # fully distributed: explode -> co-partition with hot hashes ->
+    # anti-filter -> regroup by key.  The doc key rides as
+    # large_string through the exchanges (union needs one schema) and
+    # is cast back to the input's Arrow type at the end — resolved on
+    # the DRIVER (a worker-side closure mutation would not propagate).
+    ktype = ds.schema().base_schema.field(key).type
+    from .dedup import _mix64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ks, nos, lines, nls = [], [], [], []
+        kpy = [str(k) for k in batch.column(key).to_pylist()]
+        for i, ls in enumerate(
+                _split_lines(batch.column(col), sep).to_pylist()):
+            ls = ls or [""]
+            n = len(ls)
+            ks.extend([kpy[i]] * (n + 1))
+            # line_no -1 = per-doc anchor row: survives any hot filter
+            # (its hash is salted off the line-hash space) so a fully
+            # boilerplate doc still yields an output row.
+            nos.extend([-1, *range(n)])
+            lines.extend(["", *ls])
+            nls.extend([n] * (n + 1))
+        hashes = _line_hashes(lines).astype(np.int64)
+        anchor = np.asarray(nos, dtype=np.int64) == -1
+        akey = _mix64(np.fromiter(
+            (hash(k) & 0xFFFFFFFFFFFFFFFF for k in ks),
+            dtype=np.uint64, count=len(ks)) ^ np.uint64(0x5A17)
+        ).astype(np.int64)
+        hashes = np.where(anchor, akey, hashes)
+        return pa.table({
+            key: pa.array(ks, pa.large_string()),
+            "line_no": pa.array(nos, pa.int64()),
+            "line": pa.array(lines, pa.large_string()),
+            "n_lines": pa.array(nls, pa.int64()),
+            "line_hash": pa.array(hashes),
+            "side": pa.array(["l"] * len(ks)),
+        })
+
+    def tag_hot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            key: pa.nulls(n, pa.large_string()),
+            "line_no": pa.nulls(n, pa.int64()),
+            "line": pa.nulls(n, pa.large_string()),
+            "n_lines": pa.nulls(n, pa.int64()),
+            "line_hash": batch.column("line_hash"),
+            "side": pa.array(["h"] * n),
+        })
+
+    both = ds.map_batches(explode, batch_format="pyarrow").union(
+        hot.map_batches(tag_hot, batch_format="pyarrow"))
+
+    def drop_hot(g) -> Any:
+        if (g["side"] == "h").any():
+            return g[g["line_no"] == -1]  # anchors always survive
+        return g
+
+    kept = both.groupby("line_hash").map_groups(
+        drop_hot, batch_format="pandas")
+
+    def reassemble(g) -> Any:
+        import pandas as pd
+        g = g.sort_values("line_no")
+        body = g[g["line_no"] >= 0]
+        total = int(g["n_lines"].iloc[0])
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            out_col: [sep.join(body["line"].tolist())],
+            "n_lines_removed": [total - len(body)],
+        })
+
+    out = kept.groupby(key).map_groups(reassemble, batch_format="pandas")
+
+    def fix_types(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            key: pc.cast(batch.column(key), ktype),
+            out_col: pc.cast(batch.column(out_col), pa.large_string()),
+            "n_lines_removed": pc.cast(batch.column("n_lines_removed"),
+                                       pa.int64()),
+        })
+    return out.map_batches(fix_types, batch_format="pyarrow")

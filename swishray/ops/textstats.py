@@ -331,3 +331,94 @@ def ngram_counts(ds: Any, n: int = 3, col: str = "text",
         counts = counts.sort(["n", "gram"],
                              descending=[True, False]).limit(top)
     return counts
+
+
+# -- PII scrubbing -----------------------------------------------------
+
+# RE2-compatible (pyarrow and DuckDB both run RE2, so the oracle SQL
+# uses the same pattern strings verbatim)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(ds: Any, col: str = "text", key: str = "doc_id",
+               email_token: str = "<EMAIL>",
+               phone_token: str = "<PHONE>") -> Any:
+    """Redact email addresses and phone-shaped numbers — a standard
+    pre-training scrub pass. Fully vectorized: two RE2
+    ``replace_substring_regex`` kernels plus two
+    ``count_substring_regex`` for the audit counts; no Python row
+    loop. Output: (key, text_redacted, n_emails, n_phones)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = pc.coalesce(batch.column(col), "")
+        n_e = pc.cast(pc.count_substring_regex(txt, PII_EMAIL_RE),
+                      pa.int64())
+        red = pc.replace_substring_regex(txt, PII_EMAIL_RE, email_token)
+        n_p = pc.cast(pc.count_substring_regex(red, PII_PHONE_RE),
+                      pa.int64())
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, phone_token)
+        return pa.table({
+            key: batch.column(key),
+            "text_redacted": pc.cast(red, pa.large_string()),
+            "n_emails": n_e,
+            "n_phones": n_p,
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- Gopher-style repetition stats ------------------------------------
+
+def repetition_stats(ds: Any, col: str = "text", key: str = "doc_id",
+                     sep: str = "\n") -> Any:
+    """Per-doc repetition signals from the Gopher/MassiveText quality
+    rules (public recipe): duplicate-line count and the max single-word
+    term frequency. Integer-count form so the oracle is hash-exact;
+    callers derive the fractions. Flattened split lists + one pandas
+    groupby per batch (C-level), no per-row Python loop.
+
+    Output: (key, n_lines, n_dup_lines, n_words, max_word_tf)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = pc.coalesce(batch.column(col), "")
+        lines = pc.split_pattern(txt, sep)
+        words = pc.split_pattern_regex(txt, r"\s+")
+        n_rows = batch.num_rows
+
+        def per_doc_dup_and_max(list_arr, drop_empty):
+            lens = pc.list_value_length(list_arr).to_numpy(
+                zero_copy_only=False)
+            flat = pc.list_flatten(list_arr)
+            doc_idx = np.repeat(np.arange(n_rows), lens)
+            vals = flat.to_pandas()
+            df = pd.DataFrame({"d": doc_idx, "v": vals})
+            if drop_empty:
+                df = df[df["v"] != ""]
+            g = df.groupby(["d", "v"], sort=False).size()
+            per = g.groupby(level=0)
+            total = df.groupby("d").size()
+            # rows occupied by values seen >1 time in their doc
+            dup = g[g > 1].groupby(level=0).sum()
+            mx = per.max()
+            out = pd.DataFrame({"total": total}).join(
+                pd.DataFrame({"dup": dup})).join(
+                pd.DataFrame({"mx": mx}))
+            out = out.reindex(range(n_rows)).fillna(0)
+            return (out["total"].astype(np.int64).to_numpy(),
+                    out["dup"].astype(np.int64).to_numpy(),
+                    out["mx"].astype(np.int64).to_numpy())
+
+        n_lines, dup_lines, _ = per_doc_dup_and_max(lines, False)
+        n_words, _, max_tf = per_doc_dup_and_max(words, True)
+        return pa.table({
+            key: batch.column(key),
+            "n_lines": pa.array(n_lines),
+            "n_dup_lines": pa.array(dup_lines),
+            "n_words": pa.array(n_words),
+            "max_word_tf": pa.array(max_tf),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")

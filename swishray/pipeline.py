@@ -181,11 +181,20 @@ def extract_pages(ds: "Any", *, config_xml: str | None = None,
                   concurrency: int | tuple[int, int] | None = None,
                   batch_size: int = 64,
                   keep_input_columns: tuple[str, ...] = (),
-                  xinclude_docs=None) -> "Any":
+                  xinclude_docs=None, num_cpus: float = 1) -> "Any":
     """The flagship stage: Dataset of pages -> Dataset of extraction
     records. Actor pool with warm parser state; small batch_size
     because rows are whole web pages (memory-aware batching,
-    SURVEY.md §4)."""
+    SURVEY.md §4).
+
+    ``num_cpus`` sizes the per-actor CPU reservation. The extraction
+    kernel is memory-bandwidth-bound once the C SAX front-end removed
+    most per-byte Python cost; on bandwidth-saturated hosts fewer,
+    wider actors (``num_cpus=2`` -> cores/2 actors) measurably beat
+    one actor per core (this box: 32 one-core actors ~4-5k docs/s vs
+    16 two-core actors ~6.4k docs/s on the same corpus). On a real
+    multi-node cluster, size actors-per-node to the node's measured
+    bandwidth ceiling, not its core count."""
     from .util import map_batches_stateful
     fn_kwargs = dict(config_xml=config_xml, swish_encoding=swish_encoding,
                      emit=emit, keep_input_columns=keep_input_columns,
@@ -197,7 +206,7 @@ def extract_pages(ds: "Any", *, config_xml: str | None = None,
         batch_size=batch_size,
         zero_copy_batch=True,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=num_cpus,
     )
 
 
