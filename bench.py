@@ -5,10 +5,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "extract": {docs, mb, docs_per_s, mb_per_s}}
 
---scaling runs the same workload in two fresh processes at
-num_cpus=8 and num_cpus=32 and reports throughput at both plus the
-scaling efficiency (the sandbox substitute for N vs 4N Ray nodes —
-BASELINE.md / task instructions).
+--scaling runs the same workload in fresh processes at a ladder of
+num_cpus levels (default 2,4,8,16,32; override BENCH_SCALING_LEVELS)
+and reports throughput at each plus N->4N scaling efficiencies (the
+sandbox substitute for N vs 4N Ray nodes — BASELINE.md / task
+instructions).
 """
 
 from __future__ import annotations

@@ -8,8 +8,13 @@
       swish_header: read/merge/validate a config, write it back out
   python -m swishray extract --pages <parquet> --out <dir> [options]
       the Ray pipeline: pages table -> partitioned extraction records
+  python -m swishray index --pages <parquet> --out <indexdir>
+      swish_xapian -i analog: pages -> token streams -> segmented
+      postings index (re-running upserts by url)
+  python -m swishray search --index <indexdir> term... [--and] [-k N]
+      swish_xapian -s analog: ranked lookup, no Ray session
 
-Only `extract` starts a Ray session; the first three are pure
+Only `extract` and `index` start a Ray session; the others are pure
 single-process (like the reference CLIs).
 """
 
@@ -166,6 +171,57 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """swish_xapian's index mode analog (-i; handler->WritableDatabase
+    upsert, swish_xapian.cpp:485-602): pages parquet -> extraction
+    (emit="full" token streams) -> segmented postings index. Re-running
+    over changed pages upserts (newer segment shadows by url)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from .index import build_index
+    from .pipeline import extract_pages
+
+    if args.text_table:
+        docs = rd.read_parquet(args.pages,
+                               columns=[args.key, args.text_col])
+        info = build_index(docs, args.out, key=args.key,
+                           text_col=args.text_col,
+                           num_buckets=args.num_buckets)
+    else:
+        pages = rd.read_parquet(args.pages)
+        config_xml = None
+        if args.config:
+            with open(args.config[0]) as f:
+                config_xml = f.read()
+        conc = max(1, args.num_cpus - 1)
+        ext = extract_pages(pages, emit="full", config_xml=config_xml,
+                            concurrency=conc, batch_size=64)
+        info = build_index(ext, args.out, key="url", text_col=None,
+                           token_col="token_values",
+                           meta_col="token_metas",
+                           num_buckets=args.num_buckets)
+    print(info)
+    ray.shutdown()
+    return 0
+
+
+def cmd_search(args) -> int:
+    """swish_xapian's search mode analog (-s; OP_AND query + ranked
+    MSet, swish_xapian.cpp:954-1260): pure point lookup, no Ray
+    session (like the reference's query client)."""
+    from .index import IndexSearcher
+    s = IndexSearcher(args.index)
+    hits = s.search(args.terms, mode="and" if args.and_ else "or",
+                    k=args.max, meta=args.meta)
+    for rank, row in enumerate(hits.to_pylist(), start=1):
+        print(f"{rank} {row['key']} score={row['score']} "
+              f"matched={row['n_terms']}/{len(set(args.terms))}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="swishray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -204,6 +260,27 @@ def main(argv=None) -> int:
     pe.add_argument("--num-buckets", type=int, default=64)
     pe.add_argument("--no-resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("--pages", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--config", action="append")
+    pi.add_argument("--num-cpus", type=int, default=8)
+    pi.add_argument("--num-buckets", type=int, default=None)
+    pi.add_argument("--text-table", action="store_true",
+                    help="input is a plain (key, text) table, "
+                         "whitespace-tokenized (skip extraction)")
+    pi.add_argument("--key", default="doc_id")
+    pi.add_argument("--text-col", default="text")
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("terms", nargs="+")
+    ps.add_argument("--and", dest="and_", action="store_true")
+    ps.add_argument("-k", "--max", type=int, default=10)
+    ps.add_argument("--meta", default=None)
+    ps.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)
     return args.fn(args)
