@@ -161,6 +161,12 @@ def run_benchmarks() -> dict:
                                  batch_size=64).materialize()
         with timed("top_words"):
             top_n_words(ext3, 20).take_all()
+        # drop the materialized full-record blocks before the next
+        # query: pinned token-stream blocks otherwise stay in the
+        # object store and measurably tax the following shuffles
+        del ext3
+        import gc as _gc
+        _gc.collect()
 
         with timed("minhash_dedup"):
             # the test table is one file / one row group -> one block;

@@ -215,7 +215,8 @@ def cmd_search(args) -> int:
     from .index import IndexSearcher
     s = IndexSearcher(args.index)
     hits = s.search(args.terms, mode="and" if args.and_ else "or",
-                    k=args.max, meta=args.meta)
+                    k=args.max, meta=args.meta,
+                    ranking="bm25" if args.bm25 else "tf")
     for rank, row in enumerate(hits.to_pylist(), start=1):
         print(f"{rank} {row['key']} score={row['score']} "
               f"matched={row['n_terms']}/{len(set(args.terms))}")
@@ -280,6 +281,9 @@ def main(argv=None) -> int:
     ps.add_argument("--and", dest="and_", action="store_true")
     ps.add_argument("-k", "--max", type=int, default=10)
     ps.add_argument("--meta", default=None)
+    ps.add_argument("--bm25", action="store_true",
+                    help="Okapi BM25 ranking (the reference's Xapian "
+                         "default weighting) instead of raw tf")
     ps.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -180,10 +180,33 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     out.write_parquet(os.path.join(seg_dir, "data"),
                       partition_cols=["kind", "bucket"],
                       max_rows_per_file=max_rows_per_file)
+    n_docs, total_len = _docstore_stats(seg_dir)
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
+             "n_docs": n_docs, "total_doclen": total_len,
              "created": time.time()}
     _append_segment(out_dir, entry)
-    return {"segment": seg_name, "num_buckets": nb, "path": seg_dir}
+    return {"segment": seg_name, "num_buckets": nb, "path": seg_dir,
+            "n_docs": n_docs}
+
+
+def _docstore_stats(seg_dir: str) -> tuple[int, int]:
+    """(n_docs, total doc length) for one freshly written segment —
+    the BM25 corpus statistics. Streams ONLY the docstore's int64 tf
+    column file-by-file (per-doc length), O(1) memory; row counts come
+    free from parquet footers. Under upserts the searcher sums these
+    per segment, so shadowed docs stay counted until a compaction —
+    the same drift Xapian's doccount has before commit/compact."""
+    import pyarrow.dataset as pads
+    dset = pads.dataset(os.path.join(seg_dir, "data"),
+                        partitioning="hive")
+    n_docs = 0
+    total = 0
+    for frag in dset.get_fragments(filter=(pads.field("kind") == "d")):
+        for batch in frag.to_batches(columns=["tf"]):
+            n_docs += batch.num_rows
+            s = batch.column(0).to_numpy(zero_copy_only=False).sum()
+            total += int(s)
+    return n_docs, total
 
 
 def delete_keys(out_dir: str, keys: list) -> dict:
@@ -313,12 +336,55 @@ class IndexSearcher:
         return {"term": term, "doc_count": len(set(keys)),
                 "total_tf": sum(t.column("tf").to_pylist())}
 
+    def _doclens(self, keys: list) -> dict:
+        """key -> doc length, read from the winning segment's docstore
+        (newest-first probe, bucket + isin pruned — same cost shape as
+        _latest_seg)."""
+        import pyarrow.dataset as pads
+        out: dict = {}
+        pending = set(keys)
+        for ord_ in range(len(self.segments), 0, -1):
+            if not pending:
+                break
+            seg = self.segments[ord_ - 1]
+            if seg.get("kind") != "index":
+                continue
+            probe = pa.array(list(pending))
+            nb = seg["num_buckets"]
+            bs = sorted({int(b) for b in _bucket_of(probe, nb)})
+            flt = ((pads.field("kind") == "d")
+                   & pads.field("bucket").isin(bs)
+                   & pads.field("key").isin(probe))
+            t = self._seg_dataset(seg).to_table(
+                filter=flt, columns=["key", "tf"])
+            for kk, dl in zip(t.column("key").to_pylist(),
+                              t.column("tf").to_pylist()):
+                if kk in pending:
+                    out[kk] = dl
+                    pending.discard(kk)
+        return out
+
+    def corpus_stats(self) -> dict:
+        n = sum(s.get("n_docs", 0) for s in self.segments
+                if s.get("kind") == "index")
+        tl = sum(s.get("total_doclen", 0) for s in self.segments
+                 if s.get("kind") == "index")
+        return {"n_docs": n, "avg_doclen": (tl / n) if n else 0.0}
+
     def search(self, terms: list[str], mode: str = "or", k: int = 10,
-               meta: str | None = None) -> pa.Table:
-        """Ranked retrieval: score = Σ tf over matched terms,
-        deterministic tie-break (score desc, key asc). ``mode="and"``
-        requires every term to match (the reference's default query
-        combiner, OP_AND in swish_query)."""
+               meta: str | None = None, ranking: str = "tf",
+               k1: float = 1.2, b: float = 0.75) -> pa.Table:
+        """Ranked retrieval, deterministic tie-break (score desc, key
+        asc). ``mode="and"`` requires every term to match (the
+        reference's default query combiner, OP_AND in swish_query).
+
+        ``ranking="tf"``: score = Σ tf (integer, SQL-oracle-exact).
+        ``ranking="bm25"``: Okapi BM25 — the reference's actual
+        Xapian default weighting scheme. idf = ln((N-df+0.5)/(df+0.5)
+        + 1) with N/avgdl from the per-segment build stats and per-doc
+        lengths fetched from the winning docstore; candidate-
+        proportional work throughout."""
+        import math
         import pandas as pd
         frames = []
         for term in terms:
@@ -332,8 +398,23 @@ class IndexSearcher:
                              "score": pa.array([], pa.int64()),
                              "n_terms": pa.array([], pa.int64())})
         allp = pd.concat(frames, ignore_index=True)
+        if ranking == "bm25":
+            stats = self.corpus_stats()
+            n_corpus = max(stats["n_docs"], 1)
+            avgdl = stats["avg_doclen"] or 1.0
+            df_per_term = allp.groupby("term")["key"].nunique()
+            dls = self._doclens(allp["key"].unique().tolist())
+            idf = allp["term"].map(lambda t: math.log(
+                (n_corpus - df_per_term[t] + 0.5)
+                / (df_per_term[t] + 0.5) + 1.0))
+            dl = allp["key"].map(lambda kk: dls.get(kk, avgdl))
+            tf = allp["tf"].astype(float)
+            allp["w"] = idf * (tf * (k1 + 1)
+                               / (tf + k1 * (1 - b + b * dl / avgdl)))
+        else:
+            allp["w"] = allp["tf"]
         g = allp.groupby("key", sort=False).agg(
-            score=("tf", "sum"), n_terms=("term", "nunique")).reset_index()
+            score=("w", "sum"), n_terms=("term", "nunique")).reset_index()
         if mode == "and":
             g = g[g["n_terms"] == len(set(terms))]
         g = g.sort_values(["score", "key"],

@@ -107,3 +107,37 @@ def test_meta_prefixed_terms_from_extraction_stream(ray_session, idx_dir):
         "term": "hello", "doc_count": 1, "total_tf": 1}
     # no meta filter -> both
     assert s.doc_stats("hello")["total_tf"] == 3
+
+
+def test_bm25_ranking_matches_direct_computation(ray_session, idx_dir):
+    """BM25 scores must equal a from-scratch Okapi computation using
+    the segment build stats (N, avgdl) and per-doc lengths."""
+    import math
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir)
+    s = IndexSearcher(idx_dir)
+    stats = s.corpus_stats()
+    doclens = {1: 4, 2: 4, 3: 3, 4: 1, 5: 0}
+    assert stats["n_docs"] == 5
+    assert abs(stats["avg_doclen"] - sum(doclens.values()) / 5) < 1e-9
+
+    hits = s.search(["beta", "gamma"], ranking="bm25", k=10).to_pydict()
+    got = dict(zip(hits["key"], hits["score"]))
+
+    tfs = {"beta": {1: 2, 2: 1}, "gamma": {1: 1, 2: 2}}
+    dfs = {"beta": 2, "gamma": 2}
+    N, avgdl, k1, b = 5, stats["avg_doclen"], 1.2, 0.75
+    exp = {}
+    for term, posts in tfs.items():
+        idf = math.log((N - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1)
+        for key, tf in posts.items():
+            dl = doclens[key]
+            w = idf * (tf * (k1 + 1)
+                       / (tf + k1 * (1 - b + b * dl / avgdl)))
+            exp[key] = exp.get(key, 0.0) + w
+    assert set(got) == set(exp)
+    for key in exp:
+        assert abs(got[key] - exp[key]) < 1e-9
+    # doc1 has tf 2+1 = doc2's 1+2 and equal lengths -> equal scores,
+    # tie broken by key asc
+    assert hits["key"][0] == 1
