@@ -466,6 +466,41 @@ def q_stream_source(sf_dir: str):
     return ext.map_batches(shape, batch_format="pyarrow")
 
 
+def q_warc_source(sf_dir: str):
+    """WARC source (ISO 28500 / Common-Crawl layout): documents
+    rebuilt as gzip-member WARC response records, read back through
+    read_warc -> extraction; counts DuckDB-checkable from the source
+    documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from swishray.pipeline import extract_pages
+    from swishray.sources import build_warc_bytes, read_warc
+    from swishray.synth import page_html_for_doc
+    from swishray.util import _session_cpus
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    recs = [(f"https://warc.example/{d:08d}.html",
+             page_html_for_doc(d, txt or ""))
+            for d, txt in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist())]
+    path = "/tmp/swishray_warc_src.warc.gz"
+    with open(path, "wb") as f:
+        f.write(build_warc_bytes(recs, gzip_members=True))
+
+    pages = read_warc(path).repartition(max(8, 2 * _session_cpus()))
+    ext = extract_pages(pages, emit="text", concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "nwords": pc.cast(batch.column("nwords"), pa.int64()),
+            "title": pc.cast(batch.column("title"), pa.string()),
+        })
+    return ext.map_batches(shape, batch_format="pyarrow")
+
+
 def q_filelist_source(sf_dir: str):
     """§2.1 filelist seam (io.c:275-297 skippable lines + relative
     path resolution): documents 0..99 written as files, driven through
@@ -885,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_xml": q_extract_xml,
         "typed_property_sort": q_typed_property_sort,
         "stream_source": q_stream_source,
+        "warc_source": q_warc_source,
         "filelist_source": q_filelist_source,
         "hash_join": q_hash_join,
         "anti_join": q_anti_join,
@@ -1030,6 +1066,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY prop_docnum, url LIMIT 120"),
         "stream_source": (
             "SELECT 'https://stream.example/' || "
+            "lpad(cast(doc_id as varchar), 8, '0') || '.html' AS url, "
+            f"cast(2 + len({_WORDS_SQL}) as bigint) AS nwords, "
+            "'Doc ' || doc_id AS title FROM documents"),
+        "warc_source": (
+            "SELECT 'https://warc.example/' || "
             "lpad(cast(doc_id as varchar), 8, '0') || '.html' AS url, "
             f"cast(2 + len({_WORDS_SQL}) as bigint) AS nwords, "
             "'Doc ' || doc_id AS title FROM documents"),

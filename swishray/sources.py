@@ -150,3 +150,122 @@ def read_directory(dir_path: str, follow_symlinks: bool = True) -> Any:
             "lang": pa.array([""] * batch.num_rows, type=pa.string()),
         })
     return ds.map_batches(shape, batch_format="pyarrow")
+
+
+# -- WARC (ISO 28500) -------------------------------------------------
+
+def build_warc_bytes(records: "list[tuple[str, bytes]]",
+                     gzip_members: bool = False) -> bytes:
+    """Serialize (url, html_body) pairs as WARC/1.0 response records
+    with an HTTP/1.1 payload — the Common-Crawl-shaped layout. With
+    ``gzip_members=True`` each record is its own gzip member
+    (the .warc.gz convention, so readers can split at member
+    boundaries). Deterministic (fixed date, no uuids) so tests and
+    oracle queries can rebuild expectations exactly."""
+    import gzip as _gz
+    out = []
+    for url, body in records:
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body)
+        rec = ("WARC/1.0\r\n"
+               "WARC-Type: response\r\n"
+               f"WARC-Target-URI: {url}\r\n"
+               "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               "Content-Type: application/http; msgtype=response\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n").encode() \
+            + http + b"\r\n\r\n"
+        out.append(_gz.compress(rec, mtime=0) if gzip_members else rec)
+    return b"".join(out)
+
+
+def iter_warc_records(data: bytes,
+                      types: tuple = ("response",)) -> Iterator[dict]:
+    """Parse a WARC/1.0 byte stream (plain or multi-member gzip) into
+    dicts: url, warc_type, date, http_status, mime, html (the HTTP
+    payload body; raw record block for non-HTTP payloads). Framing is
+    strict Content-Length like the -S prog parser above."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip as _gz
+        data = _gz.decompress(data)   # concatenated members supported
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos:pos + 2] in (b"\r\n",) :
+            pos += 2
+        if pos >= n:
+            return
+        end = data.find(b"\r\n\r\n", pos)
+        if end < 0:
+            return
+        head = data[pos:end].decode("utf-8", "replace").split("\r\n")
+        if not head or not head[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC header at offset {pos}")
+        hdrs = {}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        clen = int(hdrs.get("content-length", "0"))
+        payload = data[end + 4:end + 4 + clen]
+        pos = end + 4 + clen
+        wtype = hdrs.get("warc-type", "")
+        if wtype not in types:
+            continue
+        rec = {
+            "url": hdrs.get("warc-target-uri", ""),
+            "warc_type": wtype,
+            "date": hdrs.get("warc-date", ""),
+            "http_status": None,
+            "mime": None,
+            "html": payload,
+        }
+        if hdrs.get("content-type", "").startswith("application/http"):
+            hend = payload.find(b"\r\n\r\n")
+            if hend >= 0:
+                hlines = payload[:hend].decode(
+                    "utf-8", "replace").split("\r\n")
+                try:
+                    rec["http_status"] = int(hlines[0].split()[1])
+                except (IndexError, ValueError):
+                    pass
+                for line in hlines[1:]:
+                    k, _, v = line.partition(":")
+                    if k.strip().lower() == "content-type":
+                        rec["mime"] = v.strip().split(";")[0].strip()
+                rec["html"] = payload[hend + 4:]
+        yield rec
+
+
+def warc_table(data: bytes, types: tuple = ("response",)) -> pa.Table:
+    rows = list(iter_warc_records(data, types))
+    return pa.table({
+        "url": pa.array([r["url"] for r in rows], type=pa.string()),
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "mime": pa.array([r["mime"] for r in rows], type=pa.string()),
+        "http_status": pa.array([r["http_status"] for r in rows],
+                                type=pa.int32()),
+        "warc_date": pa.array([r["date"] for r in rows],
+                              type=pa.string()),
+        "text": pa.array([""] * len(rows), type=pa.string()),
+        "lang": pa.array([""] * len(rows), type=pa.string()),
+    })
+
+
+def read_warc(paths: "str | list[str]",
+              types: tuple = ("response",)) -> Any:
+    """Dataset of pages rows from WARC file(s) (.warc or .warc.gz).
+
+    Scale shape: one input file = one task (read_binary_files), the
+    Common Crawl sharding unit (~1 GB/file) — a 100-TB crawl is ~100k
+    files fanned out across the cluster; no driver-side parsing. Each
+    task flat-maps its file into page rows; downstream repartition()
+    if per-file record counts are skewed."""
+    import ray.data as rd
+    ds = rd.read_binary_files(paths)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tables = [warc_table(b, types)
+                  for b in batch.column("bytes").to_pylist()]
+        return pa.concat_tables(tables) if tables else warc_table(b"")
+    return ds.map_batches(explode, batch_format="pyarrow")

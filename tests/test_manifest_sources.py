@@ -212,3 +212,34 @@ def test_write_partitioned_autosized_layout(ray_session, tmp_path):
         write_partitioned(ds, out, num_buckets=layout["num_buckets"] + 1)
     with pytest.raises(ValueError):
         write_partitioned(ds, out, mode="stream")
+
+
+def test_warc_roundtrip_plain_and_gzip(ray_session, tmp_path):
+    from swishray.sources import (build_warc_bytes, iter_warc_records,
+                                  read_warc)
+    recs = [(f"https://w.test/{i}", f"<html><body>doc {i}</body></html>"
+             .encode()) for i in range(5)]
+    for gz, name in [(False, "a.warc"), (True, "b.warc.gz")]:
+        data = build_warc_bytes(recs, gzip_members=gz)
+        parsed = list(iter_warc_records(data))
+        assert [(r["url"], r["html"]) for r in parsed] == recs
+        assert all(r["http_status"] == 200 and r["mime"] == "text/html"
+                   for r in parsed)
+        p = tmp_path / name
+        p.write_bytes(data)
+        rows = read_warc(str(p)).take_all()
+        assert sorted(r["url"] for r in rows) == [u for u, _ in recs]
+        assert all(isinstance(r["html"], bytes) for r in rows)
+
+
+def test_warc_skips_non_response_records(ray_session):
+    from swishray.sources import build_warc_bytes, iter_warc_records
+    # splice a warcinfo record between two responses
+    resp = build_warc_bytes([("https://w.test/0", b"<p>x</p>")])
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 10\r\n\r\nrobots: ok\r\n\r\n")
+    resp2 = build_warc_bytes([("https://w.test/1", b"<p>y</p>")])
+    got = list(iter_warc_records(resp + info + resp2))
+    assert [r["url"] for r in got] == ["https://w.test/0",
+                                      "https://w.test/1"]
