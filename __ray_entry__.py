@@ -828,6 +828,24 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(ds, key="doc_id")
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: 8 deterministic shards
+    (doc_id % 8), docs ordered by doc_id, 128-token chunks with an
+    end-of-doc sentinel; docs straddle chunk boundaries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.packing import pack_documents
+
+    def with_grp(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        grp = pc.subtract(did, pc.multiply(pc.divide(did, 8), 8))
+        return batch.append_column("grp", pc.cast(grp, pa.int64()))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_grp, batch_format="pyarrow")
+    return pack_documents(ds, max_tokens=128, group_col="grp")
+
+
 _INDEX_TERMS = ["batch", "hash", "join", "scan", "window"]
 
 
@@ -936,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_topdocs": q_index_topdocs,
         "index_upsert": q_index_upsert,
         "line_dedup": q_line_dedup,
+        "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         # rows-only:
@@ -1162,6 +1181,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean, "
             "cast(t.n_total - coalesce(a.n_kept, 0) as bigint) "
             "AS n_lines_removed FROM tot t LEFT JOIN agg a USING(doc_id)"),
+        "pack_sequences": (
+            "WITH d AS (SELECT doc_id, cast(doc_id % 8 as bigint) AS grp, "
+            f"list_append({_WORDS_SQL}, '<|eod|>') AS ws FROM documents), "
+            "w AS (SELECT grp, doc_id, i, ws[i] AS tok FROM d, "
+            "unnest(range(1, len(ws) + 1)) AS t(i)), "
+            "x AS (SELECT grp, tok, row_number() OVER "
+            "(PARTITION BY grp ORDER BY doc_id, i) - 1 AS gi FROM w) "
+            "SELECT grp, cast(gi // 128 as bigint) AS chunk_id, "
+            "cast(count(*) as bigint) AS n_tokens, "
+            "string_agg(tok, ' ' ORDER BY gi) AS text "
+            "FROM x GROUP BY grp, gi // 128"),
         "redact_pii": (
             "WITH p AS (SELECT doc_id, text || ' contact user' || "
             "cast(doc_id as varchar) || '@example.com or 555-' || "
