@@ -208,6 +208,20 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """xapian-compact analog: merge all segments into one, resolving
+    upsert shadowing and tombstones with a distributed join."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from .index import compact_index
+    print(compact_index(args.index, num_buckets=args.num_buckets,
+                        delete_old=args.delete_old))
+    ray.shutdown()
+    return 0
+
+
 def cmd_search(args) -> int:
     """swish_xapian's search mode analog (-s; OP_AND query + ranked
     MSet, swish_xapian.cpp:954-1260): pure point lookup, no Ray
@@ -274,6 +288,13 @@ def main(argv=None) -> int:
     pi.add_argument("--key", default="doc_id")
     pi.add_argument("--text-col", default="text")
     pi.set_defaults(fn=cmd_index)
+
+    pc_ = sub.add_parser("compact")
+    pc_.add_argument("--index", required=True)
+    pc_.add_argument("--num-cpus", type=int, default=8)
+    pc_.add_argument("--num-buckets", type=int, default=None)
+    pc_.add_argument("--delete-old", action="store_true")
+    pc_.set_defaults(fn=cmd_compact)
 
     ps = sub.add_parser("search")
     ps.add_argument("--index", required=True)

@@ -197,8 +197,11 @@ def _docstore_stats(seg_dir: str) -> tuple[int, int]:
     per segment, so shadowed docs stay counted until a compaction —
     the same drift Xapian's doccount has before commit/compact."""
     import pyarrow.dataset as pads
-    dset = pads.dataset(os.path.join(seg_dir, "data"),
-                        partitioning="hive")
+    try:
+        dset = pads.dataset(os.path.join(seg_dir, "data"),
+                            partitioning="hive")
+    except FileNotFoundError:
+        return 0, 0
     n_docs = 0
     total = 0
     for frag in dset.get_fragments(filter=(pads.field("kind") == "d")):
@@ -225,6 +228,128 @@ def delete_keys(out_dir: str, keys: list) -> dict:
              "created": time.time()}
     _append_segment(out_dir, entry)
     return {"segment": seg_name, "path": seg_dir}
+
+
+def compact_index(out_dir: str, num_buckets: int | None = None,
+                  delete_old: bool = False) -> dict:
+    """Merge every segment into one, resolving upsert shadowing and
+    tombstones — the ``xapian-compact`` analog. Fully distributed:
+
+    1. every segment's rows stream in tagged with their ordinal,
+    2. winners = per-key max ordinal from the docstore/tombstone rows
+       (a slim (key, seg) exchange + groupby max),
+    3. an inner ``native_join`` keeps only rows whose segment IS the
+       winner and whose winner is not a tombstone,
+    4. rows are re-bucketed and written as a single fresh segment;
+       ``segments.json`` is swapped atomically afterwards.
+
+    Nothing is materialized driver-side; cost is one join over the
+    index's own rows. Old segment dirs are kept unless ``delete_old``
+    (a reader holding the old segments.json can finish its lookups).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .ops.joins import native_join
+
+    segs = _load_segments(out_dir)
+    if not segs:
+        raise FileNotFoundError(f"no index segments under {out_dir}")
+    if num_buckets is None:
+        num_buckets = max((s["num_buckets"] for s in segs
+                           if s.get("kind") == "index"), default=1)
+
+    tagged = []
+    owners = []   # (key, seg, dead) rows for winner resolution
+    for ord_, seg in enumerate(segs, start=1):
+        if seg.get("kind") == "tombstone":
+            t = rd.read_parquet(os.path.join(
+                out_dir, seg["segment"], "tombstones.parquet"))
+            owners.append(t.map_batches(
+                lambda b, o=ord_: pa.table({
+                    "key": b.column("key"),
+                    "seg": pa.array([o] * b.num_rows, pa.int32()),
+                    "dead": pa.array([True] * b.num_rows)}),
+                batch_format="pyarrow"))
+            continue
+        ds = rd.read_parquet(os.path.join(out_dir, seg["segment"], "data"))
+        ds = ds.map_batches(
+            lambda b, o=ord_: b.append_column(
+                "seg", pa.array([o] * b.num_rows, pa.int32())),
+            batch_format="pyarrow")
+        tagged.append(ds)
+        owners.append(ds.map_batches(
+            lambda b: (lambda f: pa.table({
+                "key": f.column("key"),
+                "seg": f.column("seg"),
+                "dead": pa.array([False] * f.num_rows)}))(
+                b.filter(pc.equal(b.column("kind"), "d"))),
+            batch_format="pyarrow"))
+
+    own = owners[0] if len(owners) == 1 else owners[0].union(*owners[1:])
+    from ray.data.aggregate import Max
+    win = own.groupby("key").aggregate(Max("seg", alias_name="max_seg"))
+    dead_by_seg = {i + 1: (s.get("kind") == "tombstone")
+                   for i, s in enumerate(segs)}
+
+    def drop_dead(batch: pa.Table) -> pa.Table:
+        alive = [not dead_by_seg[s]
+                 for s in batch.column("max_seg").to_pylist()]
+        return batch.filter(pa.array(alive))
+    # repartition folds the groupby's schema-less empty blocks into
+    # schema-bearing ones — the built-in hash join raises ArrowInvalid
+    # ("no match for FieldRef key") on a schema-less right partition
+    from .ops.joins import default_join_partitions
+    win = win.map_batches(drop_dead, batch_format="pyarrow") \
+        .repartition(default_join_partitions())
+
+    allrows = tagged[0] if len(tagged) == 1 else tagged[0].union(*tagged[1:])
+    joined = native_join(allrows, win, key="key", how="inner")
+
+    nb = num_buckets
+
+    def keep_and_rebucket(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("seg"),
+                     pc.cast(batch.column("max_seg_r"), pa.int32()))
+        t = batch.filter(m)
+        import numpy as np
+        if t.num_rows == 0:
+            bucket = np.array([], dtype="int32")
+        else:
+            is_p = pc.equal(t.column("kind"), "p")
+            tb = _bucket_of(t.column("term").combine_chunks(), nb)
+            kb = _bucket_of(t.column("key").combine_chunks(), nb)
+            bucket = np.where(is_p.to_numpy(zero_copy_only=False),
+                              tb, kb)
+        return pa.table({
+            "kind": t.column("kind"),
+            "bucket": pa.array(bucket.astype("int32")),
+            "term": t.column("term"),
+            "meta": t.column("meta"),
+            "key": t.column("key"),
+            "tf": t.column("tf"),
+        })
+
+    out = joined.map_batches(keep_and_rebucket, batch_format="pyarrow")
+    seg_id = len(segs) + 1
+    seg_name = f"seg-{seg_id:06d}"
+    seg_dir = os.path.join(out_dir, seg_name)
+    out.write_parquet(os.path.join(seg_dir, "data"),
+                      partition_cols=["kind", "bucket"])
+    n_docs, total_len = _docstore_stats(seg_dir)
+    entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
+             "n_docs": n_docs, "total_doclen": total_len,
+             "created": time.time(), "compacted_from": len(segs)}
+    tmp = os.path.join(out_dir, _SEGMENTS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump([entry], f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _SEGMENTS_FILE))
+    if delete_old:
+        import shutil
+        for s in segs:
+            shutil.rmtree(os.path.join(out_dir, s["segment"]),
+                          ignore_errors=True)
+    return {"segment": seg_name, "num_buckets": nb, "n_docs": n_docs}
 
 
 class IndexSearcher:

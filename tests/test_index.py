@@ -141,3 +141,30 @@ def test_bm25_ranking_matches_direct_computation(ray_session, idx_dir):
     # doc1 has tf 2+1 = doc2's 1+2 and equal lengths -> equal scores,
     # tie broken by key asc
     assert hits["key"][0] == 1
+
+
+def test_compact_preserves_search_results(ray_session, idx_dir):
+    """compact (xapian-compact analog): one segment out, identical
+    search results, tombstoned/shadowed rows gone from disk."""
+    import json
+    import os
+    from swishray.index import (IndexSearcher, compact_index,
+                                delete_keys, search_counts)
+    _build(ray_session, idx_dir)
+    _build(ray_session, idx_dir, rows=[(1, "zeta zeta")], num_buckets=2)
+    delete_keys(idx_dir, [3])
+    terms = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    before = search_counts(idx_dir, terms).to_pydict()
+    info = compact_index(idx_dir, num_buckets=2)
+    segs = json.load(open(os.path.join(idx_dir, "segments.json")))
+    assert len(segs) == 1 and segs[0]["compacted_from"] == 3
+    after = search_counts(idx_dir, terms).to_pydict()
+    assert after == before
+    # corpus stats reflect only live docs now (doc3 deleted, doc1
+    # replaced): docs 1,2,4,5
+    s = IndexSearcher(idx_dir)
+    assert s.corpus_stats()["n_docs"] == 4 == info["n_docs"]
+    # upsert still works on the compacted index
+    _build(ray_session, idx_dir, rows=[(9, "omega")], num_buckets=2)
+    got = search_counts(idx_dir, ["omega"]).to_pydict()
+    assert got["doc_count"] == [1]
