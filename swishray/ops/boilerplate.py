@@ -171,29 +171,57 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
             "side": pa.array(["h"] * n),
         })
 
+    # Both exchanges group on a bounded BUCKET count, never per key:
+    # Ray invokes the map_groups fn once per group, and per-line-hash /
+    # per-doc invocation overhead (a Python frame + block build each)
+    # was the measured round-2 bench cost on minhash (dedup.py:418-425
+    # carries the same pattern).  Inside a bucket everything is one
+    # vectorized pandas pass.
+    n_buckets = 256
+
+    def add_hash_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        h = batch.column("line_hash").to_numpy(zero_copy_only=False)
+        b = (h.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("hb", pa.array(b))
+
     both = ds.map_batches(explode, batch_format="pyarrow").union(
-        hot.map_batches(tag_hot, batch_format="pyarrow"))
+        hot.map_batches(tag_hot, batch_format="pyarrow")).map_batches(
+        add_hash_bucket, batch_format="pyarrow")
 
     def drop_hot(g) -> Any:
-        if (g["side"] == "h").any():
-            return g[g["line_no"] == -1]  # anchors always survive
-        return g
+        dead = set(g.loc[g["side"] == "h", "line_hash"])
+        if not dead:
+            return g[g["side"] == "l"]
+        keep = (g["side"] == "l") & (
+            (g["line_no"] == -1) | ~g["line_hash"].isin(dead))
+        return g[keep]
 
-    kept = both.groupby("line_hash").map_groups(
-        drop_hot, batch_format="pandas")
+    kept = both.groupby("hb").map_groups(drop_hot, batch_format="pandas")
+
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
+        from .joins import _key_hash64
+        import numpy as np
+        kb = (_key_hash64(batch.column(key).combine_chunks())
+              % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("kb", pa.array(kb))
 
     def reassemble(g) -> Any:
         import pandas as pd
-        g = g.sort_values("line_no")
+        g = g.sort_values([key, "line_no"])
         body = g[g["line_no"] >= 0]
-        total = int(g["n_lines"].iloc[0])
-        return pd.DataFrame({
-            key: [g[key].iloc[0]],
-            out_col: [sep.join(body["line"].tolist())],
-            "n_lines_removed": [total - len(body)],
-        })
+        joined = body.groupby(key, sort=False)["line"].agg(sep.join)
+        kept_n = body.groupby(key, sort=False).size()
+        total = g.groupby(key, sort=False)["n_lines"].first()
+        out = pd.DataFrame({key: total.index})
+        out[out_col] = joined.reindex(total.index).fillna("").values
+        out["n_lines_removed"] = (
+            total - kept_n.reindex(total.index).fillna(0)).astype(
+            "int64").values
+        return out
 
-    out = kept.groupby(key).map_groups(reassemble, batch_format="pandas")
+    out = kept.map_batches(add_key_bucket, batch_format="pyarrow") \
+        .groupby("kb").map_groups(reassemble, batch_format="pandas")
 
     def fix_types(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
