@@ -111,68 +111,76 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     nb = num_buckets
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+        """Vectorized postings fan-out: flatten the token lists, tag
+        each token with its doc ordinal (np.repeat), one pandas
+        groupby for (doc, meta, term) -> tf — no per-doc Python loop
+        in the sink's hot path."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
         keys = batch.column(key)
+        n = batch.num_rows
         if token_col is not None:
-            toks_col = batch.column(token_col).to_pylist()
-            metas_col = (batch.column(meta_col).to_pylist()
-                         if meta_col else None)
-        else:
-            import pyarrow.compute as pc
-            toks_col = pc.split_pattern_regex(
-                pc.coalesce(batch.column(text_col), ""), " +").to_pylist()
-            metas_col = None
-        p_term: list[str] = []
-        p_meta: list[str] = []
-        p_key: list = []
-        p_tf: list[int] = []
-        d_key: list = []
-        d_len: list[int] = []
-        kpy = keys.to_pylist()
-        for i, toks in enumerate(toks_col):
-            toks = toks or []
-            if metas_col is not None:
-                cnt = Counter(
-                    ((m or _DEFAULT_META),
-                     t.decode("utf-8", "replace")
-                     if isinstance(t, bytes) else t)
-                    for m, t in zip(metas_col[i], toks))
-                doclen = len(toks)
-                for (m, t), c in cnt.items():
-                    p_term.append(t)
-                    p_meta.append(m)
-                    p_key.append(kpy[i])
-                    p_tf.append(c)
+            toks = batch.column(token_col)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            fb = pc.list_flatten(toks)
+            try:
+                flat = pc.cast(fb, pa.string()).to_pandas()
+            except pa.ArrowInvalid:
+                # tokenizer output is valid UTF-8 by construction, but
+                # stay lossy-safe for foreign token tables
+                flat = fb.to_pandas().map(
+                    lambda v: v.decode("utf-8", "replace")
+                    if isinstance(v, bytes) else v)
+            if meta_col is not None:
+                metas = batch.column(meta_col)
+                if isinstance(metas, pa.ChunkedArray):
+                    metas = metas.combine_chunks()
+                mflat = pc.list_flatten(metas).to_pandas().fillna(
+                    _DEFAULT_META)
             else:
-                cnt = Counter(t for t in toks if t)
-                doclen = sum(cnt.values())
-                for t, c in cnt.items():
-                    p_term.append(t)
-                    p_meta.append(_DEFAULT_META)
-                    p_key.append(kpy[i])
-                    p_tf.append(c)
-            d_key.append(kpy[i])
-            d_len.append(doclen)
+                mflat = pd.Series([_DEFAULT_META] * len(flat))
+            doc_idx = np.repeat(np.arange(n), lens)
+            df = pd.DataFrame({"d": doc_idx, "m": mflat, "t": flat})
+            doclens = pd.Series(lens, index=np.arange(n))
+        else:
+            words = pc.split_pattern_regex(
+                pc.coalesce(batch.column(text_col), ""), " +")
+            lens = pc.list_value_length(words).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(words).to_pandas()
+            doc_idx = np.repeat(np.arange(n), lens)
+            df = pd.DataFrame({"d": doc_idx, "t": flat})
+            df = df[df["t"] != ""]
+            df["m"] = _DEFAULT_META
+            doclens = df.groupby("d").size().reindex(
+                np.arange(n)).fillna(0).astype(np.int64)
+        g = df.groupby(["d", "m", "t"], sort=False).size().reset_index(
+            name="tf")
+        kpy = np.asarray(keys.to_pylist(), dtype=object)
         ktype = keys.type
-        pk = pa.array(p_key, type=ktype)
-        dk = pa.array(d_key, type=ktype)
+        pk = pa.array(kpy[g["d"].to_numpy()], type=ktype)
+        terms = pa.array(g["t"], pa.string())
         post = pa.table({
-            "kind": pa.array(["p"] * len(p_term)),
-            "bucket": pa.array(_bucket_of(pa.array(p_term, pa.string()), nb)
-                               if p_term else [], type=pa.int32()),
-            "term": pa.array(p_term, pa.string()),
-            "meta": pa.array(p_meta, pa.string()),
+            "kind": pa.array(["p"] * len(g)),
+            "bucket": pa.array(_bucket_of(terms, nb)
+                               if len(g) else [], type=pa.int32()),
+            "term": terms,
+            "meta": pa.array(g["m"], pa.string()),
             "key": pk,
-            "tf": pa.array(p_tf, pa.int64()),
+            "tf": pa.array(g["tf"].astype(np.int64).values),
         }).sort_by("term")  # row-group stats prune term lookups
         docs = pa.table({
-            "kind": pa.array(["d"] * len(d_key)),
-            "bucket": pa.array(_bucket_of(dk, nb) if d_key else [],
-                               type=pa.int32()),
-            "term": pa.array([""] * len(d_key), pa.string()),
-            "meta": pa.array([""] * len(d_key), pa.string()),
-            "key": dk,
-            "tf": pa.array(d_len, pa.int64()),  # doc length for ranking
+            "kind": pa.array(["d"] * n),
+            "bucket": pa.array(_bucket_of(keys.combine_chunks(), nb)
+                               if n else [], type=pa.int32()),
+            "term": pa.array([""] * n, pa.string()),
+            "meta": pa.array([""] * n, pa.string()),
+            "key": keys,
+            "tf": pa.array(doclens.values),  # doc length for ranking
         })
         return pa.concat_tables([post, docs])
 
