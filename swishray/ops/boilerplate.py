@@ -48,23 +48,33 @@ def _line_hashes(lines: list[str]):
     return _key_hash64(pa.array(lines, pa.string()))
 
 
+def _line_hashes_arr(arr: pa.Array):
+    from .joins import _key_hash64
+    return _key_hash64(arr)
+
+
 def hot_line_hashes(ds: Any, col: str = "text", min_docs: int = 2,
                     sep: str = "\n") -> Any:
     """Dataset of ``(line_hash,)`` for lines in >= min_docs docs."""
     import numpy as np
 
     def census(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        cnt: Counter = Counter()
-        for ls in _split_lines(batch.column(col), sep).to_pylist():
-            uniq = set(ls)
-            if uniq:
-                h = _line_hashes(list(uniq))
-                cnt.update(h.tolist())
-        ks = np.fromiter(cnt.keys(), dtype=np.uint64, count=len(cnt))
-        vs = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
-        return pa.table({"line_hash": pa.array(ks.astype(np.int64)),
-                         "n_docs": pa.array(vs)})
+        """Vectorized: flatten all lines, hash once, dedupe (doc,hash)
+        pairs, one pandas value_counts — no per-doc Python loop."""
+        import pandas as pd
+        import pyarrow.compute as pc
+        lines = _split_lines(batch.column(col), sep)
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        h = _line_hashes_arr(flat).astype(np.int64)
+        df = pd.DataFrame({"d": doc_idx, "h": h}).drop_duplicates()
+        vc = df["h"].value_counts()
+        return pa.table({
+            "line_hash": pa.array(vc.index.to_numpy(dtype=np.int64)),
+            "n_docs": pa.array(vc.to_numpy(dtype=np.int64))})
 
     agg = (ds.map_batches(census, batch_format="pyarrow")
              .groupby("line_hash").sum("n_docs"))
@@ -95,27 +105,37 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
         hot_ref = ray.put(np.sort(hot_np))
 
         def strip(batch: pa.Table) -> pa.Table:
+            """Vectorized: one flatten + one searchsorted membership
+            over the whole batch, per-doc reassembly via a pandas
+            groupby join — no per-doc Python loop."""
+            import pandas as pd
+            import pyarrow.compute as pc
             hs = ray.get(hot_ref)
-            out_txt: list[str] = []
-            out_rm: list[int] = []
-            for ls in _split_lines(batch.column(col), sep).to_pylist():
-                if not ls:
-                    out_txt.append("")
-                    out_rm.append(0)
-                    continue
-                h = _line_hashes(ls).astype(np.int64)
-                # sorted-membership: searchsorted beats a Python set
+            lines = _split_lines(batch.column(col), sep)
+            if isinstance(lines, pa.ChunkedArray):
+                lines = lines.combine_chunks()
+            lens = pc.list_value_length(lines).to_numpy(
+                zero_copy_only=False)
+            flat = pc.list_flatten(lines)
+            n = batch.num_rows
+            doc_idx = np.repeat(np.arange(n), lens)
+            h = _line_hashes_arr(flat).astype(np.int64)
+            if len(hs) and len(h):
                 idx = np.searchsorted(hs, h)
                 idx[idx == len(hs)] = 0
-                dup = (hs[idx] == h) if len(hs) else np.zeros(
-                    len(h), dtype=bool)
-                out_txt.append(sep.join(
-                    l for l, d in zip(ls, dup) if not d))
-                out_rm.append(int(dup.sum()))
+                dup = hs[idx] == h
+            else:
+                dup = np.zeros(len(h), dtype=bool)
+            df = pd.DataFrame({"d": doc_idx,
+                               "l": flat.to_pandas()})[~dup]
+            joined = df.groupby("d", sort=False)["l"].agg(sep.join)
+            txt = joined.reindex(np.arange(n)).fillna("")
+            removed = np.bincount(doc_idx[dup], minlength=n)
             return pa.table({
                 key: batch.column(key),
-                out_col: pa.array(out_txt, pa.large_string()),
-                "n_lines_removed": pa.array(out_rm, pa.int64()),
+                out_col: pa.array(txt.values, pa.large_string()),
+                "n_lines_removed": pa.array(
+                    removed.astype(np.int64)),
             })
         return ds.map_batches(strip, batch_format="pyarrow")
 
