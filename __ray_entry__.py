@@ -846,6 +846,73 @@ def q_pack_sequences(sf_dir: str):
     return pack_documents(ds, max_tokens=128, group_col="grp")
 
 
+def q_url_parts(sf_dir: str):
+    """Vectorized URL structure split + per-site rollup input: urls
+    synthesized deterministically over four hosts (one with a port,
+    paths and query strings varying by doc_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import url_parts
+
+    def with_urls(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        ds4 = pc.cast(did, pa.string())
+        hostn = pc.subtract(did, pc.multiply(pc.divide(did, 4), 4))
+        host = pc.case_when(
+            pc.make_struct(pc.equal(hostn, 0), pc.equal(hostn, 1),
+                           pc.equal(hostn, 2)),
+            "www.alpha.example.com", "beta.example.org:8080",
+            "GAMMA.Example.net", "delta.example.com")
+        q = pc.if_else(pc.equal(pc.subtract(
+            did, pc.multiply(pc.divide(did, 3), 3)), 0),
+            pc.binary_join_element_wise("?q=", ds4, ""), "")
+        url = pc.binary_join_element_wise(
+            "https://", host, "/p/", ds4, ".html", q, "")
+        return pa.table({"doc_id": did, "url": url})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        with_urls, batch_format="pyarrow")
+    return url_parts(ds, col="url", key="doc_id")
+
+
+def q_site_stats(sf_dir: str):
+    """Per-site doc counts + weight sums over the same synthetic
+    urls (slim (site, partials) exchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from swishray.ops.textstats import url_parts
+
+    def with_urls(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        hostn = pc.subtract(did, pc.multiply(pc.divide(did, 4), 4))
+        host = pc.case_when(
+            pc.make_struct(pc.equal(hostn, 0), pc.equal(hostn, 1),
+                           pc.equal(hostn, 2)),
+            "www.alpha.example.com", "beta.example.org:8080",
+            "GAMMA.Example.net", "delta.example.com")
+        url = pc.binary_join_element_wise(
+            "https://", host, "/p/", pc.cast(did, pa.string()),
+            ".html", "")
+        return pa.table({"url": url,
+                         "n_chars": batch.column("n_chars")})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        with_urls, batch_format="pyarrow")
+    parts = url_parts(ds, col="url", key="n_chars")
+    out = parts.groupby("site").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "site": batch.column("site"),
+            "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+            "sum_chars": pc.cast(batch.column("sum_chars"), pa.int64()),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 _INDEX_TERMS = ["batch", "hash", "join", "scan", "window"]
 
 
@@ -953,6 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_search": q_index_search,
         "index_topdocs": q_index_topdocs,
         "index_upsert": q_index_upsert,
+        "url_parts": q_url_parts,
+        "site_stats": q_site_stats,
         "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1181,6 +1250,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean, "
             "cast(t.n_total - coalesce(a.n_kept, 0) as bigint) "
             "AS n_lines_removed FROM tot t LEFT JOIN agg a USING(doc_id)"),
+        "url_parts": (
+            "WITH u AS (SELECT doc_id, 'https://' || "
+            "CASE doc_id % 4 WHEN 0 THEN 'www.alpha.example.com' "
+            "WHEN 1 THEN 'beta.example.org:8080' "
+            "WHEN 2 THEN 'GAMMA.Example.net' "
+            "ELSE 'delta.example.com' END || '/p/' || "
+            "cast(doc_id as varchar) || '.html' || "
+            "CASE WHEN doc_id % 3 = 0 THEN '?q=' || "
+            "cast(doc_id as varchar) ELSE '' END AS url "
+            "FROM documents), "
+            "h AS (SELECT doc_id, url, lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://(?P<m>[^/?#:]+)', 1)) AS host "
+            "FROM u) "
+            "SELECT doc_id, url, "
+            "regexp_extract(url, "
+            "'^(?P<m>[A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme, host, "
+            "regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:(?P<m>\\d+)', 1) "
+            "AS port, "
+            "regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(?P<m>/[^?#]*)', 1) "
+            "AS path, "
+            "regexp_extract(url, '\\?(?P<m>[^#]*)', 1) AS \"query\", "
+            "coalesce(nullif(regexp_extract(host, "
+            "'(?P<m>[^.]+\\.[^.]+)$', 1), ''), host) AS site FROM h"),
+        "site_stats": (
+            "WITH s AS (SELECT CASE doc_id % 4 "
+            "WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.org' "
+            "WHEN 2 THEN 'example.net' ELSE 'example.com' END AS site, "
+            "n_chars FROM documents) "
+            "SELECT site, count(*) AS n_docs, "
+            "cast(sum(n_chars) as bigint) AS sum_chars "
+            "FROM s GROUP BY site"),
         "pack_sequences": (
             "WITH d AS (SELECT doc_id, cast(doc_id % 8 as bigint) AS grp, "
             f"list_append({_WORDS_SQL}, '<|eod|>') AS ws FROM documents), "

@@ -422,3 +422,67 @@ def repetition_stats(ds: Any, col: str = "text", key: str = "doc_id",
             "max_word_tf": pa.array(max_tf),
         })
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- URL structure ----------------------------------------------------
+
+# one RE2 pass per component; DuckDB runs the same patterns verbatim
+# in the oracle (both engines are RE2 — named groups because
+# pc.extract_regex requires them; DuckDB addresses them as group 1)
+URL_SCHEME_RE = r"^(?P<m>[A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<m>[^/?#:]+)"
+URL_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:(?P<m>\d+)"
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(?P<m>/[^?#]*)"
+URL_QUERY_RE = r"\?(?P<m>[^#]*)"
+URL_SITE_RE = r"(?P<m>[^.]+\.[^.]+)$"
+
+
+def url_parts(ds: Any, col: str = "url", key: str | None = None) -> Any:
+    """Split URLs into (scheme, host, port, path, query) — fully
+    vectorized RE2 extracts, host lowercased, registrable-domain-ish
+    column (last two host labels) for per-site grouping. The per-site
+    rollup is the webtext pipeline's partition key of choice (crawl
+    politeness, per-domain quotas, site-level quality priors)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        u = pc.coalesce(batch.column(col), "")
+
+        def ext(pattern, src=None):
+            s = pc.extract_regex(u if src is None else src, pattern)
+            return pc.struct_field(s, ["m"])
+        host = pc.utf8_lower(pc.coalesce(ext(URL_HOST_RE), ""))
+        # site = last two dot-labels of the host (example.co.uk-style
+        # public-suffix lists are out of scope; documented heuristic)
+        site = pc.coalesce(ext(URL_SITE_RE, src=host), host)
+        cols = {}
+        if key is not None:
+            cols[key] = batch.column(key)
+        cols.update({
+            col: batch.column(col),
+            "scheme": pc.coalesce(ext(URL_SCHEME_RE), ""),
+            "host": host,
+            "port": pc.coalesce(pc.cast(ext(URL_PORT_RE),
+                                        pa.string()), ""),
+            "path": pc.coalesce(ext(URL_PATH_RE), "/"),
+            "query": pc.coalesce(pc.cast(ext(URL_QUERY_RE),
+                                         pa.string()), ""),
+            "site": site,
+        })
+        return pa.table(cols)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def site_stats(ds: Any, url_col: str = "url",
+               weight_col: str | None = None) -> Any:
+    """Per-site rollup: doc count (+ optional weight sum) grouped on
+    the registrable-domain heuristic from url_parts. Slim exchange:
+    only (site, count, weight) partials shuffle."""
+    from ray.data.aggregate import Count, Sum
+    parts = url_parts(ds.select_columns(
+        [url_col] + ([weight_col] if weight_col else [])), col=url_col,
+        key=weight_col)
+    aggs = [Count(alias_name="n_docs")]
+    if weight_col:
+        aggs.append(Sum(weight_col, alias_name=f"sum_{weight_col}"))
+    return parts.groupby("site").aggregate(*aggs)

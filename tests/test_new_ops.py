@@ -232,3 +232,24 @@ def test_vectorized_textstats_match_python(ray_session):
             sum(1 for w in words if w in STOPWORDS) / nw if nw else 0.0)
         np_ = sum(1 for c in t if not c.isalnum() and not c.isspace())
         assert qs[i]["punct_ratio"] == (np_ / len(t) if t else 0.0), (i, t)
+
+
+def test_url_parts_components(ray_session):
+    import ray.data as rd
+    from swishray.ops.textstats import url_parts
+    t = pa.table({"url": pa.array([
+        "https://WWW.Example.COM:8443/a/b.html?x=1#frag",
+        "http://host/",
+        "ftp://files.example.org",
+        "not a url"], pa.string())})
+    out = url_parts(rd.from_arrow(t), col="url").take_all()
+    r = out[0]
+    assert (r["scheme"], r["host"], r["port"]) == (
+        "https", "www.example.com", "8443")
+    assert (r["path"], r["query"], r["site"]) == (
+        "/a/b.html", "x=1", "example.com")
+    assert (out[1]["host"], out[1]["path"], out[1]["port"]) == (
+        "host", "/", "")
+    assert out[1]["site"] == "host"          # no dots -> heuristic
+    assert (out[2]["scheme"], out[2]["path"]) == ("ftp", "/")
+    assert out[3]["host"] == "" and out[3]["scheme"] == ""
