@@ -846,6 +846,18 @@ def q_pack_sequences(sf_dir: str):
     return pack_documents(ds, max_tokens=128, group_col="grp")
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-text estimate (rows-only: the estimate is
+    deterministic but approximate, so no SQL hash oracle; accuracy vs
+    exact COUNT(DISTINCT) is pytest-bounded at 5%)."""
+    import pyarrow as pa
+    from swishray.ops.aggregates import hll_count_distinct
+    out = hll_count_distinct(_docs(sf_dir, ["text"]), "text", p=12)
+    return pa.table({"estimate": pa.array([out["estimate"]],
+                                          pa.float64()),
+                     "p": pa.array([out["p"]], pa.int64())})
+
+
 def q_url_parts(sf_dir: str):
     """Vectorized URL structure split + per-site rollup input: urls
     synthesized deterministically over four hosts (one with a port,
@@ -1027,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         # rows-only:
+        "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs_ivf": q_cosine_pairs_ivf,
         "ivf_topk": q_ivf_topk,

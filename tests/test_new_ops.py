@@ -253,3 +253,26 @@ def test_url_parts_components(ray_session):
     assert out[1]["site"] == "host"          # no dots -> heuristic
     assert (out[2]["scheme"], out[2]["path"]) == ("ftp", "/")
     assert out[3]["host"] == "" and out[3]["scheme"] == ""
+
+
+def test_hll_count_distinct_accuracy(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import hll_count_distinct
+    n = 60000
+    t = pa.table({"v": pa.array(
+        [f"value-{i % 20000}" for i in range(n)], pa.string())})
+    ds = rd.from_arrow(t).repartition(8)
+    out = hll_count_distinct(ds, "v", p=12)
+    # true cardinality 20000; p=12 std error ~1.6% -> assert 5%
+    assert abs(out["estimate"] - 20000) / 20000 < 0.05
+    # determinism: same input -> identical estimate
+    again = hll_count_distinct(rd.from_arrow(t).repartition(3), "v", p=12)
+    assert again["estimate"] == out["estimate"]
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import hll_count_distinct
+    t = pa.table({"v": pa.array(list(range(50)) * 4, pa.int64())})
+    out = hll_count_distinct(rd.from_arrow(t), "v", p=12)
+    assert abs(out["estimate"] - 50) < 3
