@@ -846,6 +846,24 @@ def q_pack_sequences(sf_dir: str):
     return pack_documents(ds, max_tokens=128, group_col="grp")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling quota (curriculum shape):
+    same md5-membership contract as hash_sample, thresholds per
+    class."""
+    from swishray.ops.aggregates import stratified_hash_sample
+    return stratified_hash_sample(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        {"en": 0.5, "es": 0.25, "de": 0.1}, class_col="lang")
+
+
+def q_vocab(sf_dir: str):
+    """Frequency vocabulary with stable rank ids (min_count=5,
+    max_size=100)."""
+    from swishray.ops.aggregates import build_vocab
+    return build_vocab(_docs(sf_dir, ["text"]), min_count=5,
+                       max_size=100)
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct-text estimate (rows-only: the estimate is
     deterministic but approximate, so no SQL hash oracle; accuracy vs
@@ -1028,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": q_quantiles,
         "topk_per_group": q_topk_per_group,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "vocab": q_vocab,
         "ngrams": q_ngrams,
         "index_search": q_index_search,
         "index_topdocs": q_index_topdocs,
@@ -1221,6 +1241,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
             "1, 8)) AS BIGINT) < CAST(0.25 * 4294967296 AS BIGINT)"),
+        "stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) < CASE lang "
+            "WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT) "
+            "WHEN 'es' THEN CAST(0.25 * 4294967296 AS BIGINT) "
+            "WHEN 'de' THEN CAST(0.1 * 4294967296 AS BIGINT) "
+            "ELSE 0 END"),
+        "vocab": (
+            "WITH w AS ("
+            f"  SELECT unnest({_WORDS_SQL}) AS token FROM documents), "
+            "c AS (SELECT token, cast(count(*) as bigint) AS n FROM w "
+            "GROUP BY token HAVING count(*) >= 5) "
+            "SELECT token, n, cast(row_number() OVER "
+            "(ORDER BY n DESC, token ASC) - 1 as bigint) AS id "
+            "FROM c ORDER BY id LIMIT 100"),
         "index_search": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "

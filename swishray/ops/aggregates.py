@@ -173,3 +173,70 @@ def hll_count_distinct(ds: Any, col: str, p: int = 12) -> dict:
                             np.frombuffer(row["regs"], dtype=np.uint8))
     return {"estimate": hll_estimate(merged), "p": p,
             "n_blocks": len(rows)}
+
+
+def stratified_hash_sample(ds: Any, rates: "dict[str, float]",
+                           class_col: str, key: str = "doc_id",
+                           default_rate: float = 0.0) -> Any:
+    """Per-class deterministic sampling (quality/language-quota
+    curricula): each row keeps iff md5(key) < its CLASS's rate — the
+    same order/partition-independent membership contract as
+    :func:`hash_sample`, with the threshold looked up per row from
+    ``rates``. Pure map-side, SQL-expressible for the oracle."""
+    import numpy as np
+    from .md5vec import md5_u32
+
+    thresholds = {c: int(r * (1 << 32)) for c, r in rates.items()}
+    dflt = int(default_rate * (1 << 32))
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = md5_u32(batch.column(key).to_pylist()).astype(np.int64)
+        cls = batch.column(class_col).to_pylist()
+        th = np.fromiter((thresholds.get(c, dflt) for c in cls),
+                         dtype=np.int64, count=len(cls))
+        return batch.filter(pa.array(h < th))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def build_vocab(ds: Any, col: str = "text", min_count: int = 2,
+                max_size: int | None = None) -> pa.Table:
+    """Frequency vocabulary with stable ids (tokenizer-training prep):
+    whitespace tokens, corpus-wide counts via map-side partial
+    Counters (the shuffle moves (token, partial) rows, never text),
+    min-count cut, deterministic id = rank by (count desc, token asc).
+    Returns an in-memory table — a vocab is small BY CONSTRUCTION
+    (min_count + max_size bound it), which is what makes the final
+    driver-side id assignment legitimate at any corpus scale."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        txt = pc.coalesce(batch.column(col), "")
+        words = pc.split_pattern_regex(txt, " +")
+        flat = pc.list_flatten(words).to_pandas()
+        vc = flat[flat != ""].value_counts()
+        return pa.table({
+            "token": pa.array(vc.index, pa.string()),
+            "__n": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("__n", alias_name="n"))
+
+    def cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n"), min_count))
+    vocab = counts.map_batches(cut, batch_format="pyarrow") \
+        .sort(["n", "token"], descending=[True, False])
+    if max_size is not None:
+        vocab = vocab.limit(max_size)
+    tbl = pa.Table.from_pylist(vocab.take_all())
+    return pa.table({
+        "token": tbl.column("token") if tbl.num_rows else
+        pa.array([], pa.string()),
+        "n": pc.cast(tbl.column("n"), pa.int64()) if tbl.num_rows else
+        pa.array([], pa.int64()),
+        "id": pa.array(range(tbl.num_rows), pa.int64()),
+    })

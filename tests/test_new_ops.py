@@ -276,3 +276,35 @@ def test_hll_small_range_linear_counting(ray_session):
     t = pa.table({"v": pa.array(list(range(50)) * 4, pa.int64())})
     out = hll_count_distinct(rd.from_arrow(t), "v", p=12)
     assert abs(out["estimate"] - 50) < 3
+
+
+def test_stratified_sample_membership(ray_session):
+    import hashlib
+    import ray.data as rd
+    from swishray.ops.aggregates import stratified_hash_sample
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "lang": pa.array([["en", "es", "de", "zz"][i % 4]
+                          for i in range(400)], pa.string())})
+    rates = {"en": 0.5, "es": 0.25, "de": 0.0}
+    out = stratified_hash_sample(rd.from_arrow(t), rates,
+                                 class_col="lang").take_all()
+    got = {r["doc_id"] for r in out}
+    for i in range(400):
+        lang = ["en", "es", "de", "zz"][i % 4]
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        expect = h < int(rates.get(lang, 0.0) * (1 << 32))
+        assert (i in got) == expect
+    assert not any(["zz" == r["lang"] or "de" == r["lang"] for r in out])
+
+
+def test_build_vocab_ranks(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import build_vocab
+    t = pa.table({"text": pa.array(
+        ["b b b a a c", "a b", "d", ""], pa.string())})
+    v = build_vocab(rd.from_arrow(t), min_count=2).to_pydict()
+    # a:3 b:4 c:1 d:1 -> cut c,d; rank by count desc, token asc
+    assert v["token"] == ["b", "a"]
+    assert v["n"] == [4, 3]
+    assert v["id"] == [0, 1]
