@@ -192,7 +192,32 @@ def run_benchmarks() -> dict:
                 Sum("l_quantity", alias_name="sum_qty"),
                 Sum("l_extendedprice", alias_name="sum_price")).take_all()
 
+    def calibrate() -> float:
+        """Host-speed probe: single-process extraction of a fixed
+        deterministic 60-page corpus, best of 3. The shared-host VM's
+        effective CPU speed swings ±20% between runs (hypervisor
+        contention invisible to vmstat); this number lets cross-round
+        bench comparisons be normalized to host speed."""
+        from swishray.extractor import DocumentExtractor
+        from swishray.synth import fixture_pages_table
+        tbl = fixture_pages_table(60, skew_big_frac=0.1)
+        bodies = list(zip(tbl.column("url").to_pylist(),
+                          tbl.column("html").to_pylist()))
+        mb = sum(len(b) for _, b in bodies) / 1e6
+        ex = DocumentExtractor()
+        for u, b in bodies[:5]:
+            ex.extract(u, b)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for u, b in bodies:
+                ex.extract(u, b)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(mb / best, 2)
+
     import statistics
+    calib = calibrate()
     for _ in range(repeats):
         one_pass()
     timings = {q: round(statistics.median(ts), 3)
@@ -218,6 +243,12 @@ def run_benchmarks() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "extract": extract_stats,
+        # single-core host-speed probe (MB/s) over a fixed 60-page
+        # fixture corpus; r3 reference point ~17 on this host, observed
+        # dipping ~20% under hypervisor contention — divide reported
+        # throughputs by (calib/17) to normalize cross-round
+        # comparisons for host speed
+        "calib_single_core_mb_per_s": calib,
     }
     if spread:
         out["repeats"] = repeats
