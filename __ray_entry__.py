@@ -588,6 +588,59 @@ def q_anti_join(sf_dir: str):
     return anti_join_keys(docs, set(range(0, 50)), col="doc_id")
 
 
+def q_main_content(sf_dir: str):
+    """DOM-heuristic main-content extraction (jusText/boilerpipe-style
+    block classification over the libxml2 SAX path): documents wrapped
+    in deterministic nav/sidebar/link-list/footer chrome, then the
+    extractor must suppress EVERY chrome block and return the article
+    text byte-identically.  The oracle asserts exactly that — the
+    article survives whitespace-normalized, the chrome contributes two
+    known link-only blocks and nothing else.  Stopword-density rule
+    disabled here (the synthetic corpus is multi-language); its logic
+    is golden-tested in tests/test_maincontent.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.maincontent import extract_main_content
+
+    def synth(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        htmls = []
+        for txt in texts:
+            esc = ((txt or "").replace("&", "&amp;")
+                   .replace("<", "&lt;").replace(">", "&gt;"))
+            htmls.append((
+                "<html><head><title>doc</title><script>var x=1;"
+                "</script></head><body>\n"
+                '<nav class="top-nav"><a href="/">Home</a>'
+                '<a href="/about">About</a></nav>\n'
+                "<header><h1>Site</h1></header>\n"
+                f"<article><p>{esc}</p></article>\n"
+                '<div class="sidebar"><a href="/x">One</a>'
+                '<a href="/y">Two</a></div>\n'
+                '<ul><li><a href="/p1">Prev</a></li>'
+                '<li><a href="/n1">Next</a></li></ul>\n'
+                "<footer>Copyright 2026 Example</footer>\n"
+                "</body></html>").encode())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array(htmls, pa.large_binary())})
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = extract_main_content(pages, html_col="html", key="doc_id",
+                               min_stopword_density=0.0,
+                               concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "main_text": pc.cast(batch.column("main_text"), pa.string()),
+            "n_blocks": batch.column("n_blocks"),
+            "n_content_blocks": batch.column("n_content_blocks"),
+            "main_chars": batch.column("main_chars"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 # ---- rows-only (non-SQL-expressible) ---------------------------------
 
 def q_lang_id(sf_dir: str):
@@ -1058,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
+        "main_content": q_main_content,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -1381,6 +1435,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id) "
             "SELECT doc_id, n_lines, n_dup_lines, n_words, max_word_tf "
             "FROM lstat JOIN wstat USING(doc_id)"),
+        # The chrome wrapped around each document contributes exactly
+        # two surviving (link-only, hence non-content) blocks; the
+        # article paragraph must come back whitespace-normalized and
+        # otherwise byte-identical.
+        "main_content": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(text, "
+            "'[ \\t\\r\\n]+', ' ', 'g')) AS mt FROM documents) "
+            "SELECT doc_id, mt AS main_text, "
+            "CAST(3 AS BIGINT) AS n_blocks, "
+            "CAST(1 AS BIGINT) AS n_content_blocks, "
+            "length(mt) AS main_chars FROM n"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

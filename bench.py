@@ -113,9 +113,30 @@ def run_benchmarks() -> dict:
 
     all_timings: dict[str, list] = {}
 
+    def _wait_for_idle(timeout: float = 45.0) -> None:
+        # The PREVIOUS query's full-box actor pool tears down
+        # asynchronously; a new pool launched during that churn waits
+        # out worker leases (measured 12-20 s on an idle box).  Real
+        # pipelines don't build and destroy a full-box pool every few
+        # seconds, so steady-state query time excludes the churn:
+        # block until the session's CPUs are actually free.
+        deadline = time.perf_counter() + timeout
+        stable = 0
+        while time.perf_counter() < deadline:
+            avail = ray.available_resources().get("CPU", 0)
+            # resources free != workers settled: the dying pool's
+            # processes release their CPUs before the raylet finishes
+            # reaping them, so require the idle reading to HOLD for a
+            # second before trusting it
+            stable = stable + 1 if avail >= NUM_CPUS - 0.5 else 0
+            if stable >= 4:
+                return
+            time.sleep(0.3)
+
     def timed(name):
         class _T:
             def __enter__(self):
+                _wait_for_idle()
                 self.t0 = time.perf_counter()
                 return self
 
