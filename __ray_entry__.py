@@ -641,6 +641,43 @@ def q_main_content(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def q_pdf_text(sf_dir: str):
+    """PDF text tier (north-star "PDF/layout parse"): documents
+    rendered as valid Flate-compressed one-page PDFs (10 words per
+    Tj line), re-extracted through the content-stream parser; the
+    whitespace-normalized roundtrip must be byte-identical and every
+    stream accounted for."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.pdftext import build_simple_pdf, extract_pdf_text
+
+    def synth(batch: pa.Table) -> pa.Table:
+        pdfs = []
+        for txt in batch.column("text").to_pylist():
+            ws = (txt or "").split()
+            lines = [" ".join(ws[i:i + 10])
+                     for i in range(0, len(ws), 10)] or [""]
+            pdfs.append(build_simple_pdf(lines))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pdf": pa.array(pdfs, pa.large_binary())})
+
+    pdfs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = extract_pdf_text(pdfs, pdf_col="pdf", key="doc_id",
+                           concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            batch.column("text"), r"\s+", " "))
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "pdf_text": pc.cast(norm, pa.string()),
+            "n_streams": batch.column("n_streams"),
+            "n_skipped_streams": batch.column("n_skipped_streams"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 # ---- rows-only (non-SQL-expressible) ---------------------------------
 
 def q_lang_id(sf_dir: str):
@@ -1112,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "main_content": q_main_content,
+        "pdf_text": q_pdf_text,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -1446,6 +1484,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 AS BIGINT) AS n_blocks, "
             "CAST(1 AS BIGINT) AS n_content_blocks, "
             "length(mt) AS main_chars FROM n"),
+        "pdf_text": (
+            "SELECT doc_id, trim(regexp_replace(text, "
+            "'[ \\t\\r\\n]+', ' ', 'g')) AS pdf_text, "
+            "CAST(1 AS BIGINT) AS n_streams, "
+            "CAST(0 AS BIGINT) AS n_skipped_streams FROM documents"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
