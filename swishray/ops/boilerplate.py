@@ -166,9 +166,11 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
             nls.extend([n] * (n + 1))
         hashes = _line_hashes(lines).astype(np.int64)
         anchor = np.asarray(nos, dtype=np.int64) == -1
-        akey = _mix64(np.fromiter(
-            (hash(k) & 0xFFFFFFFFFFFFFFFF for k in ks),
-            dtype=np.uint64, count=len(ks)) ^ np.uint64(0x5A17)
+        # anchor key: same deterministic vectorized hash as the lines
+        # (NOT Python hash(), whose per-process salt would scatter a
+        # doc's anchor across runs), salted off the line-hash space
+        akey = _mix64(
+            _line_hashes(ks).astype(np.uint64) ^ np.uint64(0x5A17)
         ).astype(np.int64)
         hashes = np.where(anchor, akey, hashes)
         return pa.table({

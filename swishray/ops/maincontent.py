@@ -177,6 +177,7 @@ class MainContentExtract:
         self.min_stop = min_stopword_density
         self.stop = frozenset(stopwords) if stopwords is not None \
             else _EN_STOPWORDS
+        self._stop_arr = pa.array(sorted(self.stop), type=pa.string())
         self.class_re = re.compile(class_rule)
 
     def _segment(self, body: bytes) -> list[tuple[str, int, int]]:
@@ -212,12 +213,23 @@ class MainContentExtract:
                         dtype=np.int64)
         nb = len(texts)
         if nb:
-            chars = np.array([len(t) for t in texts], dtype=np.int64)
-            words = [t.lower().split() for t in texts]
-            nwords = np.array([len(w) for w in words], dtype=np.float64)
-            nstop = np.array(
-                [sum(1 for x in w if x in self.stop) for w in words],
-                dtype=np.float64)
+            import pyarrow.compute as pc
+            tarr = pa.array(texts, type=pa.string())
+            chars = pc.utf8_length(tarr).to_numpy(zero_copy_only=False)
+            nwords = pc.count_substring_regex(tarr, r"\S+") \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            # stopword hits: one is_in over the flattened lowercased
+            # split words, reduced per block with a cumsum-gather
+            # (textstats._word_stat_arrays pattern — no per-row Python)
+            words = pc.utf8_split_whitespace(pc.utf8_lower(tarr))
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            hits = pc.is_in(words.flatten(), value_set=self._stop_arr) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            woffs = words.offsets.to_numpy(zero_copy_only=False)
+            hc = np.concatenate(([0], np.cumsum(hits)))
+            nstop = (hc[woffs[1:] - woffs[0]]
+                     - hc[woffs[:-1] - woffs[0]]).astype(np.float64)
             link_d = anch / np.maximum(raw, 1.0)
             stop_d = nstop / np.maximum(nwords, 1.0)
             low_link = link_d <= self.max_link_density
