@@ -641,6 +641,61 @@ def q_main_content(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over a synthesized near-dup pair list:
+    chains of 8 (doc_id -> doc_id-1 within each group of 8) force ~7
+    min-propagation rounds plus the in-shuffle convergence check; the
+    oracle knows the closed-form answer (component = doc_id - doc_id
+    % 8) without needing SQL graph traversal."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.components import connected_components
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        keep = pc.greater(pc.bit_wise_and(d, 7), 0)
+        t = batch.filter(keep)
+        a = t.column("doc_id").combine_chunks()
+        return pa.table({"a": a, "b": pc.subtract(a, 1)})
+
+    e = _docs(sf_dir, ["doc_id"]).map_batches(edges,
+                                              batch_format="pyarrow")
+    cc = connected_components(e, a="a", b="b")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(batch.column("node"), pa.int64()),
+            "component": pc.cast(batch.column("component"), pa.int64())})
+    return cc.map_batches(shape, batch_format="pyarrow")
+
+
+def q_dedup_canonical(sf_dir: str):
+    """dedup_keep_canonical over the same synthesized chain pairs:
+    one survivor (the min doc_id) per cluster of 8, untouched docs
+    pass through; loser removal is a both-sides-large bucketed left
+    join, no broadcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.components import dedup_keep_canonical
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        keep = pc.greater(pc.bit_wise_and(d, 7), 0)
+        t = batch.filter(keep)
+        a = t.column("doc_id").combine_chunks()
+        return pa.table({"a": a, "b": pc.subtract(a, 1)})
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    kept = dedup_keep_canonical(docs, e, key="doc_id")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64())})
+    return kept.map_batches(shape, batch_format="pyarrow")
+
+
 def q_pdf_text(sf_dir: str):
     """PDF text tier (north-star "PDF/layout parse"): documents
     rendered as valid Flate-compressed one-page PDFs (10 words per
@@ -1150,6 +1205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "main_content": q_main_content,
         "pdf_text": q_pdf_text,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -1489,6 +1546,18 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\r\\n]+', ' ', 'g')) AS pdf_text, "
             "CAST(1 AS BIGINT) AS n_streams, "
             "CAST(0 AS BIGINT) AS n_skipped_streams FROM documents"),
+        # chain edges doc_id -> doc_id-1 within each group of 8: the
+        # component is the group base in closed form; nodes are every
+        # doc that appears in an edge (as source: id%8>0; as target:
+        # a successor exists)
+        "dedup_clusters": (
+            "SELECT doc_id AS node, doc_id - (doc_id % 8) AS component "
+            "FROM documents WHERE doc_id % 8 > 0 OR EXISTS ("
+            "SELECT 1 FROM documents d2 WHERE d2.doc_id = "
+            "documents.doc_id + 1 AND d2.doc_id % 8 > 0)"),
+        "dedup_canonical": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id % 8 = 0"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

@@ -1,0 +1,164 @@
+"""Connected components over near-dup pair lists, and canonical-doc
+dedup on top — the consumer stage of minhash/simhash/cosine output.
+
+The reference's dedup story stops at upsert-by-url
+(swish_xapian.cpp:563-601 replaces same-key docs); a training-data
+pipeline needs the transitive step: near-dup PAIRS form clusters, and
+exactly one member per cluster survives.  Public algorithm: iterative
+min-label propagation (the hash-to-min family, Rastogi et al.) —
+``label(x) <- min(label(x), min label among x's neighbours)`` until
+fixpoint.
+
+Ray-Data shape per round (all slim ``(node,label)`` exchanges):
+
+    prop = native_join(sym_edges, labels, on=node)   # nbr gets label
+    dbl  = native_join(labels-as-lookup, labels)     # label's label
+    labels' = union(prop, dbl, labels).groupby(node).min
+
+The ``dbl`` stream is pointer doubling — each node also adopts its
+label's current label — so chains collapse in O(log diameter) rounds
+rather than O(diameter).  Convergence is detected INSIDE the same
+shuffle, not with an extra join: rows coming from ``labels`` carry
+their label duplicated in an ``old`` column (null on propagated
+rows), so ``Max(old)`` rides the existing groupby and ``changed =
+count(label != old)`` is a map-side count on the result.  Labels are
+monotonically non-increasing; star-capped LSH buckets keep dedup
+graphs shallow, so 2-3 rounds is typical.
+
+Scale notes: per-round state is one ``(node,label,old)`` row per
+node — object-store resident (``materialize`` per round bounds
+re-execution of the loop's growing lineage); the joins are
+hash-partitioned; nothing ever groups a whole component into one
+task.  ``max_rounds`` is a safety cap, generous given log-scaling
+(2^20 diameter).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .joins import hash_join, native_join
+
+
+def connected_components(edges: Any, a: str = "a", b: str = "b",
+                         max_rounds: int = 20,
+                         num_partitions: int | None = None) -> Any:
+    """-> Dataset ``(node, component)`` with ``component`` = the min
+    node id reachable from ``node``.  Nodes appear iff they appear in
+    ``edges``; ``a``/``b`` columns must share one integer-like type."""
+    import ray.data  # noqa: F401 — edges is a Dataset already
+    from ray.data.aggregate import Max, Min
+
+    from ..util import _session_cpus
+    nparts = num_partitions or max(8, 2 * _session_cpus())
+
+    def sym(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"node": batch.column(a).combine_chunks(),
+                        "nbr": batch.column(b).combine_chunks()})
+        rev = pa.table({"node": batch.column(b).combine_chunks(),
+                        "nbr": batch.column(a).combine_chunks()})
+        return pa.concat_tables([fwd, rev])
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+
+    def with_self(batch: pa.Table) -> pa.Table:
+        # self-loops seed label(x) = min(x, neighbours) in round 0
+        return pa.concat_tables([
+            batch,
+            pa.table({"node": batch.column("node").combine_chunks(),
+                      "nbr": batch.column("node").combine_chunks()})])
+
+    labels = edges_sym.map_batches(with_self, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("nbr", alias_name="label")) \
+        .repartition(nparts).materialize()
+
+    for _ in range(max_rounds):
+        # Ray 2.49: groupby output can contain schema-less empty
+        # blocks that break the built-in hash join — the repartition
+        # above (and below) re-blocks them away.
+        prop = native_join(edges_sym, labels, "node",
+                           num_partitions=nparts)
+
+        def as_candidate(batch: pa.Table) -> pa.Table:
+            t = batch.column("label_r").type
+            return pa.table({
+                "node": batch.column("nbr").combine_chunks()
+                .cast(batch.column("node").type),
+                "label": batch.column("label_r").combine_chunks(),
+                "old": pa.nulls(batch.num_rows, t)})
+
+        def as_current(batch: pa.Table) -> pa.Table:
+            lab = batch.column("label").combine_chunks()
+            return pa.table({"node": batch.column("node"),
+                             "label": lab, "old": lab})
+
+        # pointer doubling: each node also adopts its LABEL's label,
+        # collapsing chains in O(log diameter) rounds instead of
+        # O(diameter) — join labels-with-labels on label=node
+        as_lookup = labels.map_batches(
+            lambda t: pa.table({
+                "src": t.column("node").combine_chunks(),
+                "node": t.column("label").combine_chunks()}),
+            batch_format="pyarrow")
+        dbl = native_join(as_lookup, labels, "node",
+                          num_partitions=nparts)
+
+        def as_doubled(batch: pa.Table) -> pa.Table:
+            t = batch.column("label_r").type
+            return pa.table({
+                "node": batch.column("src").combine_chunks(),
+                "label": batch.column("label_r").combine_chunks(),
+                "old": pa.nulls(batch.num_rows, t)})
+
+        cand = prop.map_batches(as_candidate, batch_format="pyarrow")
+        cand2 = dbl.map_batches(as_doubled, batch_format="pyarrow")
+        cur = labels.map_batches(as_current, batch_format="pyarrow")
+        new_labels = cand.union(cand2).union(cur).groupby("node").aggregate(
+            Min("label", alias_name="label"),
+            Max("old", alias_name="old")) \
+            .repartition(nparts).materialize()
+
+        def count_changed(batch: pa.Table) -> pa.Table:
+            ch = pc.sum(pc.cast(pc.not_equal(
+                batch.column("label"), batch.column("old")),
+                pa.int64())).as_py() or 0
+            return pa.table({"changed": pa.array([ch], pa.int64())})
+
+        changed = sum(r["changed"] for r in new_labels.map_batches(
+            count_changed, batch_format="pyarrow").take_all())
+        labels = new_labels.drop_columns(["old"]).materialize()
+        if changed == 0:
+            break
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "component": batch.column("label")})
+    return labels.map_batches(shape, batch_format="pyarrow")
+
+
+def dedup_keep_canonical(docs: Any, pairs: Any, key: str = "doc_id",
+                         a: str = "a", b: str = "b",
+                         max_rounds: int = 20) -> Any:
+    """Drop every near-dup cluster member except the canonical one
+    (min key).  Docs in no pair survive untouched.  The loser set
+    rides a both-sides-large bucketed left join (hash_join) — no
+    broadcast, no driver state."""
+    cc = connected_components(pairs, a=a, b=b, max_rounds=max_rounds)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch.column("node"), batch.column("component"))
+        t = batch.filter(m)
+        return pa.table({key: t.column("node").combine_chunks()
+                         .cast(docs.schema().base_schema.field(key).type),
+                         "_loser": pa.array([1] * t.num_rows,
+                                            pa.int8())})
+
+    loser_ds = cc.map_batches(losers, batch_format="pyarrow")
+    joined = hash_join(docs, loser_ds, key, how="left")
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("_loser_r")))
+        .drop_columns(["_loser_r"]),
+        batch_format="pyarrow")

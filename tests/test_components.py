@@ -1,0 +1,62 @@
+"""Connected components + canonical dedup (ops/components.py).
+The multi-round chain topology and the closed-form oracle are also
+exercised by the dedup_clusters / dedup_canonical queries() entries."""
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from swishray.ops.components import (connected_components,
+                                     dedup_keep_canonical)
+
+
+def _cc(edge_list, **kw):
+    e = rd.from_items([{"a": a, "b": b} for a, b in edge_list]) \
+        .repartition(3)
+    df = connected_components(e, **kw).to_pandas()
+    return dict(zip(df["node"], df["component"]))
+
+
+def test_star_and_chain_and_pair(ray_session):
+    got = _cc([(0, 1), (1, 2), (2, 3),        # chain, diameter 3
+               (10, 11), (10, 12),            # star
+               (20, 21)])                     # pair
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_bridged_clusters_merge(ray_session):
+    # two stars bridged by one edge must collapse to one component
+    got = _cc([(5, 6), (5, 7), (30, 31), (30, 32), (7, 31)])
+    assert set(got.values()) == {5}
+    assert len(got) == 6
+
+
+def test_long_chain_converges(ray_session):
+    n = 24  # needs many propagation rounds, well under max_rounds
+    got = _cc([(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_max_rounds_caps_work(ray_session):
+    # with max_rounds=1 a long chain CANNOT fully converge — the cap
+    # is honoured rather than looping forever
+    got = _cc([(i, i + 1) for i in range(6)], max_rounds=1)
+    assert len(got) == 7
+    assert got[6] != 0  # not yet propagated to the far end
+
+
+def test_duplicate_and_reversed_edges(ray_session):
+    got = _cc([(1, 2), (2, 1), (1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_keep_canonical(ray_session):
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"t{i}"}
+         for i in [0, 1, 2, 3, 5, 10, 11, 12, 99]]).repartition(3)
+    e = rd.from_items([{"a": a, "b": b} for a, b in
+                       [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12)]])
+    kept = dedup_keep_canonical(docs, e, key="doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 5, 10, 99]
+    assert sorted(kept.columns) == ["doc_id", "text"]
