@@ -641,6 +641,68 @@ def q_main_content(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def q_c4_clean(sf_dir: str):
+    """C4 line/page rules (Raffel et al. §2.2) over synthesized
+    multi-line pages: a terminal-punct sentence, a too-short line, a
+    javascript line, a second sentence, an every-7th-doc 'lorem
+    ipsum' ban line, and a closer — the oracle reconstructs the
+    surviving text in closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import c4_clean
+
+    CLOSER = "Closing sentence with exactly enough words to pass!"
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        pages = []
+        for did, t in zip(d, txts):
+            t = t or ""
+            lines = [t + ".", "short line",
+                     "This line mentions javascript so it gets dropped.",
+                     t + " again."]
+            if did % 7 == 0:
+                lines.append("lorem ipsum")
+            lines.append(CLOSER)
+            pages.append("\n".join(lines))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "page": pa.array(pages, pa.large_string())})
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = c4_clean(pages, col="page", key="doc_id")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "clean_text": pc.cast(batch.column("clean_text"),
+                                  pa.string()),
+            "n_lines_kept": batch.column("n_lines_kept"),
+            "n_lines_dropped": batch.column("n_lines_dropped"),
+            "doc_kept": batch.column("doc_kept"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. App. A) over raw
+    documents; the oracle mirrors the identical double arithmetic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import gopher_quality
+
+    out = gopher_quality(_docs(sf_dir, ["doc_id", "text"]))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+        for c in ("n_words", "mean_word_len", "symbol_ratio",
+                  "alpha_word_frac", "keep"):
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Connected components over a synthesized near-dup pair list:
     chains of 8 (doc_id -> doc_id-1 within each group of 8) force ~7
@@ -1207,6 +1269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_text": q_pdf_text,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -1558,6 +1622,51 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE doc_id % 8 = 0"),
+        # surviving lines in closed form: sentence A, ' again.'
+        # sentence, closer; the short + javascript lines always drop;
+        # the every-7th lorem-ipsum line drops at line level AND bans
+        # the page
+        "c4_clean": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 THEN '' ELSE "
+            "text || '.' || chr(10) || text || ' again.' || chr(10) "
+            "|| 'Closing sentence with exactly enough words to pass!' "
+            "END AS clean_text, "
+            "CAST(3 AS BIGINT) AS n_lines_kept, "
+            "CAST(2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS n_lines_dropped, "
+            "doc_id % 7 <> 0 AS doc_kept FROM documents"),
+        # mirrors the kernel's exact IEEE double arithmetic
+        # (int-int subtraction, greatest(n,1) divisor, double divide)
+        "gopher_quality": (
+            "WITH w AS (SELECT doc_id, text, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS nw, "
+            "greatest(len(ws), 1) AS nw1, "
+            "length(text) - length(regexp_replace(text, '\\s', '', "
+            "'g')) AS n_ws_chars, length(text) AS nc, "
+            "length(text) - length(replace(text, '#', '')) AS nhash, "
+            "(length(text) - length(replace(text, '...', ''))) / 3 "
+            "AS nell, "
+            "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) "
+            "AS nalpha FROM w), "
+            "r AS (SELECT doc_id, nw AS n_words, "
+            "CAST(nc - n_ws_chars AS DOUBLE) / nw1 AS mean_word_len, "
+            "CAST(nhash + nell AS DOUBLE) / nw1 AS symbol_ratio, "
+            "CAST(nalpha AS DOUBLE) / nw1 AS alpha_word_frac, "
+            "CASE WHEN regexp_matches(ltrim(text), "
+            "'^([-*•]|[0-9]+\\.)\\s') THEN 1.0 ELSE 0.0 END "
+            "AS bullet_frac, "
+            "CASE WHEN regexp_matches(rtrim(text), '\\.\\.\\.$') "
+            "THEN 1.0 ELSE 0.0 END AS ell_frac FROM s) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+            "alpha_word_frac, "
+            "(n_words >= 50 AND n_words <= 100000 AND "
+            "mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND "
+            "symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND "
+            "ell_frac <= 0.3 AND alpha_word_frac >= 0.8) AS keep "
+            "FROM r"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
