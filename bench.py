@@ -170,6 +170,13 @@ def run_benchmarks() -> dict:
         if EXTRACT_ONLY:
             return
 
+        from swishray.ops.maincontent import extract_main_content
+        mc = extract_main_content(pages_tbl, html_col="html",
+                                  key="url", concurrency=conc,
+                                  batch_size=64)
+        with timed("main_content"):
+            mc.aggregate(_Sum("main_chars", alias_name="mc"))
+
         # NOTE on plan-vs-execution timing: rd.read_parquet's
         # driver-side metadata fetch runs as a tiny remote task; when
         # the PREVIOUS query's 30-CPU actor pool is still tearing down,
