@@ -641,6 +641,67 @@ def q_main_content(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def q_tier_extract(sf_dir: str):
+    """Tier-routing extraction cascade (the reference's ext->MIME->
+    parser pick, mime_types.c:235-274, re-expressed as content
+    sniffing): every doc_id%3 renders the SAME document text as a
+    Flate PDF, chrome-wrapped HTML, or plain UTF-8 text (every 6th
+    additionally a gzip member); one router actor pass must sniff
+    each body, unwrap gzip, dispatch to the pdf / main-content / txt
+    kernel, and recover the text in closed form per tier."""
+    import gzip as _gz
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.pdftext import build_simple_pdf
+    from swishray.ops.tiered import tiered_extract
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bodies = []
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
+            txt = txt or ""
+            m = did % 3
+            if m == 0:
+                ws = txt.split()
+                lines = [" ".join(ws[i:i + 10])
+                         for i in range(0, len(ws), 10)] or [""]
+                bodies.append(build_simple_pdf(lines))
+            elif m == 1:
+                esc = (txt.replace("&", "&amp;")
+                       .replace("<", "&lt;").replace(">", "&gt;"))
+                bodies.append((
+                    "<html><head><title>doc</title></head><body>\n"
+                    '<nav class="top-nav"><a href="/">Home</a>'
+                    '<a href="/about">About</a></nav>\n'
+                    f"<article><p>{esc}</p></article>\n"
+                    "<footer>Copyright 2026 Example</footer>\n"
+                    "</body></html>").encode())
+            else:
+                raw = txt.encode("utf-8")
+                bodies.append(_gz.compress(raw, mtime=0)
+                              if did % 6 == 5 else raw)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "body": pa.array(bodies, pa.large_binary())})
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = tiered_extract(pages, body_col="body", key="doc_id",
+                         min_stopword_density=0.0,
+                         concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            batch.column("tier_text"), r"\s+", " "))
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "tier": batch.column("tier"),
+            "tier_text": pc.cast(norm, pa.string()),
+            "was_gzip": batch.column("was_gzip"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def q_c4_clean(sf_dir: str):
     """C4 line/page rules (Raffel et al. §2.2) over synthesized
     multi-line pages: a terminal-punct sentence, a too-short line, a
@@ -1267,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "main_content": q_main_content,
         "pdf_text": q_pdf_text,
+        "tier_extract": q_tier_extract,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "c4_clean": q_c4_clean,
@@ -1610,6 +1672,15 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\r\\n]+', ' ', 'g')) AS pdf_text, "
             "CAST(1 AS BIGINT) AS n_streams, "
             "CAST(0 AS BIGINT) AS n_skipped_streams FROM documents"),
+        # the cascade recovers the same text whichever tier carried
+        # it; tier + gzip flags are pure functions of doc_id
+        "tier_extract": (
+            "SELECT doc_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html' "
+            "ELSE 'txt' END AS tier, "
+            "trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g')) "
+            "AS tier_text, "
+            "doc_id % 6 = 5 AS was_gzip FROM documents"),
         # chain edges doc_id -> doc_id-1 within each group of 8: the
         # component is the group base in closed form; nodes are every
         # doc that appears in an edge (as source: id%8>0; as target:
