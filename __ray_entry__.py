@@ -641,20 +641,14 @@ def q_main_content(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
-def q_tier_extract(sf_dir: str):
-    """Tier-routing extraction cascade (the reference's ext->MIME->
-    parser pick, mime_types.c:235-274, re-expressed as content
-    sniffing): every doc_id%3 renders the SAME document text as a
-    Flate PDF, chrome-wrapped HTML, or plain UTF-8 text (every 6th
-    additionally a gzip member); one router actor pass must sniff
-    each body, unwrap gzip, dispatch to the pdf / main-content / txt
-    kernel, and recover the text in closed form per tier."""
+def _tier_pages(sf_dir: str):
+    """Mixed-tier synthetic crawl: every doc_id%3 renders the SAME
+    document text as a Flate PDF, chrome-wrapped HTML, or plain UTF-8
+    text (every 6th additionally a gzip member)."""
     import gzip as _gz
 
     import pyarrow as pa
-    import pyarrow.compute as pc
     from swishray.ops.pdftext import build_simple_pdf
-    from swishray.ops.tiered import tiered_extract
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -684,22 +678,75 @@ def q_tier_extract(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "body": pa.array(bodies, pa.large_binary())})
 
-    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         synth, batch_format="pyarrow")
-    out = tiered_extract(pages, body_col="body", key="doc_id",
-                         min_stopword_density=0.0,
-                         concurrency=_conc())
+
+
+def _tier_norm_text(out):
+    """Whitespace-normalize tier_text and recompute tier_chars so the
+    per-doc value is closed-form vs the source text whichever tier
+    (PDF line breaks, HTML block joins) carried it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def shape(batch: pa.Table) -> pa.Table:
         norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
             batch.column("tier_text"), r"\s+", " "))
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["tier_text"] = pc.cast(norm, pa.string())
+        cols["tier_chars"] = pc.cast(pc.utf8_length(norm), pa.int64())
+        return pa.table(cols)
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_tier_extract(sf_dir: str):
+    """Tier-routing extraction cascade (the reference's ext->MIME->
+    parser pick, mime_types.c:235-274, re-expressed as content
+    sniffing): one router actor pass must sniff each synthetic body,
+    unwrap gzip, dispatch to the pdf / main-content / txt kernel, and
+    recover the text in closed form per tier."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.tiered import tiered_extract
+
+    out = _tier_norm_text(tiered_extract(
+        _tier_pages(sf_dir), body_col="body", key="doc_id",
+        min_stopword_density=0.0, concurrency=_conc()))
+
+    def shape(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
             "tier": batch.column("tier"),
-            "tier_text": pc.cast(norm, pa.string()),
+            "tier_text": batch.column("tier_text"),
             "was_gzip": batch.column("was_gzip"),
         })
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_tier_metrics(sf_dir: str):
+    """Per-tier extraction metrics (the north-star's docs / bytes /
+    parse-error counters) over the mixed-tier crawl: slim map-side
+    pre-agg then a 3-row groupby — no text rides the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.tiered import tier_metrics, tiered_extract
+
+    ext = _tier_norm_text(tiered_extract(
+        _tier_pages(sf_dir), body_col="body", key="doc_id",
+        min_stopword_density=0.0, concurrency=_conc()))
+    m = tier_metrics(ext)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tier": batch.column("tier"),
+            "docs": pc.cast(batch.column("sum(docs)"), pa.int64()),
+            "chars": pc.cast(batch.column("sum(chars)"), pa.int64()),
+            "gzip_members": pc.cast(batch.column("sum(gzip_members)"),
+                                    pa.int64()),
+            "parse_errors": pc.cast(batch.column("sum(parse_errors)"),
+                                    pa.int64()),
+        })
+    return m.map_batches(shape, batch_format="pyarrow")
 
 
 def q_c4_clean(sf_dir: str):
@@ -1329,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": q_main_content,
         "pdf_text": q_pdf_text,
         "tier_extract": q_tier_extract,
+        "tier_metrics": q_tier_metrics,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "c4_clean": q_c4_clean,
@@ -1681,6 +1729,19 @@ def oracle_sql() -> dict[str, str]:
             "trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g')) "
             "AS tier_text, "
             "doc_id % 6 = 5 AS was_gzip FROM documents"),
+        # docs / chars / gzip counters are pure functions of doc_id
+        # and the whitespace-normalized source text; the cascade must
+        # parse every tier with zero errors
+        "tier_metrics": (
+            "SELECT CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN "
+            "'html' ELSE 'txt' END AS tier, "
+            "CAST(COUNT(*) AS BIGINT) AS docs, "
+            "CAST(SUM(length(trim(regexp_replace(text, "
+            "'[ \\t\\r\\n]+', ' ', 'g')))) AS BIGINT) AS chars, "
+            "CAST(SUM(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS gzip_members, "
+            "CAST(0 AS BIGINT) AS parse_errors "
+            "FROM documents GROUP BY 1"),
         # chain edges doc_id -> doc_id-1 within each group of 8: the
         # component is the group base in closed form; nodes are every
         # doc that appears in an edge (as source: id%8>0; as target:

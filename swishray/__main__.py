@@ -160,9 +160,17 @@ def cmd_extract(args) -> int:
     # leave a core for the read/write task stages: an actor pool that
     # reserves every CPU deadlocks the streaming executor
     conc = max(1, args.num_cpus - 1)
-    ext = extract_pages(pages, emit=args.emit, config_xml=config_xml,
-                        concurrency=conc,
-                        batch_size=args.batch_size)
+    if args.tiered:
+        # crawl-mode cascade: content-sniff each body (pdf/html/txt,
+        # gzip unwrap) instead of assuming every page is markup
+        from .ops.tiered import tiered_extract
+        ext = tiered_extract(pages, body_col="html", key="url",
+                             concurrency=conc,
+                             batch_size=args.batch_size)
+    else:
+        ext = extract_pages(pages, emit=args.emit,
+                            config_xml=config_xml, concurrency=conc,
+                            batch_size=args.batch_size)
     summary = write_partitioned(ext, args.out,
                                 num_buckets=args.num_buckets,
                                 resume=not args.no_resume)
@@ -274,6 +282,8 @@ def main(argv=None) -> int:
     pe.add_argument("--batch-size", type=int, default=64)
     pe.add_argument("--num-buckets", type=int, default=64)
     pe.add_argument("--no-resume", action="store_true")
+    pe.add_argument("--tiered", action="store_true",
+                    help="content-sniff tier cascade (pdf/html/txt)")
     pe.set_defaults(fn=cmd_extract)
 
     pi = sub.add_parser("index")

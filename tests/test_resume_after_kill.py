@@ -75,7 +75,18 @@ def test_killed_run_resumes(tmp_path):
 
     out_int = str(tmp_path / "interrupted")
     rc, _ = _run(out_int, slow=True, kill_after=1.0)
+    # SIGKILL hits the driver, but its raylet workers die asynchronously
+    # and an in-flight bucket write can still commit its manifest for a
+    # few seconds — wait for the completed set to stabilize before
+    # snapshotting it (under suite load the stragglers can take a while)
     done_after_kill = completed_buckets(out_int)
+    deadline = time.time() + 30
+    stable_since = time.time()
+    while time.time() < deadline and time.time() - stable_since < 3.0:
+        time.sleep(0.5)
+        now = completed_buckets(out_int)
+        if now != done_after_kill:
+            done_after_kill, stable_since = now, time.time()
     if rc != -9 or len(done_after_kill) == 16:
         # machine raced ahead and finished (or the kill landed after
         # the last bucket went durable); still validates the write

@@ -102,3 +102,45 @@ def test_dataset_stage_and_metrics(ray_session):
     assert m["txt"]["sum(docs)"] == 1
     assert sum(r["sum(parse_errors)"] for r in m.values()) == 0
     assert m["txt"]["sum(chars)"] == len(GOOD)
+
+
+def test_cli_tiered_extract(tmp_path):
+    """swishray extract --tiered: crawl-mode cascade end-to-end into
+    the resumable partitioned sink (own Ray session, subprocess)."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    pdf = build_simple_pdf([GOOD])
+    rows = []
+    for i in range(12):
+        if i % 3 == 0:
+            b = pdf
+        elif i % 3 == 1:
+            b = HTML
+        else:
+            b = (gzip.compress(GOOD.encode(), mtime=0)
+                 if i % 6 == 5 else GOOD.encode())
+        rows.append((f"http://ex.com/{i}", b))
+    tbl = pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "html": pa.array([b for _, b in rows], pa.large_binary()),
+    })
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(tbl, str(pages))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "swishray", "extract",
+         "--pages", str(pages), "--out", str(out), "--tiered",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_ADDRESS": ""})
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(str(p))
+        for p in out.glob("bucket=*/*.parquet")])
+    assert got.num_rows == 12
+    tiers = sorted(got.column("tier").to_pylist())
+    assert tiers.count("pdf") == 4 and tiers.count("html") == 4
+    assert sum(got.column("was_gzip").to_pylist()) == 2
