@@ -22,6 +22,23 @@ _URL_SQL = ("'https://' || (" + _HOSTS_SQL + ")[(doc_id % 5) + 1] || "
             "'/doc/' || lpad(cast(doc_id as varchar), 8, '0') || '.html'")
 _WORDS_SQL = "list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')"
 
+# shared by the regex- and join-mode blocklist queries (identical
+# semantics, two execution paths)
+_URL_BLOCKLIST_SQL = (
+    "WITH u AS (SELECT doc_id, 'https://' || "
+    "CASE doc_id % 4 WHEN 0 THEN 'www.alpha.example.com' "
+    "WHEN 1 THEN 'beta.example.org:8080' "
+    "WHEN 2 THEN 'GAMMA.Example.net' "
+    "ELSE 'delta.example.com' END || '/p/' || "
+    "cast(doc_id as varchar) || '.html' AS url FROM documents), "
+    "h AS (SELECT doc_id, lower(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://(?P<m>[^/?#:]+)', 1)) AS host "
+    "FROM u) "
+    "SELECT doc_id, host, "
+    "(host = 'example.org' OR host LIKE '%.example.org' "
+    "OR host = 'gamma.example.net' "
+    "OR host LIKE '%.gamma.example.net') AS blocked FROM h")
+
 
 def _pages(sf_dir: str):
     from swishray.synth import pages_from_documents
@@ -1322,6 +1339,105 @@ def q_index_upsert(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_cap_domains(sf_dir: str):
+    """RefinedWeb-style per-group document cap: keep the 50
+    lowest-doc_id documents per language (slim (group,key) shuffle
+    with a map-side top-n combine; winners join back on doc_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import cap_per_group
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    out = cap_per_group(ds, group="lang", key="doc_id", n=50)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "lang": pc.cast(batch.column("lang"), pa.string()),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def _with_blocklist_urls(ds):
+    """Synthetic urls over the url_parts host mix (one port, one
+    mixed-case host) for the blocklist queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        hostn = pc.subtract(did, pc.multiply(pc.divide(did, 4), 4))
+        host = pc.case_when(
+            pc.make_struct(pc.equal(hostn, 0), pc.equal(hostn, 1),
+                           pc.equal(hostn, 2)),
+            "www.alpha.example.com", "beta.example.org:8080",
+            "GAMMA.Example.net", "delta.example.com")
+        url = pc.binary_join_element_wise(
+            "https://", host, "/p/", pc.cast(did, pa.string()),
+            ".html", "")
+        return pa.table({"doc_id": did, "url": url})
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_url_blocklist(sf_dir: str, mode: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import url_blocklist
+
+    ds = _with_blocklist_urls(_docs(sf_dir, ["doc_id"]))
+    out = url_blocklist(
+        ds, ["example.org", "gamma.example.net"],
+        key="doc_id", mode=mode)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "host": pc.cast(batch.column("host"), pa.string()),
+            "blocked": batch.column("blocked"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_url_blocklist(sf_dir: str):
+    """UT1-style domain blocklist, small-list path: ONE anchored RE2
+    alternation, a single vectorized kernel per batch."""
+    return _q_url_blocklist(sf_dir, "regex")
+
+
+def q_url_blocklist_join(sf_dir: str):
+    """Same semantics via the big-list path (millions of domains):
+    host suffix chains semi-join the blocklist Dataset — identical
+    oracle as the regex mode."""
+    return _q_url_blocklist(sf_dir, "join")
+
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: docs sharing any
+    distinct word 3-gram with the held-out 'benchmark' slice
+    (doc_id % 7 == 0) are flagged; exact broadcast membership."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import decontaminate
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        return t.filter(pc.equal(
+            pc.subtract(d, pc.multiply(pc.divide(d, 7), 7)), 0))
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    bench = ds.map_batches(is_bench, batch_format="pyarrow")
+    out = decontaminate(ds, bench, n=3)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_grams": batch.column("n_grams"),
+            "n_matched": batch.column("n_matched"),
+            "contaminated": batch.column("contaminated"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -1381,6 +1497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical": q_dedup_canonical,
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
+        "cap_domains": q_cap_domains,
+        "url_blocklist": q_url_blocklist,
+        "url_blocklist_join": q_url_blocklist_join,
+        "decontaminate": q_decontaminate,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -1799,6 +1919,34 @@ def oracle_sql() -> dict[str, str]:
             "symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND "
             "ell_frac <= 0.3 AND alpha_word_frac >= 0.8) AS keep "
             "FROM r"),
+        "cap_domains": (
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY doc_id) AS rn"
+            "  FROM documents) WHERE rn <= 50"),
+        "url_blocklist": _URL_BLOCKLIST_SQL,
+        "url_blocklist_join": _URL_BLOCKLIST_SQL,
+        "decontaminate": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
+            "), g AS ("
+            "  SELECT DISTINCT doc_id,"
+            "    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram"
+            "  FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "    AS t(i) WHERE len(ws) >= 3"
+            "), b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0"
+            "), m AS ("
+            "  SELECT doc_id, count(*) AS n_matched FROM g"
+            "  JOIN b USING (gram) GROUP BY doc_id"
+            "), tot AS ("
+            "  SELECT doc_id, count(*) AS n_grams FROM g"
+            "  GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "cast(coalesce(tot.n_grams, 0) as bigint) AS n_grams, "
+            "cast(coalesce(m.n_matched, 0) as bigint) AS n_matched, "
+            "coalesce(m.n_matched, 0) > 0 AS contaminated "
+            "FROM d LEFT JOIN tot ON d.doc_id = tot.doc_id "
+            "LEFT JOIN m ON d.doc_id = m.doc_id"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

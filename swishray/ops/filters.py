@@ -186,3 +186,330 @@ def gopher_quality(ds: Any, col: str = "text", key: str = "doc_id",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- per-domain caps (RefinedWeb-style) --------------------------------
+
+def cap_per_group(ds: Any, group: str, key: str, n: int,
+                  ascending: bool = True) -> Any:
+    """Keep at most ``n`` rows per group — the RefinedWeb-style
+    per-domain document cap (Penedo et al. 2023 §3.1 cap hot domains
+    so one site can't dominate the corpus). Deterministic: winners are
+    the ``n`` smallest (``ascending=True``) or largest ``key`` values
+    within each group, i.e. SQL's ``ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY key) <= n``.
+
+    Scale shape (the exact_dedup winners pattern, dedup.py:110): only
+    a SLIM ``(group, key)`` projection rides the shuffle, with a
+    map-side per-batch top-n combine so the exchange carries at most
+    ``n x groups x blocks`` rows and a hot domain cannot concentrate
+    its full row set in one reduce task; the winner keys then
+    inner-join back to the full rows on the (uniform) ``key``."""
+    from .aggregates import topk_per_group
+    from .joins import default_join_partitions, native_join
+
+    slim = ds.map_batches(
+        lambda t: t.select([group, key]), batch_format="pyarrow")
+    winners = topk_per_group(slim, group=group, order=key, k=n,
+                             descending=not ascending)
+    keys_only = winners.map_batches(
+        lambda t: t.select([key]), batch_format="pyarrow")
+    # schema-less empty blocks out of map_groups break the built-in
+    # join's FieldRef lookup (Ray 2.49) — repartition re-packs them
+    keys_only = keys_only.repartition(default_join_partitions())
+    return native_join(ds, keys_only, key)
+
+
+# -- URL / domain blocklist filtering ----------------------------------
+
+def _host_of(batch: pa.Table, url_col: str):
+    """Lowercased, port-stripped hostname column (RE2 shared with
+    textstats.url_parts so the oracle SQL can reuse it verbatim)."""
+    import pyarrow.compute as pc
+    from .textstats import URL_HOST_RE
+    ext = pc.extract_regex(_text_col(batch, url_col), URL_HOST_RE)
+    host = pc.utf8_lower(pc.coalesce(
+        pc.struct_field(ext, "m"), ""))
+    return pc.replace_substring_regex(host, r":[0-9]+$", "")
+
+
+def url_blocklist(ds: Any, domains: Sequence[str],
+                  url_col: str = "url", key: str | None = None,
+                  mode: str = "auto") -> Any:
+    """Flag rows whose URL host falls under any blocked domain
+    (exact host match or any-subdomain match — ``example.org`` blocks
+    ``example.org`` and ``a.b.example.org``), the UT1/RefinedWeb-style
+    adult/spam-domain filter. Non-destructive: returns the input
+    columns plus ``host`` and ``blocked`` (filter downstream).
+
+    Two scale modes: ``regex`` (default for small lists) compiles ONE
+    anchored RE2 alternation and runs a single vectorized kernel per
+    batch — right for hand-curated lists up to a few thousand domains.
+    ``join`` handles blocklists of millions of domains (UT1 is ~4M):
+    the host's suffix chain (``a.b.c`` -> ``a.b.c``, ``b.c``, ``c``)
+    explodes into a slim ``(row, suffix)`` table that semi-joins the
+    blocklist Dataset — no driver-side or per-actor copy of the list.
+    ``auto`` picks regex below 4096 domains."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    domains = [d.lower().lstrip(".") for d in domains]
+    if mode == "auto":
+        mode = "regex" if len(domains) < 4096 else "join"
+
+    if mode == "regex":
+        import re as _re
+        alt = "|".join(_re.escape(d) for d in domains) or "(?!)"
+        pat = r"(^|\.)(" + alt + r")$"
+
+        def f(batch: pa.Table) -> pa.Table:
+            host = _host_of(batch, url_col)
+            blocked = (pc.match_substring_regex(host, pat)
+                       if domains else
+                       pa.array(np.zeros(len(batch), dtype=bool)))
+            return batch.append_column("host", pc.cast(
+                host, pa.large_string())).append_column(
+                "blocked", pc.cast(blocked, pa.bool_()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    # join mode: explode each host into its domain-suffix chain and
+    # semi-join against the blocklist; assumes `key` uniquely ids rows
+    if key is None:
+        raise ValueError("join mode needs a unique `key` column")
+    import ray
+
+    from .joins import default_join_partitions, native_join
+
+    def suffixes(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = pd.Series(_host_of(batch, url_col).to_pandas(), dtype=object)
+        keys = batch.column(key)
+        nlab = h.str.count(r"\.").to_numpy() + 1
+        out_k, out_s = [], []
+        # loop over suffix DEPTH (<= ~10 labels), each level a
+        # vectorized split: suffix at level i = host minus its first
+        # i labels; emitted for i <= nlab-2 (a bare TLD is never
+        # blockable) except a single-label host emits itself once
+        for i in range(int(nlab.max(initial=1))):
+            valid = (i <= nlab - 2) | ((i == 0) & (nlab == 1))
+            if not valid.any():
+                break
+            sfx_i = h[valid] if i == 0 else \
+                h[valid].str.split(".", n=i).str[i]
+            out_k.append(keys.take(pa.array(np.flatnonzero(valid))))
+            out_s.append(pa.array(sfx_i.to_numpy(dtype=object),
+                                  pa.large_string()))
+        return pa.table({
+            key: pa.concat_arrays(
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                else a for a in out_k),
+            "suffix": pa.concat_arrays(out_s)})
+
+    block_tbl = pa.table({"suffix": pa.array(sorted(set(domains)),
+                                             pa.large_string())})
+    bl_ds = ray.data.from_arrow(block_tbl)
+    sfx = ds.map_batches(suffixes, batch_format="pyarrow")
+    hit = native_join(sfx, bl_ds, "suffix")
+    hit_keys = hit.map_batches(
+        lambda t: t.select([key]), batch_format="pyarrow") \
+        .repartition(default_join_partitions())
+    from ray.data.aggregate import Count
+    hit1 = hit_keys.groupby(key).aggregate(Count(alias_name="__hits"))
+    # re-type every block, INCLUDING the schema-less empties the
+    # groupby emits when nothing is blocked (a schema-less right side
+    # breaks the join — the Ray 2.49 FieldRef trap, dedup.py:440);
+    # the repartition folds them so the join sees uniform blocks
+    ktype = ds.schema().base_schema.field(key).type
+
+    def typed(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:
+            return pa.table({key: pa.array([], ktype),
+                             "__hits": pa.array([], pa.int64())})
+        return pa.table({key: t.column(key).cast(ktype),
+                         "__hits": t.column("__hits").cast(pa.int64())})
+
+    # materialize: hit1 is slim (one 16-byte count row per blocked
+    # key) and the join needs its schema resolvable; when NOTHING is
+    # blocked it stays schema-less (zero blocks) and would break the
+    # join — short-circuit that case, the answer is known
+    hit1 = hit1.map_batches(typed, batch_format="pyarrow") \
+        .repartition(default_join_partitions()).materialize()
+    if hit1.count() == 0:
+        def none_blocked(batch: pa.Table) -> pa.Table:
+            host = _host_of(batch, url_col)
+            return batch.append_column("host", pc.cast(
+                host, pa.large_string())).append_column(
+                "blocked", pa.array(
+                    np.zeros(len(batch), dtype=bool)))
+        return ds.map_batches(none_blocked, batch_format="pyarrow")
+
+    joined = native_join(ds, hit1, key, how="left")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        host = _host_of(batch, url_col)
+        hits = pc.coalesce(pc.cast(batch.column("__hits_r"),
+                                   pa.float64()), 0.0)
+        out = batch.drop_columns(["__hits_r"])
+        return out.append_column("host", pc.cast(
+            host, pa.large_string())).append_column(
+            "blocked", pc.greater(hits, 0.0))
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+# -- benchmark decontamination -----------------------------------------
+
+def _distinct_grams(batch: pa.Table, col: str, n: int):
+    """Vectorized per-doc DISTINCT word n-grams over a batch: split on
+    runs of spaces (' +', the corpus word convention shared with the
+    SQL oracles' _WORDS_SQL), flatten, build grams by shifted
+    elementwise join, mask grams that straddle document boundaries.
+    Returns (doc_index_per_gram, gram_strings) with duplicates within
+    a document removed."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    txt = _text_col(batch, col)
+    words = pc.split_pattern_regex(txt, " +")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat_all = words.flatten()
+    offs = words.offsets.to_numpy(zero_copy_only=False)
+    # drop empty tokens (leading/trailing spaces) while keeping
+    # per-doc counts aligned
+    nonempty = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    counts = (offs[1:] - offs[:-1]).astype(np.int64)
+    doc_idx_all = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+    flat = np.asarray(flat_all.to_pandas(), dtype=object)[nonempty]
+    doc_idx = doc_idx_all[nonempty]
+    if len(flat) < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+    gram = flat[: len(flat) - n + 1]
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[j: len(flat) - n + 1 + j]
+    same_doc = doc_idx[: len(flat) - n + 1] == doc_idx[n - 1:]
+    g_doc = doc_idx[: len(flat) - n + 1][same_doc]
+    g_str = gram[same_doc]
+    # distinct within doc — one hash-based vectorized pass
+    import pandas as pd
+    dup = pd.DataFrame({"d": g_doc, "g": g_str}).duplicated() \
+        .to_numpy()
+    return g_doc[~dup], g_str[~dup]
+
+
+def decontaminate(ds: Any, bench: Any, n: int = 3,
+                  col: str = "text", key: str = "doc_id",
+                  bench_col: str = "text",
+                  mode: str = "broadcast") -> Any:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with a held-out benchmark/eval set (the
+    GPT-3/PaLM-style 13-gram overlap scrub, run here over exact
+    DISTINCT n-gram membership). Non-destructive output per doc:
+    ``(key, n_grams, n_matched, contaminated)`` where ``n_grams`` is
+    the doc's distinct-gram count and ``n_matched`` how many of those
+    appear anywhere in the benchmark.
+
+    ``broadcast`` mode (default): benchmark gram set is collected once
+    (benchmarks are small — MBs, not corpus-scale), shipped via
+    ``ray.put``, and membership runs as one vectorized ``pc.is_in``
+    per batch — exact string matching, no hash-collision caveat, no
+    shuffle of the corpus. ``join`` mode handles benchmark sets too
+    large to broadcast: slim distinct ``(key, gram)`` pairs semi-join
+    the benchmark grams, then a count-by-key joins back — corpus text
+    never rides a shuffle, only gram strings do."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        g_doc, g_str = _distinct_grams(batch, col, n)
+        kcol = batch.column(key)
+        keys = kcol.take(pa.array(g_doc, pa.int64()))
+        return pa.table({key: keys,
+                         "gram": pa.array(list(g_str),
+                                          pa.large_string())})
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        _, g_str = _distinct_grams(batch, bench_col, n)
+        return pa.table({"gram": pa.array(sorted(set(g_str)),
+                                          pa.large_string())})
+
+    def gram_counts(batch: pa.Table) -> pa.Table:
+        g_doc, _ = _distinct_grams(batch, col, n)
+        cnt = np.bincount(g_doc, minlength=len(batch)) \
+            .astype(np.int64)
+        return pa.table({key: batch.column(key),
+                         "n_grams": pa.array(cnt)})
+
+    if mode == "broadcast":
+        bset = set()
+        for b in bench.map_batches(
+                bench_grams, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            bset.update(b.column("gram").to_pylist())
+        bench_arr = ray.put(pa.array(sorted(bset), pa.large_string()))
+
+        class Flag:
+            def __init__(self, ref):
+                self.grams = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                g_doc, g_str = _distinct_grams(batch, col, n)
+                if len(g_doc):
+                    hit = pc.is_in(
+                        pa.array(list(g_str), pa.large_string()),
+                        value_set=self.grams) \
+                        .to_numpy(zero_copy_only=False)
+                else:
+                    hit = np.empty(0, dtype=bool)
+                n_grams = np.bincount(
+                    g_doc, minlength=len(batch)).astype(np.int64)
+                n_matched = np.bincount(
+                    g_doc, weights=hit.astype(np.float64),
+                    minlength=len(batch)).astype(np.int64)
+                return pa.table({
+                    key: batch.column(key),
+                    "n_grams": pa.array(n_grams),
+                    "n_matched": pa.array(n_matched),
+                    "contaminated": pa.array(n_matched > 0),
+                })
+
+        from ..util import map_batches_stateful
+        return map_batches_stateful(
+            ds, Flag, fn_constructor_kwargs={"ref": bench_arr},
+            batch_format="pyarrow")
+
+    # join mode
+    from ray.data.aggregate import Count
+
+    from .joins import default_join_partitions, native_join
+
+    bgrams = bench.map_batches(bench_grams, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="__b")) \
+        .map_batches(
+            lambda t: pa.table({"gram": t.column("gram").cast(
+                pa.large_string())}),
+            batch_format="pyarrow") \
+        .repartition(default_join_partitions())
+    dgrams = ds.map_batches(doc_grams, batch_format="pyarrow")
+    hits = native_join(dgrams, bgrams, "gram") \
+        .groupby(key).aggregate(Count(alias_name="__m")) \
+        .repartition(default_join_partitions())  # FieldRef trap, see
+    totals = ds.map_batches(gram_counts, batch_format="pyarrow") \
+        .repartition(default_join_partitions())  # dedup.py:440
+    out = native_join(totals, hits, key, how="left")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        m = pc.cast(pc.coalesce(pc.cast(
+            batch.column("__m_r"), pa.float64()), 0.0), pa.int64())
+        return pa.table({
+            key: batch.column(key),
+            "n_grams": pc.cast(batch.column("n_grams"), pa.int64()),
+            "n_matched": m,
+            "contaminated": pc.greater(m, 0),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")

@@ -1,10 +1,14 @@
-"""C4 / Gopher corpus filters (ops/filters.py).  The closed-form
-roundtrips are also oracle-checked by the c4_clean / gopher_quality
-queries() entries."""
+"""C4 / Gopher corpus filters, per-group caps, URL blocklists and
+benchmark decontamination (ops/filters.py).  The closed-form
+roundtrips are also oracle-checked by the c4_clean / gopher_quality /
+cap_domains / url_blocklist[_join] / decontaminate queries()
+entries."""
 import pyarrow as pa
 import ray.data as rd
 
-from swishray.ops.filters import c4_clean, gopher_quality
+from swishray.ops.filters import (c4_clean, cap_per_group,
+                                  decontaminate, gopher_quality,
+                                  url_blocklist)
 
 GOOD = ("This is a good long sentence that ends with punctuation "
         "marks today.")
@@ -80,3 +84,91 @@ def test_gopher_bullet_and_ellipsis_lines(ray_session):
     assert not df.loc[0, "keep"]
     assert df.loc[1, "ellipsis_frac"] == 1.0
     assert not df.loc[1, "keep"]
+
+
+def test_cap_per_group(ray_session):
+    rows = [{"doc_id": i,
+             "site": "a.com" if i % 3 == 0 else "b.com",
+             "text": f"t{i}"} for i in range(20)]
+    ds = rd.from_items(rows).repartition(3)
+    out = cap_per_group(ds, group="site", key="doc_id", n=2) \
+        .to_pandas()
+    # 2 smallest doc_ids per site; full input columns survive
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 3]
+    assert set(out.columns) >= {"doc_id", "site", "text"}
+    top = cap_per_group(ds, group="site", key="doc_id", n=1,
+                        ascending=False).to_pandas()
+    assert sorted(top["doc_id"].tolist()) == [18, 19]
+
+
+_URLS = ["http://spam.example.org/x", "https://example.org/y",
+         "http://good.com/z", "http://notexample.org/w",
+         "http://sub.SPAM.example.ORG:8080/v", None]
+_BLOCKED = [True, True, False, False, True, False]
+
+
+def _url_ds():
+    return rd.from_items([{"doc_id": i, "url": u}
+                          for i, u in enumerate(_URLS)]).repartition(2)
+
+
+def test_url_blocklist_regex(ray_session):
+    df = url_blocklist(_url_ds(), ["example.org"], key="doc_id",
+                       mode="regex").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert df["blocked"].tolist() == _BLOCKED
+    assert df.loc[4, "host"] == "sub.spam.example.org"
+    # substring of a label must NOT match (notexample.org)
+    assert not df.loc[3, "blocked"]
+
+
+def test_url_blocklist_join_agrees(ray_session):
+    df = url_blocklist(_url_ds(), ["example.org"], key="doc_id",
+                       mode="join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert df["blocked"].tolist() == _BLOCKED
+
+
+def test_url_blocklist_empty_list(ray_session):
+    df = url_blocklist(_url_ds(), [], key="doc_id",
+                       mode="regex").to_pandas()
+    assert not df["blocked"].any()
+
+
+def test_url_blocklist_join_no_hits(ray_session):
+    # empty hit set exercises the schema-less-empty-block join path
+    df = url_blocklist(_url_ds(), ["nomatch.invalid"], key="doc_id",
+                       mode="join").to_pandas()
+    assert not df["blocked"].any()
+    assert len(df) == len(_URLS)
+
+
+def _decon_inputs():
+    docs = [{"doc_id": 0, "text": "the quick brown fox jumps"},
+            {"doc_id": 1, "text": "totally unrelated words here now"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "dup dup dup dup"}]
+    bench = [{"text": "quick brown fox runs fast"},
+             {"text": "dup dup dup"}]
+    return (rd.from_items(docs).repartition(2),
+            rd.from_items(bench))
+
+
+def test_decontaminate_broadcast(ray_session):
+    d, b = _decon_inputs()
+    out = decontaminate(d, b, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, False, True]
+    # doc 3 is 'dup dup dup dup' -> ONE distinct trigram
+    assert out["n_grams"].tolist() == [3, 3, 0, 1]
+    assert out["n_matched"].tolist() == [1, 0, 0, 1]
+
+
+def test_decontaminate_join_agrees(ray_session):
+    d, b = _decon_inputs()
+    a = decontaminate(d, b, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    j = decontaminate(d, b, n=3, mode="join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "n_grams", "n_matched", "contaminated"]] \
+        .equals(j[["doc_id", "n_grams", "n_matched", "contaminated"]])
