@@ -1600,6 +1600,35 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_url_canonicalize(sf_dir: str):
+    """RFC 3986-subset URL canonicalization over deliberately messy
+    synthetic URLs (uppercase scheme/host, default port, tracking
+    params, fragment) — the oracle knows the closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import url_canonicalize
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        s = pc.cast(did, pa.string())
+        m3 = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), pa.string())
+        url = pc.binary_join_element_wise(
+            "HTTP://WWW.S", m3, ".EXAMPLE:80/P", s,
+            "?utm_source=x&id=", s, "&gclid=2#f", "")
+        return pa.table({"doc_id": did, "url": url})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = url_canonicalize(ds, strip_params=("utm_[a-z0-9]+",
+                                             "gclid"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "url": pc.cast(t.column("url"), pa.string())}),
+        batch_format="pyarrow")
+
+
 def q_word_rarity(sf_dir: str):
     """CCNet-style corpus-frequency quality signal: per doc the sum
     of corpus-wide unigram counts of its words (vocab cut at
@@ -1687,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": q_anchor_stats,
         "word_rarity": q_word_rarity,
         "normalize_text": q_normalize_text,
+        "url_canonicalize": q_url_canonicalize,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2180,6 +2210,11 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "url_canonicalize": (
+            "SELECT doc_id, 'http://www.s' || "
+            "cast(doc_id % 3 as varchar) || '.example/P' || "
+            "cast(doc_id as varchar) || '?id=' || "
+            "cast(doc_id as varchar) AS url FROM documents"),
         "word_rarity": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS token "

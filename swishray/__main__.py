@@ -245,6 +245,44 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_links(args) -> int:
+    """Outlink harvest over a pages parquet: one row per href
+    (links mode), the site-level graph rollup (graph mode), or
+    PageRank over that graph (pagerank mode)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from .manifest import write_partitioned
+    from .ops.links import extract_links, link_graph, pagerank
+    from .ops.textstats import url_canonicalize
+
+    pages = rd.read_parquet(args.pages)
+    links = extract_links(pages, html_col=args.html_col,
+                          url_col=args.url_col, key=args.url_col,
+                          batch_size=args.batch_size)
+    if args.canonicalize:
+        links = url_canonicalize(links, col="resolved")
+    if args.mode == "links":
+        out, key = links, args.url_col
+    else:
+        g = link_graph(links, src_col=args.url_col,
+                       dst_col="resolved")
+        if args.mode == "graph":
+            out, key = g, "src_site"
+        else:
+            out = pagerank(g, src="src_site", dst="dst_site",
+                           weight="n_links", iters=args.iters)
+            key = "node"
+    summary = write_partitioned(out, args.out,
+                                num_buckets=args.num_buckets,
+                                key_col=key)
+    print(summary)
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="swishray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -316,6 +354,21 @@ def main(argv=None) -> int:
                     help="Okapi BM25 ranking (the reference's Xapian "
                          "default weighting) instead of raw tf")
     ps.set_defaults(fn=cmd_search)
+
+    pk = sub.add_parser("links")
+    pk.add_argument("--pages", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--mode", default="links",
+                    choices=["links", "graph", "pagerank"])
+    pk.add_argument("--html-col", default="html")
+    pk.add_argument("--url-col", default="url")
+    pk.add_argument("--canonicalize", action="store_true",
+                    help="RFC 3986 canonicalization of resolved urls")
+    pk.add_argument("--iters", type=int, default=10)
+    pk.add_argument("--num-cpus", type=int, default=8)
+    pk.add_argument("--batch-size", type=int, default=64)
+    pk.add_argument("--num-buckets", type=int, default=64)
+    pk.set_defaults(fn=cmd_links)
 
     args = p.parse_args(argv)
     return args.fn(args)

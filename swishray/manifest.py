@@ -52,8 +52,10 @@ import pyarrow.compute as pc
 
 def add_url_bucket(ds: Any, num_buckets: int, col: str = "url") -> Any:
     def f(batch: pa.Table) -> pa.Table:
-        b = [crc32(u.encode()) % num_buckets
-             for u in batch.column(col).to_pylist()]
+        vals = batch.column(col).to_pylist()
+        b = [crc32(u.encode() if isinstance(u, str)
+                   else (b"" if u is None else str(u).encode()))
+             % num_buckets for u in vals]
         return batch.append_column("bucket", pa.array(b, type=pa.int32()))
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -130,7 +132,8 @@ def write_partitioned(extracted: Any, out_dir: str,
                       resume: bool = True, mode: str = "grouped",
                       rows_per_file: int = 32768,
                       target_bucket_bytes: int =
-                      DEFAULT_TARGET_BUCKET_BYTES) -> dict:
+                      DEFAULT_TARGET_BUCKET_BYTES,
+                      key_col: str = "url") -> dict:
     """Write extraction output partitioned by url-hash bucket with
     per-bucket lineage manifests; skips buckets whose manifest already
     exists. See the module docstring for the two modes.
@@ -139,6 +142,10 @@ def write_partitioned(extracted: Any, out_dir: str,
     ``target_bucket_bytes`` each and records the layout in
     ``_layout.json`` so resumed runs keep the same partitioning (see
     :func:`_resolve_layout`).
+
+    ``key_col`` names the bucketing key (default ``url``; any
+    string- or int-typed column — non-url sinks like the link graph
+    bucket on their own key).
 
     Returns a summary dict {written, skipped, rows, errors}.
     """
@@ -153,7 +160,7 @@ def write_partitioned(extracted: Any, out_dir: str,
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = completed_buckets(out_dir) if resume else set()
     run_id = uuid.uuid4().hex[:8]
-    bucketed = add_url_bucket(extracted, num_buckets)
+    bucketed = add_url_bucket(extracted, num_buckets, col=key_col)
     if done:
         done_arr = sorted(done)
 

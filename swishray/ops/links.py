@@ -248,6 +248,7 @@ def link_graph(links: Any, src_col: str = "url",
 
 def pagerank(edges: Any, src: str = "src", dst: str = "dst",
              iters: int = 10, d: float = 0.85,
+             weight: str | None = None,
              num_partitions: int | None = None) -> Any:
     """Distributed PageRank by power iteration -> ``(node, rank)``.
 
@@ -258,9 +259,14 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     redistributed uniformly, per the original formulation (Page et
     al. 1999).  Self-edges and parallel edges are honoured as given.
 
+    ``weight`` names an optional edge-weight column (e.g. the link
+    graph's ``n_links``): a source's rank is split across its
+    outlinks proportionally to weight instead of uniformly.
+
     Shuffle cost is O(iters) joins — keep ``iters`` modest (10-20;
-    convergence is geometric in ``d``).  Multi-edges count once each;
-    dedupe upstream if the semantic is at-most-one-edge."""
+    convergence is geometric in ``d``).  Without ``weight``,
+    multi-edges count once each; dedupe upstream if the semantic is
+    at-most-one-edge."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -270,9 +276,12 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     nparts = num_partitions or max(8, 2 * _session_cpus())
 
     def slim(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "s": batch.column(src).combine_chunks(),
-            "t": batch.column(dst).combine_chunks()})
+        cols = {"s": batch.column(src).combine_chunks(),
+                "t": batch.column(dst).combine_chunks()}
+        if weight is not None:
+            cols["wt"] = pc.cast(batch.column(weight), pa.float64()) \
+                .combine_chunks()
+        return pa.table(cols)
 
     e = edges.map_batches(slim, batch_format="pyarrow").materialize()
 
@@ -291,8 +300,13 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
                                 "rank": pa.array([], pa.float64())}),
             batch_format="pyarrow")
 
-    outdeg = e.groupby("s").aggregate(Count(alias_name="outdeg")) \
-        .map_batches(lambda t: pa.table({
+    # "outdeg" generalizes to total outgoing WEIGHT when weighted
+    if weight is None:
+        od_agg = e.groupby("s").aggregate(Count(alias_name="outdeg"))
+    else:
+        od_agg = e.groupby("s").aggregate(
+            Sum("wt", alias_name="outdeg"))
+    outdeg = od_agg.map_batches(lambda t: pa.table({
             "node": t.column("s").combine_chunks(),
             "outdeg": pc.cast(t.column("outdeg"), pa.float64())}),
             batch_format="pyarrow") \
@@ -310,7 +324,7 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
         rd = native_join(ranks, outdeg, "node", how="left",
                          num_partitions=nparts)
 
-        def weight(batch: pa.Table) -> pa.Table:
+        def rank_share(batch: pa.Table) -> pa.Table:
             od = pc.cast(batch.column("outdeg_r"), pa.float64())
             rk = batch.column("rank")
             w = pc.if_else(pc.is_valid(od),
@@ -319,21 +333,29 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
             return pa.table({"node": batch.column("node"),
                              "w": w, "dang": dang})
 
-        w = rd.map_batches(weight, batch_format="pyarrow") \
+        w = rd.map_batches(rank_share, batch_format="pyarrow") \
             .repartition(nparts).materialize()
         dangling = (w.aggregate(Sum("dang", alias_name="dg"))
                     or {}).get("dg") or 0.0
 
+        def edge_proj(t: pa.Table) -> pa.Table:
+            cols = {"node": t.column("s").combine_chunks(),
+                    "t": t.column("t").combine_chunks()}
+            if weight is not None:
+                cols["wt"] = t.column("wt").combine_chunks()
+            return pa.table(cols)
+
+        def in_w(t: pa.Table) -> pa.Table:
+            v = t.column("w_r").combine_chunks()
+            if weight is not None:
+                v = pc.multiply(v, t.column("wt"))
+            return pa.table({"node": t.column("t").combine_chunks(),
+                             "in_w": v})
+
         contrib = native_join(
-            e.map_batches(lambda t: pa.table(
-                {"node": t.column("s").combine_chunks(),
-                 "t": t.column("t").combine_chunks()}),
-                batch_format="pyarrow"),
+            e.map_batches(edge_proj, batch_format="pyarrow"),
             w, "node", num_partitions=nparts)
-        sums = contrib.map_batches(
-            lambda t: pa.table({"node": t.column("t").combine_chunks(),
-                                "in_w": t.column("w_r").combine_chunks()}),
-            batch_format="pyarrow") \
+        sums = contrib.map_batches(in_w, batch_format="pyarrow") \
             .groupby("node").aggregate(Sum("in_w", alias_name="in_sum")) \
             .repartition(nparts).materialize()
 

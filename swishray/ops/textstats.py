@@ -556,3 +556,67 @@ def word_rarity(ds: Any, col: str = "text", key: str = "doc_id",
     return map_batches_stateful(
         ds, Score, fn_constructor_kwargs={"ref": ref},
         batch_format="pyarrow")
+
+
+def url_canonicalize(ds: Any, col: str = "url",
+                     strip_params: tuple = (),
+                     out: str | None = None) -> Any:
+    """Crawl-frontier URL canonicalization (RFC 3986 §6 syntax-based
+    normalization, the crawl subset): lowercase scheme+host, strip
+    default ports (http:80 / https:443), drop the fragment, optionally
+    remove tracking query params (``strip_params`` — RE2 alternatives,
+    e.g. ``("utm_[a-z0-9]+", "fbclid", "gclid")``), and tidy dangling
+    ``?``/``&``.  URL-keyed exact dedup and frontier de-duplication
+    need this first or byte-variant spellings of one resource count
+    as distinct.
+
+    Fully vectorized: one RE2 extract splits scheme://authority from
+    the rest (relative URLs pass through untouched), the remaining
+    passes are ``replace_substring_regex`` kernels.  Path dot-segments
+    are NOT resolved here — ``extract_links`` already resolves them
+    during base-href joining (urljoin), the one place relative paths
+    enter the pipeline."""
+    import pyarrow.compute as pc
+
+    o = out or col
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if pa.types.is_null(c.type):
+            c = c.cast(pa.large_string())
+        u = pc.cast(c, pa.large_string())
+        u = pc.replace_substring_regex(u, r"#[\s\S]*$", "")
+        ext = pc.extract_regex(
+            u, r"^(?P<sh>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+               r"(?P<rest>[\s\S]*)$")
+        sh = pc.utf8_lower(pc.struct_field(ext, "sh"))
+        sh = pc.replace_substring_regex(
+            sh, r"^(http://[^/:]*):80$", r"\1")
+        sh = pc.replace_substring_regex(
+            sh, r"^(https://[^/:]*):443$", r"\1")
+        joined = pc.binary_join_element_wise(
+            sh, pc.struct_field(ext, "rest"),
+            pa.scalar("", pa.large_string()))
+        u = pc.coalesce(joined, u)  # relative urls: no authority part
+        if strip_params:
+            alt = "|".join(strip_params)
+            pat = rf"[?&](?:{alt})=[^&#]*"
+            had = pc.match_substring_regex(u, pat)
+            u2 = pc.replace_substring_regex(u, pat, "")
+            # a removed leading "?p=..." leaves the next param with
+            # "&" — promote the first "&" back to "?" only on rows
+            # that lost a param and have none marked with "?"
+            promote = pc.and_(
+                pc.and_(had, pc.invert(
+                    pc.match_substring(u2, "?"))),
+                pc.match_substring(u2, "&"))
+            u = pc.if_else(
+                promote,
+                pc.replace_substring(u2, "&", "?", max_replacements=1),
+                u2)
+        u = pc.replace_substring_regex(u, r"[?&]+$", "")
+        if o in batch.column_names:
+            return batch.set_column(batch.column_names.index(o), o, u)
+        return batch.append_column(o, u)
+
+    return ds.map_batches(f, batch_format="pyarrow")

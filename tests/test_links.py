@@ -145,3 +145,30 @@ def test_anchor_stats_rollup(ray_session):
         .reset_index(drop=True)
     assert "n_src_sites" not in df2.columns
     assert df2["n_in"].tolist() == [3, 1]
+
+
+def _dense_pr_weighted(edges, n, iters, d):
+    outw = np.zeros(n)
+    for s, t, w in edges:
+        outw[s] += w
+    r = np.full(n, 1 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t, w in edges:
+            contrib[t] += r[s] * w / outw[s]
+        dang = r[outw == 0].sum()
+        r = (1 - d) / n + d * dang / n + d * contrib
+    return r
+
+
+def test_pagerank_weighted(ray_session):
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+             (3, 1, 5.0)]
+    ds = rd.from_items([{"src": s, "dst": t, "w": w}
+                        for s, t, w in edges]).repartition(2)
+    pr = pagerank(ds, iters=10, weight="w").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = _dense_pr_weighted(edges, 4, 10, 0.85)
+    assert pr["node"].tolist() == [0, 1, 2, 3]
+    assert np.allclose(pr["rank"].to_numpy(), want, rtol=1e-9)
+    assert abs(pr["rank"].sum() - 1.0) < 1e-9

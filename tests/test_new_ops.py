@@ -336,3 +336,33 @@ def test_word_rarity_prebuilt_vocab(ray_session):
     assert out.loc[0, "freq_sum"] == 21
     assert out.loc[0, "n_words"] == 4
     assert out.loc[0, "n_oov"] == 1
+
+
+def test_url_canonicalize(ray_session):
+    import ray.data as rd
+    from swishray.ops.textstats import url_canonicalize
+    urls = [
+        "HTTP://WWW.Ex.COM:80/Path/P?x=1#frag",   # case/port/fragment
+        "https://a.example:443/p",                 # default https port
+        "https://a.example:8443/p",                # real port kept
+        "https://e.example/p?utm_source=x&id=5&gclid=9",
+        "https://e.example/p?utm_a=1",             # query vanishes
+        "https://e.example/a&b",                   # & in path, no ?
+        "foo/Bar#f",                               # relative url
+        None,
+    ]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    got = url_canonicalize(
+        rd.from_arrow(t),
+        strip_params=("utm_[a-z0-9]+", "gclid")).to_pandas()
+    want = [
+        "http://www.ex.com/Path/P?x=1",
+        "https://a.example/p",
+        "https://a.example:8443/p",
+        "https://e.example/p?id=5",
+        "https://e.example/p",
+        "https://e.example/a&b",
+        "foo/Bar",
+        None,
+    ]
+    assert got["url"].where(got["url"].notna(), None).tolist() == want
