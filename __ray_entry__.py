@@ -1600,6 +1600,48 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_sitemap_parse(sf_dir: str):
+    """Sitemap/sitemapindex parse over synthetic XML bodies (every
+    5th doc is an index, the rest urlsets with one full and one
+    minimal entry) — the oracle knows the closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.sitemaps import parse_sitemaps
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        s = pc.cast(did, pa.string())
+        m3 = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), pa.string())
+        urlset = pc.binary_join_element_wise(
+            "<urlset><url><loc>https://s", m3, ".example/u", s,
+            "a</loc><lastmod>2024-01-02</lastmod>"
+            "<changefreq>daily</changefreq>"
+            "<priority>0.5</priority></url>"
+            "<url><loc>https://s", m3, ".example/u", s,
+            "b</loc></url></urlset>", "")
+        index = pc.binary_join_element_wise(
+            "<sitemapindex><sitemap><loc>https://s", m3,
+            ".example/child", s, ".xml</loc>"
+            "<lastmod>2024-02-01</lastmod></sitemap>"
+            "</sitemapindex>", "")
+        is_idx = pc.equal(pc.subtract(did, pc.multiply(
+            pc.divide(did, 5), 5)), 0)
+        return pa.table({"doc_id": did,
+                         "body": pc.if_else(is_idx, index, urlset)})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = parse_sitemaps(ds, xml_col="body", key="doc_id")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             **{c: pc.cast(t.column(c), pa.string())
+                for c in ("kind", "loc", "lastmod", "changefreq",
+                          "priority")}}),
+        batch_format="pyarrow")
+
+
 def q_url_canonicalize(sf_dir: str):
     """RFC 3986-subset URL canonicalization over deliberately messy
     synthetic URLs (uppercase scheme/host, default port, tracking
@@ -1717,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_rarity": q_word_rarity,
         "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
+        "sitemap_parse": q_sitemap_parse,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2210,6 +2253,19 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "sitemap_parse": (
+            "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
+            "cast(doc_id % 3 as varchar) AS m FROM documents) "
+            "SELECT doc_id, 'sitemap' AS kind, "
+            "'https://s' || m || '.example/child' || s || '.xml' AS "
+            "loc, '2024-02-01' AS lastmod, '' AS changefreq, "
+            "'' AS priority FROM d WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT doc_id, 'url', "
+            "'https://s' || m || '.example/u' || s || 'a', "
+            "'2024-01-02', 'daily', '0.5' FROM d WHERE doc_id % 5 <> 0 "
+            "UNION ALL SELECT doc_id, 'url', "
+            "'https://s' || m || '.example/u' || s || 'b', "
+            "'', '', '' FROM d WHERE doc_id % 5 <> 0"),
         "url_canonicalize": (
             "SELECT doc_id, 'http://www.s' || "
             "cast(doc_id % 3 as varchar) || '.example/P' || "
