@@ -1600,6 +1600,43 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_robots_filter(sf_dir: str):
+    """REP (robots.txt) permission filter over synthetic URLs against
+    three per-host policies (prefix disallow; disallow-all with an
+    allow carve-out; no robots) — the oracle knows the closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.robots import robots_filter
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        s = pc.cast(did, pa.string())
+        m3 = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), pa.string())
+        v = pc.subtract(did, pc.multiply(pc.divide(did, 4), 4))
+        seg = pc.case_when(
+            pc.make_struct(pc.equal(v, 0), pc.equal(v, 1),
+                           pc.equal(v, 2)),
+            "/private/p", "/ok/p", "/pub/p", "/x")
+        url = pc.binary_join_element_wise(
+            "https://s", m3, ".example", seg, s, "")
+        return pa.table({"doc_id": did, "url": url})
+
+    robots = pa.table({
+        "host": ["s0.example", "s1.example"],
+        "body": [b"User-agent: *\nDisallow: /private\n",
+                 b"User-agent: *\nDisallow: /\nAllow: /ok\n"]})
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = robots_filter(ds, robots)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "url": pc.cast(t.column("url"), pa.string()),
+            "robots_allowed": t.column("robots_allowed")}),
+        batch_format="pyarrow")
+
+
 def q_sitemap_parse(sf_dir: str):
     """Sitemap/sitemapindex parse over synthetic XML bodies (every
     5th doc is an index, the rest urlsets with one full and one
@@ -1760,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
         "sitemap_parse": q_sitemap_parse,
+        "robots_filter": q_robots_filter,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2253,6 +2291,15 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "robots_filter": (
+            "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
+            "doc_id % 3 AS m, doc_id % 4 AS v FROM documents) "
+            "SELECT doc_id, 'https://s' || cast(m as varchar) || "
+            "'.example' || CASE v WHEN 0 THEN '/private/p' "
+            "WHEN 1 THEN '/ok/p' WHEN 2 THEN '/pub/p' ELSE '/x' END "
+            "|| s AS url, "
+            "CASE m WHEN 0 THEN v <> 0 WHEN 1 THEN v = 1 "
+            "ELSE TRUE END AS robots_allowed FROM d"),
         "sitemap_parse": (
             "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
             "cast(doc_id % 3 as varchar) AS m FROM documents) "
