@@ -1600,6 +1600,25 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_resample_mix(sf_dir: str):
+    """Deterministic re-mixing of the documents table to a 4:2:1
+    en:es:de language mix — integer-exact thresholds, so the SQL
+    oracle reproduces membership bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.aggregates import resample_to_mix
+
+    out = resample_to_mix(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        {"en": 4, "es": 2, "de": 1}, class_col="lang")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang": pc.cast(t.column("lang"), pa.string()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_robots_filter(sf_dir: str):
     """REP (robots.txt) permission filter over synthetic URLs against
     three per-host policies (prefix disallow; disallow-all with an
@@ -1798,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "sitemap_parse": q_sitemap_parse,
         "robots_filter": q_robots_filter,
+        "resample_mix": q_resample_mix,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2291,6 +2311,23 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "resample_mix": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "w AS (SELECT * FROM (VALUES ('en', 4), ('es', 2), "
+            "('de', 1)) AS t(lang, w)), "
+            "cw AS (SELECT c.lang, c.n, w.w FROM c JOIN w "
+            "ON c.lang = w.lang WHERE c.n > 0), "
+            "d AS (SELECT * FROM cw a WHERE NOT EXISTS ("
+            "  SELECT 1 FROM cw b WHERE b.n * a.w < a.n * b.w "
+            "  OR (b.n * a.w = a.n * b.w AND b.lang < a.lang))), "
+            "thr AS (SELECT cw.lang, "
+            "(CAST(4294967296 AS HUGEINT) * cw.w * d.n) "
+            "// (d.w * cw.n) AS t FROM cw, d) "
+            "SELECT doc_id, docs.lang, n_chars FROM documents docs "
+            "JOIN thr ON docs.lang = thr.lang "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) < thr.t"),
         "robots_filter": (
             "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
             "doc_id % 3 AS m, doc_id % 4 AS v FROM documents) "

@@ -240,3 +240,57 @@ def build_vocab(ds: Any, col: str = "text", min_count: int = 2,
         pa.array([], pa.int64()),
         "id": pa.array(range(tbl.num_rows), pa.int64()),
     })
+
+
+def resample_to_mix(ds: Any, weights: "dict[str, int]",
+                    class_col: str = "lang",
+                    key: str = "doc_id") -> Any:
+    """Deterministic down-sampling to a TARGET CLASS MIX — the
+    data-mixing step of training-corpus assembly (e.g. rebalance
+    languages to en:es:de = 4:2:1): keeps the largest subset whose
+    class proportions match ``weights``, selecting members with the
+    same order/partition-independent md5 predicate as
+    :func:`hash_sample`.  Classes absent from ``weights`` are
+    dropped.
+
+    All arithmetic is INTEGER-EXACT so membership is reproducible
+    bit-for-bit across engines (the SQL oracle floors the same
+    integer ratios): with ``n_c`` the class counts, the binding class
+    ``d* = argmin n_c / w_c`` (exact Fraction compare, class-name
+    tie-break) is kept whole and every class c keeps
+    ``floor(2^32 * w_c * n_d* / (w_d* * n_c))`` of its hash space.
+
+    Scale shape: one slim (class, count) groupby — the per-class
+    count table is bounded by the label universe, so the driver-side
+    argmin is legitimate at any corpus scale; selection itself is
+    pure map-side."""
+    from fractions import Fraction
+
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from .md5vec import md5_u32
+
+    rows = ds.groupby(class_col).aggregate(
+        Count(alias_name="n")).take_all()
+    counts = {r[class_col]: int(r["n"]) for r in rows
+              if r[class_col] in weights and int(r["n"]) > 0}
+
+    if counts:
+        dstar = min(counts,
+                    key=lambda c: (Fraction(counts[c], weights[c]), c))
+        nd, wd = counts[dstar], weights[dstar]
+        thresholds = {
+            c: ((1 << 32) * weights[c] * nd) // (wd * counts[c])
+            for c in counts}
+    else:
+        thresholds = {}
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = md5_u32(batch.column(key).to_pylist()).astype(np.int64)
+        cls = batch.column(class_col).to_pylist()
+        th = np.fromiter((thresholds.get(c, 0) for c in cls),
+                         dtype=np.int64, count=len(cls))
+        return batch.filter(pa.array(h < th))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -366,3 +366,34 @@ def test_url_canonicalize(ray_session):
         None,
     ]
     assert got["url"].where(got["url"].notna(), None).tolist() == want
+
+
+def test_resample_to_mix(ray_session):
+    import hashlib
+    import ray.data as rd
+    from swishray.ops.aggregates import resample_to_mix
+    # 100 en / 50 es / 10 de, target 4:2:1 -> de binds (10/1 < 50/2
+    # < 100/4): keep all 10 de, thresholds aim at 40 en / 20 es
+    rows = ([{"doc_id": i, "lang": "en"} for i in range(100)]
+            + [{"doc_id": 100 + i, "lang": "es"} for i in range(50)]
+            + [{"doc_id": 150 + i, "lang": "de"} for i in range(10)]
+            + [{"doc_id": 160, "lang": "zz"}])  # unlisted: dropped
+    ds = rd.from_items(rows).repartition(3)
+    out = resample_to_mix(ds, {"en": 4, "es": 2, "de": 1}) \
+        .to_pandas()
+    got = out.groupby("lang").size().to_dict()
+    assert got.get("de") == 10          # binding class kept whole
+    assert "zz" not in got
+    # membership is exactly the md5 predicate with the closed-form
+    # integer thresholds
+    thr = {"en": ((1 << 32) * 4 * 10) // (1 * 100),
+           "es": ((1 << 32) * 2 * 10) // (1 * 50),
+           "de": 1 << 32}
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode())
+                .hexdigest()[:8], 16)
+        expect = h < thr.get(r["lang"], 0)
+        assert (r["doc_id"] in set(out["doc_id"])) == expect
+    # proportions land near 4:2:1 (hash noise aside)
+    assert abs(got.get("en", 0) - 40) <= 12
+    assert abs(got.get("es", 0) - 20) <= 9
