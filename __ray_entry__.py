@@ -1600,6 +1600,53 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_frontier(sf_dir: str):
+    """Composed crawl-frontier assembly (harvest -> canonicalize ->
+    robots -> dedup/count) over the synthetic link pages; robots
+    blocks /a7* paths on the even-parity host — the oracle knows the
+    closed form of the whole chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.frontier import build_frontier
+
+    robots = pa.table({
+        "host": ["b0.example"],
+        "body": [b"User-agent: *\nDisallow: /a7\n"]})
+    out = build_frontier(_link_pages(sf_dir), robots=robots)
+    return out.map_batches(
+        lambda t: pa.table({
+            "url": pc.cast(t.column("url"), pa.string()),
+            "site": pc.cast(t.column("site"), pa.string()),
+            "n_refs": pc.cast(t.column("n_refs"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Per-row-rate deterministic sampling (rate = (doc_id%11)/10,
+    exercising 0, fractional and 1.0 rates) — identical IEEE-double
+    threshold arithmetic on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.aggregates import weighted_hash_sample
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        m11 = pc.subtract(did, pc.multiply(pc.divide(did, 11), 11))
+        return pa.table({
+            "doc_id": did,
+            "n_chars": batch.column("n_chars"),
+            "rate": pc.divide(pc.cast(m11, pa.float64()), 10.0)})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = weighted_hash_sample(ds, "rate")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_resample_mix(sf_dir: str):
     """Deterministic re-mixing of the documents table to a 4:2:1
     en:es:de language mix — integer-exact thresholds, so the SQL
@@ -1818,6 +1865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_parse": q_sitemap_parse,
         "robots_filter": q_robots_filter,
         "resample_mix": q_resample_mix,
+        "weighted_sample": q_weighted_sample,
+        "frontier": q_frontier,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2311,6 +2360,18 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "frontier": (
+            "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
+            "cast(doc_id % 2 as varchar) AS p FROM documents) "
+            "SELECT 'https://b' || p || '.example/a' || s || '.html' "
+            "AS url, 'b' || p || '.example' AS site, "
+            "cast(1 as bigint) AS n_refs FROM d "
+            "WHERE NOT (doc_id % 2 = 0 AND s LIKE '7%')"),
+        "weighted_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) < "
+            "FLOOR(((doc_id % 11) / 10.0) * 4294967296)"),
         "resample_mix": (
             "WITH c AS (SELECT lang, count(*) AS n FROM documents "
             "GROUP BY lang), "

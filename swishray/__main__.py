@@ -259,6 +259,21 @@ def cmd_links(args) -> int:
     from .ops.textstats import url_canonicalize
 
     pages = rd.read_parquet(args.pages)
+    if args.mode == "frontier":
+        from .ops.frontier import build_frontier
+        robots = (rd.read_parquet(args.robots)
+                  if args.robots else None)
+        out = build_frontier(
+            pages, robots=robots,
+            blocklist=args.block or (),
+            per_site_cap=args.site_cap,
+            html_col=args.html_col, url_col=args.url_col,
+            canonical=args.canonicalize)
+        print(write_partitioned(out, args.out,
+                                num_buckets=args.num_buckets,
+                                key_col="url"))
+        ray.shutdown()
+        return 0
     links = extract_links(pages, html_col=args.html_col,
                           url_col=args.url_col, key=args.url_col,
                           batch_size=args.batch_size)
@@ -359,7 +374,13 @@ def main(argv=None) -> int:
     pk.add_argument("--pages", required=True)
     pk.add_argument("--out", required=True)
     pk.add_argument("--mode", default="links",
-                    choices=["links", "graph", "pagerank"])
+                    choices=["links", "graph", "pagerank",
+                             "frontier"])
+    pk.add_argument("--robots", default=None,
+                    help="(host, body) parquet of robots.txt files")
+    pk.add_argument("--block", action="append",
+                    help="blocked domain suffix (repeatable)")
+    pk.add_argument("--site-cap", type=int, default=None)
     pk.add_argument("--html-col", default="html")
     pk.add_argument("--url-col", default="url")
     pk.add_argument("--canonicalize", action="store_true",

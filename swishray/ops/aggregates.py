@@ -294,3 +294,32 @@ def resample_to_mix(ds: Any, weights: "dict[str, int]",
         return batch.filter(pa.array(h < th))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def weighted_hash_sample(ds: Any, rate_col: str,
+                         key: str = "doc_id") -> Any:
+    """Per-ROW deterministic sampling: keep each row iff
+    md5(key) < its own rate (a float column in [0,1]) — importance /
+    quality-weighted corpus thinning where a hard threshold is too
+    blunt (keep high-quality docs surely, low-quality ones with
+    probability proportional to score).  Same order/partition-
+    independent membership contract as :func:`hash_sample`; pure
+    map-side; SQL-expressible for the oracle.
+
+    The comparison is ``h < floor(rate * 2^32)`` with the floor taken
+    in float64→int64 — DuckDB's CAST(... AS BIGINT) of the same
+    product rounds, so the oracle uses FLOOR() explicitly; rates of
+    exactly 1.0 keep everything."""
+    import numpy as np
+
+    from .md5vec import md5_u32
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = md5_u32(batch.column(key).to_pylist()).astype(np.int64)
+        r = np.asarray(batch.column(rate_col).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        thr = np.floor(np.nan_to_num(r, nan=0.0)
+                       * float(1 << 32)).astype(np.int64)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -397,3 +397,22 @@ def test_resample_to_mix(ray_session):
     # proportions land near 4:2:1 (hash noise aside)
     assert abs(got.get("en", 0) - 40) <= 12
     assert abs(got.get("es", 0) - 20) <= 9
+
+
+def test_weighted_hash_sample(ray_session):
+    import hashlib
+    import ray.data as rd
+    from swishray.ops.aggregates import weighted_hash_sample
+    rows = [{"doc_id": i, "rate": r} for i, r in
+            [(0, 0.0), (1, 1.0), (2, 0.5), (3, 0.5), (4, None),
+             (5, 0.25), (6, 0.75), (7, 1.0)]]
+    ds = rd.from_items(rows).repartition(2)
+    kept = set(weighted_hash_sample(ds, "rate")
+               .to_pandas()["doc_id"])
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode())
+                .hexdigest()[:8], 16)
+        rate = r["rate"] or 0.0
+        assert (r["doc_id"] in kept) == (h < int(rate * (1 << 32)))
+    assert 1 in kept and 7 in kept   # rate 1.0 always kept
+    assert 0 not in kept and 4 not in kept  # rate 0 / null dropped
