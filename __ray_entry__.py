@@ -1600,6 +1600,25 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_self_dup_ngrams(sf_dir: str):
+    """Corpus-internal duplicated 3-gram counts per doc (Lee et al.
+    2022 exact-substring-dedup signal), exact-string mode so the SQL
+    oracle matches; the hashed scale path is pytest-equivalence-
+    checked against this one."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import self_dup_ngram_stats
+
+    out = self_dup_ngram_stats(
+        _docs(sf_dir, ["doc_id", "text"]), n=3, hashed=False)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_grams": t.column("n_grams"),
+            "n_dup": t.column("n_dup")}),
+        batch_format="pyarrow")
+
+
 def q_frontier(sf_dir: str):
     """Composed crawl-frontier assembly (harvest -> canonicalize ->
     robots -> dedup/count) over the synthetic link pages; robots
@@ -1867,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mix": q_resample_mix,
         "weighted_sample": q_weighted_sample,
         "frontier": q_frontier,
+        "self_dup_ngrams": q_self_dup_ngrams,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2360,6 +2380,24 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "self_dup_ngrams": (
+            "WITH w AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram "
+            "FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) "
+            "AS t(i) WHERE len(ws) >= 3), "
+            "m AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(*) >= 2), "
+            "dup AS (SELECT doc_id, count(*) AS n_dup FROM g "
+            "JOIN m ON g.gram = m.gram GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_grams FROM g "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, cast(coalesce(t.n_grams, 0) as bigint) "
+            "AS n_grams, cast(coalesce(u.n_dup, 0) as bigint) AS "
+            "n_dup FROM documents d "
+            "LEFT JOIN tot t ON d.doc_id = t.doc_id "
+            "LEFT JOIN dup u ON d.doc_id = u.doc_id"),
         "frontier": (
             "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
             "cast(doc_id % 2 as varchar) AS p FROM documents) "

@@ -565,3 +565,90 @@ def normalize_text(ds: Any, col: str = "text", form: str = "NFC",
         return batch.append_column(o, t)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
+                         key: str = "doc_id",
+                         hashed: bool = True) -> Any:
+    """Corpus-INTERNAL duplicated-substring signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": long
+    n-grams appearing in more than one document mark boilerplate /
+    templated / copied passages).  Per doc: ``(key, n_grams,
+    n_dup)`` — distinct word ``n``-grams in the doc, and how many of
+    those occur in at least one OTHER document.
+
+    Scale shape: only ``(key, gram)`` pairs ride the shuffles, never
+    documents.  With ``hashed=True`` (the 100-TB path) grams travel
+    as uint64 hashes — 8 bytes instead of ~13 words of text per row;
+    a 64-bit collision inflates ``n_dup`` by at most the collision
+    count (~n_grams²/2⁶⁴ corpus-wide), which is noise for a signal
+    column.  ``hashed=False`` keeps exact strings (the oracle path;
+    a pytest asserts both agree on test data).  Three exchanges:
+    gram multiplicity groupby, the semi-join back, and the per-doc
+    count — all slim."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .joins import default_join_partitions, native_join
+
+    def gram_col(g_str):
+        if hashed:
+            # int64 view of the 64-bit hash: Ray 2.49's hash
+            # aggregate round-trips uint64 keys through pickled
+            # Python objects, int64 stays native
+            return pa.array(
+                pd.util.hash_array(np.asarray(g_str, dtype=object))
+                .astype(np.uint64).view(np.int64))
+        return pa.array(list(g_str), pa.large_string())
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        g_doc, g_str = _distinct_grams(batch, col, n)
+        keys = batch.column(key).take(pa.array(g_doc, pa.int64()))
+        return pa.table({key: keys, "gram": gram_col(g_str)})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        g_doc, _ = _distinct_grams(batch, col, n)
+        cnt = np.bincount(g_doc, minlength=len(batch)) \
+            .astype(np.int64)
+        return pa.table({key: batch.column(key),
+                         "n_grams": pa.array(cnt)})
+
+    pairs = ds.map_batches(doc_grams, batch_format="pyarrow")
+    # grams in >= 2 docs (pairs are distinct-per-doc, so the count IS
+    # the distinct-doc multiplicity)
+    dup = pairs.groupby("gram").aggregate(Count(alias_name="__m"))
+    gtype = pa.int64() if hashed else pa.large_string()
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        # the aggregate emits schema-less empty blocks; short-circuit
+        # them to a TYPED empty table (Ray 2.49 empty-block trap)
+        if "gram" not in t.column_names or t.num_rows == 0:
+            return pa.table({"gram": pa.array([], gtype)})
+        kept = t.filter(pc.greater(t.column("__m"), 1))
+        # groupby may narrow large_string -> string; re-align the key
+        # type with the pairs side or the join raises ArrowInvalid
+        return pa.table({"gram": pc.cast(kept.column("gram"), gtype)})
+
+    dup = dup.map_batches(dup_only, batch_format="pyarrow") \
+        .repartition(default_join_partitions())  # FieldRef trap
+    hits = native_join(pairs, dup.map_batches(
+        lambda t: t.append_column("__d", pa.array(
+            np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow"), "gram") \
+        .groupby(key).aggregate(Count(alias_name="n_dup")) \
+        .repartition(default_join_partitions())
+    tot = ds.map_batches(totals, batch_format="pyarrow") \
+        .repartition(default_join_partitions())
+    out = native_join(tot, hits, key, how="left")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nd = pc.cast(pc.coalesce(pc.cast(
+            batch.column("n_dup_r"), pa.float64()), 0.0), pa.int64())
+        return pa.table({key: batch.column(key),
+                         "n_grams": pc.cast(batch.column("n_grams"),
+                                            pa.int64()),
+                         "n_dup": nd})
+
+    return out.map_batches(shape, batch_format="pyarrow")

@@ -194,3 +194,24 @@ def test_normalize_text_kernels(ray_session):
     # out= keeps the original column
     df = normalize_text(rd.from_arrow(t), out="clean").to_pandas()
     assert df["text"][0] == "a\x07b" and df["clean"][0] == "ab"
+
+
+def test_self_dup_ngram_stats(ray_session):
+    import ray.data as rd
+    from swishray.ops.filters import self_dup_ngram_stats
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",     # shares "the cat sat" w/ 1
+            "the cat sat quietly today",
+            "completely different words here now",
+            "x",                          # shorter than n: 0 grams
+        ], pa.string())})
+    ds = rd.from_arrow(t).repartition(2)
+    for hashed in (False, True):
+        out = self_dup_ngram_stats(ds, n=3, hashed=hashed) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [0, 1, 2, 3]
+        assert out["n_grams"].tolist() == [4, 3, 3, 0]
+        # only "the cat sat" crosses documents
+        assert out["n_dup"].tolist() == [1, 1, 0, 0], hashed
