@@ -1600,6 +1600,29 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (width 2h, slide 1h — every event in
+    2 windows); the SQL oracle replicates via a range cross join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.windows import hopping_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = hopping_counts(ev, width_s=7200, slide_s=3600)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": pc.cast(t.column("event_type"),
+                                  pa.string()),
+            "window_start": pc.cast(t.column("window_start"),
+                                    pa.timestamp("us")),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            "min_value": t.column("min_value"),
+            "max_value": t.column("max_value")}),
+        batch_format="pyarrow")
+
+
 def q_self_dup_ngrams(sf_dir: str):
     """Corpus-internal duplicated 3-gram counts per doc (Lee et al.
     2022 exact-substring-dedup signal), exact-string mode so the SQL
@@ -1887,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "frontier": q_frontier,
         "self_dup_ngrams": q_self_dup_ngrams,
+        "events_hopping": q_events_hopping,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2380,6 +2404,15 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "events_hopping": (
+            "WITH j AS (SELECT unnest(range(0, 2)) AS j), "
+            "w AS (SELECT event_type, value, "
+            "make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 "
+            "- j.j * 3600000000) AS window_start FROM events, j) "
+            "SELECT event_type, window_start, "
+            "cast(count(*) as bigint) AS n_events, "
+            "min(value) AS min_value, max(value) AS max_value "
+            "FROM w GROUP BY event_type, window_start"),
         "self_dup_ngrams": (
             "WITH w AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents), "

@@ -111,3 +111,47 @@ def sessionize_salted(ds: Any, gap_seconds: int = 1800,
 
     return pieces.groupby("user_id").map_groups(
         merge_boundaries, batch_format="pandas")
+
+
+def hopping_counts(ds: Any, width_s: int, slide_s: int,
+                   ts_col: str = "ts",
+                   keys: tuple = ("event_type",)) -> Any:
+    """Hopping (sliding) windows: every event lands in the
+    ``width_s / slide_s`` windows covering it — the overlap variant
+    of :func:`tumbling_counts` (width == slide degenerates to
+    tumbling).  ``width_s`` must be a multiple of ``slide_s`` (the
+    standard hop constraint; arbitrary overlaps need a range join).
+
+    Scale shape: the k-fold window replication happens VECTORIZED
+    map-side (np.repeat over the batch, k = width/slide is small —
+    e.g. 2-12), so the groupby receives pre-keyed slim rows exactly
+    like the tumbling path; the shuffle grows k-fold, which is the
+    inherent cost of overlapping windows, not an implementation
+    artifact."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min
+
+    if width_s % slide_s != 0:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    slide_us = slide_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
+        t_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        last = (t_us // slide_us) * slide_us
+        n = len(t_us)
+        starts = (last[:, None]
+                  - (np.arange(k, dtype=np.int64) * slide_us)).ravel()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        cols = {c: batch.column(c).take(idx)
+                for c in (*keys, "value")}
+        cols["window_start"] = pc.cast(
+            pa.array(starts), pa.timestamp("us"))
+        return pa.table(cols)
+
+    keyed = ds.map_batches(explode, batch_format="pyarrow")
+    return keyed.groupby([*keys, "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))

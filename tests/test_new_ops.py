@@ -416,3 +416,34 @@ def test_weighted_hash_sample(ray_session):
         assert (r["doc_id"] in kept) == (h < int(rate * (1 << 32)))
     assert 1 in kept and 7 in kept   # rate 1.0 always kept
     assert 0 not in kept and 4 not in kept  # rate 0 / null dropped
+
+
+def test_hopping_counts(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from swishray.ops.windows import hopping_counts
+    base = dt.datetime(2024, 1, 1, 10, 30)
+    rows = [{"event_type": "a", "ts": base, "value": 1.0},
+            {"event_type": "a",
+             "ts": base + dt.timedelta(minutes=45), "value": 3.0},
+            {"event_type": "b", "ts": base, "value": 2.0}]
+    out = hopping_counts(rd.from_items(rows).repartition(2),
+                         width_s=7200, slide_s=3600).to_pandas() \
+        .sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    # 10:30 -> windows 09:00 and 10:00; 11:15 -> 10:00 and 11:00
+    a = out[out.event_type == "a"]
+    assert [w.hour for w in a["window_start"]] == [9, 10, 11]
+    assert a["n_events"].tolist() == [1, 2, 1]
+    assert a["min_value"].tolist() == [1.0, 1.0, 3.0]
+    b = out[out.event_type == "b"]
+    assert [w.hour for w in b["window_start"]] == [9, 10]
+    assert b["n_events"].tolist() == [1, 1]
+    # width == slide degenerates to tumbling
+    t = hopping_counts(rd.from_items(rows), width_s=3600,
+                       slide_s=3600).to_pandas()
+    assert t["n_events"].sum() == 3
+    import pytest
+    with pytest.raises(ValueError):
+        hopping_counts(rd.from_items(rows), width_s=5000,
+                       slide_s=3600)
