@@ -1600,6 +1600,23 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_compression_stats(sf_dir: str):
+    """Per-doc zlib compressibility signal (rows-only: DuckDB has no
+    zlib surface; sf0.01 rows are frozen as a pytest golden —
+    deterministic for a fixed level)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import compression_ratio
+
+    out = compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_bytes": t.column("n_bytes"),
+            "n_compressed": t.column("n_compressed")}),
+        batch_format="pyarrow")
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping-window aggregate (width 2h, slide 1h — every event in
     2 windows); the SQL oracle replicates via a range cross join."""
@@ -1919,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": q_decode_images,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
+        "compression_stats": q_compression_stats,
     }
 
 

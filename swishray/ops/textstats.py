@@ -620,3 +620,32 @@ def url_canonicalize(ds: Any, col: str = "url",
         return batch.append_column(o, u)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def compression_ratio(ds: Any, col: str = "text",
+                      key: str = "doc_id", level: int = 6) -> Any:
+    """Per-doc zlib compressibility — the classic cheap
+    gibberish/boilerplate detector (highly repetitive text compresses
+    far below natural language; random gibberish barely compresses):
+    ``(key, n_bytes, n_compressed)``.  Integer outputs; derive the
+    ratio downstream.  Deterministic for a fixed zlib level, so the
+    sf0.01 rows are frozen as a pytest golden (no SQL oracle — DuckDB
+    has no zlib surface).
+
+    The per-row cost IS the deflate call (C speed, no vectorized
+    equivalent exists); pure map-side, no shuffle."""
+    import zlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        nb, nc = [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8", "replace") \
+                if not isinstance(t, bytes) else t
+            nb.append(len(raw))
+            nc.append(len(zlib.compress(raw, level)))
+        return pa.table({key: batch.column(key),
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "n_compressed": pa.array(nc, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -447,3 +447,22 @@ def test_hopping_counts(ray_session):
     with pytest.raises(ValueError):
         hopping_counts(rd.from_items(rows), width_s=5000,
                        slide_s=3600)
+
+
+def test_compression_ratio(ray_session):
+    import zlib
+    import ray.data as rd
+    from swishray.ops.textstats import compression_ratio
+    texts = ["abc " * 200, "the quick brown fox", "", None]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = compression_ratio(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, txt in enumerate(texts):
+        raw = (txt or "").encode()
+        assert out.loc[i, "n_bytes"] == len(raw)
+        assert out.loc[i, "n_compressed"] == len(zlib.compress(raw, 6))
+    # repetitive text compresses much harder than natural text
+    r0 = out.loc[0, "n_compressed"] / out.loc[0, "n_bytes"]
+    r1 = out.loc[1, "n_compressed"] / out.loc[1, "n_bytes"]
+    assert r0 < 0.05 < r1
