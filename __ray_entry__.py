@@ -1600,6 +1600,19 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_cm_topk(sf_dir: str):
+    """Count-Min-sketch heavy hitters over documents.text (rows-only:
+    deterministic but approximate — CM upper-bounds; sf0.01 rows are
+    frozen as a pytest golden, and accuracy vs the exact top_words
+    path is pytest-bounded)."""
+    import ray.data as rd
+    from swishray.ops.aggregates import cm_topk_words
+
+    # wrap the driver-side result table so the golden harness can
+    # .take_all() it like every other query
+    return rd.from_arrow(cm_topk_words(_docs(sf_dir, ["text"]), k=20))
+
+
 def q_compression_stats(sf_dir: str):
     """Per-doc zlib compressibility signal (rows-only: DuckDB has no
     zlib surface; sf0.01 rows are frozen as a pytest golden —
@@ -1937,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
+        "cm_topk": q_cm_topk,
     }
 
 

@@ -323,3 +323,93 @@ def weighted_hash_sample(ds: Any, rate_col: str,
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cm_sketch(values, width: int = 16384, depth: int = 4):
+    """One batch's Count-Min sketch (Cormode & Muthukrishnan 2005)
+    for an Arrow string column: ``depth`` rows of ``width`` int64
+    counters; row j uses an independent salt of the vectorized
+    splitmix hash.  Mergeable by elementwise +."""
+    import numpy as np
+
+    from .joins import _key_hash64
+
+    h = _key_hash64(values).astype(np.uint64)
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for j in range(depth):
+        salt = (0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF
+        salted = (h ^ np.uint64(salt)) * np.uint64(0xBF58476D1CE4E5B9)
+        idx = (salted % np.uint64(width)).astype(np.int64)
+        np.add.at(sk[j], idx, 1)
+    return sk
+
+
+def cm_estimate(sk, values) -> "np.ndarray":
+    """Point-query the merged sketch: min over rows (upper-bounds the
+    true count; error <= e/width * total with prob 1-e^-depth)."""
+    import numpy as np
+
+    from .joins import _key_hash64
+
+    depth, width = sk.shape
+    h = _key_hash64(values).astype(np.uint64)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        salt = (0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF
+        salted = (h ^ np.uint64(salt)) * np.uint64(0xBF58476D1CE4E5B9)
+        idx = (salted % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sk[j][idx])
+    return est
+
+
+def cm_topk_words(ds: Any, k: int = 20, col: str = "text",
+                  width: int = 16384, depth: int = 4,
+                  candidates_per_block: int = 256) -> pa.Table:
+    """Approximate heavy hitters with FIXED-SIZE driver state — the
+    sketch-shaped alternative to the exact ``top_n_words`` shuffle:
+    each block ships one Count-Min sketch (depth×width int64, ~512 KB
+    at defaults) plus its local top candidates; the driver sums the
+    sketches, point-queries the candidate union, and returns the top
+    ``k`` by estimated count (count desc, token asc — deterministic).
+
+    Driver traffic is O(blocks × sketch + blocks × candidates) bytes,
+    independent of vocabulary size — at 100 TB the exact (token,
+    count) shuffle moves the whole vocabulary, this moves nothing per
+    row.  CM never undercounts, so any true top-k member appearing in
+    some block's local top-``candidates_per_block`` survives; the
+    accuracy bound is pytest-checked against the exact path."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        txt = pc.coalesce(pc.cast(batch.column(col),
+                                  pa.large_string()), "")
+        words = pc.split_pattern_regex(txt, " +")
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        sk = cm_sketch(flat, width, depth)
+        vc = pd.Series(flat.to_pandas()).value_counts()
+        cand = list(vc.index[:candidates_per_block])
+        return pa.table({
+            "sketch": pa.array([sk.tobytes()], pa.binary()),
+            "cands": pa.array([cand], pa.list_(pa.string()))})
+
+    rows = ds.map_batches(block_sketch,
+                          batch_format="pyarrow").take_all()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cands: set = set()
+    for r in rows:
+        merged += np.frombuffer(r["sketch"], dtype=np.int64) \
+            .reshape(depth, width)
+        cands.update(r["cands"])
+    if not cands:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "est_count": pa.array([], pa.int64())})
+    cand_arr = pa.array(sorted(cands), pa.string())
+    est = cm_estimate(merged, cand_arr)
+    order = np.lexsort((np.array(cand_arr.to_pylist(), dtype=object),
+                        -est))[:k]
+    return pa.table({
+        "token": cand_arr.take(pa.array(order)),
+        "est_count": pa.array(est[order])})

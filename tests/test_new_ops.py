@@ -466,3 +466,52 @@ def test_compression_ratio(ray_session):
     r0 = out.loc[0, "n_compressed"] / out.loc[0, "n_bytes"]
     r1 = out.loc[1, "n_compressed"] / out.loc[1, "n_bytes"]
     assert r0 < 0.05 < r1
+
+
+def test_cm_topk_matches_exact(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import cm_topk_words
+    # zipf-ish corpus: token t{i} appears ~(40-i) times
+    texts = []
+    for i in range(40):
+        texts.extend([f"t{i:02d}"] * (40 - i))
+    t = pa.table({"text": pa.array(
+        [" ".join(texts[j::7]) for j in range(7)], pa.string())})
+    out = cm_topk_words(rd.from_arrow(t).repartition(3), k=10)
+    got = dict(zip(out.column("token").to_pylist(),
+                   out.column("est_count").to_pylist()))
+    # CM never undercounts; with width >> vocab the estimates are
+    # exact here, and the top-10 is exactly the 10 most frequent
+    assert sorted(got) == [f"t{i:02d}" for i in range(10)]
+    for i in range(10):
+        assert got[f"t{i:02d}"] == 40 - i
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.01"),
+                    reason="needs driver testdata")
+def test_cm_topk_vs_exact_corpus(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import cm_topk_words
+    from swishray.pipeline import top_n_words
+    ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                         columns=["text"]).repartition(4)
+    approx = cm_topk_words(ds, k=20)
+    got = dict(zip(approx.column("token").to_pylist(),
+                   approx.column("est_count").to_pylist()))
+    # exact heavy hitters via the whitespace-split convention the
+    # sketch uses (top_n_words tokenizes differently, so recompute)
+    import collections
+    c = collections.Counter()
+    for r in ds.take_all():
+        c.update((r["text"] or "").split())
+    exact = dict(c.most_common(20))
+    # every exact top-10 token is found, estimate >= truth (CM never
+    # undercounts) and within 2% of truth at this width
+    for tok in list(exact)[:10]:
+        assert tok in got
+        assert got[tok] >= c[tok]
+        assert got[tok] <= c[tok] * 1.02

@@ -19,7 +19,8 @@ _SF = "/root/testdata/sf0.01"
 @pytest.mark.skipif(not os.path.isdir(_SF), reason="needs driver testdata")
 @pytest.mark.parametrize("name",
                          ["simhash_pairs", "cosine_pairs_ivf",
-                          "ivf_topk", "compression_stats"])
+                          "ivf_topk", "compression_stats",
+                          "cm_topk"])
 def test_rows_only_query_golden(ray_session, name):
     import sys
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
