@@ -1600,6 +1600,20 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_fixed_sample(sf_dir: str):
+    """Exactly-50 deterministic sample by smallest (md5, key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.aggregates import fixed_size_sample
+
+    out = fixed_size_sample(_docs(sf_dir, ["doc_id", "n_chars"]), 50)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_cm_topk(sf_dir: str):
     """Count-Min-sketch heavy hitters over documents.text (rows-only:
     deterministic but approximate — CM upper-bounds; sf0.01 rows are
@@ -1941,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier": q_frontier,
         "self_dup_ngrams": q_self_dup_ngrams,
         "events_hopping": q_events_hopping,
+        "fixed_sample": q_fixed_sample,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2436,6 +2451,10 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "fixed_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS "
+            "VARCHAR)), 1, 8)) AS BIGINT), doc_id LIMIT 50"),
         "events_hopping": (
             "WITH j AS (SELECT unnest(range(0, 2)) AS j), "
             "w AS (SELECT event_type, value, "

@@ -413,3 +413,32 @@ def cm_topk_words(ds: Any, k: int = 20, col: str = "text",
     return pa.table({
         "token": cand_arr.take(pa.array(order)),
         "est_count": pa.array(est[order])})
+
+
+def fixed_size_sample(ds: Any, n: int, key: str = "doc_id") -> Any:
+    """EXACTLY-``n`` deterministic sample: the ``n`` rows with the
+    smallest ``(md5(key), key)`` — rate-based :func:`hash_sample`
+    gives a binomially-sized result; this gives a fixed budget
+    ("pick 10k eval docs") with the same order/partition-independent,
+    engine-reproducible membership (SQL: ``ORDER BY hash, key LIMIT
+    n``).
+
+    Scale shape: each block first prunes LOCALLY to its ``n``
+    smallest (any row outside a block's local top-n cannot be in the
+    global top-n), so the final sort+limit sees at most blocks×n
+    rows, not the corpus."""
+    import numpy as np
+
+    from .md5vec import md5_u32
+
+    def prune(batch: pa.Table) -> pa.Table:
+        h = md5_u32(batch.column(key).to_pylist()).astype(np.int64)
+        keys = batch.column(key).to_pylist()
+        order = np.lexsort((np.asarray(keys, dtype=object), h))[:n]
+        order_arr = pa.array(np.sort(order))  # keep row order stable
+        out = batch.take(order_arr)
+        return out.append_column("__h", pa.array(h[np.sort(order)]))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    out = pruned.sort(["__h", key]).limit(n)
+    return out.drop_columns(["__h"])

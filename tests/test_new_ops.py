@@ -515,3 +515,20 @@ def test_cm_topk_vs_exact_corpus(ray_session):
         assert tok in got
         assert got[tok] >= c[tok]
         assert got[tok] <= c[tok] * 1.02
+
+
+def test_fixed_size_sample(ray_session):
+    import hashlib
+    import ray.data as rd
+    from swishray.ops.aggregates import fixed_size_sample
+    rows = [{"doc_id": i, "v": i * 2} for i in range(100)]
+    ds = rd.from_items(rows).repartition(5)
+    out = fixed_size_sample(ds, 7).to_pandas()
+    assert len(out) == 7 and "__h" not in out.columns
+    want = sorted(range(100), key=lambda i: (
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i))[:7]
+    assert sorted(out["doc_id"]) == sorted(want)
+    assert dict(zip(out["doc_id"], out["v"])) == \
+        {i: i * 2 for i in want}
+    # n larger than the corpus: everything survives
+    assert fixed_size_sample(ds, 1000).count() == 100
