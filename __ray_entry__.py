@@ -1600,6 +1600,20 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_profile(sf_dir: str):
+    """Column profiler over documents(doc_id, lang, n_chars): exact
+    rows/nulls/min/max per column (the HLL distinct estimate is
+    dropped from the oracle-compared shape — its accuracy is
+    pytest-bounded)."""
+    import ray.data as rd
+    from swishray.ops.aggregates import profile
+
+    t = profile(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                columns=["doc_id", "lang", "n_chars"])
+    return rd.from_arrow(t.select(
+        ["column", "n_rows", "n_null", "min", "max"]))
+
+
 def q_fixed_sample(sf_dir: str):
     """Exactly-50 deterministic sample by smallest (md5, key)."""
     import pyarrow as pa
@@ -1956,6 +1970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "self_dup_ngrams": q_self_dup_ngrams,
         "events_hopping": q_events_hopping,
         "fixed_sample": q_fixed_sample,
+        "profile": q_profile,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2451,6 +2466,19 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "profile": (
+            "SELECT 'doc_id' AS \"column\", "
+            "cast(count(*) as bigint) AS n_rows, "
+            "cast(count(*) - count(doc_id) as bigint) AS n_null, "
+            "cast(min(doc_id) as varchar) AS \"min\", "
+            "cast(max(doc_id) as varchar) AS \"max\" FROM documents "
+            "UNION ALL SELECT 'lang', cast(count(*) as bigint), "
+            "cast(count(*) - count(lang) as bigint), min(lang), "
+            "max(lang) FROM documents "
+            "UNION ALL SELECT 'n_chars', cast(count(*) as bigint), "
+            "cast(count(*) - count(n_chars) as bigint), "
+            "cast(min(n_chars) as varchar), "
+            "cast(max(n_chars) as varchar) FROM documents"),
         "fixed_sample": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS "

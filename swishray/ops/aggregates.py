@@ -442,3 +442,63 @@ def fixed_size_sample(ds: Any, n: int, key: str = "doc_id") -> Any:
     pruned = ds.map_batches(prune, batch_format="pyarrow")
     out = pruned.sort(["__h", key]).limit(n)
     return out.drop_columns(["__h"])
+
+
+def profile(ds: Any, columns: "list[str] | None" = None,
+            hll_p: int = 12) -> pa.Table:
+    """Column profiler — the data-engineering health check run before
+    committing a 100-TB pipeline to an input: per column ``(column,
+    n_rows, n_null, min, max, n_distinct_est)``.  Exact stats come
+    from ONE distributed ``ds.aggregate`` pass (Count/Min/Max per
+    column); distinct counts are HyperLogLog (p=``hll_p``, ~1.6%
+    error) merged from one register row per block — driver traffic
+    O(blocks × columns × 2^p) bytes, never row-shaped.  ``min`` /
+    ``max`` are stringified for a uniform output schema.
+    Returns an in-memory table (one row per column — bounded by the
+    schema, not the data)."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min
+
+    cols = columns or ds.schema().names
+    aggs = [Count(alias_name="__rows")]
+    for c in cols:
+        aggs += [Count(c, ignore_nulls=True, alias_name=f"__nn_{c}"),
+                 Min(c, alias_name=f"__min_{c}"),
+                 Max(c, alias_name=f"__max_{c}")]
+    row = ds.aggregate(*aggs) or {}
+    n_rows = int(row.get("__rows") or 0)
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        out_c, out_r = [], []
+        for c in cols:
+            vals = batch.column(c).combine_chunks().drop_null()
+            r = hll_registers(vals, hll_p) if len(vals) \
+                else np.zeros(1 << hll_p, dtype=np.uint8)
+            out_c.append(c)
+            out_r.append(r.tobytes())
+        return pa.table({"c": pa.array(out_c, pa.string()),
+                         "r": pa.array(out_r, pa.binary())})
+
+    merged = {c: np.zeros(1 << hll_p, dtype=np.uint8) for c in cols}
+    for r in ds.map_batches(block_regs,
+                            batch_format="pyarrow").take_all():
+        merged[r["c"]] = np.maximum(
+            merged[r["c"]], np.frombuffer(r["r"], dtype=np.uint8))
+
+    def s(v):
+        return None if v is None else str(v)
+
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_rows": pa.array([n_rows] * len(cols), pa.int64()),
+        "n_null": pa.array(
+            [n_rows - int(row.get(f"__nn_{c}") or 0) for c in cols],
+            pa.int64()),
+        "min": pa.array([s(row.get(f"__min_{c}")) for c in cols],
+                        pa.string()),
+        "max": pa.array([s(row.get(f"__max_{c}")) for c in cols],
+                        pa.string()),
+        "n_distinct_est": pa.array(
+            [int(round(hll_estimate(merged[c]))) if n_rows else 0
+             for c in cols], pa.int64()),
+    })

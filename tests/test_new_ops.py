@@ -532,3 +532,23 @@ def test_fixed_size_sample(ray_session):
         {i: i * 2 for i in want}
     # n larger than the corpus: everything survives
     assert fixed_size_sample(ds, 1000).count() == 100
+
+
+def test_profile(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import profile
+    t = pa.table({
+        "k": pa.array([3, 1, 2, None, 2], pa.int64()),
+        "s": pa.array(["b", "a", None, None, "c"], pa.string())})
+    out = profile(rd.from_arrow(t).repartition(2)).to_pandas() \
+        .set_index("column")
+    assert out.loc["k", "n_rows"] == 5
+    assert out.loc["k", "n_null"] == 1
+    assert out.loc["k", "min"] == "1" and out.loc["k", "max"] == "3"
+    assert out.loc["k", "n_distinct_est"] == 3  # linear counting
+    assert out.loc["s", "n_null"] == 2
+    assert out.loc["s", "min"] == "a" and out.loc["s", "max"] == "c"
+    assert out.loc["s", "n_distinct_est"] == 3
+    # column subset
+    sub = profile(rd.from_arrow(t), columns=["s"]).to_pandas()
+    assert sub["column"].tolist() == ["s"]
