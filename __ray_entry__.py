@@ -1600,6 +1600,24 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window chunking (max 40 words, overlap 10) of
+    documents.text — list_slice SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.packing import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                          max_words=40, overlap=10)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "chunk_id": t.column("chunk_id"),
+            "chunk": pc.cast(t.column("chunk"), pa.string()),
+            "n_words": t.column("n_words")}),
+        batch_format="pyarrow")
+
+
 def q_profile(sf_dir: str):
     """Column profiler over documents(doc_id, lang, n_chars): exact
     rows/nulls/min/max per column (the HLL distinct estimate is
@@ -1971,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "fixed_sample": q_fixed_sample,
         "profile": q_profile,
+        "chunk_docs": q_chunk_docs,
         # rows-only:
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
@@ -2466,6 +2485,20 @@ def oracle_sql() -> dict[str, str]:
             "chr(9) || text), "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS messy FROM documents"),
+        "chunk_docs": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents), "
+            "p AS (SELECT doc_id, ws, len(ws) AS n FROM d "
+            "WHERE len(ws) > 0), "
+            "c AS (SELECT doc_id, j, "
+            "array_to_string(list_slice(ws, j*30 + 1, j*30 + 40), "
+            "' ') AS chunk, "
+            "len(list_slice(ws, j*30 + 1, j*30 + 40)) AS n_words "
+            "FROM p, unnest(range(0, CASE WHEN n <= 40 THEN 1 "
+            "ELSE 1 + cast(ceil((n - 40) / 30.0) as int) END)) "
+            "AS t(j)) "
+            "SELECT doc_id, cast(j as bigint) AS chunk_id, chunk, "
+            "cast(n_words as bigint) AS n_words FROM c"),
         "profile": (
             "SELECT 'doc_id' AS \"column\", "
             "cast(count(*) as bigint) AS n_rows, "

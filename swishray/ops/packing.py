@@ -55,3 +55,50 @@ def pack_documents(ds: Any, max_tokens: int, group_col: str,
             "text": pc.cast(batch.column("text"), pa.large_string()),
         })
     return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+def chunk_documents(ds, max_words: int, overlap: int = 0,
+                    col: str = "text", key: str = "doc_id"):
+    """Sliding-window document chunking — the prep step before
+    :func:`pack_sequences` when documents exceed the training context
+    (the public tokenizer "stride" convention): emit word windows of
+    ``max_words`` at stride ``max_words - overlap``, stopping with
+    the first window that reaches the document end.  Output rows:
+    ``(key, chunk_id, chunk, n_words)``; empty documents emit no
+    rows.  Whitespace is normalized to single spaces inside chunks
+    (the corpus word convention the SQL oracles share).
+
+    Pure map-side fan-out; the per-chunk join is a C-level
+    ``' '.join`` over the already-split word list — chunk count per
+    doc is words/stride, so the loop is short."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not 0 <= overlap < max_words:
+        raise ValueError("need 0 <= overlap < max_words")
+    stride = max_words - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys_col = batch.column(key)
+        texts = batch.column(col).to_pylist()
+        kidx, cid, chunks, nw = [], [], [], []
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            n = len(words)
+            if n == 0:
+                continue
+            q = 0 if n <= max_words else -(-(n - max_words) // stride)
+            for j in range(q + 1):
+                w = words[j * stride: j * stride + max_words]
+                kidx.append(i)
+                cid.append(j)
+                chunks.append(" ".join(w))
+                nw.append(len(w))
+        return pa.table({
+            key: keys_col.take(pa.array(np.asarray(kidx, np.int64))),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "chunk": pa.array(chunks, pa.large_string()),
+            "n_words": pa.array(nw, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

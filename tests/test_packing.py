@@ -46,3 +46,24 @@ def test_pack_documents_parallelism_invariant(ray_session):
     for grp, ci, n, _ in a:
         if ci < per_grp_max[grp]:
             assert n == 7
+
+
+def test_chunk_documents(ray_session):
+    import ray.data as rd
+    from swishray.ops.packing import chunk_documents
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x  y", "", None],
+                         pa.string())})
+    out = chunk_documents(rd.from_arrow(t).repartition(2),
+                          max_words=3, overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    # stride 2: windows at 0,2,4 — the 4-start window reaches the end
+    assert d0["chunk"].tolist() == ["a b c", "c d e", "e f g"]
+    assert d0["n_words"].tolist() == [3, 3, 3]
+    assert out[out.doc_id == 1]["chunk"].tolist() == ["x y"]
+    assert (out.doc_id >= 2).sum() == 0  # empty/null: no rows
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), max_words=3, overlap=3)
