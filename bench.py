@@ -159,6 +159,34 @@ def run_benchmarks() -> dict:
     from ray.data.aggregate import Count as _Count, Sum as _Sum
     n_docs = twords = 0
 
+    def link_pages(n: int):
+        """Link-rich synthetic pages (the extraction fixture corpus
+        is deliberately anchor-free): 20 anchors + inline text per
+        page, deterministic."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def synth(t: "pa.Table") -> "pa.Table":
+            s = pc.cast(t.column("id"), pa.string())
+            parts = ['<html><head><base href="https://b.example/d/">'
+                     '</head><body>']
+            for j in range(20):
+                parts += [f'<p>para {j} text here</p>'
+                          f'<a href="/l{j}_', s,
+                          f'.html" rel="r{j}">anchor text {j} '
+                          'for page ', s, '</a>']
+            parts += ['</body></html>', '']
+            return pa.table({
+                "url": pc.binary_join_element_wise(
+                    "https://www.s.example/p", s, ""),
+                "html": pc.binary_join_element_wise(*parts)})
+
+        return rd.range(n).map_batches(
+            lambda t: synth(t.rename_columns(["id"])),
+            batch_format="pyarrow").materialize()
+
+    lp_tbl = None if EXTRACT_ONLY else link_pages(20000)
+
     def one_pass():
         nonlocal n_docs, twords
         with timed("extract_fixture"):
@@ -176,6 +204,15 @@ def run_benchmarks() -> dict:
                                   batch_size=64)
         with timed("main_content"):
             mc.aggregate(_Sum("main_chars", alias_name="mc"))
+
+        from swishray.ops.links import extract_links
+        # cached-task mode (no dedicated pool): a third actor-pool
+        # teardown here bleeds worker-lease churn into the next
+        # query's unmaterialized chain (measured 2.7s -> 16s median
+        # on extract_documents with a pool)
+        lk = extract_links(lp_tbl, batch_size=128)
+        with timed("extract_links"):
+            lk.count()
 
         # NOTE on plan-vs-execution timing: rd.read_parquet's
         # driver-side metadata fetch runs as a tiny remote task; when

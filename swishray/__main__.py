@@ -298,6 +298,27 @@ def cmd_links(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column profiler over a parquet input: rows/nulls/min/max per
+    column plus a HyperLogLog distinct estimate."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from .ops.aggregates import profile
+
+    ds = rd.read_parquet(args.table, columns=args.columns or None)
+    t = profile(ds, columns=args.columns or None)
+    for row in t.to_pylist():
+        print(f"{row['column']}\trows={row['n_rows']}"
+              f"\tnulls={row['n_null']}\tmin={row['min']}"
+              f"\tmax={row['max']}"
+              f"\tdistinct~{row['n_distinct_est']}")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="swishray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -390,6 +411,12 @@ def main(argv=None) -> int:
     pk.add_argument("--batch-size", type=int, default=64)
     pk.add_argument("--num-buckets", type=int, default=64)
     pk.set_defaults(fn=cmd_links)
+
+    pp = sub.add_parser("profile")
+    pp.add_argument("--table", required=True)
+    pp.add_argument("--columns", action="append")
+    pp.add_argument("--num-cpus", type=int, default=8)
+    pp.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)
