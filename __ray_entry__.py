@@ -1892,6 +1892,52 @@ def q_url_canonicalize(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_crawl_delta(sf_dir: str):
+    """Crawl-snapshot delta: two snapshots synthesized from the
+    documents table (old = doc_id % 7 != 0; new = doc_id % 5 != 0
+    with every third body rewritten) classified per url as
+    added / removed / changed / unchanged via slim 64-bit content
+    fingerprints and one full-outer join — the oracle replays the
+    same join over derived CTEs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.crawl import snapshot_delta
+
+    def synth(new: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id")
+            keep = pc.not_equal(
+                pc.subtract(did, pc.multiply(
+                    pc.divide(did, 5 if new else 7), 5 if new else 7)),
+                0)
+            t = batch.filter(keep)
+            did = t.column("doc_id")
+            url = pc.binary_join_element_wise(
+                "p", pc.cast(did, pa.string()), "")
+            body = pc.cast(t.column("text"), pa.large_string())
+            if new:
+                third = pc.equal(pc.subtract(did, pc.multiply(
+                    pc.divide(did, 3), 3)), 0)
+                ls = pa.large_string()
+                body = pc.if_else(
+                    third,
+                    pc.binary_join_element_wise(
+                        body, pa.scalar(" v2", ls), pa.scalar("", ls)),
+                    body)
+            return pa.table({"url": url, "content": body})
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(synth(False), batch_format="pyarrow")
+    new = docs.map_batches(synth(True), batch_format="pyarrow")
+    out = snapshot_delta(old, new, key="url", content="content")
+    return out.map_batches(
+        lambda t: pa.table({
+            "url": pc.cast(t.column("url"), pa.string()),
+            "status": pc.cast(t.column("status"), pa.string())}),
+        batch_format="pyarrow")
+
+
 def q_word_rarity(sf_dir: str):
     """CCNet-style corpus-frequency quality signal: per doc the sum
     of corpus-wide unigram counts of its words (vocab cut at
@@ -1981,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
         "sitemap_parse": q_sitemap_parse,
+        "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
         "resample_mix": q_resample_mix,
         "weighted_sample": q_weighted_sample,
@@ -2594,6 +2641,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'url', "
             "'https://s' || m || '.example/u' || s || 'b', "
             "'', '', '' FROM d WHERE doc_id % 5 <> 0"),
+        "crawl_delta": (
+            "WITH o AS (SELECT 'p' || cast(doc_id as varchar) AS url,"
+            " text AS c FROM documents WHERE doc_id % 7 <> 0), "
+            "n AS (SELECT 'p' || cast(doc_id as varchar) AS url, "
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text "
+            "END AS c FROM documents WHERE doc_id % 5 <> 0) "
+            "SELECT coalesce(o.url, n.url) AS url, "
+            "CASE WHEN o.url IS NULL THEN 'added' "
+            "WHEN n.url IS NULL THEN 'removed' "
+            "WHEN o.c = n.c THEN 'unchanged' ELSE 'changed' END AS "
+            "status FROM o FULL OUTER JOIN n ON o.url = n.url"),
         "url_canonicalize": (
             "SELECT doc_id, 'http://www.s' || "
             "cast(doc_id % 3 as varchar) || '.example/P' || "
