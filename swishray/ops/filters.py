@@ -485,19 +485,24 @@ def decontaminate(ds: Any, bench: Any, n: int = 3,
     # join mode
     from ray.data.aggregate import Count
 
-    from .joins import default_join_partitions, native_join
+    from .joins import default_join_partitions, native_join, \
+        schema_guard
 
-    bgrams = bench.map_batches(bench_grams, batch_format="pyarrow") \
-        .groupby("gram").aggregate(Count(alias_name="__b")) \
-        .map_batches(
-            lambda t: pa.table({"gram": t.column("gram").cast(
-                pa.large_string())}),
-            batch_format="pyarrow") \
-        .repartition(default_join_partitions())
+    ktype = ds.schema().base_schema.field(key).type
+    # schema_guard on bgrams: an empty/short benchmark produces zero
+    # grams and the side would reach the join schema-less; on hits: a
+    # CLEAN corpus (zero contaminated grams — the common production
+    # outcome) does the same to the final left join. Both are inner/
+    # left right-sides, so the guards' null sentinels never surface.
+    bgrams = schema_guard(
+        bench.map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("gram").aggregate(Count(alias_name="__b")),
+        pa.schema([("gram", pa.large_string()), ("__b", pa.int64())]))
     dgrams = ds.map_batches(doc_grams, batch_format="pyarrow")
-    hits = native_join(dgrams, bgrams, "gram") \
-        .groupby(key).aggregate(Count(alias_name="__m")) \
-        .repartition(default_join_partitions())  # FieldRef trap, see
+    hits = schema_guard(
+        native_join(dgrams, bgrams, "gram")
+        .groupby(key).aggregate(Count(alias_name="__m")),
+        pa.schema([(key, ktype), ("__m", pa.int64())]))
     totals = ds.map_batches(gram_counts, batch_format="pyarrow") \
         .repartition(default_join_partitions())  # dedup.py:440
     out = native_join(totals, hits, key, how="left")
@@ -631,14 +636,22 @@ def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
         # type with the pairs side or the join raises ArrowInvalid
         return pa.table({"gram": pc.cast(kept.column("gram"), gtype)})
 
-    dup = dup.map_batches(dup_only, batch_format="pyarrow") \
-        .repartition(default_join_partitions())  # FieldRef trap
-    hits = native_join(pairs, dup.map_batches(
-        lambda t: t.append_column("__d", pa.array(
-            np.ones(t.num_rows, dtype=np.int8))),
-        batch_format="pyarrow"), "gram") \
-        .groupby(key).aggregate(Count(alias_name="n_dup")) \
-        .repartition(default_join_partitions())
+    from .joins import schema_guard
+    ktype2 = ds.schema().base_schema.field(key).type
+    # schema_guard (not repartition): an all-unique corpus leaves
+    # `dup` and `hits` all-empty, and empty blocks never reach the
+    # join shuffle at all — both are inner/left right-sides, so the
+    # guards' null sentinels never surface downstream
+    dup = schema_guard(
+        dup.map_batches(dup_only, batch_format="pyarrow"),
+        pa.schema([("gram", gtype)]))
+    hits = schema_guard(
+        native_join(pairs, dup.map_batches(
+            lambda t: t.append_column("__d", pa.array(
+                np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow"), "gram")
+        .groupby(key).aggregate(Count(alias_name="n_dup")),
+        pa.schema([(key, ktype2), ("n_dup", pa.int64())]))
     tot = ds.map_batches(totals, batch_format="pyarrow") \
         .repartition(default_join_partitions())
     out = native_join(tot, hits, key, how="left")

@@ -154,6 +154,41 @@ def bloom_semi_filter(ds: Any, mask_ref, col: str) -> Any:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def schema_guard(ds: Any, schema: pa.Schema) -> Any:
+    """Make a join side immune to the Ray 2.49 empty-side trap.
+
+    Ray's hash-join shuffle learns each side's schema from the blocks
+    it receives — but EMPTY blocks are dropped before they reach the
+    aggregators, so a side that ends up all-empty (a zero-group
+    aggregate, a filter that matched nothing — e.g. a CLEAN corpus in
+    a contamination scrub) arrives schema-LESS and acero raises "No
+    match for key FieldRef.Name(...)". Typed empty seeds, repartition
+    and retyping empties do NOT help (verified: empty blocks never
+    reach the shuffle at all); the only thing that does is a real
+    row. This guard (a) casts every non-empty block to ``schema``
+    (groupbys narrow large_string -> string, which would otherwise
+    fail the aggregator concat) and (b) unions in ONE all-null
+    sentinel row.
+
+    Contract: null join keys never match, so for INNER and LEFT joins
+    with the guarded side on the right the sentinel never reaches the
+    output and no cleanup is needed. A guarded side of an OUTER or
+    RIGHT join is preserved unmatched — drop null-key rows after the
+    join (see crawl.snapshot_delta, which rides the same contract).
+    """
+    import ray.data as rd
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return pa.table(
+            {f_.name: t.column(f_.name).cast(f_.type) for f_ in schema})
+
+    sentinel = rd.from_arrow(pa.table(
+        {f_.name: pa.array([None], f_.type) for f_ in schema}))
+    return sentinel.union(ds.map_batches(f, batch_format="pyarrow"))
+
+
 def default_join_partitions(cap: int = 64) -> int:
     """Join partition count sized to the CURRENT session: the built-in
     hash join launches ~num_partitions aggregator actors, so a fixed

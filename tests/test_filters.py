@@ -174,6 +174,41 @@ def test_decontaminate_join_agrees(ray_session):
         .equals(j[["doc_id", "n_grams", "n_matched", "contaminated"]])
 
 
+def test_decontaminate_join_clean_corpus(ray_session):
+    # zero hits is the COMMON production outcome; the join-mode `hits`
+    # side is then all-empty and (Ray 2.49) empty blocks never reach
+    # the join shuffle — schema_guard's sentinel keeps it alive
+    d, _ = _decon_inputs()
+    clean_bench = rd.from_items(
+        [{"text": "totally unrelated benchmark words here"}])
+    out = decontaminate(d, clean_bench, n=3, mode="join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [False] * 4
+    assert out["n_matched"].tolist() == [0] * 4
+    assert out["n_grams"].tolist() == [3, 3, 0, 1]
+
+
+def test_decontaminate_join_empty_bench(ray_session):
+    d, b = _decon_inputs()
+    out = decontaminate(d, b.filter(lambda r: False), n=3,
+                        mode="join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [False] * 4
+
+
+def test_self_dup_all_unique_corpus(ray_session):
+    # no gram appears in >= 2 docs -> `dup` and `hits` are all-empty
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": "alpha beta gamma"},
+         {"doc_id": 2, "text": "delta epsilon zeta"},
+         {"doc_id": 3, "text": "eta theta iota"}]).repartition(2)
+    from swishray.ops.filters import self_dup_ngram_stats
+    out = self_dup_ngram_stats(docs, n=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_dup"].tolist() == [0, 0, 0]
+    assert out["n_grams"].tolist() == [2, 2, 2]
+
+
 def test_normalize_text_kernels(ray_session):
     import ray.data as rd
     from swishray.ops.filters import normalize_text
