@@ -64,6 +64,20 @@ def connected_components(edges: Any, a: str = "a", b: str = "b",
     edges_sym = edges.map_batches(sym, batch_format="pyarrow") \
         .materialize()
 
+    # An empty pair list (all-unique corpus — the common production
+    # outcome) leaves every derived side schema-less, and Ray 2.49
+    # drops empty blocks before the join shuffle (joins.schema_guard
+    # doc). The answer is known anyway: no edges, no components.
+    # count() is O(1) metadata on the already-materialized edges.
+    if edges_sym.count() == 0:
+        import ray.data as rd
+        sch = edges_sym.schema()
+        ntype = (sch.base_schema.field("node").type
+                 if sch is not None else pa.int64())
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], ntype),
+            "component": pa.array([], ntype)}))
+
     def with_self(batch: pa.Table) -> pa.Table:
         # self-loops seed label(x) = min(x, neighbours) in round 0
         return pa.concat_tables([
@@ -156,7 +170,15 @@ def dedup_keep_canonical(docs: Any, pairs: Any, key: str = "doc_id",
                          "_loser": pa.array([1] * t.num_rows,
                                             pa.int8())})
 
-    loser_ds = cc.map_batches(losers, batch_format="pyarrow")
+    from .joins import schema_guard
+    # schema_guard: with NO near-dup pairs (clean corpus) the loser
+    # set is empty and its schema unresolvable — the guard's null-key
+    # sentinel keeps the side schema-bearing and never matches in the
+    # left join below
+    loser_ds = schema_guard(
+        cc.map_batches(losers, batch_format="pyarrow"),
+        pa.schema([(key, docs.schema().base_schema.field(key).type),
+                   ("_loser", pa.int8())]))
     joined = hash_join(docs, loser_ds, key, how="left")
     return joined.map_batches(
         lambda t: t.filter(pc.is_null(t.column("_loser_r")))

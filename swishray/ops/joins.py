@@ -154,6 +154,23 @@ def bloom_semi_filter(ds: Any, mask_ref, col: str) -> Any:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _retype_empties(ds: Any, schema: pa.Schema) -> Any:
+    """Re-pack field-less empty blocks as typed empties; non-empty
+    blocks pass through untouched (zero-copy). Ray 2.49's repartition
+    emits FIELD-LESS empty remainder blocks whenever rows <
+    partitions, and the hash-join shuffle broadcasts the schema of
+    whichever block it processes FIRST — a field-less winner poisons
+    every join partition that receives no real rows (racy: depends on
+    block arrival order). native_join applies this to both sides."""
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or (t.num_rows == 0
+                                  and t.schema != schema):
+            return schema.empty_table()
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def schema_guard(ds: Any, schema: pa.Schema) -> Any:
     """Make a join side immune to the Ray 2.49 empty-side trap.
 
@@ -228,10 +245,22 @@ def native_join(left: Any, right: Any, key: str,
             jt = {"left": "left_outer", "right": "right_outer",
                   "outer": "full_outer", "full": "full_outer"} \
                 .get(how, how)
+            # neutralize field-less empty blocks on BOTH sides (the
+            # repartition remainder-block race, _retype_empties doc)
+            # whenever the side's schema is resolvable; an all-empty
+            # side has no schema and needs the caller's schema_guard
+            lsch = left.schema()
+            if lsch is not None:
+                left = _retype_empties(left, lsch.base_schema)
+            rsch = right.schema()
             renamed = right.map_batches(
                 lambda t: t.rename_columns(
                     [c if c == key else c + "_r" for c in t.column_names]),
                 batch_format="pyarrow")
+            if rsch is not None:
+                renamed = _retype_empties(renamed, pa.schema(
+                    [(f.name if f.name == key else f.name + "_r",
+                      f.type) for f in rsch.base_schema]))
             return left.join(renamed, join_type=jt,
                              num_partitions=num_partitions, on=(key,))
         except Exception:

@@ -60,3 +60,38 @@ def test_dedup_keep_canonical(ray_session):
     kept = dedup_keep_canonical(docs, e, key="doc_id").to_pandas()
     assert sorted(kept["doc_id"]) == [0, 5, 10, 99]
     assert sorted(kept.columns) == ["doc_id", "text"]
+
+
+def test_connected_components_no_edges(ray_session):
+    # all-unique corpus: the pair list is typed but empty; every
+    # derived side would be schema-less past the first shuffle
+    # (components.py empty short-circuit)
+    e = rd.from_items([{"a": 1, "b": 2}]).filter(lambda r: False)
+    out = connected_components(e)
+    assert out.count() == 0
+    # NB: .to_pandas() on an all-empty Dataset drops columns (Ray
+    # 2.49 quirk) — the Dataset-level schema is the contract here
+    assert sorted(out.schema().names) == ["component", "node"]
+
+
+def test_dedup_keep_canonical_no_pairs(ray_session):
+    # clean corpus: zero near-dup pairs must keep every doc
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(7)]) \
+        .repartition(3)
+    e = rd.from_items([{"a": 1, "b": 2}]).filter(lambda r: False)
+    kept = dedup_keep_canonical(docs, e, key="doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == list(range(7))
+    assert sorted(kept.columns) == ["doc_id", "text"]
+
+
+def test_dedup_keep_canonical_sparse_overpartitioned(ray_session):
+    # rows < partitions on the loser side emits field-less empty
+    # remainder blocks; native_join must not let one poison the
+    # shuffle schema (joins._retype_empties)
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(50)]) \
+        .repartition(4)
+    e = rd.from_items([{"a": 0, "b": 1}]).repartition(16)
+    kept = dedup_keep_canonical(docs, e, key="doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [0] + list(range(2, 50))
