@@ -1112,6 +1112,79 @@ def q_line_dedup(sf_dir: str):
     return remove_duplicate_lines(ds, mode="join", key="doc_id")
 
 
+def q_boilerplate_domain(sf_dir: str):
+    """Per-host (group-scoped) boilerplate-line removal —
+    RefinedWeb-style site dedup (swishray/ops/boilerplate.py
+    ``group_col``): each host's nav line and rotating promo footer
+    repeat WITHIN the host and must be stripped there, while the
+    'ONE PER HOST' line (exactly one doc per host carries it) must
+    survive — a global census would kill it. Join mode = the 100-TB
+    path; pytest asserts broadcast equality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.boilerplate import remove_duplicate_lines
+
+    def pages(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 3), 3)), pa.string()), "")
+        promo = pc.binary_join_element_wise(
+            "promo ", pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 7), 7)), pa.string()), "")
+        once = pc.if_else(pc.less(did, 3),
+                          pa.scalar("ONE PER HOST\n"), pa.scalar(""))
+        t = pc.binary_join_element_wise(
+            "NAV ", host, "\n", once,
+            pc.coalesce(batch.column("text"), ""), "\n", promo, "")
+        return pa.table({"doc_id": did, "host": host, "text": t})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pages, batch_format="pyarrow")
+    return remove_duplicate_lines(ds, mode="join", key="doc_id",
+                                  group_col="host")
+
+
+def q_quality_model(sf_dir: str):
+    """Linear quality-model inference (textstats.quality_model_score):
+    broadcast weights, vectorized integer fixed-point logit, keep
+    decision — hash-exact vs the same arithmetic in SQL."""
+    from swishray.ops.textstats import quality_model_score
+    return quality_model_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_fix_mojibake(sf_dir: str):
+    """ftfy-style mojibake repair (filters.fix_mojibake): docs get a
+    non-ASCII prefix, then a third are UTF-8→latin-1 double-corrupted,
+    a third single-corrupted, a third left clean. Repair must recover
+    the ORIGINAL text exactly (the corruption is invertible — that is
+    the oracle) with the right pass count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.filters import fix_mojibake
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_pylist()
+        txt = batch.column("text").to_pylist()
+        out = []
+        for d, t in zip(did, txt):
+            s = "café naïve — " + (t or "")
+            for _ in range(2 - d % 3):
+                s = s.encode("utf-8").decode("latin-1")
+            out.append(s)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.large_string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        corrupt, batch_format="pyarrow")
+    fixed = fix_mojibake(ds)
+    return fixed.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("mojibake_passes"), "mojibake_passes",
+            pc.cast(t.column("mojibake_passes"), pa.int64())),
+        batch_format="pyarrow")
+
+
 def q_redact_pii(sf_dir: str):
     """PII scrub (emails then phone numbers, vectorized RE2): the
     corpus gets deterministic synthetic PII appended so the redaction
@@ -2005,6 +2078,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parts": q_url_parts,
         "site_stats": q_site_stats,
         "line_dedup": q_line_dedup,
+        "boilerplate_domain": q_boilerplate_domain,
+        "quality_model": q_quality_model,
+        "fix_mojibake": q_fix_mojibake,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
@@ -2089,6 +2165,30 @@ def oracle_sql() -> dict[str, str]:
             f"cast(length(replace(text, ' ', '')) as bigint) AS sum_word_len, "
             f"cast(len(list_filter({_WORDS_SQL}, "
             f"x -> list_contains({stop_sql}, x))) as bigint) AS n_stopwords "
+            "FROM documents"),
+        "quality_model": (
+            "WITH f AS (SELECT doc_id, "
+            "cast(length(text) as bigint) AS n_chars, "
+            f"cast(len({_WORDS_SQL}) as bigint) AS n_words, "
+            "cast(length(replace(text, ' ', '')) as bigint) AS sum_wl, "
+            f"cast(len(list_filter({_WORDS_SQL}, "
+            f"x -> list_contains({stop_sql}, x))) as bigint) AS n_stop, "
+            "cast(length(text) - length(regexp_replace(text, "
+            "'[\\p{L}\\p{N}]', '', 'g')) as bigint) AS n_alnum "
+            "FROM documents), "
+            "g AS (SELECT doc_id, n_words, "
+            "(1000 * n_stop) // greatest(n_words, 1) AS stop_pm, "
+            "(1000 * (sum_wl - n_alnum)) // greatest(n_chars, 1) "
+            "AS punct_pm FROM f) "
+            "SELECT doc_id, cast(-300 + 6 * stop_pm - 4 * punct_pm + "
+            "CASE WHEN n_words < 50 THEN -2000 ELSE 0 END as bigint) "
+            "AS logit_milli, "
+            "(-300 + 6 * stop_pm - 4 * punct_pm + "
+            "CASE WHEN n_words < 50 THEN -2000 ELSE 0 END) >= 0 "
+            "AS keep FROM g"),
+        "fix_mojibake": (
+            "SELECT doc_id, 'café naïve — ' || text AS text, "
+            "cast(2 - doc_id % 3 as bigint) AS mojibake_passes "
             "FROM documents"),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "mime_sniff": (
@@ -2273,6 +2373,30 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(distinct doc_id) >= 2), "
             "kept AS (SELECT l.* FROM lines l "
             "WHERE l.line NOT IN (SELECT line FROM hot)), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) "
+            "ORDER BY i) AS text_clean, count(*) AS n_kept FROM kept "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_total FROM lines "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean, "
+            "cast(t.n_total - coalesce(a.n_kept, 0) as bigint) "
+            "AS n_lines_removed FROM tot t LEFT JOIN agg a USING(doc_id)"),
+        "boilerplate_domain": (
+            "WITH pages AS (SELECT doc_id, "
+            "'h' || cast(doc_id % 3 as varchar) AS host, "
+            "'NAV h' || cast(doc_id % 3 as varchar) || chr(10) || "
+            "CASE WHEN doc_id < 3 THEN 'ONE PER HOST' || chr(10) "
+            "ELSE '' END || text || chr(10) || "
+            "'promo ' || cast(doc_id % 7 as varchar) AS page "
+            "FROM documents), "
+            "ls AS (SELECT doc_id, host, string_split(page, chr(10)) "
+            "AS lls FROM pages), "
+            "lines AS (SELECT doc_id, host, lls[i] AS line, i FROM ls, "
+            "unnest(range(1, len(lls) + 1)) AS t(i)), "
+            "hot AS (SELECT host, line FROM lines GROUP BY host, line "
+            "HAVING count(distinct doc_id) >= 2), "
+            "kept AS (SELECT l.* FROM lines l ANTI JOIN hot h "
+            "ON l.host = h.host AND l.line = h.line), "
             "agg AS (SELECT doc_id, string_agg(line, chr(10) "
             "ORDER BY i) AS text_clean, count(*) AS n_kept FROM kept "
             "GROUP BY doc_id), "

@@ -29,6 +29,15 @@ Ray-Data shape (two passes, one slim exchange):
 
 64-bit hashing note: equality is by hash, so a 2^-64 collision can
 strip a unique line; the same trade CCNet's shard-hash dedup makes.
+
+``group_col`` scopes the census to a grouping column (RefinedWeb-
+style per-site boilerplate: strip a nav bar repeated across one
+host's pages without touching a sentence that happens to appear once
+on many unrelated hosts).  Implementation is one line: the line hash
+is salted with the group's key hash (``mix64(line_hash XOR
+group_hash)``), so both passes, both modes, and the slim-exchange
+property are unchanged — (group, line) identity rides the same 8
+bytes a global line identity does.
 """
 
 from __future__ import annotations
@@ -53,9 +62,21 @@ def _line_hashes_arr(arr: pa.Array):
     return _key_hash64(arr)
 
 
+def _scope_hashes(h, batch: pa.Table, group_col, lens):
+    """Salt uint64 line hashes with the per-doc group hash (see
+    module doc): (group, line) identity in the same 8 bytes."""
+    import numpy as np
+    from .dedup import _mix64
+    from .joins import _key_hash64
+    gh = _key_hash64(batch.column(group_col).combine_chunks())
+    return _mix64(h ^ np.repeat(gh, lens))
+
+
 def hot_line_hashes(ds: Any, col: str = "text", min_docs: int = 2,
-                    sep: str = "\n") -> Any:
-    """Dataset of ``(line_hash,)`` for lines in >= min_docs docs."""
+                    sep: str = "\n",
+                    group_col: str | None = None) -> Any:
+    """Dataset of ``(line_hash,)`` for lines in >= min_docs docs
+    (distinct docs within the same ``group_col`` group if given)."""
     import numpy as np
 
     def census(batch: pa.Table) -> pa.Table:
@@ -69,7 +90,10 @@ def hot_line_hashes(ds: Any, col: str = "text", min_docs: int = 2,
         lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(lines)
         doc_idx = np.repeat(np.arange(batch.num_rows), lens)
-        h = _line_hashes_arr(flat).astype(np.int64)
+        h = _line_hashes_arr(flat)
+        if group_col is not None:
+            h = _scope_hashes(h, batch, group_col, lens)
+        h = h.astype(np.int64)
         df = pd.DataFrame({"d": doc_idx, "h": h}).drop_duplicates()
         vc = df["h"].value_counts()
         return pa.table({
@@ -89,14 +113,17 @@ def hot_line_hashes(ds: Any, col: str = "text", min_docs: int = 2,
 def remove_duplicate_lines(ds: Any, col: str = "text",
                            key: str = "doc_id", min_docs: int = 2,
                            sep: str = "\n", mode: str = "broadcast",
-                           out_col: str = "text_clean") -> Any:
-    """Strip corpus-wide duplicate lines from every doc.
+                           out_col: str = "text_clean",
+                           group_col: str | None = None) -> Any:
+    """Strip corpus-wide duplicate lines from every doc (duplicate
+    WITHIN ``group_col`` — e.g. per-host — when given).
 
     Output: ``(key, out_col, n_lines_removed)``; a doc whose every
     line is boilerplate keeps an empty string, not a dropped row.
     """
     import numpy as np
-    hot = hot_line_hashes(ds, col=col, min_docs=min_docs, sep=sep)
+    hot = hot_line_hashes(ds, col=col, min_docs=min_docs, sep=sep,
+                          group_col=group_col)
 
     if mode == "broadcast":
         import ray
@@ -119,7 +146,10 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
             flat = pc.list_flatten(lines)
             n = batch.num_rows
             doc_idx = np.repeat(np.arange(n), lens)
-            h = _line_hashes_arr(flat).astype(np.int64)
+            h = _line_hashes_arr(flat)
+            if group_col is not None:
+                h = _scope_hashes(h, batch, group_col, lens)
+            h = h.astype(np.int64)
             if len(hs) and len(h):
                 idx = np.searchsorted(hs, h)
                 idx[idx == len(hs)] = 0
@@ -151,8 +181,11 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
     from .dedup import _mix64
 
     def explode(batch: pa.Table) -> pa.Table:
-        ks, nos, lines, nls = [], [], [], []
+        from .joins import _key_hash64
+        ks, nos, lines, nls, gs = [], [], [], [], []
         kpy = [str(k) for k in batch.column(key).to_pylist()]
+        ghs = (_key_hash64(batch.column(group_col).combine_chunks())
+               if group_col is not None else None)
         for i, ls in enumerate(
                 _split_lines(batch.column(col), sep).to_pylist()):
             ls = ls or [""]
@@ -164,7 +197,12 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
             nos.extend([-1, *range(n)])
             lines.extend(["", *ls])
             nls.extend([n] * (n + 1))
-        hashes = _line_hashes(lines).astype(np.int64)
+            if ghs is not None:
+                gs.extend([ghs[i]] * (n + 1))
+        hashes = _line_hashes(lines)
+        if ghs is not None:
+            hashes = _mix64(hashes ^ np.asarray(gs, dtype=np.uint64))
+        hashes = hashes.astype(np.int64)
         anchor = np.asarray(nos, dtype=np.int64) == -1
         # anchor key: same deterministic vectorized hash as the lines
         # (NOT Python hash(), whose per-process salt would scatter a

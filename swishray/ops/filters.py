@@ -572,6 +572,74 @@ def normalize_text(ds: Any, col: str = "text", form: str = "NFC",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def fix_mojibake(ds: Any, col: str = "text", key: str = "doc_id",
+                 out: str | None = None, max_passes: int = 3) -> Any:
+    """Repair UTF-8-decoded-as-legacy-codepage text ("mojibake":
+    ``café`` shipped as ``cafÃ©``) — the ftfy-style fixer every web
+    corpus needs because upstream servers mislabel charsets.  Public
+    algorithm (ftfy's core loop, R. Speer): re-encode the string
+    through the legacy codepage (cp1252, falling back to latin-1 for
+    the 5 unmapped C1 bytes) and strictly decode UTF-8; accept a pass
+    only when the round-trip parses AND strictly shrinks the text
+    (real mojibake always shrinks — multi-byte sequences collapse);
+    repeat for double-encoded input up to ``max_passes``.
+
+    Scale shape: a vectorized RE2 prefilter (``[ÃÂÐÑ×]|â€``) selects
+    suspect rows; the Python repair loop touches ONLY those (web
+    corpora: a few % of rows), everything else passes through
+    zero-copy.  Map-only, no shuffle, no state.
+
+    Output: input columns with ``out`` (default: in-place) repaired +
+    ``mojibake_passes`` (int8 — 0 = untouched).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    o = out or col
+    # bytes 0x81 0x8D 0x8F 0x90 0x9D have no cp1252 mapping; latin-1
+    # maps them to the C1 controls the double-encoding actually
+    # produced (same table ftfy's sloppy-windows-1252 uses)
+    def _reencode(s: str) -> bytes:
+        try:
+            return s.encode("cp1252")
+        except UnicodeEncodeError:
+            return s.encode("latin-1")
+
+    def _fix_one(s: str) -> tuple[str, int]:
+        n = 0
+        for _ in range(max_passes):
+            try:
+                b = _reencode(s)
+                t = b.decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+            if len(t) >= len(s):
+                break
+            s, n = t, n + 1
+        return s, n
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.coalesce(batch.column(col), ""),
+                    pa.large_string()).combine_chunks()
+        suspect = pc.match_substring_regex(
+            t, "[ÃÂÐÑ×]|â€") \
+            .to_numpy(zero_copy_only=False)
+        passes = np.zeros(batch.num_rows, dtype=np.int8)
+        if suspect.any():
+            vals = t.to_pylist()
+            for i in np.flatnonzero(suspect):
+                vals[i], passes[i] = _fix_one(vals[i])
+            t = pa.array(vals, pa.large_string())
+        if o in batch.column_names:
+            batch = batch.set_column(batch.column_names.index(o), o, t)
+        else:
+            batch = batch.append_column(o, t)
+        return batch.append_column("mojibake_passes",
+                                   pa.array(passes))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
                          key: str = "doc_id",
                          hashed: bool = True) -> Any:

@@ -649,3 +649,74 @@ def compression_ratio(ds: Any, col: str = "text",
                          "n_compressed": pa.array(nc, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Default public weights for quality_model_score: a hand-set linear
+# model in the spirit of fastText/CCNet quality classifiers (Joulin
+# et al. 2016 use learned weights; none can be trained in-container,
+# so these are fixed, documented constants a user would replace).
+# Features are exact fixed-point integers (per-mille ratios), so both
+# the engine and the SQL oracle compute the identical logit.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -300,
+    "stopword_permille": 6,      # natural prose has stopwords
+    "mean_word_len_decipermille": 0,  # reserved (0 keeps it inert)
+    "short_doc_penalty": -2000,  # n_words < 50
+    "punct_permille": -4,        # symbol soup
+}
+
+
+def quality_model_score(ds: Any, col: str = "text",
+                        key: str = "doc_id",
+                        weights: dict | None = None) -> Any:
+    """Linear quality-model scoring stage — the model-inference shape
+    of a CCNet/fastText-style document quality classifier with the
+    weights as broadcast state: ``ray.put`` once, read in each actor's
+    ``__init__``, scored vectorized per batch.
+
+    Everything is integer fixed-point (per-mille ratios, floor
+    division) so the output is hash-exact against a SQL oracle:
+    ``(key, logit_milli, keep)`` with ``keep = logit_milli >= 0``.
+    Plug real learned weights via ``weights=``; scale shape is
+    identical (map-only, zero shuffles).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import map_batches_stateful
+
+    ref = ray.put(dict(QUALITY_MODEL_WEIGHTS, **(weights or {})))
+
+    class Score:
+        def __init__(self, ref) -> None:
+            self.w = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            txt = pc.coalesce(pc.cast(batch.column(col),
+                                      pa.large_string()), "")
+            n_chars, n_words, sum_wl, n_stop = _word_stat_arrays(txt)
+            n_alnum = pc.count_substring_regex(
+                txt, r"[\p{L}\p{N}]").to_numpy(zero_copy_only=False)
+            n_punct = n_chars - n_alnum - (n_chars - sum_wl)
+            nw = np.maximum(n_words, 1)
+            nc = np.maximum(n_chars, 1)
+            stop_pm = (1000 * n_stop) // nw
+            mwl_dpm = (10000 * sum_wl) // nw
+            punct_pm = (1000 * n_punct) // nc
+            w = self.w
+            logit = (w["bias"]
+                     + w["stopword_permille"] * stop_pm
+                     + w["mean_word_len_decipermille"] * mwl_dpm
+                     + w["punct_permille"] * punct_pm
+                     + np.where(n_words < 50,
+                                w["short_doc_penalty"], 0))
+            return pa.table({
+                key: batch.column(key),
+                "logit_milli": pa.array(logit.astype(np.int64)),
+                "keep": pa.array(logit >= 0),
+            })
+
+    return map_batches_stateful(
+        ds, Score, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow")

@@ -108,3 +108,53 @@ def test_repetition_stats(ray_session):
     assert (out[2]["n_words"], out[2]["max_word_tf"]) == (3, 1)
     assert (out[3]["n_lines"], out[3]["n_dup_lines"]) == (1, 0)
     assert (out[3]["n_words"], out[3]["max_word_tf"]) == (0, 0)
+
+
+GROUPED = [
+    # host a: NAV repeated on both pages -> stripped within host a
+    (1, "a", "NAV A\nalpha body"),
+    (2, "a", "NAV A\nbeta body\nCROSS"),
+    # host b: NAV A appears ONCE here -> kept for host b
+    (3, "b", "NAV A\ngamma body\nCROSS"),
+    (4, "b", "NAV B\ndelta body"),
+    (5, "b", "NAV B\nepsilon body\nCROSS"),
+]
+GROUP_EXPECT = {
+    # CROSS occurs in 3 docs globally but never twice within one
+    # host for host a (once) — host b has it twice -> stripped there
+    1: ("alpha body", 1),
+    2: ("beta body\nCROSS", 1),
+    3: ("NAV A\ngamma body", 1),
+    4: ("delta body", 1),
+    5: ("epsilon body", 2),
+}
+
+
+def _gds():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in GROUPED], pa.int64()),
+        "host": pa.array([r[1] for r in GROUPED], pa.string()),
+        "text": pa.array([r[2] for r in GROUPED], pa.string())}))
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_group_scoped_boilerplate(ray_session, mode):
+    """group_col scopes the census per host: a line shared across
+    hosts but unique within each is kept; per-host repeats go."""
+    from swishray.ops.boilerplate import remove_duplicate_lines
+    out = remove_duplicate_lines(
+        _gds(), mode=mode, group_col="host").take_all()
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+           for r in out}
+    assert got == GROUP_EXPECT
+
+
+def test_group_scoped_differs_from_global(ray_session):
+    """The same corpus globally deduped DOES strip the cross-host
+    line — proving the scoping changes behavior, not just hashes."""
+    from swishray.ops.boilerplate import remove_duplicate_lines
+    out = remove_duplicate_lines(_gds()).take_all()
+    got = {r["doc_id"]: r["text_clean"] for r in out}
+    assert got[2] == "beta body"          # CROSS stripped globally
+    assert got[3] == "gamma body"         # NAV A global count = 2

@@ -250,3 +250,60 @@ def test_self_dup_ngram_stats(ray_session):
         assert out["n_grams"].tolist() == [4, 3, 3, 0]
         # only "the cat sat" crosses documents
         assert out["n_dup"].tolist() == [1, 1, 0, 0], hashed
+
+
+def test_quality_model_score(ray_session):
+    """Linear model inference: fixed-point logit arithmetic checked
+    against a hand-computed row, weights overridable (the broadcast
+    model slot), keep == logit >= 0 everywhere."""
+    import ray.data as rd
+    from swishray.ops.textstats import quality_model_score
+
+    rows = [
+        # 60 words, half stopwords: stop_pm=500 -> -300+6*500 = +2700
+        {"doc_id": 1, "text": ("the word " * 30).strip()},
+        # short doc penalty: 4 words -> -300+6*250-2000 < 0
+        {"doc_id": 2, "text": "the tiny doc here"},
+        # punct soup: 50 x '!!' words -> punct_pm ~ 666 -> negative
+        {"doc_id": 3, "text": ("x! " * 50).strip()},
+    ]
+    ds = rd.from_items(rows)
+    got = {r["doc_id"]: r for r in quality_model_score(ds).take_all()}
+    assert got[1]["logit_milli"] == -300 + 6 * 500
+    assert got[1]["keep"] is True or got[1]["keep"] == True  # noqa: E712
+    assert got[2]["keep"] == False  # noqa: E712
+    assert got[3]["keep"] == False  # noqa: E712
+    for r in got.values():
+        assert r["keep"] == (r["logit_milli"] >= 0)
+
+    # override slot: an always-keep bias flips every decision on
+    lax = {r["doc_id"]: r for r in quality_model_score(
+        ds, weights={"bias": 10_000_000}).take_all()}
+    assert all(r["keep"] for r in lax.values())
+
+
+def test_fix_mojibake(ray_session):
+    """Roundtrip repair of single- and double-encoded mojibake;
+    legit non-ASCII text (no markers, or invalid re-encoding) is
+    never touched."""
+    import ray.data as rd
+    from swishray.ops.filters import fix_mojibake
+
+    orig = "café — naïve ÆØÅ büro"
+    once = orig.encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    rows = [
+        {"doc_id": 1, "text": once},
+        {"doc_id": 2, "text": twice},
+        {"doc_id": 3, "text": orig},          # clean, stays
+        {"doc_id": 4, "text": "AÑO NUEVO"},   # marker char but NOT
+                                              # valid utf-8 bytes
+        {"doc_id": 5, "text": "plain ascii"},
+    ]
+    got = {r["doc_id"]: r for r in
+           fix_mojibake(rd.from_items(rows)).take_all()}
+    assert got[1]["text"] == orig and got[1]["mojibake_passes"] == 1
+    assert got[2]["text"] == orig and got[2]["mojibake_passes"] == 2
+    for d in (3, 4, 5):
+        assert got[d]["text"] == rows[d - 1]["text"]
+        assert got[d]["mojibake_passes"] == 0
