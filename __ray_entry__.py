@@ -1145,6 +1145,32 @@ def q_boilerplate_domain(sf_dir: str):
                                   group_col="host")
 
 
+def q_span_dedup(sf_dir: str):
+    """Exact-substring span removal (boilerplate.remove_duplicate_spans,
+    Lee et al. 2022 shape): half the docs get a shared 8-word slogan
+    appended; every word covered by a cross-doc hot 4-gram is cut and
+    the slogan vanishes as one span. The oracle replays the identical
+    window-coverage semantics in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.boilerplate import remove_duplicate_spans
+
+    def with_slogan(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        tail = pc.if_else(
+            pc.equal(pc.subtract(did, pc.multiply(
+                pc.divide(did, 2), 2)), 0),
+            pa.scalar(" all your base are belong to us now"),
+            pa.scalar(""))
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch.column("text"), ""), tail, "")
+        return pa.table({"doc_id": did, "text": t})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_slogan, batch_format="pyarrow")
+    return remove_duplicate_spans(ds, n=4)
+
+
 def q_quality_model(sf_dir: str):
     """Linear quality-model inference (textstats.quality_model_score):
     broadcast weights, vectorized integer fixed-point logit, keep
@@ -2080,6 +2106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "boilerplate_domain": q_boilerplate_domain,
         "quality_model": q_quality_model,
+        "span_dedup": q_span_dedup,
         "fix_mojibake": q_fix_mojibake,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -2186,6 +2213,34 @@ def oracle_sql() -> dict[str, str]:
             "(-300 + 6 * stop_pm - 4 * punct_pm + "
             "CASE WHEN n_words < 50 THEN -2000 ELSE 0 END) >= 0 "
             "AS keep FROM g"),
+        "span_dedup": (
+            "WITH base AS (SELECT doc_id, text || CASE WHEN "
+            "doc_id % 2 = 0 THEN ' all your base are belong to us now' "
+            "ELSE '' END AS text FROM documents), "
+            "ws AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, ' +'), x -> x <> '') AS w "
+            "FROM base), "
+            "words AS (SELECT doc_id, w[i] AS word, i FROM ws, "
+            "unnest(range(1, len(w) + 1)) AS t(i)), "
+            "grams AS (SELECT doc_id, i AS s, "
+            "array_to_string(w[i:i+3], ' ') AS gram FROM ws, "
+            "unnest(range(1, len(w) - 2)) AS t(i)), "
+            "hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram "
+            "FROM grams) GROUP BY gram HAVING count(*) >= 2), "
+            "dstart AS (SELECT DISTINCT g.doc_id, g.s FROM grams g "
+            "SEMI JOIN hot h ON g.gram = h.gram), "
+            "covered AS (SELECT w.doc_id, w.i FROM words w "
+            "WHERE EXISTS (SELECT 1 FROM dstart d WHERE "
+            "d.doc_id = w.doc_id AND d.s <= w.i AND d.s >= w.i - 3)), "
+            "kept AS (SELECT w.* FROM words w ANTI JOIN covered c "
+            "ON w.doc_id = c.doc_id AND w.i = c.i), "
+            "agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) "
+            "AS text_clean, count(*) AS n_kept FROM kept "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, len(w) AS n_total FROM ws) "
+            "SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean, "
+            "cast(t.n_total - coalesce(a.n_kept, 0) as bigint) "
+            "AS n_words_removed FROM tot t LEFT JOIN agg a USING(doc_id)"),
         "fix_mojibake": (
             "SELECT doc_id, 'café naïve — ' || text AS text, "
             "cast(2 - doc_id % 3 as bigint) AS mojibake_passes "

@@ -292,3 +292,120 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
                                        pa.int64()),
         })
     return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+def hot_span_hashes(ds: Any, n: int = 13, col: str = "text",
+                    min_docs: int = 2) -> Any:
+    """Dataset ``(gram_hash,)`` of word ``n``-grams appearing in >=
+    ``min_docs`` distinct docs.  Hashes ride the exchange (8 bytes),
+    never gram text — the same trade self_dup_ngram_stats makes."""
+    import numpy as np
+    import pandas as pd
+    from .filters import _distinct_grams
+
+    def census(batch: pa.Table) -> pa.Table:
+        g_doc, g_str = _distinct_grams(batch, col, n)
+        h = pd.util.hash_array(g_str).astype(np.uint64).view(np.int64)
+        vc = pd.Series(h).value_counts()
+        return pa.table({
+            "gram_hash": pa.array(vc.index.to_numpy(dtype=np.int64)),
+            "n_docs": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    agg = (ds.map_batches(census, batch_format="pyarrow")
+             .groupby("gram_hash").sum("n_docs"))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.greater_equal(batch.column("sum(n_docs)"), min_docs)
+        return batch.filter(m).select(["gram_hash"])
+    return agg.map_batches(keep_hot, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(ds: Any, n: int = 13, col: str = "text",
+                           key: str = "doc_id", min_docs: int = 2,
+                           out_col: str = "text_clean") -> Any:
+    """Exact-substring span removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    dedup removes 50-token repeated spans; this is the n-gram-window
+    equivalent): every word covered by an ``n``-gram occurring in >=
+    ``min_docs`` distinct docs is cut, and the survivors rejoin with
+    single spaces.  Overlapping hot windows merge naturally (coverage
+    is positional), so a duplicated 40-word passage disappears as one
+    span, not ``40-n+1`` fragments.
+
+    Two passes: the hot census above (slim hash exchange), then a
+    broadcast map-only strip — the hot set is bounded by spans
+    repeated across docs (raise ``n``/``min_docs`` if a pathological
+    corpus inflates it; a join-mode strip would follow
+    remove_duplicate_lines' explode/regroup shape).
+
+    Coverage is computed vectorized: one cumsum over the flat
+    hot-start indicator, one windowed difference per word — no
+    per-doc Python loop.
+
+    Output: ``(key, out_col, n_words_removed)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    hot = hot_span_hashes(ds, n=n, col=col, min_docs=min_docs)
+    hot_np = np.sort(np.array(
+        [r["gram_hash"] for r in hot.take_all()], dtype=np.int64))
+    hot_ref = ray.put(hot_np)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        from .filters import _text_col
+        hs = ray.get(hot_ref)
+        txt = _text_col(batch, col)
+        words = pc.split_pattern_regex(txt, " +")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat_all = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat_all, "") \
+            .to_numpy(zero_copy_only=False)
+        counts = (offs[1:] - offs[:-1]).astype(np.int64)
+        doc_all = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        flat = np.asarray(flat_all.to_pandas(), dtype=object)[nonempty]
+        doc_idx = doc_all[nonempty]
+        L = len(flat)
+        ndocs = batch.num_rows
+        covered = np.zeros(L, dtype=bool)
+        if L >= n and len(hs):
+            # every gram start (NOT distinct — all positions)
+            gram = flat[: L - n + 1]
+            for j in range(1, n):
+                gram = gram + " "
+                gram = gram + flat[j: L - n + 1 + j]
+            same_doc = doc_idx[: L - n + 1] == doc_idx[n - 1:]
+            h = pd.util.hash_array(gram).astype(np.uint64) \
+                .view(np.int64)
+            pos = np.searchsorted(hs, h)
+            pos[pos == len(hs)] = 0
+            dup_start = same_doc & (hs[pos] == h)
+            # coverage: word w is cut iff some hot start s with
+            # s <= w <= s+n-1 in the same doc.  starts are already
+            # doc-masked, so the window only needs the doc's left
+            # edge clamp.
+            D = np.concatenate(
+                ([0], np.cumsum(np.concatenate(
+                    (dup_start, np.zeros(n - 1, dtype=bool))))))
+            w = np.arange(L)
+            doc_first = np.searchsorted(doc_idx, doc_idx)  # start of
+            lo = np.maximum(w - n + 1, doc_first)          # own doc
+            covered = (D[w + 1] - D[lo]) > 0
+        kept = ~covered
+        df = pd.DataFrame({"d": doc_idx[kept], "w": flat[kept]})
+        joined = df.groupby("d", sort=False)["w"].agg(" ".join)
+        txt_out = joined.reindex(np.arange(ndocs)).fillna("")
+        removed = np.bincount(doc_idx[covered], minlength=ndocs)
+        return pa.table({
+            key: batch.column(key),
+            out_col: pa.array(txt_out.values, pa.large_string()),
+            "n_words_removed": pa.array(removed.astype(np.int64)),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")
