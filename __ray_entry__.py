@@ -933,6 +933,33 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup(docs, threshold=0.5)
 
 
+def q_dedup_cross(sf_dir: str):
+    """Cross-corpus near-dup removal (dedup.dedup_against_corpus):
+    docs with doc_id%5==0 play the prior-snapshot reference, the rest
+    the fresh crawl; a fresh doc sharing >=0.5 word-3-gram Jaccard
+    with any reference doc is dropped. Oracle = brute-force
+    cross-side Jaccard in SQL (the corpus' organic near-dups all sit
+    at J>=0.9, where LSH detection is certain)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.dedup import dedup_against_corpus
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mod5(r: int):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(pc.subtract(
+                t.column("doc_id"), pc.multiply(
+                    pc.divide(t.column("doc_id"), 5), 5)), 0)
+            return t.filter(m if r == 0 else pc.invert(m))
+        return f
+
+    new = docs.map_batches(mod5(1), batch_format="pyarrow")
+    ref = docs.map_batches(mod5(0), batch_format="pyarrow")
+    return dedup_against_corpus(new, ref, threshold=0.5) \
+        .select_columns(["doc_id"])
+
+
 def q_simhash_pairs(sf_dir: str):
     from swishray.ops.dedup import simhash_near_dups
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -2107,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_domain": q_boilerplate_domain,
         "quality_model": q_quality_model,
         "span_dedup": q_span_dedup,
+        "dedup_cross": q_dedup_cross,
         "fix_mojibake": q_fix_mojibake,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -2874,6 +2902,33 @@ def oracle_sql() -> dict[str, str]:
         # text produce no grams here, while the engine scores
         # empty-empty pairs as jaccard 1.0 — the test corpora contain
         # no empty documents.
+        "dedup_cross": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+            "      AS gram"
+            "    FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "      AS t(i) WHERE len(ws) >= 3"
+            "    UNION ALL"
+            "    SELECT doc_id, array_to_string(ws, ' ') AS gram FROM d"
+            "    WHERE len(ws) BETWEEN 1 AND 2)"
+            "), gsz AS ("
+            "  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter"
+            "  FROM grams a JOIN grams b ON a.gram = b.gram"
+            "  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0"
+            "  GROUP BY a.doc_id, b.doc_id"
+            "), dirty AS ("
+            "  SELECT DISTINCT i.a AS doc_id FROM inter i"
+            "  JOIN gsz ga ON ga.doc_id = i.a"
+            "  JOIN gsz gb ON gb.doc_id = i.b"
+            "  WHERE CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter)"
+            "  >= 0.5) "
+            "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 "
+            "AND doc_id NOT IN (SELECT doc_id FROM dirty)"),
         "minhash_pairs": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

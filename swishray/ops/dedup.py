@@ -660,3 +660,75 @@ def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
         .groupby(["band_id", "band_val"]).map_groups(pairs,
                                                      batch_format="pandas")
     return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+def dedup_against_corpus(new: Any, ref: Any, threshold: float = 0.8,
+                         num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 3, seed: int = 42,
+                         col: str = "text", key: str = "doc_id") -> Any:
+    """Cross-corpus near-dup removal — dedupe a FRESH crawl against a
+    reference corpus already in the training set (the production
+    incremental-crawl step: RefinedWeb and CCNet both dedupe new
+    snapshots against prior ones).  A ``new`` doc whose word-shingle
+    Jaccard vs ANY ``ref`` doc reaches ``threshold`` is dropped;
+    new-vs-new duplication is deliberately preserved (compose with
+    :func:`minhash_dedup` + ``dedup_keep_canonical`` for that).
+
+    Shape: both sides are tagged with a side prefix on a string key,
+    unioned, and pushed through the SAME sign -> LSH -> bucketed
+    verify pipeline as :func:`minhash_dedup` (one code path to keep
+    correct); verified pairs filter to cross-side, project the
+    new-side key (slim ``(key,)`` rows), distinct via one groupby,
+    and remove via the bucketed left join — no driver state, no
+    corpus text on any exchange beyond minhash_dedup's own gram-set
+    design.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from .joins import hash_join, schema_guard
+
+    ktype = new.schema().base_schema.field(key).type
+
+    def tag(prefix: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "__ck": pc.binary_join_element_wise(
+                    prefix, pc.cast(t.column(key), pa.string()), ""),
+                col: t.column(col)})
+        return f
+
+    comb = new.map_batches(tag("n:"), batch_format="pyarrow").union(
+        ref.map_batches(tag("r:"), batch_format="pyarrow"))
+    pairs = minhash_dedup(comb, threshold, num_perm, bands, shingle_k,
+                          seed, col, "__ck")
+
+    def cross_new(t: pa.Table) -> pa.Table:
+        an = pc.starts_with(t.column("a"), pattern="n:")
+        bn = pc.starts_with(t.column("b"), pattern="n:")
+        t = t.filter(pc.xor(an, bn))
+        a, b = t.column("a"), t.column("b")
+        nk = pc.if_else(pc.starts_with(a, pattern="n:"), a, b)
+        nk = pc.utf8_slice_codeunits(nk, 2, 2_000_000_000)
+        return pa.table({
+            key: pc.cast(nk, ktype),
+            "__dup": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    # distinct (a new doc can match many ref docs) + schema_guard: a
+    # clean crawl leaves this side all-empty (joins.schema_guard doc)
+    dup = schema_guard(
+        pairs.map_batches(cross_new, batch_format="pyarrow")
+        .groupby(key).aggregate(Max("__dup", alias_name="__dup")),
+        pa.schema([(key, ktype), ("__dup", pa.int8())]))
+
+    joined = hash_join(new, dup, key, how="left")
+
+    def survivors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("__dup_r"))) \
+            .drop_columns(["__dup_r"])
+        # the padded left join rides through pandas and coerces int
+        # keys to float64 — restore the input's Arrow key type
+        i = t.column_names.index(key)
+        return t.set_column(i, key, pc.cast(t.column(key), ktype))
+
+    return joined.map_batches(survivors, batch_format="pyarrow")

@@ -314,8 +314,37 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
         rg = g[g["__side"] == "r"][[key] + rcols_out]
         return lg.merge(rg, on=key, how=how)
 
-    return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+    joined = both.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")
+
+    # The padded union + pandas pass coerces int columns that saw a
+    # null (the other side's padding, or a schema_guard sentinel key)
+    # to float64 for the whole output. Restore every column to its
+    # declared Arrow type; join-introduced missings come back as
+    # float NaN, so NaN -> null precedes a non-float target cast.
+    # (Caveat unchanged from the pandas pass itself: int keys beyond
+    # 2^53 would already have lost precision in the merge.)
+    want = dict(types)
+    want[key] = lschema.base_schema.field(key).type
+
+    def restore_types(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        cols = {}
+        for name in t.column_names:
+            c = t.column(name)
+            w = want.get(name)
+            if w is None or c.type == w:
+                cols[name] = c
+                continue
+            if pa.types.is_floating(c.type) and \
+                    not pa.types.is_floating(w):
+                c = pc.if_else(pc.is_nan(c),
+                               pa.nulls(len(t), c.type), c)
+            cols[name] = pc.cast(c, w)
+        return pa.table(cols)
+
+    return joined.map_batches(restore_types, batch_format="pyarrow")
 
 
 def asof_join(left: Any, right: Any, on: str, left_ts: str,

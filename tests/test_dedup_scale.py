@@ -182,3 +182,52 @@ def test_minhash_string_keys(ray_session):
     want = {(urls[i], urls[j]) for i in range(6) for j in range(i + 1, 6)}
     got = {(p["a"], p["b"]) for p in pairs}
     assert want <= got
+
+
+def test_dedup_against_corpus(ray_session):
+    """Cross-corpus removal: new docs near-duplicating a ref doc go,
+    new-vs-new dups SURVIVE (cross-side semantics), clean docs stay;
+    and a fully clean crawl passes through untouched (empty-dup
+    schema trap)."""
+    import ray.data as rd
+    import pyarrow as pa
+    from swishray.ops.dedup import dedup_against_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail in the morning")
+    ref = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([base, "completely different reference "
+                          "material about astronomy and star maps "
+                          "charted nightly by patient observers"],
+                         pa.string())}))
+    twin = base.replace("lazy", "sleepy")
+    rows = {
+        1: twin,                      # near-dup of ref 100 -> dropped
+        2: "unique new document about cooking pasta with fresh basil "
+           "and ripe tomatoes from the garden patch",
+        3: "internal copy internal copy internal copy internal copy "
+           "internal copy internal copy internal copy one",
+        4: "internal copy internal copy internal copy internal copy "
+           "internal copy internal copy internal copy one",
+    }
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(rows), pa.int64()),
+        "text": pa.array([rows[k] for k in sorted(rows)],
+                         pa.string())}))
+    kept = sorted(r["doc_id"] for r in
+                  dedup_against_corpus(new, ref, threshold=0.5)
+                  .take_all())
+    assert kept == [2, 3, 4]
+
+    clean = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(
+            ["nothing here resembles the reference corpus at all "
+             "just novel words stacked in novel orders",
+             "another fully original passage describing deep sea "
+             "creatures and their luminous patterns"], pa.string())}))
+    kept2 = sorted(r["doc_id"] for r in
+                   dedup_against_corpus(clean, ref, threshold=0.5)
+                   .take_all())
+    assert kept2 == [7, 8]
