@@ -1198,6 +1198,54 @@ def q_span_dedup(sf_dir: str):
     return remove_duplicate_spans(ds, n=4)
 
 
+def q_feed_parse(sf_dir: str):
+    """RSS/Atom feed parsing (ops/feeds.py) on the libxml2 SAX event
+    path: even doc_ids become RSS 2.0 feeds, odd ones Atom, three
+    entries each; entry 0 omits guid/id to exercise the link
+    fallback. Closed-form oracle reconstructs every row in SQL."""
+    import pyarrow as pa
+    from swishray.ops.feeds import parse_feeds
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls, bodies = [], []
+        for d in batch.column("doc_id").to_pylist():
+            urls.append(f"https://feeds.example/f{d}")
+            ents = []
+            for i in range(3):
+                ident = ("" if i == 0 else
+                         (f"<guid>g{d}-{i}</guid>" if d % 2 == 0
+                          else f"<id>urn:{d}-{i}</id>"))
+                if d % 2 == 0:
+                    ents.append(
+                        f"<item><title>T{d}-{i}</title>"
+                        f"<link>https://feeds.example/{d}/p{i}</link>"
+                        f"{ident}<pubDate>D{i}</pubDate>"
+                        f"<description>S{i}</description></item>")
+                else:
+                    ents.append(
+                        f"<entry><title>T{d}-{i}</title>"
+                        f'<link href="https://feeds.example/{d}/p{i}"'
+                        f' rel="alternate"/>'
+                        f"{ident}<updated>D{i}</updated>"
+                        f"<summary>S{i}</summary></entry>")
+            if d % 2 == 0:
+                bodies.append(
+                    "<rss version=\"2.0\"><channel><title>c</title>"
+                    + "".join(ents) + "</channel></rss>")
+            else:
+                bodies.append(
+                    '<feed xmlns="http://www.w3.org/2005/Atom">'
+                    "<title>c</title>" + "".join(ents) + "</feed>")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "body": pa.array([b.encode() for b in bodies],
+                             pa.large_binary())})
+
+    feeds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return parse_feeds(feeds)
+
+
 def q_quality_model(sf_dir: str):
     """Linear quality-model inference (textstats.quality_model_score):
     broadcast weights, vectorized integer fixed-point logit, keep
@@ -2135,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model": q_quality_model,
         "span_dedup": q_span_dedup,
         "dedup_cross": q_dedup_cross,
+        "feed_parse": q_feed_parse,
         "fix_mojibake": q_fix_mojibake,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -2902,6 +2951,25 @@ def oracle_sql() -> dict[str, str]:
         # text produce no grams here, while the engine scores
         # empty-empty pairs as jaccard 1.0 — the test corpora contain
         # no empty documents.
+        "feed_parse": (
+            "WITH e AS (SELECT doc_id, i FROM documents, "
+            "unnest(range(0, 3)) AS t(i)) "
+            "SELECT 'https://feeds.example/f' || cast(doc_id as varchar)"
+            " AS url, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END "
+            "AS kind, "
+            "'T' || cast(doc_id as varchar) || '-' || "
+            "cast(i as varchar) AS title, "
+            "'https://feeds.example/' || cast(doc_id as varchar) || "
+            "'/p' || cast(i as varchar) AS link, "
+            "CASE WHEN i = 0 THEN 'https://feeds.example/' || "
+            "cast(doc_id as varchar) || '/p0' "
+            "WHEN doc_id % 2 = 0 THEN 'g' || cast(doc_id as varchar) "
+            "|| '-' || cast(i as varchar) "
+            "ELSE 'urn:' || cast(doc_id as varchar) || '-' || "
+            "cast(i as varchar) END AS entry_id, "
+            "'D' || cast(i as varchar) AS updated, "
+            "'S' || cast(i as varchar) AS summary FROM e"),
         "dedup_cross": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
