@@ -1472,6 +1472,29 @@ def q_index_search(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_index_phrase(sf_dir: str):
+    """Positional postings + exact phrase retrieval (the reference's
+    Xapian add_posting/phrase path): per-doc occurrence counts of the
+    2-word phrase 'table hash' read back through the searcher's
+    position-intersection cascade."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.index import IndexSearcher, build_index
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text"]), out,
+                    key="doc_id", text_col="text", num_buckets=8,
+                    positions=True)
+        hits = IndexSearcher(out).search_phrase(
+            ["table", "hash"], k=1_000_000)
+        return pa.table({
+            "doc_id": pc.cast(hits.column("key"), pa.int64()),
+            "score": pc.cast(hits.column("score"), pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_index_topdocs(sf_dir: str):
     """Ranked retrieval through the index: top-8 docs for one term,
     deterministic tie-break (tf desc, doc_id asc)."""
@@ -2175,6 +2198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngrams": q_ngrams,
         "index_search": q_index_search,
         "index_topdocs": q_index_topdocs,
+        "index_phrase": q_index_phrase,
         "index_upsert": q_index_upsert,
         "url_parts": q_url_parts,
         "site_stats": q_site_stats,
@@ -2478,6 +2502,14 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) as bigint) AS total_tf FROM w "
             "WHERE term IN ('batch','hash','join','scan','window') "
             "GROUP BY term"),
+        "index_phrase": (
+            "WITH ws AS (SELECT doc_id, "
+            f"{_WORDS_SQL} AS w FROM documents), "
+            "bg AS (SELECT doc_id FROM ws, "
+            "unnest(range(1, len(w))) AS t(i) "
+            "WHERE w[i] = 'table' AND w[i+1] = 'hash') "
+            "SELECT doc_id, cast(count(*) as bigint) AS score "
+            "FROM bg GROUP BY doc_id"),
         "index_topdocs": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "

@@ -89,7 +89,8 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
                 token_col: str | None = None,
                 meta_col: str | None = None,
                 num_buckets: int | None = None,
-                max_rows_per_file: int = 1 << 20) -> dict:
+                max_rows_per_file: int = 1 << 20,
+                positions: bool = False) -> dict:
     """Index ``ds`` into a new immutable segment under ``out_dir``.
 
     Input is either a plain corpus (``text_col`` whitespace-tokenized,
@@ -97,6 +98,12 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     (``token_col`` = the ``emit="full"`` token stream, ``meta_col`` =
     the per-token metaname — the reference's prefixed-term model,
     swish_xapian.cpp:505-541).
+
+    ``positions=True`` stores each term's 1-based token positions
+    (the reference's ``swish_Token.pos`` model, libswish3.h:360-369;
+    swish_xapian.cpp adds them via ``add_posting`` for Xapian phrase
+    support) as a packed-int32 binary postings column, enabling
+    :meth:`IndexSearcher.search_phrase`.
 
     Returns ``{"segment", "num_buckets", "path"}``. Never materializes
     the dataset; one streaming pass, one partitioned parquet sink.
@@ -158,13 +165,21 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
             df["m"] = _DEFAULT_META
             doclens = df.groupby("d").size().reindex(
                 np.arange(n)).fillna(0).astype(np.int64)
-        g = df.groupby(["d", "m", "t"], sort=False).size().reset_index(
-            name="tf")
+        if positions:
+            # 1-based ordinal within the doc's token stream (rank
+            # among kept words on the text path — the _WORDS_SQL
+            # list-position contract)
+            df["p"] = df.groupby("d").cumcount() + 1
+            g = df.groupby(["d", "m", "t"], sort=False)["p"] \
+                .agg([("tf", "size"), ("pos", list)]).reset_index()
+        else:
+            g = df.groupby(["d", "m", "t"], sort=False).size() \
+                .reset_index(name="tf")
         kpy = np.asarray(keys.to_pylist(), dtype=object)
         ktype = keys.type
         pk = pa.array(kpy[g["d"].to_numpy()], type=ktype)
         terms = pa.array(g["t"], pa.string())
-        post = pa.table({
+        pcols = {
             "kind": pa.array(["p"] * len(g)),
             "bucket": pa.array(_bucket_of(terms, nb)
                                if len(g) else [], type=pa.int32()),
@@ -172,8 +187,16 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
             "meta": pa.array(g["m"], pa.string()),
             "key": pk,
             "tf": pa.array(g["tf"].astype(np.int64).values),
-        }).sort_by("term")  # row-group stats prune term lookups
-        docs = pa.table({
+        }
+        if positions:
+            # packed int32 blob, not list<int32>: binary payloads
+            # survive the compaction join (acero rejects list
+            # non-key fields) and decode zero-copy via frombuffer
+            pcols["pos"] = pa.array(
+                [np.asarray(p, dtype=np.int32).tobytes()
+                 for p in g["pos"]], pa.large_binary())
+        post = pa.table(pcols).sort_by("term")  # row-group stats
+        dcols = {
             "kind": pa.array(["d"] * n),
             "bucket": pa.array(_bucket_of(keys.combine_chunks(), nb)
                                if n else [], type=pa.int32()),
@@ -181,7 +204,10 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
             "meta": pa.array([""] * n, pa.string()),
             "key": keys,
             "tf": pa.array(doclens.values),  # doc length for ranking
-        })
+        }
+        if positions:
+            dcols["pos"] = pa.nulls(n, pa.large_binary())
+        docs = pa.table(dcols)
         return pa.concat_tables([post, docs])
 
     out = ds.map_batches(to_rows, batch_format="pyarrow")
@@ -191,7 +217,7 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     n_docs, total_len = _docstore_stats(seg_dir)
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
              "n_docs": n_docs, "total_doclen": total_len,
-             "created": time.time()}
+             "positions": positions, "created": time.time()}
     _append_segment(out_dir, entry)
     return {"segment": seg_name, "num_buckets": nb, "path": seg_dir,
             "n_docs": n_docs}
@@ -281,10 +307,23 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
                 batch_format="pyarrow"))
             continue
         ds = rd.read_parquet(os.path.join(out_dir, seg["segment"], "data"))
-        ds = ds.map_batches(
-            lambda b, o=ord_: b.append_column(
-                "seg", pa.array([o] * b.num_rows, pa.int32())),
-            batch_format="pyarrow")
+        has_pos = any(s.get("positions") for s in segs
+                      if s.get("kind") == "index")
+        pad_pos = has_pos and not seg.get("positions")
+
+        def tag_rows(b: pa.Table, o=ord_, pad=pad_pos) -> pa.Table:
+            # a mixed positional/plain segment set must union under
+            # ONE schema — pad the plain side with null pos lists
+            if pad and "pos" not in b.column_names:
+                b = b.append_column(
+                    "pos", pa.nulls(b.num_rows, pa.large_binary()))
+            b = b.append_column(
+                "seg", pa.array([o] * b.num_rows, pa.int32()))
+            # one canonical column order so the cross-segment union
+            # concatenates under a single schema
+            return b.select(sorted(b.column_names))
+
+        ds = ds.map_batches(tag_rows, batch_format="pyarrow")
         tagged.append(ds)
         owners.append(ds.map_batches(
             lambda b: (lambda f: pa.table({
@@ -329,14 +368,17 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
             kb = _bucket_of(t.column("key").combine_chunks(), nb)
             bucket = np.where(is_p.to_numpy(zero_copy_only=False),
                               tb, kb)
-        return pa.table({
+        cols = {
             "kind": t.column("kind"),
             "bucket": pa.array(bucket.astype("int32")),
             "term": t.column("term"),
             "meta": t.column("meta"),
             "key": t.column("key"),
             "tf": t.column("tf"),
-        })
+        }
+        if "pos" in t.column_names:  # positional segments keep pos
+            cols["pos"] = t.column("pos")
+        return pa.table(cols)
 
     out = joined.map_batches(keep_and_rebucket, batch_format="pyarrow")
     seg_id = len(segs) + 1
@@ -347,6 +389,8 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
     n_docs, total_len = _docstore_stats(seg_dir)
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
              "n_docs": n_docs, "total_doclen": total_len,
+             "positions": all(s.get("positions", False) for s in segs
+                              if s.get("kind") == "index"),
              "created": time.time(), "compacted_from": len(segs)}
     tmp = os.path.join(out_dir, _SEGMENTS_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -384,9 +428,12 @@ class IndexSearcher:
             os.path.join(self.out_dir, seg["segment"], "data"),
             partitioning="hive")
 
-    def _postings(self, term: str, meta: str | None) -> pa.Table:
+    def _postings(self, term: str, meta: str | None,
+                  with_pos: bool = False) -> pa.Table:
         """Raw (pre-shadowing) postings for one term across segments,
-        tagged with the segment ordinal."""
+        tagged with the segment ordinal.  ``with_pos`` adds the
+        ``pos`` position-list column (null for segments built without
+        ``positions=True``)."""
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
         parts = []
@@ -400,17 +447,26 @@ class IndexSearcher:
                    & (pads.field("term") == term))
             if meta is not None:
                 flt = flt & (pads.field("meta") == meta)
-            t = self._seg_dataset(seg).to_table(
-                filter=flt, columns=["term", "meta", "key", "tf"])
+            cols = ["term", "meta", "key", "tf"]
+            if with_pos and seg.get("positions"):
+                cols.append("pos")
+            t = self._seg_dataset(seg).to_table(filter=flt,
+                                                columns=cols)
+            if with_pos and "pos" not in t.column_names:
+                t = t.append_column(
+                    "pos", pa.nulls(t.num_rows, pa.large_binary()))
             if t.num_rows:
                 parts.append(t.append_column(
                     "seg", pa.array([ord_] * t.num_rows, pa.int32())))
         if not parts:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "meta": pa.array([], pa.string()),
-                             "key": pa.array([], pa.string()),
-                             "tf": pa.array([], pa.int64()),
-                             "seg": pa.array([], pa.int32())})
+            cols = {"term": pa.array([], pa.string()),
+                    "meta": pa.array([], pa.string()),
+                    "key": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64())}
+            if with_pos:
+                cols["pos"] = pa.array([], pa.large_binary())
+            cols["seg"] = pa.array([], pa.int32())
+            return pa.table(cols)
         return pa.concat_tables(parts)
 
     def _latest_seg(self, keys: pa.Array) -> dict:
@@ -445,11 +501,12 @@ class IndexSearcher:
                 pending.discard(k)
         return latest
 
-    def _resolved(self, term: str, meta: str | None) -> pa.Table:
+    def _resolved(self, term: str, meta: str | None,
+                  with_pos: bool = False) -> pa.Table:
         """Postings after upsert/tombstone shadowing: a row survives
         only if its segment IS the newest segment that touched its key
         and that segment is an index segment."""
-        raw = self._postings(term, meta)
+        raw = self._postings(term, meta, with_pos=with_pos)
         if raw.num_rows == 0:
             return raw
         latest = self._latest_seg(raw.column("key"))
@@ -554,6 +611,58 @@ class IndexSearcher:
                           ascending=[False, True]).head(k)
         return pa.Table.from_pandas(g.reset_index(drop=True),
                                     preserve_index=False)
+
+    def search_phrase(self, terms: list[str], k: int = 10,
+                      meta: str | None = None) -> pa.Table:
+        """Exact phrase retrieval over positional postings (the
+        reference's Xapian phrase-query path — positions added per
+        token, swish_xapian.cpp ``add_posting``; swish_Token.pos is
+        1-based, libswish3.h:360-369).
+
+        Score = number of phrase occurrences in the doc: positions
+        p of terms[0] such that terms[i] occurs at p+i for all i —
+        one ``np.intersect1d`` cascade per doc over the already
+        candidate-pruned postings.  Requires the index to be built
+        with ``positions=True`` (docs from position-less segments
+        can never match).  Deterministic order (score desc, key asc).
+        """
+        import numpy as np
+        import pandas as pd
+        if not terms:
+            raise ValueError("empty phrase")
+        per_term = []
+        for i, term in enumerate(terms):
+            t = self._resolved(term, meta, with_pos=True)
+            df = t.select(["key", "pos"]).to_pandas()
+            df = df[df["pos"].notna()]
+            if df.empty:
+                return pa.table({"key": pa.array([], pa.string()),
+                                 "score": pa.array([], pa.int64())})
+            per_term.append(dict(zip(df["key"], df["pos"])))
+        # candidate docs = keys present for every term
+        cand = set(per_term[0])
+        for d in per_term[1:]:
+            cand &= set(d)
+        rows = []
+        for kk in cand:
+            p = np.frombuffer(per_term[0][kk], dtype=np.int32) \
+                .astype(np.int64)
+            for i in range(1, len(terms)):
+                nxt = np.frombuffer(per_term[i][kk], dtype=np.int32) \
+                    .astype(np.int64)
+                p = np.intersect1d(p, nxt - i, assume_unique=True)
+                if not len(p):
+                    break
+            if len(p):
+                rows.append((kk, len(p)))
+        rows.sort(key=lambda r: (-r[1], str(r[0])))
+        rows = rows[:k]
+        if not rows:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array([r[0] for r in rows]),
+            "score": pa.array([r[1] for r in rows], pa.int64())})
 
 
 def search_counts(out_dir: str, terms: list[str]) -> pa.Table:

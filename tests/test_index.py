@@ -168,3 +168,52 @@ def test_compact_preserves_search_results(ray_session, idx_dir):
     _build(ray_session, idx_dir, rows=[(9, "omega")], num_buckets=2)
     got = search_counts(idx_dir, ["omega"]).to_pydict()
     assert got["doc_count"] == [1]
+
+
+PHRASE_CORPUS = [
+    (1, "the quick brown fox and the quick brown cat"),
+    (2, "quick brown quick brown quick brown"),
+    (3, "brown quick nothing here"),
+    (4, "the quick wolf and a brown bear"),
+]
+
+
+def test_phrase_search(ray_session, idx_dir):
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir, rows=PHRASE_CORPUS, positions=True)
+    s = IndexSearcher(idx_dir)
+    hits = s.search_phrase(["quick", "brown"]).to_pydict()
+    # doc2: 3 occurrences, doc1: 2, doc3/4: terms present, never
+    # adjacent in order
+    assert hits["key"] == [2, 1]
+    assert hits["score"] == [3, 2]
+    h3 = s.search_phrase(["the", "quick", "brown"]).to_pydict()
+    assert h3["key"] == [1] and h3["score"] == [2]
+    assert s.search_phrase(["brown", "wolf"]).num_rows == 0
+    assert s.search_phrase(["zzz", "quick"]).num_rows == 0
+
+
+def test_phrase_upsert_and_compact(ray_session, idx_dir):
+    from swishray.index import IndexSearcher, build_index, compact_index
+    import ray.data as rd
+    _build(ray_session, idx_dir, rows=PHRASE_CORPUS, positions=True)
+    # upsert doc 2 WITHOUT the phrase: shadowing must drop its hits
+    t = pa.table({"doc_id": pa.array([2], pa.int64()),
+                  "text": pa.array(["no more phrases"], pa.string())})
+    build_index(rd.from_arrow(t), idx_dir, key="doc_id",
+                text_col="text", num_buckets=3, positions=True)
+    hits = IndexSearcher(idx_dir).search_phrase(
+        ["quick", "brown"]).to_pydict()
+    assert hits["key"] == [1] and hits["score"] == [2]
+    # compaction preserves positional postings and phrase results
+    compact_index(idx_dir)
+    hits2 = IndexSearcher(idx_dir).search_phrase(
+        ["quick", "brown"]).to_pydict()
+    assert hits2 == hits
+
+
+def test_phrase_positionless_index_matches_nothing(ray_session, idx_dir):
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir, rows=PHRASE_CORPUS)  # no positions
+    assert IndexSearcher(idx_dir).search_phrase(
+        ["quick", "brown"]).num_rows == 0
