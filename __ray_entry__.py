@@ -1246,6 +1246,56 @@ def q_feed_parse(sf_dir: str):
     return parse_feeds(feeds)
 
 
+def _markdown_strip_sql() -> str:
+    """Oracle for markdown_strip: the ENGINE's own MD_PASSES nested
+    as DuckDB regexp_replace calls (both are RE2 — shared verbatim)."""
+    from swishray.ops.markdown import MD_PASSES
+    expr = "md"
+    for pat, rep in MD_PASSES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    # utf8_trim_whitespace analog (synthesized md is ASCII-ws only)
+    expr = (f"regexp_replace(regexp_replace({expr}, '^[\\s]+', '', 'g'),"
+            f" '[\\s]+$', '', 'g')")
+    return (
+        "WITH m AS (SELECT doc_id, '# Doc ' || cast(doc_id as varchar)"
+        " || chr(10) || chr(10) || '> intro quote' || chr(10) ||"
+        " chr(10) || '**' || text || '** and"
+        " [a link](https://x.example/' || cast(doc_id as varchar) ||"
+        " ') plus ![pic](i.png)' || chr(10) || chr(10) ||"
+        " '- bullet one' || chr(10) || '2. ordered' || chr(10) ||"
+        " chr(10) || '```' || chr(10) || 'code body ' ||"
+        " cast(doc_id as varchar) || chr(10) || '```' || chr(10) ||"
+        " chr(10) || '---' || chr(10) || chr(10) || 'tail' AS md"
+        " FROM documents) "
+        f"SELECT doc_id, {expr} AS text FROM m")
+
+
+def q_markdown_strip(sf_dir: str):
+    """Markdown tier (ops/markdown.py): docs wrapped in headings,
+    quotes, emphasis, links, lists and code fences, then stripped.
+    The oracle nests the IDENTICAL RE2 pass sequence (MD_PASSES) as
+    DuckDB regexp_replace calls — both engines are RE2, so the
+    semantics are shared verbatim, not re-derived."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.markdown import strip_markdown
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        ds_ = pc.cast(did, pa.string())
+        md = pc.binary_join_element_wise(
+            "# Doc ", ds_, "\n\n> intro quote\n\n**",
+            pc.coalesce(batch.column("text"), ""),
+            "** and [a link](https://x.example/", ds_,
+            ") plus ![pic](i.png)\n\n- bullet one\n2. ordered\n\n"
+            "```\ncode body ", ds_, "\n```\n\n---\n\ntail", "")
+        return pa.table({"doc_id": did, "text": md})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    return strip_markdown(ds)
+
+
 def q_quality_model(sf_dir: str):
     """Linear quality-model inference (textstats.quality_model_score):
     broadcast weights, vectorized integer fixed-point logit, keep
@@ -2208,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": q_span_dedup,
         "dedup_cross": q_dedup_cross,
         "feed_parse": q_feed_parse,
+        "markdown_strip": q_markdown_strip,
         "fix_mojibake": q_fix_mojibake,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -2983,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         # text produce no grams here, while the engine scores
         # empty-empty pairs as jaccard 1.0 — the test corpora contain
         # no empty documents.
+        "markdown_strip": _markdown_strip_sql(),
         "feed_parse": (
             "WITH e AS (SELECT doc_id, i FROM documents, "
             "unnest(range(0, 3)) AS t(i)) "

@@ -138,3 +138,29 @@ def test_dataset_stage(ray_session):
     assert len(out) == 40
     assert (out["main_text"] == GOOD_TEXT).all()
     assert (out["n_content_blocks"] == 1).all()
+
+
+def test_strip_markdown(ray_session):
+    """CommonMark-subset strip: markup off, prose/code/alt text kept."""
+    import ray.data as rd
+    from swishray.ops.markdown import strip_markdown
+    md = ("# Title 7\n\n> quoted wisdom\n\n"
+          "**bold** and *ital* and `code` plus "
+          "[anchor](https://x.example) and ![alt text](img.png)\n\n"
+          "- item one\n- item two\n1. first\n2. second\n\n"
+          "```python\nraw code line\n```\n\n"
+          "[ref link][1]\n\n[1]: https://ref.example\n\n---\n\n"
+          "tail prose here")
+    out = strip_markdown(
+        rd.from_items([{"doc_id": 1, "text": md}])).take_all()[0]
+    assert out["text"] == (
+        "Title 7\n\nquoted wisdom\n\n"
+        "bold and ital and code plus anchor and alt text\n\n"
+        "item one\nitem two\nfirst\nsecond\n\nraw code line\n\n"
+        "ref link\n\ntail prose here")
+    # plain text with snake_case and a * b survives untouched except
+    # the underscore-emphasis trade every md stripper makes
+    plain = strip_markdown(rd.from_items(
+        [{"doc_id": 2, "text": "keep 2 * 3 = 6 and a/b plain"}])
+    ).take_all()[0]
+    assert plain["text"] == "keep 2 * 3 = 6 and a/b plain"
