@@ -197,7 +197,8 @@ def cmd_index(args) -> int:
                                columns=[args.key, args.text_col])
         info = build_index(docs, args.out, key=args.key,
                            text_col=args.text_col,
-                           num_buckets=args.num_buckets)
+                           num_buckets=args.num_buckets,
+                           positions=args.positions)
     else:
         pages = rd.read_parquet(args.pages)
         config_xml = None
@@ -210,7 +211,8 @@ def cmd_index(args) -> int:
         info = build_index(ext, args.out, key="url", text_col=None,
                            token_col="token_values",
                            meta_col="token_metas",
-                           num_buckets=args.num_buckets)
+                           num_buckets=args.num_buckets,
+                           positions=args.positions)
     print(info)
     ray.shutdown()
     return 0
@@ -236,6 +238,11 @@ def cmd_search(args) -> int:
     session (like the reference's query client)."""
     from .index import IndexSearcher
     s = IndexSearcher(args.index)
+    if args.phrase:
+        hits = s.search_phrase(args.terms, k=args.max, meta=args.meta)
+        for rank, row in enumerate(hits.to_pylist(), start=1):
+            print(f"{rank} {row['key']} occurrences={row['score']}")
+        return 0
     hits = s.search(args.terms, mode="and" if args.and_ else "or",
                     k=args.max, meta=args.meta,
                     ranking="bm25" if args.bm25 else "tf")
@@ -366,6 +373,9 @@ def main(argv=None) -> int:
     pi.add_argument("--config", action="append")
     pi.add_argument("--num-cpus", type=int, default=8)
     pi.add_argument("--num-buckets", type=int, default=None)
+    pi.add_argument("--positions", action="store_true",
+                    help="store token positions (enables "
+                         "search --phrase)")
     pi.add_argument("--text-table", action="store_true",
                     help="input is a plain (key, text) table, "
                          "whitespace-tokenized (skip extraction)")
@@ -389,6 +399,9 @@ def main(argv=None) -> int:
     ps.add_argument("--bm25", action="store_true",
                     help="Okapi BM25 ranking (the reference's Xapian "
                          "default weighting) instead of raw tf")
+    ps.add_argument("--phrase", action="store_true",
+                    help="exact phrase over positional postings "
+                         "(index must be built with positions)")
     ps.set_defaults(fn=cmd_search)
 
     pk = sub.add_parser("links")

@@ -217,3 +217,18 @@ def test_phrase_positionless_index_matches_nothing(ray_session, idx_dir):
     _build(ray_session, idx_dir, rows=PHRASE_CORPUS)  # no positions
     assert IndexSearcher(idx_dir).search_phrase(
         ["quick", "brown"]).num_rows == 0
+
+
+def test_cli_phrase_search(ray_session, idx_dir):
+    """`swishray search --phrase` = the swish_xapian query-client
+    analog for phrase mode: pure point lookup, no Ray session."""
+    import subprocess
+    import sys
+    _build(ray_session, idx_dir, rows=PHRASE_CORPUS, positions=True)
+    out = subprocess.run(
+        [sys.executable, "-m", "swishray", "search", "--index",
+         idx_dir, "--phrase", "quick", "brown"],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout.splitlines()
+    assert out[0] == "1 2 occurrences=3"
+    assert out[1] == "2 1 occurrences=2"
