@@ -698,8 +698,12 @@ def dedup_against_corpus(new: Any, ref: Any, threshold: float = 0.8,
                 col: t.column(col)})
         return f
 
+    from .joins import default_join_partitions
+    # fan the union out before signing: a few-block input (one file =
+    # one block) would run the whole sign stage near-serial
     comb = new.map_batches(tag("n:"), batch_format="pyarrow").union(
-        ref.map_batches(tag("r:"), batch_format="pyarrow"))
+        ref.map_batches(tag("r:"), batch_format="pyarrow")) \
+        .repartition(2 * default_join_partitions())
     pairs = minhash_dedup(comb, threshold, num_perm, bands, shingle_k,
                           seed, col, "__ck")
 
@@ -715,11 +719,16 @@ def dedup_against_corpus(new: Any, ref: Any, threshold: float = 0.8,
             "__dup": pa.array(np.ones(t.num_rows, dtype=np.int8))})
 
     # distinct (a new doc can match many ref docs) + schema_guard: a
-    # clean crawl leaves this side all-empty (joins.schema_guard doc)
+    # clean crawl leaves this side all-empty (joins.schema_guard doc).
+    # materialize: the removal join's schema probe would otherwise
+    # EXECUTE the whole sign->LSH->verify lineage once for schema
+    # inference and again for the join (measured 91s -> ~30s at
+    # sf0.1); the contaminated-key set is pair-shaped — object-store
+    # resident is its natural size class (cf. minhash_dedup's cand).
     dup = schema_guard(
         pairs.map_batches(cross_new, batch_format="pyarrow")
         .groupby(key).aggregate(Max("__dup", alias_name="__dup")),
-        pa.schema([(key, ktype), ("__dup", pa.int8())]))
+        pa.schema([(key, ktype), ("__dup", pa.int8())])).materialize()
 
     joined = hash_join(new, dup, key, how="left")
 
