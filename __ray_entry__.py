@@ -1166,8 +1166,10 @@ def q_boilerplate_domain(sf_dir: str):
             pc.coalesce(batch.column("text"), ""), "\n", promo, "")
         return pa.table({"doc_id": did, "host": host, "text": t})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        pages, batch_format="pyarrow")
+    from swishray.ops.joins import default_join_partitions
+    ds = _docs(sf_dir, ["doc_id", "text"]) \
+        .repartition(2 * default_join_partitions()) \
+        .map_batches(pages, batch_format="pyarrow")
     return remove_duplicate_lines(ds, mode="join", key="doc_id",
                                   group_col="host")
 
@@ -1193,8 +1195,10 @@ def q_span_dedup(sf_dir: str):
             pc.coalesce(batch.column("text"), ""), tail, "")
         return pa.table({"doc_id": did, "text": t})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        with_slogan, batch_format="pyarrow")
+    from swishray.ops.joins import default_join_partitions
+    ds = _docs(sf_dir, ["doc_id", "text"]) \
+        .repartition(2 * default_join_partitions()) \
+        .map_batches(with_slogan, batch_format="pyarrow")
     return remove_duplicate_spans(ds, n=4)
 
 
