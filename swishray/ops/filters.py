@@ -688,7 +688,14 @@ def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
         return pa.table({key: batch.column(key),
                          "n_grams": pa.array(cnt)})
 
-    pairs = ds.map_batches(doc_grams, batch_format="pyarrow")
+    # materialize: THREE consumers share this lineage (multiplicity
+    # groupby, the semi-join's left side, totals) and the dup side of
+    # the join nests it again — left lazy, Ray re-executes the gram
+    # explode per consumer (measured 121s -> 27s at sf0.1/32cpu).
+    # The rows are the op's slim (key, gram-hash) exchange currency;
+    # object-store residency (with spill) is their natural home.
+    pairs = ds.map_batches(doc_grams, batch_format="pyarrow") \
+        .materialize()
     # grams in >= 2 docs (pairs are distinct-per-doc, so the count IS
     # the distinct-doc multiplicity)
     dup = pairs.groupby("gram").aggregate(Count(alias_name="__m"))
@@ -713,8 +720,14 @@ def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
     dup = schema_guard(
         dup.map_batches(dup_only, batch_format="pyarrow"),
         pa.schema([("gram", gtype)]))
+    # hash_join (portable bucketed merges), not the builtin join:
+    # two overlapping builtin joins spin up 2x num_partitions
+    # aggregator actors plus shuffle workers — measured 82s of
+    # process churn vs 13s total with the bucketed pandas path on
+    # these slim rows (sf0.1/32cpu)
+    from .joins import hash_join
     hits = schema_guard(
-        native_join(pairs, dup.map_batches(
+        hash_join(pairs, dup.map_batches(
             lambda t: t.append_column("__d", pa.array(
                 np.ones(t.num_rows, dtype=np.int8))),
             batch_format="pyarrow"), "gram")
@@ -722,7 +735,7 @@ def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
         pa.schema([(key, ktype2), ("n_dup", pa.int64())]))
     tot = ds.map_batches(totals, batch_format="pyarrow") \
         .repartition(default_join_partitions())
-    out = native_join(tot, hits, key, how="left")
+    out = hash_join(tot, hits, key, how="left")
 
     def shape(batch: pa.Table) -> pa.Table:
         nd = pc.cast(pc.coalesce(pc.cast(

@@ -247,12 +247,17 @@ def native_join(left: Any, right: Any, key: str,
                 .get(how, how)
             # neutralize field-less empty blocks on BOTH sides (the
             # repartition remainder-block race, _retype_empties doc)
-            # whenever the side's schema is resolvable; an all-empty
-            # side has no schema and needs the caller's schema_guard
-            lsch = left.schema()
+            # whenever the side's schema is ALREADY KNOWN — read/
+            # materialized/from_arrow sides.  fetch_if_missing=False
+            # is load-bearing: a fetching probe would EXECUTE an
+            # unmaterialized lineage (a groupby side runs its whole
+            # shuffle) once for the probe and again for the join.
+            # An all-empty side has no schema either way and needs
+            # the caller's schema_guard.
+            lsch = left.schema(fetch_if_missing=False)
             if lsch is not None:
                 left = _retype_empties(left, lsch.base_schema)
-            rsch = right.schema()
+            rsch = right.schema(fetch_if_missing=False)
             renamed = right.map_batches(
                 lambda t: t.rename_columns(
                     [c if c == key else c + "_r" for c in t.column_names]),
