@@ -93,8 +93,14 @@ def connected_components(edges: Any, a: str = "a", b: str = "b",
         # Ray 2.49: groupby output can contain schema-less empty
         # blocks that break the built-in hash join — the repartition
         # above (and below) re-blocks them away.
-        prop = native_join(edges_sym, labels, "node",
-                           num_partitions=nparts)
+        # portable bucketed hash_join, NOT the builtin join: each
+        # builtin join spins up num_partitions aggregator actors and
+        # this loop builds 2 joins x O(log diameter) rounds — the
+        # actor-pool churn alone ran 20+ minutes at sf0.1/32cpu
+        # while the bucketed pandas path finishes in seconds on the
+        # same slim (node,label) rows
+        prop = hash_join(edges_sym, labels, "node",
+                         num_buckets=nparts)
 
         def as_candidate(batch: pa.Table) -> pa.Table:
             t = batch.column("label_r").type
@@ -117,8 +123,8 @@ def connected_components(edges: Any, a: str = "a", b: str = "b",
                 "src": t.column("node").combine_chunks(),
                 "node": t.column("label").combine_chunks()}),
             batch_format="pyarrow")
-        dbl = native_join(as_lookup, labels, "node",
-                          num_partitions=nparts)
+        dbl = hash_join(as_lookup, labels, "node",
+                        num_buckets=nparts)
 
         def as_doubled(batch: pa.Table) -> pa.Table:
             t = batch.column("label_r").type

@@ -255,9 +255,13 @@ def native_join(left: Any, right: Any, key: str,
             # An all-empty side has no schema either way and needs
             # the caller's schema_guard.
             lsch = left.schema(fetch_if_missing=False)
-            if lsch is not None:
+            if lsch is not None and isinstance(lsch.base_schema,
+                                               pa.Schema):
                 left = _retype_empties(left, lsch.base_schema)
             rsch = right.schema(fetch_if_missing=False)
+            if rsch is not None and not isinstance(rsch.base_schema,
+                                                   pa.Schema):
+                rsch = None
             renamed = right.map_batches(
                 lambda t: t.rename_columns(
                     [c if c == key else c + "_r" for c in t.column_names]),
@@ -271,6 +275,24 @@ def native_join(left: Any, right: Any, key: str,
         except Exception:
             pass  # fall through to the portable implementation
     return hash_join(left, right, key, num_buckets=num_partitions, how=how)
+
+
+def _schema_types(schema) -> dict:
+    """name -> Arrow type for a Ray Dataset schema.  A side whose
+    last executed stage ran as pandas blocks (e.g. a groupby
+    aggregate over map_groups output) reports a PandasBlockSchema —
+    map its numpy dtypes to Arrow; object dtype falls back to
+    large_string (the pandas string representation)."""
+    base = schema.base_schema
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for name, dt in zip(base.names, base.types):
+        try:
+            out[name] = pa.from_numpy_dtype(dt)
+        except Exception:
+            out[name] = pa.large_string()
+    return out
 
 
 def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
@@ -287,9 +309,11 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
     lcols = [c for c in lschema.names if c != key]
     rcols = [c for c in rschema.names if c != key]
     rcols_out = [c + "_r" for c in rcols]
-    types = {c: lschema.base_schema.field(c).type for c in lcols}
+    ltypes = _schema_types(lschema)
+    rtypes = _schema_types(rschema)
+    types = {c: ltypes[c] for c in lcols}
     for c, co in zip(rcols, rcols_out):
-        types[co] = rschema.base_schema.field(c).type
+        types[co] = rtypes[c]
 
     def tag(side: str, own: list[str], own_out: list[str],
             other_out: list[str]):
@@ -330,7 +354,7 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
     # (Caveat unchanged from the pandas pass itself: int keys beyond
     # 2^53 would already have lost precision in the merge.)
     want = dict(types)
-    want[key] = lschema.base_schema.field(key).type
+    want[key] = ltypes[key]
 
     def restore_types(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:

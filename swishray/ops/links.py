@@ -271,7 +271,7 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     from ray.data.aggregate import Count, Sum
 
     from ..util import _session_cpus
-    from .joins import native_join
+    from .joins import hash_join
 
     nparts = num_partitions or max(8, 2 * _session_cpus())
 
@@ -321,8 +321,11 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     for _ in range(iters):
         # rank/outdeg per source; nodes missing from outdeg are
         # dangling — their rank is the round's redistributed scalar
-        rd = native_join(ranks, outdeg, "node", how="left",
-                         num_partitions=nparts)
+        # hash_join (bucketed pandas), not the builtin join: three
+        # joins x iters rounds of builtin aggregator-pool spin-up is
+        # pure churn on slim (node,float) rows (components.py doc)
+        rd = hash_join(ranks, outdeg, "node", how="left",
+                       num_buckets=nparts)
 
         def rank_share(batch: pa.Table) -> pa.Table:
             od = pc.cast(batch.column("outdeg_r"), pa.float64())
@@ -352,16 +355,16 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
             return pa.table({"node": t.column("t").combine_chunks(),
                              "in_w": v})
 
-        contrib = native_join(
+        contrib = hash_join(
             e.map_batches(edge_proj, batch_format="pyarrow"),
-            w, "node", num_partitions=nparts)
+            w, "node", num_buckets=nparts)
         sums = contrib.map_batches(in_w, batch_format="pyarrow") \
             .groupby("node").aggregate(Sum("in_w", alias_name="in_sum")) \
             .repartition(nparts).materialize()
 
         base = (1.0 - d) / n_nodes + d * dangling / n_nodes
-        nr = native_join(nodes, sums, "node", how="left",
-                         num_partitions=nparts)
+        nr = hash_join(nodes, sums, "node", how="left",
+                       num_buckets=nparts)
         ranks = nr.map_batches(
             lambda t: pa.table({
                 "node": t.column("node"),
