@@ -44,15 +44,61 @@ from .joins import hash_join, native_join
 
 def connected_components(edges: Any, a: str = "a", b: str = "b",
                          max_rounds: int = 20,
-                         num_partitions: int | None = None) -> Any:
+                         num_partitions: int | None = None,
+                         dense_max_nodes: int | None = None,
+                         dense_max_edges: int | None = None) -> Any:
     """-> Dataset ``(node, component)`` with ``component`` = the min
     node id reachable from ``node``.  Nodes appear iff they appear in
-    ``edges``; ``a``/``b`` columns must share one integer-like type."""
+    ``edges``; ``a``/``b`` columns must share one integer-like type.
+
+    Runs the Pregel-lite dense path (graphdense module doc: pinned
+    edge-shard actors + broadcast label vector, zero shuffles) when
+    the graph fits its gates — near-dup pair graphs almost always do,
+    since pairs are a tiny fraction of the corpus.  Falls back to the
+    join loop below past the gates; ``dense_max_nodes=0`` forces it."""
     import ray.data  # noqa: F401 — edges is a Dataset already
     from ray.data.aggregate import Max, Min
 
     from ..util import _session_cpus
     nparts = num_partitions or max(8, 2 * _session_cpus())
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({a: batch.column(a).combine_chunks(),
+                         b: batch.column(b).combine_chunks()})
+
+    e1 = edges.map_batches(slim, batch_format="pyarrow").materialize()
+
+    # An empty pair list (all-unique corpus — the common production
+    # outcome) leaves every derived side schema-less, and Ray 2.49
+    # drops empty blocks before the join shuffle (joins.schema_guard
+    # doc). The answer is known anyway: no edges, no components.
+    # count() is O(1) metadata on the already-materialized edges.
+    if e1.count() == 0:
+        import ray.data as rd
+        sch = e1.schema(fetch_if_missing=False)
+        ntype = (sch.base_schema.field(a).type
+                 if sch is not None and isinstance(sch.base_schema,
+                                                   pa.Schema)
+                 else pa.int64())
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], ntype),
+            "component": pa.array([], ntype)}))
+
+    from .graphdense import (DENSE_MAX_EDGES, DENSE_MAX_NODES,
+                             dense_components)
+    max_nodes = (DENSE_MAX_NODES if dense_max_nodes is None
+                 else dense_max_nodes)
+    max_edges = (DENSE_MAX_EDGES if dense_max_edges is None
+                 else dense_max_edges)
+    if max_nodes and e1.count() <= max_edges:
+        tbl = dense_components(e1, a=a, b=b, max_rounds=max_rounds,
+                               dense_max_nodes=max_nodes)
+        if tbl is not None:
+            import ray.data as rd
+            out = rd.from_arrow(tbl)
+            if len(tbl) > 1_000_000:
+                out = out.repartition(len(tbl) // 1_000_000 + 1)
+            return out
 
     def sym(batch: pa.Table) -> pa.Table:
         fwd = pa.table({"node": batch.column(a).combine_chunks(),
@@ -61,22 +107,8 @@ def connected_components(edges: Any, a: str = "a", b: str = "b",
                         "nbr": batch.column(a).combine_chunks()})
         return pa.concat_tables([fwd, rev])
 
-    edges_sym = edges.map_batches(sym, batch_format="pyarrow") \
+    edges_sym = e1.map_batches(sym, batch_format="pyarrow") \
         .materialize()
-
-    # An empty pair list (all-unique corpus — the common production
-    # outcome) leaves every derived side schema-less, and Ray 2.49
-    # drops empty blocks before the join shuffle (joins.schema_guard
-    # doc). The answer is known anyway: no edges, no components.
-    # count() is O(1) metadata on the already-materialized edges.
-    if edges_sym.count() == 0:
-        import ray.data as rd
-        sch = edges_sym.schema()
-        ntype = (sch.base_schema.field("node").type
-                 if sch is not None else pa.int64())
-        return rd.from_arrow(pa.table({
-            "node": pa.array([], ntype),
-            "component": pa.array([], ntype)}))
 
     def with_self(batch: pa.Table) -> pa.Table:
         # self-loops seed label(x) = min(x, neighbours) in round 0

@@ -249,7 +249,9 @@ def link_graph(links: Any, src_col: str = "url",
 def pagerank(edges: Any, src: str = "src", dst: str = "dst",
              iters: int = 10, d: float = 0.85,
              weight: str | None = None,
-             num_partitions: int | None = None) -> Any:
+             num_partitions: int | None = None,
+             dense_max_nodes: int | None = None,
+             dense_max_edges: int | None = None) -> Any:
     """Distributed PageRank by power iteration -> ``(node, rank)``.
 
     Per round: contribs = edges ⋈ (rank/outdeg) on src, summed by dst
@@ -263,10 +265,17 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     graph's ``n_links``): a source's rank is split across its
     outlinks proportionally to weight instead of uniformly.
 
-    Shuffle cost is O(iters) joins — keep ``iters`` modest (10-20;
+    Two execution regimes (graphdense module doc): when the vertex
+    vector fits a single process (``<= dense_max_nodes``, default
+    4M ~ 32 MB, and ``<= dense_max_edges`` pinned shard memory) the
+    loop runs Pregel-lite — edge shards pinned in actors as numpy
+    index arrays, rank broadcast per round, zero shuffles.  Past
+    either gate it falls back to the join formulation below, whose
+    shuffle cost is O(iters) joins — keep ``iters`` modest (10-20;
     convergence is geometric in ``d``).  Without ``weight``,
     multi-edges count once each; dedupe upstream if the semantic is
-    at-most-one-edge."""
+    at-most-one-edge.  Pass ``dense_max_nodes=0`` to force the join
+    path."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -284,6 +293,23 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
         return pa.table(cols)
 
     e = edges.map_batches(slim, batch_format="pyarrow").materialize()
+
+    from .graphdense import (DENSE_MAX_EDGES, DENSE_MAX_NODES,
+                             dense_pagerank)
+    max_nodes = (DENSE_MAX_NODES if dense_max_nodes is None
+                 else dense_max_nodes)
+    max_edges = (DENSE_MAX_EDGES if dense_max_edges is None
+                 else dense_max_edges)
+    if max_nodes and 0 < e.count() <= max_edges:
+        tbl = dense_pagerank(e, weighted=weight is not None,
+                             iters=iters, d=d,
+                             dense_max_nodes=max_nodes)
+        if tbl is not None:
+            import ray.data as rd
+            out = rd.from_arrow(tbl)
+            if len(tbl) > 1_000_000:
+                out = out.repartition(len(tbl) // 1_000_000 + 1)
+            return out
 
     def both_nodes(batch: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays([

@@ -40,10 +40,25 @@ def test_long_chain_converges(ray_session):
 
 def test_max_rounds_caps_work(ray_session):
     # with max_rounds=1 a long chain CANNOT fully converge — the cap
-    # is honoured rather than looping forever
-    got = _cc([(i, i + 1) for i in range(6)], max_rounds=1)
+    # is honoured rather than looping forever.  Join path only: the
+    # dense path's driver-side path compression converges any chain
+    # in one round, so the cap never binds there.
+    got = _cc([(i, i + 1) for i in range(6)], max_rounds=1,
+              dense_max_nodes=0)
     assert len(got) == 7
     assert got[6] != 0  # not yet propagated to the far end
+
+
+def test_dense_and_join_paths_agree(ray_session):
+    # two clusters + a self-loop singleton + a 5-chain, duplicate and
+    # reversed edges — both execution regimes must emit identical
+    # labelings
+    edges = [(4, 2), (2, 4), (2, 9), (7, 7), (20, 21), (21, 22),
+             (22, 23), (23, 24), (4, 2)]
+    dense = _cc(edges)
+    join = _cc(edges, dense_max_nodes=0)
+    assert dense == join
+    assert dense[9] == 2 and dense[24] == 20 and dense[7] == 7
 
 
 def test_duplicate_and_reversed_edges(ray_session):

@@ -108,6 +108,35 @@ def test_pagerank_matches_dense(ray_session):
     assert abs(pr["rank"].sum() - 1.0) < 1e-9
 
 
+def test_pagerank_join_path_matches_dense(ray_session):
+    # same graph forced down the join formulation (dense gate off) —
+    # both regimes must agree with the numpy reference
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (2, 4)]
+    ds = rd.from_items([{"src": s, "dst": t} for s, t in edges]) \
+        .repartition(3)
+    pr = pagerank(ds, iters=12, d=0.85, dense_max_nodes=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    want = _dense_pr(edges, 5, 12, 0.85)
+    assert np.allclose(pr["rank"].to_numpy(), want,
+                       rtol=1e-9, atol=1e-12)
+
+
+def test_pagerank_string_keys_both_paths(ray_session):
+    # site-graph shape: string node keys through the index-encoded
+    # dense path and the join path
+    edges = [("a.example", "b.example"), ("b.example", "c.example"),
+             ("c.example", "a.example"), ("d.example", "a.example")]
+    ds = rd.from_items([{"src": s, "dst": t} for s, t in edges]) \
+        .repartition(2)
+    d1 = pagerank(ds, iters=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    d2 = pagerank(ds, iters=8, dense_max_nodes=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert d1["node"].tolist() == d2["node"].tolist()
+    assert np.allclose(d1["rank"].to_numpy(), d2["rank"].to_numpy(),
+                       rtol=1e-9)
+
+
 def test_pagerank_all_dangling(ray_session):
     # one edge into a sink: mass must still sum to 1 every round
     ds = rd.from_items([{"src": 0, "dst": 1}])
