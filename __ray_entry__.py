@@ -1549,6 +1549,33 @@ def q_index_phrase(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_index_boolean(sf_dir: str):
+    """Boolean query-string retrieval through the index — the
+    reference's Xapian QueryParser surface (FLAG_BOOLEAN | FLAG_PHRASE
+    | FLAG_WILDCARD, any-case operators, swish_xapian.cpp:1022-1027),
+    re-implemented in swishray/queryparse.py + IndexSearcher
+    .search_query: ``("table hash" OR join) AND b* NOT window``
+    exercises phrase, OR, AND, trailing-* expansion and AND_NOT in
+    one tree.  Score = total tf of the positive leaves the doc
+    matches (phrase leaf contributes occurrence count)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.index import IndexSearcher, build_index
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text"]), out,
+                    key="doc_id", text_col="text", num_buckets=8,
+                    positions=True)
+        hits = IndexSearcher(out).search_query(
+            '("table hash" OR join) AND b* NOT window', k=1_000_000)
+        return pa.table({
+            "doc_id": pc.cast(hits.column("key"), pa.int64()),
+            "score": pc.cast(hits.column("score"), pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_index_topdocs(sf_dir: str):
     """Ranked retrieval through the index: top-8 docs for one term,
     deterministic tie-break (tf desc, doc_id asc)."""
@@ -2251,6 +2278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab": q_vocab,
         "ngrams": q_ngrams,
         "index_search": q_index_search,
+        "index_boolean": q_index_boolean,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
         "index_upsert": q_index_upsert,
@@ -2565,6 +2593,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE w[i] = 'table' AND w[i+1] = 'hash') "
             "SELECT doc_id, cast(count(*) as bigint) AS score "
             "FROM bg GROUP BY doc_id"),
+        "index_boolean": (
+            # ("table hash" OR join) AND b* NOT window — score is the
+            # total tf of the positive leaves present; matcher is the
+            # boolean tree
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS n "
+            "FROM w GROUP BY doc_id, term), "
+            f"ws AS (SELECT doc_id, {_WORDS_SQL} AS wl FROM documents), "
+            "ph AS (SELECT doc_id, cast(count(*) as bigint) AS n "
+            "FROM ws, unnest(range(1, len(wl))) AS t(i) "
+            "WHERE wl[i] = 'table' AND wl[i+1] = 'hash' "
+            "GROUP BY doc_id), "
+            "agg AS (SELECT d.doc_id, "
+            "coalesce((SELECT n FROM ph WHERE ph.doc_id = d.doc_id), 0) "
+            "AS phn, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'join'), 0) AS joinn, "
+            "coalesce((SELECT sum(n) FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term LIKE 'b%'), 0) AS wildn, "
+            "coalesce((SELECT sum(n) FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'window'), 0) AS winn FROM documents d) "
+            "SELECT doc_id, cast(phn + joinn + wildn as bigint) AS score "
+            "FROM agg WHERE (phn > 0 OR joinn > 0) AND wildn > 0 "
+            "AND winn = 0"),
         "index_topdocs": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "

@@ -13,6 +13,8 @@
       postings index (re-running upserts by url)
   python -m swishray search --index <indexdir> term... [--and] [-k N]
       swish_xapian -s analog: ranked lookup, no Ray session
+      (-q: boolean query string — AND/OR/NOT, parens, "phrases",
+       wildcard*, meta:term — the Xapian QueryParser surface)
 
 Only `extract` and `index` start a Ray session; the others are pure
 single-process (like the reference CLIs).
@@ -238,6 +240,15 @@ def cmd_search(args) -> int:
     session (like the reference's query client)."""
     from .index import IndexSearcher
     s = IndexSearcher(args.index)
+    if args.query:
+        # boolean query string — the reference's Xapian QueryParser
+        # surface (FLAG_BOOLEAN | FLAG_PHRASE | FLAG_WILDCARD +
+        # metaname prefixes, swish_xapian.cpp:1022-1027)
+        hits = s.search_query(" ".join(args.terms), k=args.max,
+                              ranking="bm25" if args.bm25 else "tf")
+        for rank, row in enumerate(hits.to_pylist(), start=1):
+            print(f"{rank} {row['key']} score={row['score']}")
+        return 0
     if args.phrase:
         hits = s.search_phrase(args.terms, k=args.max, meta=args.meta)
         for rank, row in enumerate(hits.to_pylist(), start=1):
@@ -402,6 +413,11 @@ def main(argv=None) -> int:
     ps.add_argument("--phrase", action="store_true",
                     help="exact phrase over positional postings "
                          "(index must be built with positions)")
+    ps.add_argument("-q", "--query", action="store_true",
+                    help="treat the terms as ONE boolean query "
+                         "string: AND/OR/NOT any case, parens, "
+                         "\"phrases\", trailing-* wildcards, "
+                         "meta:term prefixes (Xapian-parser parity)")
     ps.set_defaults(fn=cmd_search)
 
     pk = sub.add_parser("links")

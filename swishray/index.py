@@ -626,24 +626,37 @@ class IndexSearcher:
         with ``positions=True`` (docs from position-less segments
         can never match).  Deterministic order (score desc, key asc).
         """
-        import numpy as np
-        import pandas as pd
         if not terms:
             raise ValueError("empty phrase")
+        occ = self._phrase_matches(terms, meta)
+        rows = sorted(occ.items(), key=lambda r: (-r[1], str(r[0])))
+        rows = rows[:k]
+        if not rows:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array([r[0] for r in rows]),
+            "score": pa.array([r[1] for r in rows], pa.int64())})
+
+    def _phrase_matches(self, terms: list[str],
+                        meta: str | None = None) -> dict:
+        """key -> phrase occurrence count (all matches, unranked) —
+        the position-intersection cascade shared by search_phrase and
+        search_query."""
+        import numpy as np
         per_term = []
-        for i, term in enumerate(terms):
+        for term in terms:
             t = self._resolved(term, meta, with_pos=True)
             df = t.select(["key", "pos"]).to_pandas()
             df = df[df["pos"].notna()]
             if df.empty:
-                return pa.table({"key": pa.array([], pa.string()),
-                                 "score": pa.array([], pa.int64())})
+                return {}
             per_term.append(dict(zip(df["key"], df["pos"])))
         # candidate docs = keys present for every term
         cand = set(per_term[0])
         for d in per_term[1:]:
             cand &= set(d)
-        rows = []
+        out: dict = {}
         for kk in cand:
             p = np.frombuffer(per_term[0][kk], dtype=np.int32) \
                 .astype(np.int64)
@@ -654,15 +667,118 @@ class IndexSearcher:
                 if not len(p):
                     break
             if len(p):
-                rows.append((kk, len(p)))
-        rows.sort(key=lambda r: (-r[1], str(r[0])))
-        rows = rows[:k]
-        if not rows:
-            return pa.table({"key": pa.array([], pa.string()),
-                             "score": pa.array([], pa.int64())})
+                out[kk] = len(p)
+        return out
+
+
+    def _expand_prefix(self, prefix: str,
+                       meta: str | None = None) -> list[str]:
+        """Lexicon terms starting with ``prefix`` (trailing-*
+        wildcard support, FLAG_WILDCARD).  Cost note: terms are
+        bucket-partitioned by HASH, so a prefix scan cannot prune
+        buckets — it range-filters every bucket's postings files via
+        parquet row-group stats on ``term``.  Fine for the
+        interactive point-lookup client this searcher is; a
+        wildcard-heavy workload would want a sorted lexicon sidecar."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        if not prefix:
+            raise ValueError("bare '*' wildcard is not allowed")
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        terms: set = set()
+        for seg in self.segments:
+            if seg.get("kind") != "index":
+                continue
+            flt = ((pads.field("kind") == "p")
+                   & (pads.field("term") >= prefix)
+                   & (pads.field("term") < hi))
+            if meta is not None:
+                flt = flt & (pads.field("meta") == meta)
+            t = self._seg_dataset(seg).to_table(filter=flt,
+                                                columns=["term"])
+            terms.update(tt for tt in
+                         pc.unique(t.column("term")).to_pylist()
+                         if tt.startswith(prefix))
+        return sorted(terms)
+
+    def _leaf_weights(self, node, ranking: str,
+                      k1: float, b: float) -> dict:
+        """AST leaf -> {key: weight}.  ranking="tf": integer tf sums
+        (phrase leaves: occurrence counts) — SQL-oracle-exact.
+        ranking="bm25": Okapi weights with df taken per leaf (a
+        wildcard's expansion acts as ONE synonym group, Xapian's
+        wildcard semantics)."""
+        kind, meta, val = node
+        tfs: dict = {}
+        if kind == "phrase":
+            tfs = dict(self._phrase_matches(val, meta))
+        else:
+            terms = ([val] if kind == "term"
+                     else self._expand_prefix(val, meta))
+            for term in terms:
+                t = self._resolved(term, meta)
+                for kk, tf in zip(t.column("key").to_pylist(),
+                                  t.column("tf").to_pylist()):
+                    tfs[kk] = tfs.get(kk, 0) + tf
+        if ranking != "bm25" or not tfs:
+            return tfs
+        import math
+        stats = self.corpus_stats()
+        n_corpus = max(stats["n_docs"], 1)
+        avgdl = stats["avg_doclen"] or 1.0
+        df = len(tfs)
+        idf = math.log((n_corpus - df + 0.5) / (df + 0.5) + 1.0)
+        dls = self._doclens(list(tfs))
+        return {kk: idf * (tf * (k1 + 1)
+                           / (tf + k1 * (1 - b + b * dls.get(kk, avgdl)
+                                         / avgdl)))
+                for kk, tf in tfs.items()}
+
+    def search_query(self, qstr: str, k: int = 10,
+                     ranking: str = "tf", k1: float = 1.2,
+                     b: float = 0.75) -> pa.Table:
+        """Boolean query-string retrieval — the reference's search
+        surface (swish_xapian.cpp:1022-1027 parses with FLAG_WILDCARD
+        | FLAG_BOOLEAN | FLAG_BOOLEAN_ANY_CASE | FLAG_PHRASE and one
+        prefix per metaname; grammar re-implemented standalone in
+        swishray/queryparse.py).
+
+        Set semantics: AND intersects, OR unions, NOT (= AND_NOT)
+        subtracts; scores ADD across the positive sides a doc
+        matches (absent side contributes 0), so with ``ranking="tf"``
+        a doc's score is the total tf of the query's positive leaf
+        terms it contains — expressible in SQL for the oracle.
+        Deterministic order (score desc, key asc), top ``k``."""
+        from .queryparse import parse_query
+        ast = parse_query(qstr)
+
+        def ev(node) -> dict:
+            kind = node[0]
+            if kind == "and":
+                lt, rt = ev(node[1]), ev(node[2])
+                return {kk: lt[kk] + rt[kk]
+                        for kk in lt.keys() & rt.keys()}
+            if kind == "or":
+                lt, rt = ev(node[1]), ev(node[2])
+                out = dict(lt)
+                for kk, v in rt.items():
+                    out[kk] = out.get(kk, 0) + v
+                return out
+            if kind == "not":
+                lt, rt = ev(node[1]), ev(node[2])
+                return {kk: v for kk, v in lt.items() if kk not in rt}
+            return self._leaf_weights(node, ranking, k1, b)
+
+        scores = ev(ast)
+        rows = sorted(scores.items(),
+                      key=lambda r: (-r[1], str(r[0])))[:k]
+        stype = pa.int64() if ranking != "bm25" else pa.float64()
+        keys = [r[0] for r in rows]
         return pa.table({
-            "key": pa.array([r[0] for r in rows]),
-            "score": pa.array([r[1] for r in rows], pa.int64())})
+            # key keeps its stored type (int keys stay ints); the
+            # empty-result type matches search_phrase's convention
+            "key": pa.array(keys) if keys else pa.array([], pa.string()),
+            "score": pa.array([r[1] for r in rows], stype)})
 
 
 def search_counts(out_dir: str, terms: list[str]) -> pa.Table:

@@ -232,3 +232,114 @@ def test_cli_phrase_search(ray_session, idx_dir):
         cwd="/root/repo").stdout.splitlines()
     assert out[0] == "1 2 occurrences=3"
     assert out[1] == "2 1 occurrences=2"
+
+
+# ---- boolean query strings (queryparse.py + search_query) ----------
+
+BOOL_CORPUS = [
+    (1, "hash join scan window"),
+    (2, "hash hash table scan"),
+    (3, "join scan scan"),
+    (4, "window table"),
+    (5, "scanner hash"),
+]
+
+
+def test_queryparse_shapes():
+    from swishray.queryparse import parse_query
+    assert parse_query("a b AND c") == (
+        "or", ("term", None, "a"),
+        ("and", ("term", None, "b"), ("term", None, "c")))
+    assert parse_query('title:"big table" OR sc*') == (
+        "or", ("phrase", "title", ["big", "table"]),
+        ("wild", None, "sc"))
+    # any-case keywords (FLAG_BOOLEAN_ANY_CASE); x not y == AND_NOT
+    assert parse_query("x not y") == parse_query("x AND NOT y")
+    # quoted keywords are terms, not operators
+    assert parse_query('"and"') == ("term", None, "and")
+    # 1-word phrase collapses to a term
+    assert parse_query('"solo"') == ("term", None, "solo")
+
+
+@pytest.mark.parametrize("bad", [
+    "NOT x", "(a", "a)", "", "a AND", "a OR ()", '""'])
+def test_queryparse_rejects(bad):
+    from swishray.queryparse import parse_query
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_search_query_boolean_tree(ray_session, idx_dir):
+    """AND/OR/NOT/phrase/wildcard in one tree; scores add across the
+    positive leaves a doc matches; deterministic tie-break."""
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir, rows=BOOL_CORPUS, positions=True)
+    s = IndexSearcher(idx_dir)
+    out = s.search_query("(hash OR join) AND scan NOT window") \
+        .to_pydict()
+    # doc2 hash*2+scan=3, doc3 join+scan*2=3; doc1 killed by NOT,
+    # doc5 has no 'scan'
+    assert out["key"] == [2, 3] and out["score"] == [3, 3]
+    # wildcard expands scan+scanner; ties broken by key asc
+    out = s.search_query("sca* AND hash").to_pydict()
+    assert out["key"] == [2, 1, 5] and out["score"] == [3, 2, 2]
+    # phrase leaf inside boolean
+    out = s.search_query('"hash table" OR window').to_pydict()
+    assert out["key"] == [1, 2, 4]
+    # default op between bare atoms is OR (Xapian default)
+    assert s.search_query("table window").to_pydict()["key"] == \
+        s.search_query("table OR window").to_pydict()["key"]
+
+
+def test_search_query_respects_upsert(ray_session, idx_dir):
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir, rows=BOOL_CORPUS, positions=True)
+    _build(ray_session, idx_dir, rows=[(2, "window only now")],
+           num_buckets=2, positions=True)
+    s = IndexSearcher(idx_dir)
+    out = s.search_query("(hash OR join) AND scan NOT window") \
+        .to_pydict()
+    assert out["key"] == [3]  # doc2's old postings are shadowed
+
+
+def test_search_query_meta_scope(ray_session, idx_dir):
+    import ray.data as rd
+    from swishray.index import IndexSearcher, build_index
+    t = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "token_values": pa.array([[b"hello", b"world"], [b"hello"]],
+                                 pa.list_(pa.binary())),
+        "token_metas": pa.array([["swishdefault", "swishdefault"],
+                                 ["swishtitle"]], pa.list_(pa.string())),
+    })
+    build_index(rd.from_arrow(t), idx_dir, key="url", text_col=None,
+                token_col="token_values", meta_col="token_metas",
+                num_buckets=2)
+    s = IndexSearcher(idx_dir)
+    assert s.search_query("swishtitle:hello").to_pydict()["key"] == ["b"]
+    assert s.search_query("swishdefault:hello").to_pydict()["key"] == ["a"]
+    assert sorted(s.search_query("hello").to_pydict()["key"]) == ["a", "b"]
+
+
+def test_search_query_bm25_monotone(ray_session, idx_dir):
+    """bm25 ranking returns float scores, same match set as tf."""
+    from swishray.index import IndexSearcher
+    _build(ray_session, idx_dir, rows=BOOL_CORPUS, positions=True)
+    s = IndexSearcher(idx_dir)
+    tf = s.search_query("hash AND scan").to_pydict()
+    bm = s.search_query("hash AND scan", ranking="bm25").to_pydict()
+    assert sorted(tf["key"]) == sorted(bm["key"])
+    assert all(isinstance(v, float) for v in bm["score"])
+
+
+def test_cli_query_search(ray_session, idx_dir):
+    import subprocess
+    import sys
+    _build(ray_session, idx_dir, rows=BOOL_CORPUS, positions=True)
+    out = subprocess.run(
+        [sys.executable, "-m", "swishray", "search", "--index",
+         idx_dir, "-q", "(hash OR join)", "AND", "scan", "NOT",
+         "window"],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout.splitlines()
+    assert out == ["1 2 score=3", "2 3 score=3"]
