@@ -1576,6 +1576,49 @@ def q_index_boolean(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_index_sorted(sf_dir: str):
+    """Search-time property sort (reference -s: MultiValueSorter over
+    add_value slots, swish_xapian.cpp:1036-1047): docs matching a
+    boolean query ordered by a stored INT property instead of
+    relevance — numeric order, NOT lexicographic (the typed-property
+    contract; sortable-serialize in the reference,
+    swish_xapian.cpp:476-482)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.index import IndexSearcher, build_index
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text", "n_chars"]), out,
+                    key="doc_id", text_col="text", num_buckets=8,
+                    prop_cols=["n_chars"])
+        hits = IndexSearcher(out).search_query(
+            "join AND scan NOT window", k=20, sort="n_chars desc")
+        return pa.table({
+            "doc_id": pc.cast(hits.column("key"), pa.int64()),
+            "score": pc.cast(hits.column("score"), pa.int64()),
+            "n_chars": pc.cast(hits.column("n_chars"), pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_index_facets(sf_dir: str):
+    """Search-time facet counts (reference -f: FacetFinder
+    MatchDecider): per-value counts of a stored property over the
+    full boolean-query match set."""
+    import shutil
+    from swishray.index import IndexSearcher, build_index
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text", "lang"]), out,
+                    key="doc_id", text_col="text", num_buckets=8,
+                    prop_cols=["lang"])
+        return IndexSearcher(out).facets("join AND scan NOT window",
+                                         "lang")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_index_topdocs(sf_dir: str):
     """Ranked retrieval through the index: top-8 docs for one term,
     deterministic tie-break (tf desc, doc_id asc)."""
@@ -2279,6 +2322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngrams": q_ngrams,
         "index_search": q_index_search,
         "index_boolean": q_index_boolean,
+        "index_sorted": q_index_sorted,
+        "index_facets": q_index_facets,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
         "index_upsert": q_index_upsert,
@@ -2618,6 +2663,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cast(phn + joinn + wildn as bigint) AS score "
             "FROM agg WHERE (phn > 0 OR joinn > 0) AND wildn > 0 "
             "AND winn = 0"),
+        "index_sorted": (
+            # join AND scan NOT window, ordered by the stored INT
+            # property n_chars desc (doc_id asc tie-break), top 20
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS n "
+            "FROM w GROUP BY doc_id, term), "
+            "agg AS (SELECT d.doc_id, d.n_chars, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'join'), 0) AS jn, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'scan'), 0) AS sn, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'window'), 0) AS wn FROM documents d) "
+            "SELECT doc_id, cast(jn + sn as bigint) AS score, "
+            "cast(n_chars as bigint) AS n_chars FROM agg "
+            "WHERE jn > 0 AND sn > 0 AND wn = 0 "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "index_facets": (
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS n "
+            "FROM w GROUP BY doc_id, term), "
+            "agg AS (SELECT d.doc_id, d.lang, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'join'), 0) AS jn, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'scan'), 0) AS sn, "
+            "coalesce((SELECT n FROM tf WHERE tf.doc_id = d.doc_id "
+            "AND term = 'window'), 0) AS wn FROM documents d) "
+            "SELECT lang AS value, cast(count(*) as bigint) AS count "
+            "FROM agg WHERE jn > 0 AND sn > 0 AND wn = 0 "
+            "GROUP BY lang"),
         "index_topdocs": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "

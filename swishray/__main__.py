@@ -194,13 +194,16 @@ def cmd_index(args) -> int:
     from .index import build_index
     from .pipeline import extract_pages
 
+    props = [c for c in (args.props or "").split(",") if c]
     if args.text_table:
         docs = rd.read_parquet(args.pages,
-                               columns=[args.key, args.text_col])
+                               columns=[args.key, args.text_col,
+                                        *props])
         info = build_index(docs, args.out, key=args.key,
                            text_col=args.text_col,
                            num_buckets=args.num_buckets,
-                           positions=args.positions)
+                           positions=args.positions,
+                           prop_cols=props or None)
     else:
         pages = rd.read_parquet(args.pages)
         config_xml = None
@@ -214,7 +217,11 @@ def cmd_index(args) -> int:
                            token_col="token_values",
                            meta_col="token_metas",
                            num_buckets=args.num_buckets,
-                           positions=args.positions)
+                           positions=args.positions,
+                           # extraction-record fields as stored
+                           # properties (the reference's add_value
+                           # slots: title/size/..., cpp:509-557)
+                           prop_cols=props or None)
     print(info)
     ray.shutdown()
     return 0
@@ -240,14 +247,27 @@ def cmd_search(args) -> int:
     session (like the reference's query client)."""
     from .index import IndexSearcher
     s = IndexSearcher(args.index)
-    if args.query:
+    if args.facet:
+        # FacetFinder analog (swish_xapian -f): value counts over
+        # the full boolean-query match set
+        hits = s.facets(" ".join(args.terms), args.facet)
+        for row in hits.to_pylist():
+            print(f"{row['value']} {row['count']}")
+        return 0
+    if args.query or args.sort:
         # boolean query string — the reference's Xapian QueryParser
         # surface (FLAG_BOOLEAN | FLAG_PHRASE | FLAG_WILDCARD +
-        # metaname prefixes, swish_xapian.cpp:1022-1027)
+        # metaname prefixes, swish_xapian.cpp:1022-1027); --sort
+        # replaces relevance order with stored-property order
+        # (MultiValueSorter, swish_xapian.cpp:1036-1047)
         hits = s.search_query(" ".join(args.terms), k=args.max,
-                              ranking="bm25" if args.bm25 else "tf")
+                              ranking="bm25" if args.bm25 else "tf",
+                              sort=args.sort)
         for rank, row in enumerate(hits.to_pylist(), start=1):
-            print(f"{rank} {row['key']} score={row['score']}")
+            extra = "".join(
+                f" {c}={row[c]}" for c in hits.column_names
+                if c not in ("key", "score"))
+            print(f"{rank} {row['key']} score={row['score']}{extra}")
         return 0
     if args.phrase:
         hits = s.search_phrase(args.terms, k=args.max, meta=args.meta)
@@ -392,6 +412,10 @@ def main(argv=None) -> int:
                          "whitespace-tokenized (skip extraction)")
     pi.add_argument("--key", default="doc_id")
     pi.add_argument("--text-col", default="text")
+    pi.add_argument("--props", default=None, metavar="COL,COL",
+                    help="input columns to store per doc in the "
+                         "docstore (search --sort / --facet; the "
+                         "reference's add_value property slots)")
     pi.set_defaults(fn=cmd_index)
 
     pc_ = sub.add_parser("compact")
@@ -418,6 +442,14 @@ def main(argv=None) -> int:
                          "string: AND/OR/NOT any case, parens, "
                          "\"phrases\", trailing-* wildcards, "
                          "meta:term prefixes (Xapian-parser parity)")
+    ps.add_argument("--sort", default=None, metavar="SORTSTRING",
+                    help="swish-e sort string over properties stored "
+                         "at build time (index --props), e.g. "
+                         "'size desc title' — the reference's -s")
+    ps.add_argument("--facet", default=None, metavar="PROP",
+                    help="print (value, count) facets of a stored "
+                         "property over the query's match set "
+                         "(swish_xapian -f analog)")
     ps.set_defaults(fn=cmd_search)
 
     pk = sub.add_parser("links")

@@ -90,7 +90,8 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
                 meta_col: str | None = None,
                 num_buckets: int | None = None,
                 max_rows_per_file: int = 1 << 20,
-                positions: bool = False) -> dict:
+                positions: bool = False,
+                prop_cols: list[str] | None = None) -> dict:
     """Index ``ds`` into a new immutable segment under ``out_dir``.
 
     Input is either a plain corpus (``text_col`` whitespace-tokenized,
@@ -104,6 +105,13 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     swish_xapian.cpp adds them via ``add_posting`` for Xapian phrase
     support) as a packed-int32 binary postings column, enabling
     :meth:`IndexSearcher.search_phrase`.
+
+    ``prop_cols`` stores those input columns per doc in the docstore
+    rows (the reference's ``add_value`` property slots,
+    swish_xapian.cpp:509-557) as one JSON blob per doc — enabling
+    search-time property sort (``MultiValueSorter``,
+    swish_xapian.cpp:1036-1047) and facet counting
+    (``FacetFinder``) without touching the source table.
 
     Returns ``{"segment", "num_buckets", "path"}``. Never materializes
     the dataset; one streaming pass, one partitioned parquet sink.
@@ -195,6 +203,8 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
             pcols["pos"] = pa.array(
                 [np.asarray(p, dtype=np.int32).tobytes()
                  for p in g["pos"]], pa.large_binary())
+        if prop_cols:
+            pcols["props"] = pa.nulls(len(g), pa.large_binary())
         post = pa.table(pcols).sort_by("term")  # row-group stats
         dcols = {
             "kind": pa.array(["d"] * n),
@@ -207,6 +217,12 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
         }
         if positions:
             dcols["pos"] = pa.nulls(n, pa.large_binary())
+        if prop_cols:
+            import json
+            rows = batch.select(prop_cols).to_pylist()
+            dcols["props"] = pa.array(
+                [json.dumps(r, default=str).encode() for r in rows],
+                pa.large_binary())
         docs = pa.table(dcols)
         return pa.concat_tables([post, docs])
 
@@ -217,7 +233,8 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     n_docs, total_len = _docstore_stats(seg_dir)
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
              "n_docs": n_docs, "total_doclen": total_len,
-             "positions": positions, "created": time.time()}
+             "positions": positions, "props": prop_cols or [],
+             "created": time.time()}
     _append_segment(out_dir, entry)
     return {"segment": seg_name, "num_buckets": nb, "path": seg_dir,
             "n_docs": n_docs}
@@ -310,13 +327,21 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
         has_pos = any(s.get("positions") for s in segs
                       if s.get("kind") == "index")
         pad_pos = has_pos and not seg.get("positions")
+        has_props = any(s.get("props") for s in segs
+                        if s.get("kind") == "index")
+        pad_props = has_props and not seg.get("props")
 
-        def tag_rows(b: pa.Table, o=ord_, pad=pad_pos) -> pa.Table:
+        def tag_rows(b: pa.Table, o=ord_, pad=pad_pos,
+                     padp=pad_props) -> pa.Table:
             # a mixed positional/plain segment set must union under
             # ONE schema — pad the plain side with null pos lists
+            # (and likewise for the props docstore blobs)
             if pad and "pos" not in b.column_names:
                 b = b.append_column(
                     "pos", pa.nulls(b.num_rows, pa.large_binary()))
+            if padp and "props" not in b.column_names:
+                b = b.append_column(
+                    "props", pa.nulls(b.num_rows, pa.large_binary()))
             b = b.append_column(
                 "seg", pa.array([o] * b.num_rows, pa.int32()))
             # one canonical column order so the cross-segment union
@@ -378,6 +403,8 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
         }
         if "pos" in t.column_names:  # positional segments keep pos
             cols["pos"] = t.column("pos")
+        if "props" in t.column_names:  # docstore property blobs
+            cols["props"] = t.column("props")
         return pa.table(cols)
 
     out = joined.map_batches(keep_and_rebucket, batch_format="pyarrow")
@@ -391,6 +418,9 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
              "n_docs": n_docs, "total_doclen": total_len,
              "positions": all(s.get("positions", False) for s in segs
                               if s.get("kind") == "index"),
+             "props": sorted({c for s in segs
+                              if s.get("kind") == "index"
+                              for c in s.get("props", [])}),
              "created": time.time(), "compacted_from": len(segs)}
     tmp = os.path.join(out_dir, _SEGMENTS_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -551,6 +581,40 @@ class IndexSearcher:
                               t.column("tf").to_pylist()):
                 if kk in pending:
                     out[kk] = dl
+                    pending.discard(kk)
+        return out
+
+    def _doc_props(self, keys: list) -> dict:
+        """key -> stored property dict (build_index ``prop_cols``),
+        read from the winning segment's docstore — newest-first probe
+        so an upsert by a prop-less segment correctly yields {} for
+        its keys (property shadowing follows doc shadowing)."""
+        import json
+        import pyarrow.dataset as pads
+        out: dict = {}
+        pending = set(keys)
+        for ord_ in range(len(self.segments), 0, -1):
+            if not pending:
+                break
+            seg = self.segments[ord_ - 1]
+            if seg.get("kind") != "index":
+                continue
+            probe = pa.array(list(pending))
+            nb = seg["num_buckets"]
+            bs = sorted({int(b) for b in _bucket_of(probe, nb)})
+            flt = ((pads.field("kind") == "d")
+                   & pads.field("bucket").isin(bs)
+                   & pads.field("key").isin(probe))
+            has_props = bool(seg.get("props"))
+            cols = ["key"] + (["props"] if has_props else [])
+            t = self._seg_dataset(seg).to_table(filter=flt,
+                                                columns=cols)
+            blobs = (t.column("props").to_pylist() if has_props
+                     else [None] * t.num_rows)
+            for kk, blob in zip(t.column("key").to_pylist(), blobs):
+                if kk in pending:
+                    out[kk] = (json.loads(blob)
+                               if blob is not None else {})
                     pending.discard(kk)
         return out
 
@@ -734,21 +798,9 @@ class IndexSearcher:
                                          / avgdl)))
                 for kk, tf in tfs.items()}
 
-    def search_query(self, qstr: str, k: int = 10,
-                     ranking: str = "tf", k1: float = 1.2,
-                     b: float = 0.75) -> pa.Table:
-        """Boolean query-string retrieval — the reference's search
-        surface (swish_xapian.cpp:1022-1027 parses with FLAG_WILDCARD
-        | FLAG_BOOLEAN | FLAG_BOOLEAN_ANY_CASE | FLAG_PHRASE and one
-        prefix per metaname; grammar re-implemented standalone in
-        swishray/queryparse.py).
-
-        Set semantics: AND intersects, OR unions, NOT (= AND_NOT)
-        subtracts; scores ADD across the positive sides a doc
-        matches (absent side contributes 0), so with ``ranking="tf"``
-        a doc's score is the total tf of the query's positive leaf
-        terms it contains — expressible in SQL for the oracle.
-        Deterministic order (score desc, key asc), top ``k``."""
+    def _query_scores(self, qstr: str, ranking: str,
+                      k1: float, b: float) -> dict:
+        """key -> score over ALL docs matching the boolean query."""
         from .queryparse import parse_query
         ast = parse_query(qstr)
 
@@ -769,16 +821,108 @@ class IndexSearcher:
                 return {kk: v for kk, v in lt.items() if kk not in rt}
             return self._leaf_weights(node, ranking, k1, b)
 
-        scores = ev(ast)
-        rows = sorted(scores.items(),
-                      key=lambda r: (-r[1], str(r[0])))[:k]
+        return ev(ast)
+
+    def search_query(self, qstr: str, k: int = 10,
+                     ranking: str = "tf", k1: float = 1.2,
+                     b: float = 0.75,
+                     sort: str | None = None) -> pa.Table:
+        """Boolean query-string retrieval — the reference's search
+        surface (swish_xapian.cpp:1022-1027 parses with FLAG_WILDCARD
+        | FLAG_BOOLEAN | FLAG_BOOLEAN_ANY_CASE | FLAG_PHRASE and one
+        prefix per metaname; grammar re-implemented standalone in
+        swishray/queryparse.py).
+
+        Set semantics: AND intersects, OR unions, NOT (= AND_NOT)
+        subtracts; scores ADD across the positive sides a doc
+        matches (absent side contributes 0), so with ``ranking="tf"``
+        a doc's score is the total tf of the query's positive leaf
+        terms it contains — expressible in SQL for the oracle.
+
+        ``sort``: a Swish-e sort string ("prop1 desc prop2") over
+        properties stored at build time (``prop_cols``) — replaces
+        relevance order, exactly the reference's ``-s`` +
+        ``MultiValueSorter`` path (swish_xapian.cpp:1036-1047); the
+        sorted result carries the sort properties as columns.  Nulls
+        (and docs whose winning segment stored no props) sort last;
+        final tie-break is key asc either way.  Top ``k``."""
+        scores = self._query_scores(qstr, ranking, k1, b)
         stype = pa.int64() if ranking != "bm25" else pa.float64()
+        if sort is None:
+            # tie-break on the RAW key (numeric for int keys) so a
+            # top-k boundary cut is deterministic and SQL-matchable
+            rows = sorted(scores.items(),
+                          key=lambda r: (-r[1], r[0]))[:k]
+            keys = [r[0] for r in rows]
+            return pa.table({
+                # key keeps its stored type (int keys stay ints); the
+                # empty-result type matches search_phrase's convention
+                "key": (pa.array(keys) if keys
+                        else pa.array([], pa.string())),
+                "score": pa.array([r[1] for r in rows], stype)})
+
+        from .pipeline import parse_sort_string
+        spec = parse_sort_string(sort)
+        props = self._doc_props(list(scores))
+
+        class _Rev:  # descending wrapper for arbitrary ordered types
+            __slots__ = ("v",)
+
+            def __init__(self, v):
+                self.v = v
+
+            def __lt__(self, o):
+                return o.v < self.v
+
+            def __eq__(self, o):
+                return o.v == self.v
+
+        def keyfn(item):
+            kk, _ = item
+            row = props.get(kk, {})
+            parts = []
+            for prop, desc in spec:
+                v = row.get(prop)
+                parts.append((v is None, (_Rev(v) if desc else v)
+                              if v is not None else None))
+            parts.append(kk)
+            return tuple(parts)
+
+        rows = sorted(scores.items(), key=keyfn)[:k]
         keys = [r[0] for r in rows]
+        cols = {
+            "key": (pa.array(keys) if keys
+                    else pa.array([], pa.string())),
+            "score": pa.array([r[1] for r in rows], stype)}
+        for prop, _ in spec:
+            cols[prop] = pa.array(
+                [props.get(kk, {}).get(prop) for kk in keys])
+        return pa.table(cols)
+
+    def facets(self, qstr: str, prop: str) -> pa.Table:
+        """Facet counts over ALL docs matching a boolean query — the
+        reference's FacetFinder MatchDecider (swish_xapian -f):
+        ``(value, count)`` per distinct value of a stored property.
+        Multi-value properties follow the reference's \\x03-joined
+        convention (SWISH_META_VALUES separator) — each component
+        counts once.  Exact over the full match set (the reference
+        samples the first SWISH_FACET_FINDER_LIMIT matches).
+        Deterministic order: count desc, value asc."""
+        from collections import Counter
+        scores = self._query_scores(qstr, "tf", 1.2, 0.75)
+        props = self._doc_props(list(scores))
+        c: Counter = Counter()
+        for kk in scores:
+            v = props.get(kk, {}).get(prop)
+            if v is None:
+                continue
+            vals = v.split("\x03") if isinstance(v, str) else [v]
+            for vv in vals:
+                c[str(vv)] += 1
+        rows = sorted(c.items(), key=lambda r: (-r[1], r[0]))
         return pa.table({
-            # key keeps its stored type (int keys stay ints); the
-            # empty-result type matches search_phrase's convention
-            "key": pa.array(keys) if keys else pa.array([], pa.string()),
-            "score": pa.array([r[1] for r in rows], stype)})
+            "value": pa.array([r[0] for r in rows], pa.string()),
+            "count": pa.array([r[1] for r in rows], pa.int64())})
 
 
 def search_counts(out_dir: str, terms: list[str]) -> pa.Table:

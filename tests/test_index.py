@@ -343,3 +343,86 @@ def test_cli_query_search(ray_session, idx_dir):
         capture_output=True, text=True, check=True,
         cwd="/root/repo").stdout.splitlines()
     assert out == ["1 2 score=3", "2 3 score=3"]
+
+
+# ---- stored properties: search-time sort + facets -------------------
+
+PROP_CORPUS = [
+    (1, "hash scan", 50, "en"),
+    (2, "hash hash scan", 20, "de"),
+    (3, "join scan", 90, "en"),
+    (4, "window", 10, "fr"),
+    (5, "scan hash", 20, "de"),
+]
+
+
+def _build_props(idx_dir, rows=PROP_CORPUS, **kw):
+    import ray.data as rd
+    from swishray.index import build_index
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        "lang": pa.array([r[3] for r in rows], pa.string())})
+    return build_index(rd.from_arrow(t), idx_dir, key="doc_id",
+                       text_col="text",
+                       num_buckets=kw.pop("num_buckets", 3),
+                       prop_cols=kw.pop("prop_cols",
+                                        ["n_chars", "lang"]), **kw)
+
+
+def test_search_query_property_sort(ray_session, idx_dir):
+    """--sort replaces relevance order (MultiValueSorter analog):
+    numeric desc on the stored INT prop, key-asc tie-break, and the
+    sort property rides along as a result column."""
+    from swishray.index import IndexSearcher
+    _build_props(idx_dir)
+    out = IndexSearcher(idx_dir).search_query(
+        "hash AND scan", sort="n_chars desc").to_pydict()
+    assert out["key"] == [1, 2, 5]          # 50, then 20-tie by key
+    assert out["n_chars"] == [50, 20, 20]
+    assert out["score"] == [2, 3, 2]        # scores kept, not ordering
+
+
+def test_search_query_sort_upsert_shadows_props(ray_session, idx_dir):
+    """A doc re-indexed by a PROP-LESS newer segment loses its old
+    props (property shadowing follows doc shadowing) and sorts last."""
+    import ray.data as rd
+    from swishray.index import IndexSearcher, build_index
+    _build_props(idx_dir)
+    build_index(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["hash scan"], pa.string())})),
+        idx_dir, key="doc_id", text_col="text", num_buckets=2)
+    out = IndexSearcher(idx_dir).search_query(
+        "hash AND scan", sort="n_chars desc").to_pydict()
+    assert out["key"] == [2, 5, 1]
+    assert out["n_chars"] == [20, 20, None]
+
+
+def test_facets_and_multivalue(ray_session, idx_dir):
+    from swishray.index import IndexSearcher
+    # doc 5 carries a \x03-joined multi-value lang (the reference's
+    # SWISH_META_VALUES facet convention): each component counts
+    rows = [r[:3] + ("de\x03en",) if r[0] == 5 else r
+            for r in PROP_CORPUS]
+    _build_props(idx_dir, rows=rows)
+    out = IndexSearcher(idx_dir).facets("scan", "lang").to_pydict()
+    # matches: 1(en) 2(de) 3(en) 5(de+en) -> en 3, de 2
+    assert out["value"] == ["en", "de"]
+    assert out["count"] == [3, 2]
+
+
+def test_props_survive_compaction(ray_session, idx_dir):
+    from swishray.index import IndexSearcher, compact_index
+    _build_props(idx_dir)
+    _build_props(idx_dir, rows=[(2, "window only", 77, "pt")],
+                 num_buckets=2)
+    compact_index(idx_dir, delete_old=True)
+    s = IndexSearcher(idx_dir)
+    assert len(s.segments) == 1
+    out = s.search_query("hash AND scan", sort="n_chars desc") \
+        .to_pydict()
+    assert out["key"] == [1, 5] and out["n_chars"] == [50, 20]
+    f = s.facets("window", "lang").to_pydict()
+    assert f["value"] == ["fr", "pt"] and f["count"] == [1, 1]
