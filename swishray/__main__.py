@@ -254,6 +254,19 @@ def cmd_search(args) -> int:
         for row in hits.to_pylist():
             print(f"{row['value']} {row['count']}")
         return 0
+    if args.format:
+        # -x output template analog (build_output_format,
+        # swish_xapian.cpp:786-858): <prop> placeholders + C escapes
+        from .outputformat import render_output_format
+        hits = s.search_query(" ".join(args.terms), k=args.max,
+                              ranking="bm25" if args.bm25 else "tf",
+                              sort=args.sort)
+        rows = hits.to_pylist()
+        props = s.doc_properties([r["key"] for r in rows])
+        for r in rows:
+            r.update(props.get(r["key"], {}))
+        sys.stdout.write(render_output_format(rows, args.format))
+        return 0
     if args.query or args.sort:
         # boolean query string — the reference's Xapian QueryParser
         # surface (FLAG_BOOLEAN | FLAG_PHRASE | FLAG_WILDCARD +
@@ -450,6 +463,11 @@ def main(argv=None) -> int:
                     help="print (value, count) facets of a stored "
                          "property over the query's match set "
                          "(swish_xapian -f analog)")
+    ps.add_argument("-x", "--format", default=None, metavar="TMPL",
+                    help="output template: <prop> placeholders "
+                         "(swishrank/swishdocpath/stored props) + C "
+                         "escapes — the reference's -x "
+                         "(build_output_format)")
     ps.set_defaults(fn=cmd_search)
 
     pk = sub.add_parser("links")

@@ -618,6 +618,13 @@ class IndexSearcher:
                     pending.discard(kk)
         return out
 
+    def doc_properties(self, keys: list) -> dict:
+        """Public accessor: key -> stored property dict (missing or
+        prop-less docs map to {}) — the output-format renderer's
+        property source."""
+        got = self._doc_props(keys)
+        return {kk: got.get(kk, {}) for kk in keys}
+
     def corpus_stats(self) -> dict:
         n = sum(s.get("n_docs", 0) for s in self.segments
                 if s.get("kind") == "index")

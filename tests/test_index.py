@@ -426,3 +426,17 @@ def test_props_survive_compaction(ray_session, idx_dir):
     assert out["key"] == [1, 5] and out["n_chars"] == [50, 20]
     f = s.facets("window", "lang").to_pydict()
     assert f["value"] == ["fr", "pt"] and f["count"] == [1, 1]
+
+
+def test_cli_output_format(ray_session, idx_dir):
+    import subprocess
+    import sys
+    _build_props(idx_dir)
+    out = subprocess.run(
+        [sys.executable, "-m", "swishray", "search", "--index",
+         idx_dir, "-q", "hash", "AND", "scan", "--sort",
+         "n_chars desc", "-x",
+         '<swishrank>\\t<swishdocpath>\\t<lang>\\n'],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout
+    assert out == "2\t1\ten\n3\t2\tde\n2\t5\tde\n"
