@@ -1602,6 +1602,30 @@ def q_index_sorted(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_index_range(sf_dir: str):
+    """Value-range filtering in the query string (reference -L /
+    PropertyValueRangeProcessor, swish_xapian.cpp:860-952): docs
+    matching a term AND an inclusive numeric range over a stored
+    property; the range contributes no weight (Xapian OP_VALUE_RANGE
+    filter semantics), so score is the term tf alone."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.index import IndexSearcher, build_index
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text", "n_chars"]), out,
+                    key="doc_id", text_col="text", num_buckets=8,
+                    prop_cols=["n_chars"])
+        hits = IndexSearcher(out).search_query(
+            "join AND n_chars:200..900", k=1_000_000)
+        return pa.table({
+            "doc_id": pc.cast(hits.column("key"), pa.int64()),
+            "score": pc.cast(hits.column("score"), pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_index_facets(sf_dir: str):
     """Search-time facet counts (reference -f: FacetFinder
     MatchDecider): per-value counts of a stored property over the
@@ -2323,6 +2347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_search": q_index_search,
         "index_boolean": q_index_boolean,
         "index_sorted": q_index_sorted,
+        "index_range": q_index_range,
         "index_facets": q_index_facets,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
@@ -2681,6 +2706,13 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_chars as bigint) AS n_chars FROM agg "
             "WHERE jn > 0 AND sn > 0 AND wn = 0 "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "index_range": (
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "
+            "SELECT w.doc_id, cast(count(*) as bigint) AS score "
+            "FROM w JOIN documents d ON d.doc_id = w.doc_id "
+            "WHERE term = 'join' AND d.n_chars BETWEEN 200 AND 900 "
+            "GROUP BY w.doc_id"),
         "index_facets": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents), "

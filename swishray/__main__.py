@@ -247,10 +247,21 @@ def cmd_search(args) -> int:
     session (like the reference's query client)."""
     from .index import IndexSearcher
     s = IndexSearcher(args.index)
+
+    def boolq() -> str:
+        # -L "prop low high" composes as AND-ed value-range filters
+        # (the reference rewrites these through its
+        # PropertyValueRangeProcessor on the same query)
+        q = " ".join(args.terms)
+        for spec in args.range or []:
+            prop, lo, hi = spec.split()
+            q = f"({q}) AND {prop}:{lo}..{hi}"
+        return q
+
     if args.facet:
         # FacetFinder analog (swish_xapian -f): value counts over
         # the full boolean-query match set
-        hits = s.facets(" ".join(args.terms), args.facet)
+        hits = s.facets(boolq(), args.facet)
         for row in hits.to_pylist():
             print(f"{row['value']} {row['count']}")
         return 0
@@ -258,24 +269,24 @@ def cmd_search(args) -> int:
         # -x output template analog (build_output_format,
         # swish_xapian.cpp:786-858): <prop> placeholders + C escapes
         from .outputformat import render_output_format
-        hits = s.search_query(" ".join(args.terms), k=args.max,
+        hits = s.search_query(boolq(), k=args.max,
                               ranking="bm25" if args.bm25 else "tf",
-                              sort=args.sort)
+                              sort=args.sort, offset=args.begin)
         rows = hits.to_pylist()
         props = s.doc_properties([r["key"] for r in rows])
         for r in rows:
             r.update(props.get(r["key"], {}))
         sys.stdout.write(render_output_format(rows, args.format))
         return 0
-    if args.query or args.sort:
+    if args.query or args.sort or args.range:
         # boolean query string — the reference's Xapian QueryParser
         # surface (FLAG_BOOLEAN | FLAG_PHRASE | FLAG_WILDCARD +
         # metaname prefixes, swish_xapian.cpp:1022-1027); --sort
         # replaces relevance order with stored-property order
         # (MultiValueSorter, swish_xapian.cpp:1036-1047)
-        hits = s.search_query(" ".join(args.terms), k=args.max,
+        hits = s.search_query(boolq(), k=args.max,
                               ranking="bm25" if args.bm25 else "tf",
-                              sort=args.sort)
+                              sort=args.sort, offset=args.begin)
         for rank, row in enumerate(hits.to_pylist(), start=1):
             extra = "".join(
                 f" {c}={row[c]}" for c in hits.column_names
@@ -293,6 +304,23 @@ def cmd_search(args) -> int:
     for rank, row in enumerate(hits.to_pylist(), start=1):
         print(f"{rank} {row['key']} score={row['score']} "
               f"matched={row['n_terms']}/{len(set(args.terms))}")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Reference -D/--Delete with --filelist (swish_xapian.cpp's
+    delete mode): tombstone the named keys — a pure metadata append,
+    no Ray session."""
+    from .index import delete_keys
+    keys: list = list(args.keys)
+    if args.filelist:
+        from .sources import is_skippable_line
+        with open(args.filelist) as fh:
+            keys += [ln.strip() for ln in fh
+                     if not is_skippable_line(ln)]
+    if args.key_type == "int":
+        keys = [int(k) for k in keys]
+    print(delete_keys(args.index, keys))
     return 0
 
 
@@ -463,12 +491,31 @@ def main(argv=None) -> int:
                     help="print (value, count) facets of a stored "
                          "property over the query's match set "
                          "(swish_xapian -f analog)")
+    ps.add_argument("-b", "--begin", type=int, default=0,
+                    help="begin results at NUM (the reference's -b "
+                         "results_offset)")
+    ps.add_argument("-L", "--range", action="append", default=None,
+                    metavar="'PROP LOW HIGH'",
+                    help="limit results to a stored-property value "
+                         "range, inclusive (reference -L; repeatable)")
     ps.add_argument("-x", "--format", default=None, metavar="TMPL",
                     help="output template: <prop> placeholders "
                          "(swishrank/swishdocpath/stored props) + C "
                          "escapes — the reference's -x "
                          "(build_output_format)")
     ps.set_defaults(fn=cmd_search)
+
+    pdl = sub.add_parser("delete")
+    pdl.add_argument("--index", required=True)
+    pdl.add_argument("keys", nargs="*")
+    pdl.add_argument("--filelist", default=None,
+                     help="file of keys to tombstone, one per line "
+                          "(skippable lines ignored — reference -D "
+                          "-f semantics)")
+    pdl.add_argument("--key-type", choices=["str", "int"],
+                     default="str",
+                     help="coerce CLI keys to the index's key type")
+    pdl.set_defaults(fn=cmd_delete)
 
     pk = sub.add_parser("links")
     pk.add_argument("--pages", required=True)

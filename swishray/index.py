@@ -805,6 +805,64 @@ class IndexSearcher:
                                          / avgdl)))
                 for kk, tf in tfs.items()}
 
+    def _range_matches(self, prop: str, lo: str, hi: str) -> dict:
+        """Xapian OP_VALUE_RANGE analog over stored properties
+        (PropertyValueRangeProcessor, swish_xapian.cpp:860-952):
+        ``prop:lo..hi`` is INCLUSIVE both ends; numeric comparison
+        when both bounds parse as numbers (the INT sortable-serialise
+        path), else case-folded string comparison (the reference
+        folds STRING bounds; we fold the stored value too so the
+        comparison is coherent).  Matches carry weight 0 — a pure
+        filter, exactly Xapian's value-range contribution.
+
+        Cost: one docstore scan per segment (``kind="d"`` partitions
+        only, newest-first with upsert/tombstone shadowing) — corpus-
+        proportional, as is Xapian's value-slot scan."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        try:
+            lon, hin = float(lo), float(hi)
+            numeric = True
+        except ValueError:
+            numeric = False
+            lof, hif = lo.casefold(), hi.casefold()
+        out: dict = {}
+        seen: set = set()
+        for ord_ in range(len(self.segments), 0, -1):
+            seg = self.segments[ord_ - 1]
+            if seg.get("kind") == "tombstone":
+                p = os.path.join(self.out_dir, seg["segment"],
+                                 "tombstones.parquet")
+                seen.update(pq.read_table(p).column("key").to_pylist())
+                continue
+            has_props = bool(seg.get("props"))
+            cols = ["key"] + (["props"] if has_props else [])
+            t = self._seg_dataset(seg).to_table(
+                filter=(pads.field("kind") == "d"), columns=cols)
+            blobs = (t.column("props").to_pylist() if has_props
+                     else [None] * t.num_rows)
+            for kk, blob in zip(t.column("key").to_pylist(), blobs):
+                if kk in seen:
+                    continue
+                seen.add(kk)
+                if blob is None:
+                    continue
+                v = json.loads(blob).get(prop)
+                if v is None:
+                    continue
+                if numeric:
+                    try:
+                        vn = float(v)
+                    except (TypeError, ValueError):
+                        continue
+                    if lon <= vn <= hin:
+                        out[kk] = 0
+                else:
+                    vs = str(v).casefold()
+                    if lof <= vs <= hif:
+                        out[kk] = 0
+        return out
+
     def _query_scores(self, qstr: str, ranking: str,
                       k1: float, b: float) -> dict:
         """key -> score over ALL docs matching the boolean query."""
@@ -813,6 +871,8 @@ class IndexSearcher:
 
         def ev(node) -> dict:
             kind = node[0]
+            if kind == "range":
+                return self._range_matches(node[1], node[2], node[3])
             if kind == "and":
                 lt, rt = ev(node[1]), ev(node[2])
                 return {kk: lt[kk] + rt[kk]
@@ -833,7 +893,8 @@ class IndexSearcher:
     def search_query(self, qstr: str, k: int = 10,
                      ranking: str = "tf", k1: float = 1.2,
                      b: float = 0.75,
-                     sort: str | None = None) -> pa.Table:
+                     sort: str | None = None,
+                     offset: int = 0) -> pa.Table:
         """Boolean query-string retrieval — the reference's search
         surface (swish_xapian.cpp:1022-1027 parses with FLAG_WILDCARD
         | FLAG_BOOLEAN | FLAG_BOOLEAN_ANY_CASE | FLAG_PHRASE and one
@@ -852,14 +913,18 @@ class IndexSearcher:
         ``MultiValueSorter`` path (swish_xapian.cpp:1036-1047); the
         sorted result carries the sort properties as columns.  Nulls
         (and docs whose winning segment stored no props) sort last;
-        final tie-break is key asc either way.  Top ``k``."""
+        final tie-break is key asc either way.
+
+        ``offset``/``k`` page the ordered results — the reference's
+        ``-b``/``-m`` window (``get_mset(results_offset,
+        results_limit)``, swish_xapian.cpp:1056-1061)."""
         scores = self._query_scores(qstr, ranking, k1, b)
         stype = pa.int64() if ranking != "bm25" else pa.float64()
         if sort is None:
             # tie-break on the RAW key (numeric for int keys) so a
             # top-k boundary cut is deterministic and SQL-matchable
             rows = sorted(scores.items(),
-                          key=lambda r: (-r[1], r[0]))[:k]
+                          key=lambda r: (-r[1], r[0]))[offset:offset + k]
             keys = [r[0] for r in rows]
             return pa.table({
                 # key keeps its stored type (int keys stay ints); the
@@ -895,7 +960,7 @@ class IndexSearcher:
             parts.append(kk)
             return tuple(parts)
 
-        rows = sorted(scores.items(), key=keyfn)[:k]
+        rows = sorted(scores.items(), key=keyfn)[offset:offset + k]
         keys = [r[0] for r in rows]
         cols = {
             "key": (pa.array(keys) if keys

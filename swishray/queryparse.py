@@ -30,6 +30,9 @@ AST node shapes (plain tuples, no classes — the evaluator lives in
   ("wild",   meta|None, prefix)          # trailing * stripped
   ("phrase", meta|None, [term, ...])     # len >= 2; 1-word phrases
                                          # collapse to ("term", ...)
+  ("range",  prop, low, high)            # prop:low..high — Xapian
+                                         # OP_VALUE_RANGE (inclusive,
+                                         # weight-0 filter)
   ("and", l, r) | ("or", l, r) | ("not", l, r)   # not = AND_NOT
 """
 from __future__ import annotations
@@ -46,11 +49,21 @@ _TOKEN = re.compile(
 _META = re.compile(r'^([A-Za-z_][\w.\-]*):(.+)$', re.S)
 
 
+_RANGE = re.compile(r'^(.+?)\.\.(.+)$', re.S)
+
+
 def _leaf(tok: str):
     meta = None
     m = _META.match(tok)
     if m and not tok.startswith('"'):
         meta, tok = m.group(1), m.group(2)
+        # prop:low..high — Xapian OP_VALUE_RANGE via the reference's
+        # PropertyValueRangeProcessor (swish_xapian.cpp:860-952);
+        # prefix-less ranges fall through to terms, as BAD_VALUENO
+        # does there
+        r = _RANGE.match(tok)
+        if r and not tok.startswith('"'):
+            return ("range", meta, r.group(1), r.group(2))
     if tok.startswith('"'):
         words = tok[1:-1].split()
         if not words:
@@ -150,6 +163,8 @@ def query_terms(node) -> list:
     kind = node[0]
     if kind in ("term", "wild", "phrase"):
         return [node]
+    if kind == "range":
+        return []       # weight-0 filter, not a rankable term
     if kind == "not":
         return query_terms(node[1])
     return query_terms(node[1]) + query_terms(node[2])

@@ -440,3 +440,61 @@ def test_cli_output_format(ray_session, idx_dir):
         capture_output=True, text=True, check=True,
         cwd="/root/repo").stdout
     assert out == "2\t1\ten\n3\t2\tde\n2\t5\tde\n"
+
+
+def test_search_query_value_range(ray_session, idx_dir):
+    """prop:lo..hi — Xapian OP_VALUE_RANGE via the reference's
+    PropertyValueRangeProcessor: inclusive bounds, numeric when both
+    bounds parse as numbers, weight-0 filter semantics."""
+    from swishray.index import IndexSearcher
+    _build_props(idx_dir)
+    s = IndexSearcher(idx_dir)
+    out = s.search_query("scan AND n_chars:20..60").to_pydict()
+    assert out["key"] == [1, 2, 5]          # 90 excluded, bounds incl.
+    assert out["score"] == [1, 1, 1]        # range adds no weight
+    # string range, case-folded both sides
+    out = s.search_query("scan AND lang:DE..EN").to_pydict()
+    assert out["key"] == [1, 2, 3, 5]
+    # pure range (no positive term) is allowed — all-zero scores,
+    # key-asc order
+    out = s.search_query("n_chars:80..100").to_pydict()
+    assert out["key"] == [3]
+
+
+def test_search_query_range_respects_shadowing(ray_session, idx_dir):
+    import ray.data as rd
+    from swishray.index import IndexSearcher, build_index, delete_keys
+    _build_props(idx_dir)
+    # upsert doc 3 with n_chars now out of range; tombstone doc 1
+    _build_props(idx_dir, rows=[(3, "join scan", 500, "en")],
+                 num_buckets=2)
+    delete_keys(idx_dir, [1])
+    out = IndexSearcher(idx_dir).search_query(
+        "scan AND n_chars:20..100").to_pydict()
+    assert out["key"] == [2, 5]
+
+
+def test_search_query_offset_pages(ray_session, idx_dir):
+    from swishray.index import IndexSearcher
+    _build_props(idx_dir)
+    s = IndexSearcher(idx_dir)
+    full = s.search_query("scan", k=10).to_pydict()["key"]
+    page1 = s.search_query("scan", k=2).to_pydict()["key"]
+    page2 = s.search_query("scan", k=2, offset=2).to_pydict()["key"]
+    assert page1 + page2 == full
+
+
+def test_cli_delete_and_range(ray_session, idx_dir):
+    import subprocess
+    import sys
+    _build_props(idx_dir)
+    subprocess.run(
+        [sys.executable, "-m", "swishray", "delete", "--index",
+         idx_dir, "--key-type", "int", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "swishray", "search", "--index",
+         idx_dir, "-q", "scan", "-L", "n_chars 20 60"],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout.splitlines()
+    assert out == ["1 1 score=1", "2 5 score=1"]
