@@ -1602,6 +1602,28 @@ def q_index_sorted(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_index_stemmed(sf_dir: str):
+    """Porter-stemmed index build + query-side stemming (reference
+    -t: set_stemmer at index AND query time, swish_xapian.cpp:625,
+    :999; stem.py implements the classic Porter algorithm).  Probes
+    the six corpus-vocabulary words whose stems differ from their
+    surface forms (customer/key/merge/query/table/value) through
+    search_counts — the oracle encodes the same six-word stem map in
+    SQL (the stemmer itself is pinned by the paper-pair tests in
+    tests/test_stem.py)."""
+    import shutil
+    from swishray.index import build_index, search_counts
+    out = _fresh_index_dir()
+    try:
+        build_index(_docs(sf_dir, ["doc_id", "text"]), out,
+                    key="doc_id", text_col="text", num_buckets=8,
+                    stemmer="en")
+        return search_counts(
+            out, ["custom", "kei", "merg", "queri", "tabl", "valu"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_index_range(sf_dir: str):
     """Value-range filtering in the query string (reference -L /
     PropertyValueRangeProcessor, swish_xapian.cpp:860-952): docs
@@ -2348,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_boolean": q_index_boolean,
         "index_sorted": q_index_sorted,
         "index_range": q_index_range,
+        "index_stemmed": q_index_stemmed,
         "index_facets": q_index_facets,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
@@ -2706,6 +2729,21 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_chars as bigint) AS n_chars FROM agg "
             "WHERE jn > 0 AND sn > 0 AND wn = 0 "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "index_stemmed": (
+            # Porter stem map for the synthetic corpus vocabulary:
+            # only these six words change under stemming (the rest
+            # map to themselves — verified in tests/test_stem.py)
+            "WITH w AS ("
+            f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents), "
+            "sm AS (SELECT doc_id, CASE term "
+            "WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei' "
+            "WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' "
+            "WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' "
+            "ELSE term END AS term FROM w) "
+            "SELECT term, count(distinct doc_id) AS doc_count, "
+            "cast(count(*) as bigint) AS total_tf FROM sm "
+            "WHERE term IN ('custom','kei','merg','queri','tabl','valu') "
+            "GROUP BY term"),
         "index_range": (
             "WITH w AS ("
             f"  SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents) "

@@ -203,7 +203,8 @@ def cmd_index(args) -> int:
                            text_col=args.text_col,
                            num_buckets=args.num_buckets,
                            positions=args.positions,
-                           prop_cols=props or None)
+                           prop_cols=props or None,
+                           stemmer=args.stemmer)
     else:
         pages = rd.read_parquet(args.pages)
         config_xml = None
@@ -221,7 +222,8 @@ def cmd_index(args) -> int:
                            # extraction-record fields as stored
                            # properties (the reference's add_value
                            # slots: title/size/..., cpp:509-557)
-                           prop_cols=props or None)
+                           prop_cols=props or None,
+                           stemmer=args.stemmer)
     print(info)
     ray.shutdown()
     return 0
@@ -453,6 +455,10 @@ def main(argv=None) -> int:
                          "whitespace-tokenized (skip extraction)")
     pi.add_argument("--key", default="doc_id")
     pi.add_argument("--text-col", default="text")
+    pi.add_argument("-t", "--stemmer", default=None, metavar="LANG",
+                    help="stem index terms (en/english/porter or "
+                         "none; searcher stems queries to match — "
+                         "the reference's -t)")
     pi.add_argument("--props", default=None, metavar="COL,COL",
                     help="input columns to store per doc in the "
                          "docstore (search --sort / --facet; the "

@@ -91,7 +91,8 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
                 num_buckets: int | None = None,
                 max_rows_per_file: int = 1 << 20,
                 positions: bool = False,
-                prop_cols: list[str] | None = None) -> dict:
+                prop_cols: list[str] | None = None,
+                stemmer: str | None = None) -> dict:
     """Index ``ds`` into a new immutable segment under ``out_dir``.
 
     Input is either a plain corpus (``text_col`` whitespace-tokenized,
@@ -113,9 +114,29 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     swish_xapian.cpp:1036-1047) and facet counting
     (``FacetFinder``) without touching the source table.
 
+    ``stemmer`` names a stemming language (stem.get_stemmer registry;
+    "en"/"porter" = the classic Porter algorithm): index terms are
+    stemmed before the tf groupby, the language is recorded on the
+    segment, and the searcher stems query terms to match — the
+    reference's set_stemmer pair (swish_xapian.cpp:625, :999).
+    Adding a segment with a DIFFERENT stemmer than the existing ones
+    raises, mirroring the reference's config-mismatch croak
+    (swish_xapian.cpp:703-710).
+
     Returns ``{"segment", "num_buckets", "path"}``. Never materializes
     the dataset; one streaming pass, one partitioned parquet sink.
     """
+    from .stem import get_stemmer
+    stem_fn = get_stemmer(stemmer)   # validates the language early
+    prior = [s for s in _load_segments(out_dir)
+             if s.get("kind") == "index"]
+    if prior:
+        prev = prior[-1].get("stemmer")
+        if (prev or None) != (stemmer or None):
+            raise ValueError(
+                f"index built with stemmer={prev!r} but this segment "
+                f"asked for {stemmer!r} (the reference croaks on this "
+                "mismatch, swish_xapian.cpp:703-710)")
     if num_buckets is None:
         num_buckets = _auto_buckets(ds)
     os.makedirs(out_dir, exist_ok=True)
@@ -173,6 +194,12 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
             df["m"] = _DEFAULT_META
             doclens = df.groupby("d").size().reindex(
                 np.arange(n)).fillna(0).astype(np.int64)
+        if stem_fn is not None:
+            # stem before the tf groupby (the TermGenerator slot);
+            # per-word Python by nature — Porter is a character
+            # state machine — but it runs inside the distributed
+            # sink pass, never on the driver
+            df["t"] = df["t"].map(stem_fn)
         if positions:
             # 1-based ordinal within the doc's token stream (rank
             # among kept words on the text path — the _WORDS_SQL
@@ -234,7 +261,7 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
              "n_docs": n_docs, "total_doclen": total_len,
              "positions": positions, "props": prop_cols or [],
-             "created": time.time()}
+             "stemmer": stemmer, "created": time.time()}
     _append_segment(out_dir, entry)
     return {"segment": seg_name, "num_buckets": nb, "path": seg_dir,
             "n_docs": n_docs}
@@ -421,6 +448,8 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
              "props": sorted({c for s in segs
                               if s.get("kind") == "index"
                               for c in s.get("props", [])}),
+             "stemmer": next((s.get("stemmer") for s in segs
+                              if s.get("kind") == "index"), None),
              "created": time.time(), "compacted_from": len(segs)}
     tmp = os.path.join(out_dir, _SEGMENTS_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -449,6 +478,12 @@ class IndexSearcher:
         self.segments = _load_segments(out_dir)
         if not self.segments:
             raise FileNotFoundError(f"no index segments under {out_dir}")
+        from .stem import get_stemmer
+        lang = next((s.get("stemmer") for s in reversed(self.segments)
+                     if s.get("kind") == "index"), None)
+        # query-side stem fn paired with the index build
+        # (qparser.set_stemmer, swish_xapian.cpp:999)
+        self._stem = get_stemmer(lang)
 
     # -- internals ---------------------------------------------------
 
@@ -551,6 +586,8 @@ class IndexSearcher:
     # -- public ------------------------------------------------------
 
     def doc_stats(self, term: str, meta: str | None = None) -> dict:
+        if self._stem is not None:
+            term = self._stem(term)
         t = self._resolved(term, meta)
         keys = t.column("key").to_pylist()
         return {"term": term, "doc_count": len(set(keys)),
@@ -647,6 +684,8 @@ class IndexSearcher:
         proportional work throughout."""
         import math
         import pandas as pd
+        if self._stem is not None:
+            terms = [self._stem(t) for t in terms]
         frames = []
         for term in terms:
             t = self._resolved(term, meta)
@@ -715,6 +754,8 @@ class IndexSearcher:
         the position-intersection cascade shared by search_phrase and
         search_query."""
         import numpy as np
+        if self._stem is not None:
+            terms = [self._stem(t) for t in terms]
         per_term = []
         for term in terms:
             t = self._resolved(term, meta, with_pos=True)
@@ -784,6 +825,8 @@ class IndexSearcher:
         if kind == "phrase":
             tfs = dict(self._phrase_matches(val, meta))
         else:
+            if kind == "term" and self._stem is not None:
+                val = self._stem(val)
             terms = ([val] if kind == "term"
                      else self._expand_prefix(val, meta))
             for term in terms:

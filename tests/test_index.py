@@ -498,3 +498,57 @@ def test_cli_delete_and_range(ray_session, idx_dir):
         capture_output=True, text=True, check=True,
         cwd="/root/repo").stdout.splitlines()
     assert out == ["1 1 score=1", "2 5 score=1"]
+
+
+# ---- stemming (reference -t: set_stemmer at index + query time) -----
+
+def test_stemmed_index_matches_inflections(ray_session, idx_dir):
+    _build(ray_session, idx_dir, rows=[
+        (1, "running runs ran"), (2, "run"), (3, "jumped")],
+        stemmer="en")
+    from swishray.index import IndexSearcher, search_counts
+    s = IndexSearcher(idx_dir)
+    # query terms are stemmed too: 'runs' -> 'run' matches docs 1+2
+    out = s.search_query("runs").to_pydict()
+    assert out["key"] == [1, 2]
+    assert out["score"] == [2, 1]   # 'running','runs' -> run x2; 'ran' stays 'ran'
+    assert s.doc_stats("running") == {
+        "term": "run", "doc_count": 2, "total_tf": 3}
+    # counts surface reports the stemmed lexicon
+    got = search_counts(idx_dir, ["run"]).to_pydict()
+    assert got["doc_count"] == [2]
+
+
+def test_stemmed_phrase_and_wildcard(ray_session, idx_dir):
+    _build(ray_session, idx_dir, rows=[
+        (1, "quickly jumping foxes"), (2, "quick jumps fox")],
+        stemmer="en", positions=True)
+    from swishray.index import IndexSearcher
+    s = IndexSearcher(idx_dir)
+    # both docs hold the stemmed stream (quickli? no: quickly->quickli,
+    # quick->quick) — phrase members stem individually
+    out = s.search_query('"jumping foxes"').to_pydict()
+    assert out["key"] == [1, 2]     # jump fox adjacency in both
+    # wildcard prefixes are NOT stemmed; they match the stemmed lexicon
+    out = s.search_query("jump*").to_pydict()
+    assert sorted(out["key"]) == [1, 2]
+
+
+def test_stemmer_mismatch_croaks(ray_session, idx_dir):
+    _build(ray_session, idx_dir, stemmer="en")
+    with pytest.raises(ValueError, match="stemmer"):
+        _build(ray_session, idx_dir, rows=[(9, "more text")],
+               num_buckets=2)
+
+
+def test_stemmer_survives_compaction(ray_session, idx_dir):
+    from swishray.index import IndexSearcher, compact_index
+    _build(ray_session, idx_dir, rows=[(1, "running"), (2, "runs")],
+           stemmer="en")
+    _build(ray_session, idx_dir, rows=[(2, "jumped")], num_buckets=2,
+           stemmer="en")
+    compact_index(idx_dir, delete_old=True)
+    s = IndexSearcher(idx_dir)
+    assert s.segments[-1]["stemmer"] == "en"
+    assert s.search_query("run").to_pydict()["key"] == [1]
+    assert s.search_query("jumps").to_pydict()["key"] == [2]
