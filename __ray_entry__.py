@@ -1602,6 +1602,53 @@ def q_index_sorted(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup vs a persisted fingerprint store
+    (ops/increment.py — per-bucket blooms prefilter, pruned-read
+    exact verify): prior crawl = docs with doc_id %% 3 != 0; tonight's
+    crawl = every doc, with doc_id %% 7 == 0 texts mutated.  Kept =
+    rows whose md5(text) is not in the store — EXACT semantics (the
+    bloom only prunes lookups)."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.increment import (dedup_incremental,
+                                        write_fingerprint_store)
+    store = tempfile.mkdtemp(prefix="swishray-fpstore-", dir="/tmp")
+    try:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+
+        def keep_prior(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id")
+            m3 = pc.subtract(did, pc.multiply(pc.divide(did, 3), 3))
+            return t.filter(pc.not_equal(m3, 0))
+
+        prior = docs.map_batches(keep_prior, batch_format="pyarrow") \
+            .repartition(_conc())
+        write_fingerprint_store(prior, store, num_buckets=8)
+
+        def mutate(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id")
+            ch = pc.equal(pc.subtract(
+                did, pc.multiply(pc.divide(did, 7), 7)), 0)
+            txt = pc.if_else(
+                ch, pc.binary_join_element_wise(
+                    batch.column("text"), " changed7", ""),
+                batch.column("text"))
+            return pa.table({"doc_id": did, "text": txt})
+
+        new = docs.map_batches(mutate, batch_format="pyarrow")
+        kept = dedup_incremental(new, store, keep_md5=True)
+        # materialize before the store dir is removed — the probe
+        # actors read blooms + fingerprints during execution
+        return kept.map_batches(
+            lambda t: t.select(["doc_id", "md5"]),
+            batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_index_stemmed(sf_dir: str):
     """Porter-stemmed index build + query-side stemming (reference
     -t: set_stemmer at index AND query time, swish_xapian.cpp:625,
@@ -2371,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted": q_index_sorted,
         "index_range": q_index_range,
         "index_stemmed": q_index_stemmed,
+        "dedup_incremental": q_dedup_incremental,
         "index_facets": q_index_facets,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
@@ -2729,6 +2777,14 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_chars as bigint) AS n_chars FROM agg "
             "WHERE jn > 0 AND sn > 0 AND wn = 0 "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "dedup_incremental": (
+            "WITH prior AS (SELECT md5(text) AS m FROM documents "
+            "WHERE doc_id % 3 <> 0), "
+            "newt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' changed7' ELSE text END AS text "
+            "FROM documents) "
+            "SELECT doc_id, md5(text) AS md5 FROM newt "
+            "WHERE md5(text) NOT IN (SELECT m FROM prior)"),
         "index_stemmed": (
             # Porter stem map for the synthetic corpus vocabulary:
             # only these six words change under stemming (the rest

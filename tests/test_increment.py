@@ -1,0 +1,64 @@
+"""Incremental exact dedup vs a persisted fingerprint store
+(ops/increment.py): per-bucket blooms as prefilter, pruned-read
+exact verify, append-safe store."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from swishray.ops.increment import (dedup_incremental,
+                                    write_fingerprint_store)
+
+
+def _tbl(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_filters_known_texts(ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    write_fingerprint_store(
+        _tbl([(1, "alpha beta"), (2, "gamma"), (3, "")]).repartition(2),
+        store, num_buckets=4)
+    new = _tbl([(10, "alpha beta"), (11, "fresh one"), (12, ""),
+                (13, "gamma"), (14, "fresh two")]).repartition(2)
+    out = dedup_incremental(new, store).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 14]
+
+
+def test_append_extends_store(ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    write_fingerprint_store(_tbl([(1, "aaa")]), store, num_buckets=4)
+    write_fingerprint_store(_tbl([(2, "bbb")]), store)
+    out = dedup_incremental(
+        _tbl([(9, "aaa"), (10, "bbb"), (11, "ccc")]),
+        store).to_pandas()
+    assert sorted(out["doc_id"]) == [11]
+
+
+def test_bloom_false_positives_cannot_drop_rows(ray_session, tmp_path):
+    """bits_per_key=1 forces a saturated bloom — the exact-verify
+    read must rescue every false positive (EXACT semantics claim)."""
+    store = str(tmp_path / "store")
+    prior = _tbl([(i, f"prior text number {i}") for i in range(500)])
+    write_fingerprint_store(prior.repartition(4), store,
+                            num_buckets=2, bits_per_key=1)
+    new = _tbl([(1000 + i, f"novel text number {i}")
+                for i in range(200)]).repartition(2)
+    out = dedup_incremental(new, store).to_pandas()
+    assert len(out) == 200          # nothing dropped
+    dup = dedup_incremental(prior, store).to_pandas()
+    assert len(dup) == 0            # everything known is dropped
+
+
+def test_keep_md5_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import hashlib
+    store = str(tmp_path / "store")
+    write_fingerprint_store(_tbl([(1, "xx")]), store, num_buckets=2)
+    out = dedup_incremental(_tbl([(2, "hello world")]), store,
+                            keep_md5=True).to_pandas()
+    want = duckdb.sql("SELECT md5('hello world')").fetchone()[0]
+    assert out["md5"].tolist() == [want]
+    assert want == hashlib.md5(b"hello world").hexdigest()
