@@ -1649,6 +1649,44 @@ def q_dedup_incremental(sf_dir: str):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_dedup_store(sf_dir: str):
+    """Near-dup incremental dedup vs a PERSISTED minhash store
+    (ops/increment.py write_minhash_store + dedup_against_store):
+    same split and threshold as dedup_cross — docs with doc_id%5==0
+    are the stored prior snapshot, the rest tonight's crawl; a fresh
+    doc with >=0.5 word-3-gram Jaccard against any stored doc drops.
+    The prior corpus is signed ONCE into the store; the probe is
+    pruned band + set reads, no recompute, no shuffle.  Oracle =
+    the same brute-force cross-side Jaccard SQL (organic near-dups
+    sit at J>=0.9 where LSH detection is certain)."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.increment import (dedup_against_store,
+                                        write_minhash_store)
+    store = tempfile.mkdtemp(prefix="swishray-mstore-", dir="/tmp")
+    try:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+
+        def mod5(r: int):
+            def f(t: pa.Table) -> pa.Table:
+                m = pc.equal(pc.subtract(
+                    t.column("doc_id"), pc.multiply(
+                        pc.divide(t.column("doc_id"), 5), 5)), 0)
+                return t.filter(m if r == 0 else pc.invert(m))
+            return f
+
+        prior = docs.map_batches(mod5(0), batch_format="pyarrow") \
+            .repartition(_conc())
+        write_minhash_store(prior, store, num_buckets=8)
+        new = docs.map_batches(mod5(1), batch_format="pyarrow")
+        return dedup_against_store(new, store, threshold=0.5) \
+            .select_columns(["doc_id"]).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_index_stemmed(sf_dir: str):
     """Porter-stemmed index build + query-side stemming (reference
     -t: set_stemmer at index AND query time, swish_xapian.cpp:625,
@@ -2419,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_range": q_index_range,
         "index_stemmed": q_index_stemmed,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_store": q_dedup_store,
         "index_facets": q_index_facets,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
@@ -2777,6 +2816,33 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_chars as bigint) AS n_chars FROM agg "
             "WHERE jn > 0 AND sn > 0 AND wn = 0 "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "dedup_store": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+            "      AS gram"
+            "    FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "      AS t(i) WHERE len(ws) >= 3"
+            "    UNION ALL"
+            "    SELECT doc_id, array_to_string(ws, ' ') AS gram FROM d"
+            "    WHERE len(ws) BETWEEN 1 AND 2)"
+            "), gsz AS ("
+            "  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter"
+            "  FROM grams a JOIN grams b ON a.gram = b.gram"
+            "  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0"
+            "  GROUP BY a.doc_id, b.doc_id"
+            "), dirty AS ("
+            "  SELECT DISTINCT i.a AS doc_id FROM inter i"
+            "  JOIN gsz ga ON ga.doc_id = i.a"
+            "  JOIN gsz gb ON gb.doc_id = i.b"
+            "  WHERE CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter)"
+            "  >= 0.5) "
+            "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 "
+            "AND doc_id NOT IN (SELECT doc_id FROM dirty)"),
         "dedup_incremental": (
             "WITH prior AS (SELECT md5(text) AS m FROM documents "
             "WHERE doc_id % 3 <> 0), "

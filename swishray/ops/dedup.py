@@ -292,6 +292,20 @@ def _bucket_pairs(ks: np.ndarray, cap: int) -> tuple:
     return np.repeat(ks[0:1], n - 1), ks[1:]
 
 
+def band_hash_matrix(flat: np.ndarray, n: int, bands: int) -> np.ndarray:
+    """(n, bands) 63-bit band bucket hashes from a flat (n*num_perm,)
+    uint64 signature buffer: each band folds its r minhashes through
+    splitmix64 mixing — the single definition shared by
+    lsh_candidate_pairs and the persisted minhash store
+    (ops.increment), so stored band rows and probe-side hashes can
+    never drift."""
+    mat = flat.reshape(n, bands, -1)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(mat.shape[2]):
+        h = _mix64(h ^ mat[:, :, j])
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
 def lsh_candidate_pairs(sigs: Any, bands: int = 16,
                         key: str = "doc_id",
                         bucket_cap: int = DEFAULT_BUCKET_CAP,
@@ -336,11 +350,7 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
         mh = batch.column("minhash").combine_chunks()
         flat = mh.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.uint64, copy=False)
-        mat = flat.reshape(n, bands, -1)
-        h = np.zeros((n, bands), dtype=np.uint64)
-        for j in range(mat.shape[2]):
-            h = _mix64(h ^ mat[:, :, j])
-        bh = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel()
+        bh = band_hash_matrix(flat, n, bands).ravel()
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table({
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32),

@@ -203,6 +203,202 @@ class _Prober:
         return out
 
 
+def write_minhash_store(ds: Any, store_dir: str, *,
+                        key: str = "doc_id", col: str = "text",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 3, seed: int = 42,
+                        num_buckets: int | None = None) -> dict:
+    """Persist the NEAR-dup side of the incremental story: LSH band
+    rows + per-doc gram-hash sets, so tonight's crawl can be deduped
+    against the whole prior corpus without re-signing it
+    (ops.dedup.dedup_against_corpus recomputes both sides per run —
+    correct, but O(prior corpus) every night).
+
+    Layout::
+
+        mstore/_meta.json                 # signer params (fixed by
+                                          # the first call; appends
+                                          # must match)
+        mstore/bands/bucket=N/*.parquet   # (band, bh, key) hive rows,
+                                          # bucket = bh % num_buckets
+        mstore/sets/bucket=N/*.parquet    # (key, sh) gram-set blobs,
+                                          # bucket = keyhash % nb
+
+    Band hashes come from dedup.band_hash_matrix — the SAME fold
+    lsh_candidate_pairs uses — so stored rows and probe hashes can
+    never drift.  Two streaming passes over ``ds`` (sign+band,
+    gram-sets), each a partitioned parquet sink; nothing driver-side.
+    """
+    import ray.data  # noqa: F401
+
+    from ..util import _session_cpus
+    from .dedup import MinHasher, band_hash_matrix, gram_hashes
+    from .joins import _key_hash64
+
+    meta_path = os.path.join(store_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        want = dict(num_perm=num_perm, bands=bands,
+                    shingle_k=shingle_k, seed=seed)
+        have = {k: meta[k] for k in want}
+        if have != want:
+            raise ValueError(f"minhash store built with {have}, "
+                             f"append asked for {want}")
+        nb = meta["num_buckets"]
+    else:
+        nb = num_buckets or max(8, 2 * _session_cpus())
+        os.makedirs(store_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"num_perm": num_perm, "bands": bands,
+                       "shingle_k": shingle_k, "seed": seed,
+                       "num_buckets": nb}, f)
+
+    signer = MinHasher(num_perm=num_perm, shingle_k=shingle_k,
+                       seed=seed, col=col, key=key)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sig = signer(batch)
+        n = sig.num_rows
+        if n == 0:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "bh": pa.array([], pa.int64()),
+                "key": pa.array([], batch.schema.field(key).type),
+                "bucket": pa.array([], pa.int32())})
+        flat = sig.column("minhash").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64,
+                                                   copy=False)
+        bh = band_hash_matrix(flat, n, bands).ravel()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        return pa.table({
+            "band": pa.array(np.tile(
+                np.arange(bands, dtype=np.int32), n)),
+            "bh": pa.array(bh),
+            "key": sig.column(key).combine_chunks().take(idx),
+            "bucket": pa.array((bh % nb).astype(np.int32))})
+
+    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(store_dir, "bands"), partition_cols=["bucket"])
+
+    def set_rows(batch: pa.Table) -> pa.Table:
+        sets = [np.unique(gram_hashes(t or "", shingle_k)).tobytes()
+                for t in batch.column(col).to_pylist()]
+        keys = batch.column(key).combine_chunks()
+        return pa.table({
+            "key": keys,
+            "sh": pa.array(sets, pa.large_binary()),
+            "bucket": pa.array(
+                (_key_hash64(keys) % np.uint64(nb)).astype(np.int32))})
+
+    ds.map_batches(set_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(store_dir, "sets"), partition_cols=["bucket"])
+    return {"num_buckets": nb, "bands": bands, "num_perm": num_perm}
+
+
+class _MinhashProber:
+    """Actor: signer + open band/set datasets; per batch, candidate
+    retrieval and exact hashed-Jaccard verify are both pruned reads."""
+
+    def __init__(self, store_dir: str, col: str, threshold: float):
+        import pyarrow.dataset as pads
+
+        from .dedup import MinHasher
+        with open(os.path.join(store_dir, "_meta.json")) as f:
+            m = json.load(f)
+        self.meta = m
+        self.col = col
+        self.threshold = threshold
+        self.signer = MinHasher(num_perm=m["num_perm"],
+                                shingle_k=m["shingle_k"],
+                                seed=m["seed"], col=col, key=col)
+        self.bands_ds = pads.dataset(
+            os.path.join(store_dir, "bands"), partitioning="hive")
+        self.sets_ds = pads.dataset(
+            os.path.join(store_dir, "sets"), partitioning="hive")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        from .dedup import band_hash_matrix, gram_hashes, \
+            hashed_jaccard
+        from .joins import _key_hash64
+        m = self.meta
+        nb = m["num_buckets"]
+        texts = batch.column(self.col).to_pylist()
+        n = len(texts)
+        if n == 0:
+            return batch
+        gsets = [np.unique(gram_hashes(t or "", m["shingle_k"]))
+                 for t in texts]
+        sigs = np.stack([self.signer.signature(t or "")
+                         for t in texts])
+        bh = band_hash_matrix(sigs.ravel(), n, m["bands"])
+
+        # one pruned read for the whole batch's band probes
+        flat = bh.ravel()
+        flt = (pads.field("bucket").isin(
+                   sorted({int(b) for b in flat % nb}))
+               & pads.field("bh").isin(pa.array(np.unique(flat))))
+        hits = self.bands_ds.to_table(filter=flt,
+                                      columns=["band", "bh", "key"])
+        by_band: dict = {}
+        for band, bhv, kk in zip(hits.column("band").to_pylist(),
+                                 hits.column("bh").to_pylist(),
+                                 hits.column("key").to_pylist()):
+            by_band.setdefault((band, bhv), set()).add(kk)
+        cand = [set() for _ in range(n)]
+        allc: set = set()
+        for i in range(n):
+            for j in range(m["bands"]):
+                got = by_band.get((j, int(bh[i, j])))
+                if got:
+                    cand[i] |= got
+                    allc |= got
+        drop = np.zeros(n, bool)
+        if allc:
+            probe = pa.array(list(allc))
+            bs = sorted({int(b) for b in
+                         _key_hash64(probe) % np.uint64(nb)})
+            flt = (pads.field("bucket").isin(bs)
+                   & pads.field("key").isin(probe))
+            st = self.sets_ds.to_table(filter=flt,
+                                       columns=["key", "sh"])
+            blobs = dict(zip(st.column("key").to_pylist(),
+                             st.column("sh").to_pylist()))
+            for i in range(n):
+                for kk in cand[i]:
+                    sh = blobs.get(kk)
+                    if sh is None:
+                        continue
+                    prior = np.frombuffer(sh, dtype=np.uint64)
+                    if hashed_jaccard(gsets[i], prior) \
+                            >= self.threshold:
+                        drop[i] = True
+                        break
+        return batch.filter(pa.array(~drop))
+
+
+def dedup_against_store(ds: Any, store_dir: str, *,
+                        threshold: float = 0.5, col: str = "text",
+                        concurrency: int | None = None,
+                        batch_size: int = 128) -> Any:
+    """Rows of ``ds`` with no stored near-dup: LSH band probes find
+    candidates (pruned reads), exact hashed-Jaccard over the stored
+    gram sets confirms — the incremental counterpart of
+    dedup.dedup_against_corpus, with the prior corpus never
+    recomputed or shuffled.  LSH recall caveats are identical to the
+    batch path (band/row trade; certain at the J>=0.9 the corpus'
+    organic dups sit at)."""
+    from ..util import _session_cpus
+    conc = concurrency or max(1, _session_cpus() - 1)
+    return ds.map_batches(
+        _MinhashProber,
+        fn_constructor_args=(store_dir, col, threshold),
+        concurrency=conc, batch_size=batch_size,
+        batch_format="pyarrow")
+
+
 def dedup_incremental(ds: Any, store_dir: str, *, col: str = "text",
                       keep_md5: bool = False,
                       concurrency: int | None = None,

@@ -62,3 +62,61 @@ def test_keep_md5_matches_duckdb(ray_session, tmp_path):
     want = duckdb.sql("SELECT md5('hello world')").fetchone()[0]
     assert out["md5"].tolist() == [want]
     assert want == hashlib.md5(b"hello world").hexdigest()
+
+
+# ---- persisted minhash store (near-dup incremental) -----------------
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the deep woods tonight under a pale moon")
+
+
+def test_minhash_store_drops_near_dups(ray_session, tmp_path):
+    from swishray.ops.increment import (dedup_against_store,
+                                        write_minhash_store)
+    store = str(tmp_path / "mstore")
+    prior = _tbl([(1, BASE), (2, "unrelated words about query "
+                                 "planning and join order")])
+    write_minhash_store(prior.repartition(2), store, num_buckets=4)
+    new = _tbl([(10, BASE), (11, BASE + " with a tiny suffix"),
+                (12, "novel content sharing absolutely nothing with "
+                     "either prior document at all")])
+    out = dedup_against_store(new, store, threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [12]
+
+
+def test_minhash_store_append_and_param_guard(ray_session, tmp_path):
+    from swishray.ops.increment import (dedup_against_store,
+                                        write_minhash_store)
+    store = str(tmp_path / "mstore")
+    write_minhash_store(_tbl([(1, BASE)]), store, num_buckets=4)
+    write_minhash_store(
+        _tbl([(2, "second snapshot text all new words entirely "
+                  "different from before")]), store)
+    out = dedup_against_store(
+        _tbl([(10, BASE), (11, "second snapshot text all new words "
+                               "entirely different from before"),
+              (12, "still nothing in common with anything")]),
+        store, threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [12]
+    with pytest.raises(ValueError, match="append"):
+        write_minhash_store(_tbl([(3, "x")]), store, bands=8)
+
+
+def test_minhash_store_agrees_with_batch_path(ray_session, tmp_path):
+    """Store-probe results equal dedup_against_corpus on the same
+    split (shared signer params + band fold + verify)."""
+    from swishray.ops.dedup import dedup_against_corpus
+    from swishray.ops.increment import (dedup_against_store,
+                                        write_minhash_store)
+    # identical inside a variant, token-disjoint across variants
+    rows = [(i, " ".join(f"tok{i // 3}x{j}" for j in range(20)))
+            for i in range(30)]
+    prior = _tbl([r for r in rows if r[0] % 5 == 0]).repartition(2)
+    new = _tbl([r for r in rows if r[0] % 5 != 0]).repartition(2)
+    store = str(tmp_path / "mstore")
+    write_minhash_store(prior, store, num_buckets=4)
+    got = sorted(dedup_against_store(new, store, threshold=0.5)
+                 .to_pandas()["doc_id"])
+    want = sorted(dedup_against_corpus(new, prior, threshold=0.5)
+                  .to_pandas()["doc_id"])
+    assert got == want
