@@ -289,6 +289,33 @@ def q_ann_topk(sf_dir: str):
     return top.select_columns(["query_id", "vec_id"])
 
 
+def q_ann_store(sf_dir: str):
+    """Persisted IVF index (ops/annstore.py): vectors bucketed on
+    disk under frozen centroids, search reads only probed bucket
+    partitions.  Probing ALL buckets makes the result exact
+    brute-force cosine top-k — the same oracle as ann_topk — while
+    exercising the store build + pruned-read path."""
+    import shutil
+    import tempfile
+    import numpy as np
+    import ray.data as rd
+    from swishray.ops.annstore import (search_ivf_index,
+                                       write_ivf_index)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = sorted(emb.limit(50).take_all(), key=lambda r: r["vec_id"])
+    qrows = [r for r in qrows if r["vec_id"] < 4]
+    qids = [r["vec_id"] for r in qrows]
+    qv = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    idx = tempfile.mkdtemp(prefix="swishray-annidx-", dir="/tmp")
+    try:
+        write_ivf_index(emb, idx, n_centroids=8)
+        return search_ivf_index(idx, qids, qv, k=10, n_probe=None) \
+            .select(["query_id", "vec_id"])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine >= 0.3)."""
     import ray.data as rd
@@ -2430,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "offset_limit": q_offset_limit,
         "union_count": q_union_count,
         "ann_topk": q_ann_topk,
+        "ann_store": q_ann_store,
         "cosine_pairs": q_cosine_pairs,
         "extract_cascade": q_extract_cascade,
         "facet_title_property": q_facet_title_property,
@@ -2662,6 +2690,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n FROM (SELECT doc_id FROM documents "
             "UNION ALL SELECT doc_id FROM documents)"),
         "ann_topk": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id "
+            "FROM embeddings q JOIN embeddings e ON true "
+            "WHERE q.vec_id < 4 "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding, e.embedding) "
+            "DESC, e.vec_id ASC) <= 10"),
+        "ann_store": (
             "SELECT q.vec_id AS query_id, e.vec_id AS vec_id "
             "FROM embeddings q JOIN embeddings e ON true "
             "WHERE q.vec_id < 4 "
