@@ -1676,6 +1676,69 @@ def q_dedup_incremental(sf_dir: str):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_crawl_schedule(sf_dir: str):
+    """Politeness scheduling (frontier.schedule_politely): per-host
+    fetch slots ordered by priority desc then url asc, fetch_at =
+    seq * crawl-delay — the queue a crawl worker replays without
+    cross-host coordination."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.frontier import schedule_politely
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        hostn = pc.subtract(did, pc.multiply(pc.divide(did, 4), 4))
+        site = pc.case_when(
+            pc.make_struct(pc.equal(hostn, 0), pc.equal(hostn, 1),
+                           pc.equal(hostn, 2)),
+            "alpha.example", "beta.example", "gamma.example",
+            "delta.example")
+        delay = pc.case_when(
+            pc.make_struct(pc.equal(hostn, 0), pc.equal(hostn, 1),
+                           pc.equal(hostn, 2)),
+            0.5, 1.0, 2.0, 0.25)
+        url = pc.binary_join_element_wise(
+            "https://", site, "/p/", pc.cast(did, pa.string()),
+            ".html", "")
+        return pa.table({"url": url, "site": site,
+                         "n_chars": batch.column("n_chars"),
+                         "delay": delay})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        synth, batch_format="pyarrow")
+    return schedule_politely(ds, priority_col="n_chars",
+                             delay_col="delay")
+
+
+def q_cdx_parse(sf_dir: str):
+    """CDX(J) crawl-index line parse (crawl.parse_cdxj — the public
+    Common Crawl / pywb index format): synthesized lines round-trip
+    through the parser; revisit records (status '-') yield null
+    ints."""
+    import pyarrow as pa
+    from swishray.ops.crawl import parse_cdxj
+
+    # line synthesis in plain python (test-input construction, not a
+    # hot path)
+    def lines(batch: pa.Table) -> pa.Table:
+        out = []
+        for did, nch in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("n_chars").to_pylist()):
+            status = '"-"' if did % 7 == 0 else f'"{200 + did % 3}"'
+            out.append(
+                f"com,example)/p/{did} 2024010112{did % 60:02d}00 "
+                '{"url": "https://example.com/p/' + str(did) + '", '
+                f'"status": {status}, "mime": "text/html", '
+                f'"digest": "sha1:{did:08d}", '
+                f'"length": "{nch}", "offset": "{did * 10}", '
+                f'"filename": "crawl-{did % 5:02d}.warc.gz"' + "}")
+        return pa.table({"text": pa.array(out, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lines, batch_format="pyarrow")
+    return parse_cdxj(ds)
+
+
 def q_dedup_store(sf_dir: str):
     """Near-dup incremental dedup vs a PERSISTED minhash store
     (ops/increment.py write_minhash_store + dedup_against_store):
@@ -2486,6 +2549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stemmed": q_index_stemmed,
         "dedup_incremental": q_dedup_incremental,
         "dedup_store": q_dedup_store,
+        "crawl_schedule": q_crawl_schedule,
+        "cdx_parse": q_cdx_parse,
         "index_facets": q_index_facets,
         "index_topdocs": q_index_topdocs,
         "index_phrase": q_index_phrase,
@@ -2851,6 +2916,37 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_chars as bigint) AS n_chars FROM agg "
             "WHERE jn > 0 AND sn > 0 AND wn = 0 "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "crawl_schedule": (
+            "WITH u AS (SELECT doc_id, n_chars, "
+            "CASE doc_id % 4 WHEN 0 THEN 'alpha.example' "
+            "WHEN 1 THEN 'beta.example' WHEN 2 THEN 'gamma.example' "
+            "ELSE 'delta.example' END AS site, "
+            "CASE doc_id % 4 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 "
+            "WHEN 2 THEN 2.0 ELSE 0.25 END AS delay FROM documents), "
+            "w AS (SELECT 'https://' || site || '/p/' || "
+            "cast(doc_id as varchar) || '.html' AS url, site, "
+            "n_chars, delay FROM u), "
+            "r AS (SELECT url, site AS host, delay, "
+            "row_number() OVER (PARTITION BY site "
+            "ORDER BY n_chars DESC, url ASC) - 1 AS rn FROM w) "
+            "SELECT url, host, cast(rn as bigint) AS seq, "
+            "cast(rn * delay as double) AS fetch_at FROM r"),
+        "cdx_parse": (
+            "SELECT 'com,example)/p/' || cast(doc_id as varchar) "
+            "AS urlkey, "
+            "'2024010112' || lpad(cast(doc_id % 60 as varchar), 2, "
+            "'0') || '00' AS ts, "
+            "'https://example.com/p/' || cast(doc_id as varchar) "
+            "AS url, "
+            "CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "ELSE 200 + doc_id % 3 END AS status, "
+            "'text/html' AS mime, "
+            "'sha1:' || lpad(cast(doc_id as varchar), 8, '0') "
+            "AS digest, "
+            "cast(n_chars as bigint) AS length, "
+            "cast(doc_id * 10 as bigint) AS offset, "
+            "'crawl-' || lpad(cast(doc_id % 5 as varchar), 2, '0') "
+            "|| '.warc.gz' AS filename FROM documents"),
         "dedup_store": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

@@ -112,3 +112,71 @@ def snapshot_delta(old: Any, new: Any, key: str = "url",
                          "status": pa.array(_STATUS[codes])})
 
     return j.map_batches(status, batch_format="pyarrow")
+
+
+def parse_cdxj(lines: Any, line_col: str = "text") -> Any:
+    """CDX(J) crawl-index lines -> typed columns.  The public Common
+    Crawl / pywb index format: ``<urlkey> <timestamp> <json>`` per
+    line, e.g.::
+
+        com,example)/page 20240101120000 {"url": "https://...",
+            "status": "200", "mime": "text/html", "digest": "...",
+            "length": "1234", "offset": "5678", "filename": "...warc.gz"}
+
+    Output: ``(urlkey, ts, url, status, mime, digest, length, offset,
+    filename)`` — ``status``/``length``/``offset`` as int64 (null when
+    absent or non-numeric, e.g. status "-" on revisit records), the
+    rest strings.  Malformed lines (no JSON payload, bad JSON) yield
+    a row with null fields rather than killing the batch — crawl
+    indexes at scale always contain some.
+
+    Pure map-side (one json.loads per line — the payload is JSON by
+    definition); no shuffle."""
+    import json
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in (
+            "urlkey", "ts", "url", "status", "mime", "digest",
+            "length", "offset", "filename")}
+
+        def as_int(v):
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                return None
+
+        for line in batch.column(line_col).to_pylist():
+            parts = (line or "").split(" ", 2)
+            if len(parts) == 3:
+                urlkey, ts, payload = parts
+                try:
+                    d = json.loads(payload)
+                except ValueError:
+                    d = {}
+            elif len(parts) == 2:
+                urlkey, ts = parts
+                d = {}
+            else:
+                urlkey, ts, d = (parts[0] if parts else None), None, {}
+            cols["urlkey"].append(urlkey or None)
+            cols["ts"].append(ts or None)
+            cols["url"].append(d.get("url"))
+            cols["status"].append(as_int(d.get("status")))
+            cols["mime"].append(d.get("mime"))
+            cols["digest"].append(d.get("digest"))
+            cols["length"].append(as_int(d.get("length")))
+            cols["offset"].append(as_int(d.get("offset")))
+            cols["filename"].append(d.get("filename"))
+        return pa.table({
+            "urlkey": pa.array(cols["urlkey"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.string()),
+            "url": pa.array(cols["url"], pa.string()),
+            "status": pa.array(cols["status"], pa.int64()),
+            "mime": pa.array(cols["mime"], pa.string()),
+            "digest": pa.array(cols["digest"], pa.string()),
+            "length": pa.array(cols["length"], pa.int64()),
+            "offset": pa.array(cols["offset"], pa.int64()),
+            "filename": pa.array(cols["filename"], pa.string()),
+        })
+
+    return lines.map_batches(parse, batch_format="pyarrow")

@@ -83,3 +83,66 @@ def build_frontier(pages: Any, *, robots: Any = None,
         out = cap_per_group(out, group="site", key="url",
                             n=per_site_cap)
     return out
+
+
+def schedule_politely(frontier: Any, *, host_col: str = "site",
+                      url_col: str = "url",
+                      priority_col: str | None = None,
+                      delay_col: str | None = None,
+                      default_delay: float = 1.0,
+                      num_buckets: int | None = None) -> Any:
+    """Politeness scheduling over a frontier: assign each url its
+    per-host fetch slot honoring crawl-delay (RFC 9309 §2.4 /
+    the de-facto ``Crawl-delay`` extension the robots module parses)
+    -> ``(url, host, seq, fetch_at)`` where ``seq`` is the url's rank
+    within its host (priority desc, then url asc — deterministic) and
+    ``fetch_at = seq * delay`` seconds from the host's first fetch.
+
+    A crawl operator shards this output by worker and replays each
+    host's queue in ``seq`` order; two workers never share a host, so
+    the delay contract holds without coordination.
+
+    Scale shape: hosts hash into a fixed bucket count; one pandas
+    sort + per-host cumcount per bucket (the same bucketed map_groups
+    idiom as the joins) — slim ``(url, host, priority, delay)`` rows
+    are the only exchange, and no single group is ever one host
+    unless that host IS the bucket (salt upstream if one host
+    dominates a crawl)."""
+    import numpy as np
+    import pandas as pd
+
+    from .joins import _key_hash64, default_join_partitions
+    nb = num_buckets or default_join_partitions()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        hosts = batch.column(host_col).combine_chunks()
+        cols = {
+            "url": batch.column(url_col),
+            "host": hosts,
+            "__prio": (pc.cast(batch.column(priority_col),
+                               pa.float64())
+                       if priority_col is not None
+                       else pa.nulls(batch.num_rows, pa.float64())),
+            "__delay": (pc.cast(batch.column(delay_col), pa.float64())
+                        if delay_col is not None
+                        else pa.array([default_delay]
+                                      * batch.num_rows)),
+            "__b": pa.array((_key_hash64(hosts)
+                             % np.uint64(nb)).astype(np.int32)),
+        }
+        return pa.table(cols)
+
+    def slot(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "__prio", "url"],
+                          ascending=[True, False, True],
+                          na_position="last", kind="mergesort")
+        seq = g.groupby("host", sort=False).cumcount()
+        delay = g["__delay"].fillna(default_delay)
+        return pd.DataFrame({
+            "url": g["url"], "host": g["host"],
+            "seq": seq.astype("int64"),
+            "fetch_at": (seq * delay).astype("float64")})
+
+    return frontier.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(slot, batch_format="pandas")

@@ -59,3 +59,46 @@ def test_build_frontier_minimal(ray_session):
     assert "https://t.example/private/secret" in urls  # no robots
     assert "https://blocked.example/x" in urls          # no blocklist
     assert "https://t.example/img.png" not in urls      # <img> never
+
+
+def test_schedule_politely(ray_session):
+    import ray.data as rd
+    from swishray.ops.frontier import schedule_politely
+    rows = [
+        {"url": "https://a.example/1", "site": "a.example",
+         "n_refs": 5, "delay": 2.0},
+        {"url": "https://a.example/2", "site": "a.example",
+         "n_refs": 9, "delay": 2.0},
+        {"url": "https://a.example/3", "site": "a.example",
+         "n_refs": 5, "delay": 2.0},
+        {"url": "https://b.example/x", "site": "b.example",
+         "n_refs": 1, "delay": 0.5},
+        {"url": "https://b.example/y", "site": "b.example",
+         "n_refs": 1, "delay": 0.5},
+    ]
+    out = schedule_politely(
+        rd.from_items(rows).repartition(2), priority_col="n_refs",
+        delay_col="delay").to_pandas().sort_values(
+        ["host", "seq"]).reset_index(drop=True)
+    a = out[out["host"] == "a.example"]
+    # priority desc first (/2 has 9 refs), then url asc among ties
+    assert a["url"].tolist() == ["https://a.example/2",
+                                 "https://a.example/1",
+                                 "https://a.example/3"]
+    assert a["seq"].tolist() == [0, 1, 2]
+    assert a["fetch_at"].tolist() == [0.0, 2.0, 4.0]
+    b = out[out["host"] == "b.example"]
+    assert b["fetch_at"].tolist() == [0.0, 0.5]
+
+
+def test_schedule_politely_defaults(ray_session):
+    import ray.data as rd
+    from swishray.ops.frontier import schedule_politely
+    rows = [{"url": f"https://h.example/{i}", "site": "h.example"}
+            for i in range(3)]
+    out = schedule_politely(rd.from_items(rows)).to_pandas() \
+        .sort_values("seq")
+    # no priority -> url asc; default 1s delay
+    assert out["url"].tolist() == [f"https://h.example/{i}"
+                                   for i in range(3)]
+    assert out["fetch_at"].tolist() == [0.0, 1.0, 2.0]
