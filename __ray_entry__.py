@@ -1676,6 +1676,53 @@ def q_dedup_incremental(sf_dir: str):
         shutil.rmtree(store, ignore_errors=True)
 
 
+_DUP_BLOCK = ("common duplicate block text repeated across snapshots "
+              "for pipeline testing purposes only here")
+
+
+def q_training_pipeline(sf_dir: str):
+    """Composed end-to-end training-data chain in ONE lazy Dataset
+    plan — the \"user switches their whole pipeline\" shape: quality
+    gate (word-count bounds, map-side) -> exact dedup (slim winners
+    shuffle, dedup.exact_dedup) -> language filter (map-side) ->
+    token counting.  Docs with doc_id%10==9 share one synthetic text
+    so the dedup stage demonstrably collapses them to the min key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.dedup import exact_dedup
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        m10 = pc.equal(pc.subtract(
+            did, pc.multiply(pc.divide(did, 10), 10)), 9)
+        return pa.table({
+            "doc_id": did, "lang": batch.column("lang"),
+            "text": pc.if_else(m10, _DUP_BLOCK,
+                               batch.column("text"))})
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        nw = pc.count_substring_regex(batch.column("text"), r"\S+")
+        keep = pc.and_(pc.greater_equal(nw, 10),
+                       pc.less_equal(nw, 10000))
+        return batch.filter(keep)
+
+    def lang_and_count(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("lang"),
+                        value_set=pa.array(["en", "de"]))
+        t = batch.filter(keep)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                t.column("text"), r"\S+"), pa.int64())})
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"]) \
+        .map_batches(synth, batch_format="pyarrow") \
+        .map_batches(quality_gate, batch_format="pyarrow")
+    ds = exact_dedup(ds, col="text", key="doc_id")
+    return ds.map_batches(lang_and_count, batch_format="pyarrow")
+
+
 def q_crawl_schedule(sf_dir: str):
     """Politeness scheduling (frontier.schedule_politely): per-host
     fetch slots ordered by priority desc then url asc, fetch_at =
@@ -2549,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stemmed": q_index_stemmed,
         "dedup_incremental": q_dedup_incremental,
         "dedup_store": q_dedup_store,
+        "training_pipeline": q_training_pipeline,
         "crawl_schedule": q_crawl_schedule,
         "cdx_parse": q_cdx_parse,
         "index_facets": q_index_facets,
@@ -2916,6 +2964,20 @@ def oracle_sql() -> dict[str, str]:
             "cast(n_chars as bigint) AS n_chars FROM agg "
             "WHERE jn > 0 AND sn > 0 AND wn = 0 "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "training_pipeline": (
+            "WITH t AS (SELECT doc_id, lang, CASE WHEN doc_id % 10 "
+            "= 9 THEN 'common duplicate block text repeated across "
+            "snapshots for pipeline testing purposes only here' "
+            "ELSE text END AS text FROM documents), "
+            "q AS (SELECT * FROM t WHERE len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+            "BETWEEN 10 AND 10000), "
+            "d AS (SELECT * FROM q QUALIFY row_number() OVER "
+            "(PARTITION BY text ORDER BY doc_id) = 1) "
+            "SELECT doc_id, lang, cast(len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+            "as bigint) AS n_tokens FROM d "
+            "WHERE lang IN ('en', 'de')"),
         "crawl_schedule": (
             "WITH u AS (SELECT doc_id, n_chars, "
             "CASE doc_id % 4 WHEN 0 THEN 'alpha.example' "
