@@ -110,3 +110,42 @@ def test_dedup_keep_canonical_sparse_overpartitioned(ray_session):
     e = rd.from_items([{"a": 0, "b": 1}]).repartition(16)
     kept = dedup_keep_canonical(docs, e, key="doc_id").to_pandas()
     assert sorted(kept["doc_id"]) == [0] + list(range(2, 50))
+
+
+def test_dense_path_medium_scale(ray_session):
+    """100k nodes / 300k random edges through the dense path, checked
+    against a local union-find — guards the index-encoding, shard
+    partials and driver path compression at non-toy size."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 100_000, 300_000).astype(np.int64)
+    b = rng.randint(0, 100_000, 300_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"a": a, "b": b})).repartition(8)
+    got = connected_components(ds).to_pandas()
+
+    parent = np.arange(100_000, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # canonical min-label per root
+    roots = {}
+    want = {}
+    nodes = np.unique(np.concatenate([a, b]))
+    for n in nodes:
+        r = find(n)
+        roots.setdefault(r, n if n < roots.get(r, n + 1) else roots[r])
+    for n in nodes:
+        want[n] = roots[find(n)]
+    gm = dict(zip(got["node"], got["component"]))
+    assert len(gm) == len(nodes)
+    assert all(gm[n] == want[n] for n in nodes)
