@@ -63,8 +63,13 @@ def connected_components(edges: Any, a: str = "a", b: str = "b",
     nparts = num_partitions or max(8, 2 * _session_cpus())
 
     def slim(batch: pa.Table) -> pa.Table:
-        return pa.table({a: batch.column(a).combine_chunks(),
-                         b: batch.column(b).combine_chunks()})
+        # null-endpoint pairs are dropped (no graph meaning; an
+        # upstream candidate stage can emit them on empty groups)
+        ok = pc.and_(pc.is_valid(batch.column(a)),
+                     pc.is_valid(batch.column(b)))
+        t = batch.filter(ok)
+        return pa.table({a: t.column(a).combine_chunks(),
+                         b: t.column(b).combine_chunks()})
 
     e1 = edges.map_batches(slim, batch_format="pyarrow").materialize()
 

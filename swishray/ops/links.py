@@ -285,10 +285,15 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     nparts = num_partitions or max(8, 2 * _session_cpus())
 
     def slim(batch: pa.Table) -> pa.Table:
-        cols = {"s": batch.column(src).combine_chunks(),
-                "t": batch.column(dst).combine_chunks()}
+        # edges with a null endpoint are dropped (an upstream href
+        # harvest can emit them; a null node id has no graph meaning)
+        ok = pc.and_(pc.is_valid(batch.column(src)),
+                     pc.is_valid(batch.column(dst)))
+        t = batch.filter(ok)
+        cols = {"s": t.column(src).combine_chunks(),
+                "t": t.column(dst).combine_chunks()}
         if weight is not None:
-            cols["wt"] = pc.cast(batch.column(weight), pa.float64()) \
+            cols["wt"] = pc.cast(t.column(weight), pa.float64()) \
                 .combine_chunks()
         return pa.table(cols)
 
@@ -356,9 +361,16 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
         def rank_share(batch: pa.Table) -> pa.Table:
             od = pc.cast(batch.column("outdeg_r"), pa.float64())
             rk = batch.column("rank")
-            w = pc.if_else(pc.is_valid(od),
-                           pc.divide(rk, pc.coalesce(od, 1.0)), 0.0)
-            dang = pc.if_else(pc.is_valid(od), 0.0, rk)
+            # a node with no outdeg row OR zero total weight is
+            # dangling (weighted graphs can sum to 0 — dividing
+            # would make inf; the dense path uses the same rule)
+            live = pc.and_(pc.is_valid(od),
+                           pc.greater(pc.coalesce(od, 0.0), 0.0))
+            # both if_else branches evaluate eagerly — keep the dead
+            # branch's denominator nonzero
+            denom = pc.if_else(live, pc.coalesce(od, 1.0), 1.0)
+            w = pc.if_else(live, pc.divide(rk, denom), 0.0)
+            dang = pc.if_else(live, 0.0, rk)
             return pa.table({"node": batch.column("node"),
                              "w": w, "dang": dang})
 

@@ -201,3 +201,31 @@ def test_pagerank_weighted(ray_session):
     assert pr["node"].tolist() == [0, 1, 2, 3]
     assert np.allclose(pr["rank"].to_numpy(), want, rtol=1e-9)
     assert abs(pr["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_null_endpoints_and_zero_weight(ray_session):
+    """Null-endpoint edges are dropped; a source whose total outgoing
+    WEIGHT is zero is dangling (not a divide-by-zero) — both regimes
+    agree and mass sums to 1."""
+    ds = rd.from_items([
+        {"src": 0, "dst": 1, "w": 0.0},
+        {"src": 1, "dst": 2, "w": 3.0},
+        {"src": None, "dst": 2, "w": 1.0},
+        {"src": 2, "dst": None, "w": 1.0}])
+    res = {}
+    for dmn in (None, 0):
+        pr = pagerank(ds, iters=5, weight="w",
+                      dense_max_nodes=dmn).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        res[dmn] = pr
+    assert res[None]["node"].tolist() == [0, 1, 2]
+    assert np.allclose(res[None]["rank"], res[0]["rank"], rtol=1e-9)
+    assert abs(res[None]["rank"].sum() - 1.0) < 1e-9
+    assert np.isfinite(res[None]["rank"]).all()
+
+
+def test_components_null_endpoints_dropped(ray_session):
+    from swishray.ops.components import connected_components
+    e = rd.from_items([{"a": 1, "b": None}, {"a": 1, "b": 2}])
+    got = connected_components(e).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == {1: 1, 2: 1}
