@@ -309,6 +309,112 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """One-command training-data pipeline: pages parquet -> extract
+    -> (optional) C4 clean -> Gopher filter -> corpus boilerplate
+    line removal -> exact dedup -> MinHash near-dedup -> resumable
+    partitioned parquet.  Every stage is an individually-oracled op;
+    this composes them into one lazy plan per phase (the near-dedup
+    pair generation and boilerplate census are the only stages that
+    need their own passes)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from .manifest import write_partitioned
+    from .pipeline import extract_pages
+
+    conc = max(1, args.num_cpus - 1)
+    stages = []
+    # extraction joins block texts with the \x03 bumper
+    # (SWISH_META_VALUES), not newlines — the line-based stages
+    # (C4, Gopher line fractions, boilerplate) must split on it
+    sep = "\n" if args.text_table else "\x03"
+    if args.text_table:
+        recs = rd.read_parquet(args.pages, columns=["url", "text"])
+        stages.append("read")
+    else:
+        pages = rd.read_parquet(args.pages)
+        if args.tiered:
+            from .ops.tiered import tiered_extract
+            ext = tiered_extract(pages, body_col="html", key="url",
+                                 concurrency=conc,
+                                 batch_size=args.batch_size)
+        else:
+            ext = extract_pages(pages, emit="text", concurrency=conc,
+                                batch_size=args.batch_size)
+        recs = ext.map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "text": pc.cast(pc.coalesce(t.column("text"), ""),
+                                pa.large_string())}),
+            batch_format="pyarrow")
+        stages.append("extract[tiered]" if args.tiered else "extract")
+
+    if args.c4:
+        from .ops.filters import c4_clean
+        cleaned = c4_clean(recs, col="text", key="url", sep=sep)
+        recs = cleaned.map_batches(
+            lambda t: pa.table({
+                "url": t.filter(t.column("doc_kept")).column("url"),
+                "text": t.filter(t.column("doc_kept"))
+                .column("clean_text")}),
+            batch_format="pyarrow")
+        stages.append("c4")
+    if args.gopher:
+        from .ops.filters import gopher_filter
+        recs = gopher_filter(recs, col="text", sep=sep)
+        stages.append("gopher")
+    if args.line_dedup or args.exact_dedup or args.near_dedup is not None:
+        # every stage from here on consumes its input MORE THAN ONCE
+        # (boilerplate census + strip; dedup winners + join-back;
+        # minhash sign + gram sets).  Materialize once so (a) the
+        # extraction actor pool doesn't re-run per consumer and (b)
+        # the streaming executor never runs join aggregator actors
+        # while the extraction pool still holds its CPUs (the
+        # actor-pool + unmaterialized-upstream deadlock, .claude
+        # verify notes)
+        recs = recs.materialize()
+    if args.line_dedup:
+        from .ops.boilerplate import remove_duplicate_lines
+        recs = remove_duplicate_lines(
+            recs, col="text", key="url", sep=sep,
+            min_docs=args.line_min_docs).map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "text": pc.cast(t.column("text_clean"),
+                                pa.large_string())}),
+            batch_format="pyarrow")
+        stages.append("line-dedup")
+    if args.exact_dedup:
+        from .ops.dedup import exact_dedup
+        recs = exact_dedup(recs, col="text", key="url") \
+            .select_columns(["url", "text"])
+        stages.append("exact-dedup")
+    if args.near_dedup is not None:
+        from .ops.components import dedup_keep_canonical
+        from .ops.dedup import minhash_dedup
+        # the pair stage consumes recs twice (sign + gram sets) —
+        # materialize once so upstream stages don't re-run
+        recs = recs.materialize()
+        pairs = minhash_dedup(recs, threshold=args.near_dedup,
+                              col="text", key="url")
+        recs = dedup_keep_canonical(recs, pairs, key="url") \
+            .select_columns(["url", "text"])
+        stages.append(f"near-dedup@{args.near_dedup}")
+
+    summary = write_partitioned(recs, args.out,
+                                num_buckets=args.num_buckets,
+                                resume=not args.no_resume)
+    summary["stages"] = stages
+    print(summary)
+    ray.shutdown()
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Reference -D/--Delete with --filelist (swish_xapian.cpp's
     delete mode): tombstone the named keys — a pure metadata append,
@@ -510,6 +616,35 @@ def main(argv=None) -> int:
                          "escapes — the reference's -x "
                          "(build_output_format)")
     ps.set_defaults(fn=cmd_search)
+
+    pp2 = sub.add_parser("pipeline")
+    pp2.add_argument("--pages", required=True)
+    pp2.add_argument("--out", required=True)
+    pp2.add_argument("--num-cpus", type=int, default=8)
+    pp2.add_argument("--num-buckets", type=int, default=None)
+    pp2.add_argument("--batch-size", type=int, default=64)
+    pp2.add_argument("--tiered", action="store_true",
+                     help="content-sniff cascade (pdf/html/txt/gzip) "
+                          "instead of assuming markup")
+    pp2.add_argument("--text-table", action="store_true",
+                     help="input already is a (url, text) table — "
+                          "skip extraction")
+    pp2.add_argument("--c4", action="store_true",
+                     help="C4 line/page cleaning (Raffel et al. §2.2)")
+    pp2.add_argument("--gopher", action="store_true",
+                     help="Gopher document-quality filter "
+                          "(Rae et al. App. A)")
+    pp2.add_argument("--line-dedup", action="store_true",
+                     help="strip corpus-wide duplicate lines "
+                          "(boilerplate)")
+    pp2.add_argument("--line-min-docs", type=int, default=2)
+    pp2.add_argument("--exact-dedup", action="store_true")
+    pp2.add_argument("--near-dedup", type=float, default=None,
+                     metavar="JACCARD",
+                     help="MinHash near-dedup at this word-3-gram "
+                          "Jaccard threshold (keep cluster-canonical)")
+    pp2.add_argument("--no-resume", action="store_true")
+    pp2.set_defaults(fn=cmd_pipeline)
 
     pdl = sub.add_parser("delete")
     pdl.add_argument("--index", required=True)

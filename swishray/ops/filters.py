@@ -118,6 +118,65 @@ GOPHER_MAX_ELLIPSIS_FRAC = 0.3      # lines ending with '...'
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8    # words containing a letter
 
 
+def _gopher_flag_arrays(txt, sep: str = "\n") -> dict:
+    """The Gopher rule math over one text column -> dict of numpy
+    arrays (n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, keep) — shared by the auditable
+    flags table (gopher_quality) and the destructive filter
+    (gopher_filter)."""
+    import pyarrow.compute as pc
+    n_words = pc.count_substring_regex(txt, r"\S+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    n_ws = pc.count_substring_regex(txt, r"\s") \
+        .to_numpy(zero_copy_only=False)
+    nw = np.maximum(n_words, 1)
+    mean_wl = (n_chars - n_ws) / nw
+
+    n_hash = pc.count_substring(txt, "#") \
+        .to_numpy(zero_copy_only=False)
+    n_ell = pc.count_substring(txt, "...") \
+        .to_numpy(zero_copy_only=False)
+    symbol_ratio = (n_hash + n_ell) / nw
+
+    n_alpha_words = pc.count_substring_regex(
+        txt, r"\S*\pL\S*").to_numpy(zero_copy_only=False)
+    alpha_frac = n_alpha_words / nw
+
+    lines = pc.split_pattern(txt, sep)
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    offs = lines.offsets.to_numpy(zero_copy_only=False)
+    n_lines = np.maximum(offs[1:] - offs[:-1], 1)
+    bullet = pc.match_substring_regex(
+        pc.utf8_ltrim_whitespace(flat), r"^([-*•]|\d+\.)\s") \
+        .to_numpy(zero_copy_only=False)
+    ell_end = pc.match_substring_regex(
+        pc.utf8_rtrim_whitespace(flat), r"\.\.\.$") \
+        .to_numpy(zero_copy_only=False)
+    bullet_frac = _per_doc_sums(bullet.astype(np.int64),
+                                offs) / n_lines
+    ell_frac = _per_doc_sums(ell_end.astype(np.int64),
+                             offs) / n_lines
+
+    ok_words = ((n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS))
+    ok_mwl = ((mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+              & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN))
+    ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
+    ok_ell = ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    return {
+        "n_words": n_words, "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio, "bullet_frac": bullet_frac,
+        "ellipsis_frac": ell_frac, "alpha_word_frac": alpha_frac,
+        "keep": (ok_words & ok_mwl & ok_sym & ok_bullet & ok_ell
+                 & ok_alpha),
+    }
+
+
 def gopher_quality(ds: Any, col: str = "text", key: str = "doc_id",
                    sep: str = "\n") -> Any:
     """Gopher quality rules as per-doc flags + an overall ``keep``:
@@ -125,65 +184,35 @@ def gopher_quality(ds: Any, col: str = "text", key: str = "doc_id",
     bullet-start / ellipsis-end line fractions, alpha-word fraction.
     (The paper's stopword rule is quality_scores' stopword_ratio —
     compose as needed.)"""
-    import pyarrow.compute as pc
 
     def f(batch: pa.Table) -> pa.Table:
-        txt = _text_col(batch, col)
-        n_words = pc.count_substring_regex(txt, r"\S+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
-        n_ws = pc.count_substring_regex(txt, r"\s") \
-            .to_numpy(zero_copy_only=False)
-        nw = np.maximum(n_words, 1)
-        mean_wl = (n_chars - n_ws) / nw
-
-        n_hash = pc.count_substring(txt, "#") \
-            .to_numpy(zero_copy_only=False)
-        n_ell = pc.count_substring(txt, "...") \
-            .to_numpy(zero_copy_only=False)
-        symbol_ratio = (n_hash + n_ell) / nw
-
-        n_alpha_words = pc.count_substring_regex(
-            txt, r"\S*\pL\S*").to_numpy(zero_copy_only=False)
-        alpha_frac = n_alpha_words / nw
-
-        lines = pc.split_pattern(txt, sep)
-        if isinstance(lines, pa.ChunkedArray):
-            lines = lines.combine_chunks()
-        flat = lines.flatten()
-        offs = lines.offsets.to_numpy(zero_copy_only=False)
-        n_lines = np.maximum(offs[1:] - offs[:-1], 1)
-        bullet = pc.match_substring_regex(
-            pc.utf8_ltrim_whitespace(flat), r"^([-*•]|\d+\.)\s") \
-            .to_numpy(zero_copy_only=False)
-        ell_end = pc.match_substring_regex(
-            pc.utf8_rtrim_whitespace(flat), r"\.\.\.$") \
-            .to_numpy(zero_copy_only=False)
-        bullet_frac = _per_doc_sums(bullet.astype(np.int64),
-                                    offs) / n_lines
-        ell_frac = _per_doc_sums(ell_end.astype(np.int64),
-                                 offs) / n_lines
-
-        ok_words = ((n_words >= GOPHER_MIN_WORDS)
-                    & (n_words <= GOPHER_MAX_WORDS))
-        ok_mwl = ((mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
-                  & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN))
-        ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
-        ok_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
-        ok_ell = ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC
-        ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
-        keep = (ok_words & ok_mwl & ok_sym & ok_bullet & ok_ell
-                & ok_alpha)
+        g = _gopher_flag_arrays(_text_col(batch, col), sep)
         return pa.table({
             key: batch.column(key),
-            "n_words": pa.array(n_words),
-            "mean_word_len": pa.array(mean_wl, pa.float64()),
-            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
-            "bullet_frac": pa.array(bullet_frac, pa.float64()),
-            "ellipsis_frac": pa.array(ell_frac, pa.float64()),
-            "alpha_word_frac": pa.array(alpha_frac, pa.float64()),
-            "keep": pa.array(keep),
+            "n_words": pa.array(g["n_words"]),
+            "mean_word_len": pa.array(g["mean_word_len"],
+                                      pa.float64()),
+            "symbol_ratio": pa.array(g["symbol_ratio"], pa.float64()),
+            "bullet_frac": pa.array(g["bullet_frac"], pa.float64()),
+            "ellipsis_frac": pa.array(g["ellipsis_frac"],
+                                      pa.float64()),
+            "alpha_word_frac": pa.array(g["alpha_word_frac"],
+                                        pa.float64()),
+            "keep": pa.array(g["keep"]),
         })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def gopher_filter(ds: Any, col: str = "text",
+                  sep: str = "\n") -> Any:
+    """Destructive form of :func:`gopher_quality`: keep only passing
+    rows, all input columns intact — the shape a composed cleaning
+    pipeline chains.  Pure map-side."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        g = _gopher_flag_arrays(_text_col(batch, col), sep)
+        return batch.filter(pa.array(g["keep"]))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

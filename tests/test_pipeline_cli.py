@@ -1,0 +1,57 @@
+"""`swishray pipeline` — the one-command pages->training-data chain
+(extract -> quality -> boilerplate -> exact dedup -> near dedup ->
+resumable partitioned parquet)."""
+
+import glob
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _pages(path, n=40):
+    base = "<html><body>" + "".join(
+        f"<p>Sentence number {j} ends with a period and has enough "
+        f"words here.</p>" for j in range(30)) + \
+        "<div>SITE FOOTER BOILERPLATE LINE</div></body></html>"
+    rows = []
+    for i in range(n):
+        if i % 10 == 9:
+            html = base                              # exact dups
+        elif i % 10 == 8:
+            html = base.replace("number 0", "number zero")  # near dup
+        else:
+            html = "<html><body>" + "".join(
+                f"<p>Unique doc {i} sentence {j} with plenty of "
+                f"distinct words to pass every quality gate "
+                f"easily.</p>" for j in range(25)) + \
+                "<div>SITE FOOTER BOILERPLATE LINE</div></body></html>"
+        rows.append((f"https://s{i % 4}.example/p{i}", html.encode()))
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "html": pa.array([r[1] for r in rows], pa.binary())}), path)
+
+
+def test_pipeline_cli_end_to_end(tmp_path):
+    pages = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "out")
+    _pages(pages)
+    res = subprocess.run(
+        [sys.executable, "-m", "swishray", "pipeline", "--pages",
+         pages, "--out", out, "--num-cpus", "4", "--gopher",
+         "--line-dedup", "--exact-dedup", "--near-dedup", "0.8"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+        timeout=420)
+    assert "'errors': 0" in res.stdout
+    import pyarrow.dataset as pads
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    t = pads.dataset(files).to_table()
+    texts = t.column("text").to_pylist()
+    # 32 unique docs + 1 canonical from the dup cluster; the near-dup
+    # variant cluster collapses into it at J>=0.8
+    assert t.num_rows == 33
+    assert len(set(texts)) == 33
+    # corpus-wide boilerplate line stripped from every doc
+    assert not any("FOOTER" in x for x in texts)
+    assert sorted(t.column_names) == ["text", "url"]
