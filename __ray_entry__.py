@@ -1723,6 +1723,43 @@ def q_training_pipeline(sf_dir: str):
     return ds.map_batches(lang_and_count, batch_format="pyarrow")
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC write -> read round-trip (sources.write_warc /
+    read_warc): documents serialized as Common-Crawl-shaped response
+    records in content-addressed .warc.gz shards, parsed back —
+    urls, bodies and HTTP status must survive byte-exactly."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.sources import read_warc, write_warc
+    out = tempfile.mkdtemp(prefix="swishray-warcout-", dir="/tmp")
+    try:
+        import glob
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": pc.binary_join_element_wise(
+                    "https://w.example/p/",
+                    pc.cast(batch.column("doc_id"), pa.string()), ""),
+                "html": pc.cast(batch.column("text"),
+                                pa.binary())})
+
+        pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            shape, batch_format="pyarrow").repartition(_conc())
+        write_warc(pages, out)
+        back = read_warc(sorted(glob.glob(f"{out}/part-*.warc.gz")))
+        return back.map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "body": pc.cast(t.column("html"), pa.string()),
+                "http_status": pc.cast(t.column("http_status"),
+                                       pa.int64())}),
+            batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_crawl_schedule(sf_dir: str):
     """Politeness scheduling (frontier.schedule_politely): per-host
     fetch slots ordered by priority desc then url asc, fetch_at =
@@ -2597,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_store": q_dedup_store,
         "training_pipeline": q_training_pipeline,
+        "warc_roundtrip": q_warc_roundtrip,
         "crawl_schedule": q_crawl_schedule,
         "cdx_parse": q_cdx_parse,
         "index_facets": q_index_facets,
@@ -2978,6 +3016,10 @@ def oracle_sql() -> dict[str, str]:
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
             "as bigint) AS n_tokens FROM d "
             "WHERE lang IN ('en', 'de')"),
+        "warc_roundtrip": (
+            "SELECT 'https://w.example/p/' || cast(doc_id as varchar) "
+            "AS url, text AS body, cast(200 as bigint) AS http_status "
+            "FROM documents"),
         "crawl_schedule": (
             "WITH u AS (SELECT doc_id, n_chars, "
             "CASE doc_id % 4 WHEN 0 THEN 'alpha.example' "

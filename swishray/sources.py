@@ -269,3 +269,52 @@ def read_warc(paths: "str | list[str]",
                   for b in batch.column("bytes").to_pylist()]
         return pa.concat_tables(tables) if tables else warc_table(b"")
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def write_warc(ds: Any, out_dir: str, url_col: str = "url",
+               body_col: str = "html",
+               gzip_members: bool = True) -> "pa.Table":
+    """Distributed WARC sink: each block becomes one
+    ``part-<digest>.warc[.gz]`` file (Common Crawl's sharding unit in
+    reverse) -> manifest table ``(path, n_records)``.
+
+    Scale/retry shape: files are content-addressed (md5 of the
+    serialized bytes) and written tmp+atomic-rename, so a retried
+    task rewrites the SAME file instead of duplicating records, and
+    a re-run over identical input is a no-op.  No driver-side bytes;
+    the returned manifest is one tiny row per written file."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def w(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
+        urls = pc.cast(batch.column(url_col), pa.string()).to_pylist()
+        bodies = [b if isinstance(b, bytes)
+                  else (b or "").encode()
+                  for b in batch.column(body_col).to_pylist()]
+        data = build_warc_bytes(list(zip(urls, bodies)),
+                                gzip_members=gzip_members)
+        name = f"part-{hashlib.md5(data).hexdigest()[:16]}{ext}"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pa.table({
+            "path": pa.array([name], pa.string()),
+            "n_records": pa.array([batch.num_rows], pa.int64())})
+
+    # consume the manifest eagerly — the caller's contract is "files
+    # exist when this returns"
+    out = ds.map_batches(w, batch_format="pyarrow")
+    rows = out.take_all()
+    return pa.table({
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "n_records": pa.array([r["n_records"] for r in rows],
+                              pa.int64())})

@@ -264,3 +264,30 @@ def test_rebatch_by_bytes_bounds_blocks(ray_session):
     for b in blocks:
         assert b["nbytes"] <= 10_000 + 500_000  # giant row rides alone
     assert any(b["nbytes"] >= 500_000 for b in blocks)
+
+
+def test_write_warc_roundtrip(ray_session, tmp_path):
+    """write_warc -> read_warc round-trips urls and bodies; files are
+    content-addressed so a second identical run rewrites in place."""
+    import glob
+    import ray.data as rd
+    from swishray.sources import read_warc, write_warc
+    rows = [{"url": f"https://w.example/p{i}",
+             "html": f"<html><body>doc {i} body</body></html>"
+             .encode()} for i in range(20)]
+    ds = rd.from_items(rows).repartition(3)
+    out = str(tmp_path / "warcs")
+    man = write_warc(ds, out)
+    assert sum(man.column("n_records").to_pylist()) == 20
+    files = sorted(glob.glob(f"{out}/part-*.warc.gz"))
+    assert len(files) == len(set(man.column("path").to_pylist()))
+    back = read_warc(files).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert back["url"].tolist() == sorted(r["url"] for r in rows)
+    want = {r["url"]: r["html"] for r in rows}
+    assert all(bytes(b) == want[u]
+               for u, b in zip(back["url"], back["html"]))
+    assert (back["http_status"] == 200).all()
+    # idempotence: identical rerun produces the same file set
+    write_warc(ds, out)
+    assert sorted(glob.glob(f"{out}/part-*.warc.gz")) == files
