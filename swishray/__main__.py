@@ -368,7 +368,9 @@ def cmd_pipeline(args) -> int:
         from .ops.filters import gopher_filter
         recs = gopher_filter(recs, col="text", sep=sep)
         stages.append("gopher")
-    if args.line_dedup or args.exact_dedup or args.near_dedup is not None:
+    if (args.line_dedup or args.exact_dedup
+            or args.near_dedup is not None or args.exact_against
+            or args.dedup_against):
         # every stage from here on consumes its input MORE THAN ONCE
         # (boilerplate census + strip; dedup winners + join-back;
         # minhash sign + gram sets).  Materialize once so (a) the
@@ -394,6 +396,18 @@ def cmd_pipeline(args) -> int:
         recs = exact_dedup(recs, col="text", key="url") \
             .select_columns(["url", "text"])
         stages.append("exact-dedup")
+    if args.exact_against:
+        from .ops.increment import dedup_incremental
+        recs = dedup_incremental(recs, args.exact_against, col="text",
+                                 concurrency=conc)
+        stages.append("exact-against-store")
+    if args.dedup_against:
+        from .ops.increment import dedup_against_store
+        recs = dedup_against_store(
+            recs, args.dedup_against, col="text", concurrency=conc,
+            threshold=(args.near_dedup
+                       if args.near_dedup is not None else 0.5))
+        stages.append("near-against-store")
     if args.near_dedup is not None:
         from .ops.components import dedup_keep_canonical
         from .ops.dedup import minhash_dedup
@@ -643,6 +657,14 @@ def main(argv=None) -> int:
                      metavar="JACCARD",
                      help="MinHash near-dedup at this word-3-gram "
                           "Jaccard threshold (keep cluster-canonical)")
+    pp2.add_argument("--exact-against", default=None, metavar="DIR",
+                     help="drop rows whose text is already in this "
+                          "persisted fingerprint store (incremental "
+                          "nightly-crawl dedup, ops/increment.py)")
+    pp2.add_argument("--dedup-against", default=None, metavar="DIR",
+                     help="drop rows near-dup of a persisted minhash "
+                          "store (threshold from --near-dedup, "
+                          "default 0.5)")
     pp2.add_argument("--no-resume", action="store_true")
     pp2.set_defaults(fn=cmd_pipeline)
 
