@@ -1723,6 +1723,28 @@ def q_training_pipeline(sf_dir: str):
     return ds.map_batches(lang_and_count, batch_format="pyarrow")
 
 
+def q_split_sentences(sf_dir: str):
+    """Rule-based sentence segmentation (textstats.split_sentences —
+    word-level terminal-punctuation rule, SQL-replayable).  The
+    synthetic corpus has no punctuation, so the query plants
+    boundaries first: every ' data ' occurrence becomes ' data. '
+    (literal left-to-right replace, identical in Arrow and SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import split_sentences
+
+    def plant(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.coalesce(batch.column("text"), ""),
+                " data ", " data. ")})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return split_sentences(ds)
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC write -> read round-trip (sources.write_warc /
     read_warc): documents serialized as Common-Crawl-shaped response
@@ -2634,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_store": q_dedup_store,
         "training_pipeline": q_training_pipeline,
+        "split_sentences": q_split_sentences,
         "warc_roundtrip": q_warc_roundtrip,
         "crawl_schedule": q_crawl_schedule,
         "cdx_parse": q_cdx_parse,
@@ -3016,6 +3039,20 @@ def oracle_sql() -> dict[str, str]:
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
             "as bigint) AS n_tokens FROM d "
             "WHERE lang IN ('en', 'de')"),
+        "split_sentences": (
+            "WITH t AS (SELECT doc_id, replace(text, ' data ', "
+            "' data. ') AS text FROM documents), "
+            "d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "text, '\\s+'), x -> x <> '') AS ws FROM t), "
+            "w AS (SELECT doc_id, i, ws[i] AS word, CASE WHEN "
+            "regexp_matches(ws[i], '[.!?]$') THEN 1 ELSE 0 END AS term "
+            "FROM d, unnest(range(1, len(ws) + 1)) AS tt(i)), "
+            "s AS (SELECT doc_id, i, word, coalesce(SUM(term) OVER ("
+            "PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS sid FROM w) "
+            "SELECT doc_id, cast(sid as bigint) AS sent_idx, "
+            "string_agg(word, ' ' ORDER BY i) AS sentence FROM s "
+            "GROUP BY doc_id, sid"),
         "warc_roundtrip": (
             "SELECT 'https://w.example/p/' || cast(doc_id as varchar) "
             "AS url, text AS body, cast(200 as bigint) AS http_status "

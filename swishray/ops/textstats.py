@@ -720,3 +720,66 @@ def quality_model_score(ds: Any, col: str = "text",
     return map_batches_stateful(
         ds, Score, fn_constructor_kwargs={"ref": ref},
         batch_format="pyarrow")
+
+
+def split_sentences(ds: Any, col: str = "text",
+                    key: str = "doc_id") -> Any:
+    """Rule-based sentence segmentation -> one row per sentence
+    ``(key, sent_idx, sentence)``.
+
+    The rule is deliberately word-level and deterministic so it is
+    SQL-replayable (the oracle contract): words are the whitespace
+    tokens of ``col`` (the _WORDS_SQL universe); a sentence ends at
+    every word whose last character is ``. ! ?``; a trailing run
+    with no terminal still emits as the final sentence; sentences
+    rejoin with single spaces.  (Abbreviation handling etc. belongs
+    to a model-based splitter — this is the exact, cheap tier that
+    sentence-level dedup / PII passes need.)
+
+    Vectorized shape: one split + one regex terminal-flag pass over
+    the flattened word array, sentence ids by shifted cumsum, one
+    pandas groupby join per batch — no per-row Python, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .filters import _text_col
+        txt = _text_col(batch, col)
+        n = len(txt)
+        words = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        keepw = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        term = pc.match_substring_regex(flat, r"[.!?]$") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # sentence id = count of terminals BEFORE this word, within
+        # the doc: global shifted cumsum minus the doc-start value
+        cum = np.concatenate(([0], np.cumsum(term)))[:-1]
+        doc_start = np.concatenate(
+            ([0], np.cumsum(term)))[offs[:-1] - offs[0]]
+        sid = cum - doc_start[doc_idx] if len(cum) else cum
+        df = pd.DataFrame({
+            "d": doc_idx[keepw], "s": sid[keepw],
+            "w": pd.Series(flat.filter(pa.array(keepw)).to_pandas())})
+        if df.empty:
+            return pa.table({
+                key: batch.column(key).take(pa.array([], pa.int64())),
+                "sent_idx": pa.array([], pa.int64()),
+                "sentence": pa.array([], pa.string())})
+        g = df.groupby(["d", "s"], sort=True)["w"].agg(" ".join) \
+            .reset_index()
+        # re-densify sent_idx per doc (empty-word-only sentences —
+        # impossible here since every terminal word is itself a word
+        # — would otherwise leave gaps; keep ids as computed)
+        return pa.table({
+            key: batch.column(key).take(
+                pa.array(g["d"].to_numpy(), pa.int64())),
+            "sent_idx": pa.array(g["s"].to_numpy(), pa.int64()),
+            "sentence": pa.array(g["w"], pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
