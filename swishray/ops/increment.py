@@ -150,23 +150,23 @@ def write_fingerprint_store(ds: Any, store_dir: str, *,
 
 
 class _Prober:
-    """Actor: all bucket blooms in memory + an open dataset over the
-    fingerprints for the exact-verify lookups."""
+    """Actor: the bucket blooms (read from the OBJECT STORE — loaded
+    once by the driver and shared zero-copy per node, so N probe
+    actors cost one bitmap copy per machine, not per actor) + an open
+    dataset over the fingerprints for the exact-verify lookups."""
 
-    def __init__(self, store_dir: str, col: str, keep_md5: bool):
+    def __init__(self, store_dir: str, col: str, keep_md5: bool,
+                 bloom_refs: dict):
+        import ray
         import pyarrow.dataset as pads
         with open(os.path.join(store_dir, "_bloom.json")) as f:
             meta = json.load(f)
         self.nb = meta["num_buckets"]
         self.col = col
         self.keep_md5 = keep_md5
-        self.blooms: dict[int, np.ndarray] = {}
-        bdir = os.path.join(store_dir, "bloom")
-        for name in os.listdir(bdir):
-            if name.endswith(".bloom"):
-                b = int(name[len("bucket="):-len(".bloom")])
-                self.blooms[b] = np.fromfile(
-                    os.path.join(bdir, name), dtype=np.uint8)
+        # ray.get on a numpy object yields a READ-ONLY zero-copy view
+        # backed by plasma — exactly what the probe needs
+        self.blooms = {b: ray.get(r) for b, r in bloom_refs.items()}
         self.fps = pads.dataset(
             os.path.join(store_dir, "fingerprints"),
             partitioning="hive")
@@ -406,10 +406,21 @@ def dedup_incremental(ds: Any, store_dir: str, *, col: str = "text",
     """Rows of ``ds`` whose text fingerprint is NOT in the store —
     exact semantics (bloom is only the prefilter; every bloom hit is
     verified with a pruned read, so false positives cannot drop
-    rows)."""
+    rows).  Blooms are loaded once here and broadcast via the object
+    store — each NODE holds one shared copy regardless of actor
+    count (~bits_per_key/8 bytes per prior doc)."""
+    import ray
+
     from ..util import _session_cpus
     conc = concurrency or max(1, _session_cpus() - 1)
+    bdir = os.path.join(store_dir, "bloom")
+    bloom_refs = {
+        int(name[len("bucket="):-len(".bloom")]):
+            ray.put(np.fromfile(os.path.join(bdir, name),
+                                dtype=np.uint8))
+        for name in os.listdir(bdir) if name.endswith(".bloom")}
     return ds.map_batches(
-        _Prober, fn_constructor_args=(store_dir, col, keep_md5),
+        _Prober,
+        fn_constructor_args=(store_dir, col, keep_md5, bloom_refs),
         concurrency=conc, batch_size=batch_size,
         batch_format="pyarrow")
