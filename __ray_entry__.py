@@ -1723,6 +1723,69 @@ def q_training_pipeline(sf_dir: str):
     return ds.map_batches(lang_and_count, batch_format="pyarrow")
 
 
+def q_revenue_rollup(sf_dir: str):
+    """TPC-H-Q3-shaped multi-way join rollup: customer ⋈ orders on
+    custkey, ⋈ lineitem on orderkey, grouped by market segment —
+    order count is an EXACT two-level distinct (the anchor_stats
+    pattern) and revenue uses the integer-cents contract
+    floor(price*(1-discount)*100 + 0.5) so double summation order
+    can't break the value hash.  Every join side is projected slim
+    before the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from swishray.ops.joins import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    co = hash_join(
+        orders.map_batches(lambda t: pa.table({
+            "k": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey")}),
+            batch_format="pyarrow"),
+        cust.map_batches(lambda t: pa.table({
+            "k": t.column("c_custkey"),
+            "seg": t.column("c_mktsegment")}),
+            batch_format="pyarrow"),
+        "k")
+
+    ol = hash_join(
+        li.map_batches(lambda t: pa.table({
+            "k": t.column("l_orderkey"),
+            "cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(1.0, t.column("l_discount"))),
+                100.0), 0.5)), pa.int64())}),
+            batch_format="pyarrow"),
+        co.map_batches(lambda t: pa.table({
+            "k": t.column("o_orderkey"),
+            "seg": t.column("seg_r")}), batch_format="pyarrow"),
+        "k")
+
+    # two-level exact distinct-order count: collapse (seg, orderkey)
+    # first so the second shuffle carries one row per order
+    lvl1 = ol.map_batches(lambda t: pa.table({
+        "seg": t.column("seg_r"), "okey": t.column("k"),
+        "cents": t.column("cents")}), batch_format="pyarrow") \
+        .groupby(["seg", "okey"]).aggregate(
+            Sum("cents", alias_name="cents"))
+    out = lvl1.groupby("seg").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("cents", alias_name="revenue_cents"))
+    return out.map_batches(lambda t: pa.table({
+        "c_mktsegment": t.column("seg"),
+        "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+        "revenue_cents": pc.cast(t.column("revenue_cents"),
+                                 pa.int64())}), batch_format="pyarrow")
+
+
 def q_split_sentences(sf_dir: str):
     """Rule-based sentence segmentation (textstats.split_sentences —
     word-level terminal-punctuation rule, SQL-replayable).  The
@@ -2656,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_store": q_dedup_store,
         "training_pipeline": q_training_pipeline,
+        "revenue_rollup": q_revenue_rollup,
         "split_sentences": q_split_sentences,
         "warc_roundtrip": q_warc_roundtrip,
         "crawl_schedule": q_crawl_schedule,
@@ -3039,6 +3103,15 @@ def oracle_sql() -> dict[str, str]:
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
             "as bigint) AS n_tokens FROM d "
             "WHERE lang IN ('en', 'de')"),
+        "revenue_rollup": (
+            "SELECT c.c_mktsegment, "
+            "cast(count(distinct o.o_orderkey) as bigint) AS n_orders, "
+            "cast(sum(cast(floor(l.l_extendedprice * "
+            "(1 - l.l_discount) * 100 + 0.5) as bigint)) as bigint) "
+            "AS revenue_cents "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY c.c_mktsegment"),
         "split_sentences": (
             "WITH t AS (SELECT doc_id, replace(text, ' data ', "
             "' data. ') AS text FROM documents), "
