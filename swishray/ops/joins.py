@@ -318,15 +318,21 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
     def tag(side: str, own: list[str], own_out: list[str],
             other_out: list[str]):
         def f(batch: pa.Table) -> pa.Table:
-            ks = batch.column(key).to_pylist()
-            b = [crc32(str(k).encode()) % num_buckets for k in ks]
+            import numpy as np
+            # vectorized bucket tag (splitmix64 over int keys, C-speed
+            # crc32 over strings) — this runs over EVERY row of both
+            # sides of every join; a per-row Python crc32 loop here
+            # was measurable at sf0.1
+            n = batch.num_rows
+            b = (_key_hash64(batch.column(key))
+                 % np.uint64(num_buckets)).astype(np.int32)
             arrays = {key: batch.column(key),
-                      "__bucket": pa.array(b, type=pa.int32()),
-                      "__side": pa.array([side] * len(ks))}
+                      "__bucket": pa.array(b),
+                      "__side": pa.array([side] * n)}
             for c, co in zip(own, own_out):
                 arrays[co] = batch.column(c)
             for co in other_out:
-                arrays[co] = pa.nulls(len(ks), type=types[co])
+                arrays[co] = pa.nulls(n, type=types[co])
             # stable column order so both sides union under one schema
             order = [key, "__bucket", "__side"] + lcols + rcols_out
             return pa.table({c: arrays[c] for c in order})
