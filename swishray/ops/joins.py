@@ -344,21 +344,30 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
                           batch_format="pyarrow")
     both = l.union(r)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][[key] + lcols]
-        rg = g[g["__side"] == "r"][[key] + rcols_out]
-        return lg.merge(rg, on=key, how=how)
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # polars join, zero-copy from/to Arrow: several times the
+        # throughput of the former pandas merge per bucket, keeps
+        # int columns int (no NaN coercion), keeps int keys exact
+        # beyond 2^53, and null keys NEVER match (join_nulls=False is
+        # the documented schema_guard sentinel contract; pandas merge
+        # matched NaN keys to each other)
+        import polars as pl
+        df = pl.from_arrow(g)
+        lg = df.filter(pl.col("__side") == "l").select([key] + lcols)
+        rg = df.filter(pl.col("__side") == "r").select(
+            [key] + rcols_out)
+        out = lg.join(rg, on=key,
+                      how="full" if how == "outer" else how,
+                      coalesce=(how != "inner"))
+        return out.select([key] + lcols + rcols_out).to_arrow()
 
     joined = both.groupby("__bucket").map_groups(join_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
-    # The padded union + pandas pass coerces int columns that saw a
-    # null (the other side's padding, or a schema_guard sentinel key)
-    # to float64 for the whole output. Restore every column to its
-    # declared Arrow type; join-introduced missings come back as
-    # float NaN, so NaN -> null precedes a non-float target cast.
-    # (Caveat unchanged from the pandas pass itself: int keys beyond
-    # 2^53 would already have lost precision in the merge.)
+    # Union padding can still surface value columns with nulls, and
+    # polars emits large_string/large_binary — restore every column
+    # to its declared Arrow type (NaN -> null precedes a non-float
+    # target cast for sides that arrived as pandas blocks upstream).
     want = dict(types)
     want[key] = ltypes[key]
 
