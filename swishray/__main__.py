@@ -420,9 +420,22 @@ def cmd_pipeline(args) -> int:
             .select_columns(["url", "text"])
         stages.append(f"near-dedup@{args.near_dedup}")
 
+    if args.index_out:
+        # write_partitioned and build_index both consume recs
+        recs = recs.materialize()
     summary = write_partitioned(recs, args.out,
                                 num_buckets=args.num_buckets,
                                 resume=not args.no_resume)
+    if args.index_out:
+        # crawl -> corpus -> searchable index in one command (the
+        # reference's end-to-end story: swish_xapian -i over the
+        # cleaned set)
+        from .index import build_index
+        info = build_index(recs, args.index_out, key="url",
+                           text_col="text",
+                           stemmer=args.stemmer)
+        summary["index"] = info["segment"]
+        stages.append("index")
     summary["stages"] = stages
     print(summary)
     ray.shutdown()
@@ -666,6 +679,12 @@ def main(argv=None) -> int:
                           "store (threshold from --near-dedup, "
                           "default 0.5)")
     pp2.add_argument("--no-resume", action="store_true")
+    pp2.add_argument("--index-out", default=None, metavar="DIR",
+                     help="also build the searchable postings index "
+                          "over the cleaned corpus (swish_xapian -i "
+                          "over the pipeline output)")
+    pp2.add_argument("-t", "--stemmer", default=None, metavar="LANG",
+                     help="stemmer for --index-out")
     pp2.set_defaults(fn=cmd_pipeline)
 
     pdl = sub.add_parser("delete")

@@ -89,7 +89,10 @@ def write_fingerprint_store(ds: Any, store_dir: str, *,
     """Fingerprint ``ds`` into ``store_dir`` (append-safe: a second
     call adds fingerprints and ORs new bits into the touched buckets'
     blooms; ``num_buckets``/``bits_per_key`` are fixed by the first
-    call)."""
+    call).  Single WRITER at a time (the nightly-batch model —
+    concurrent appends could interleave the read-OR-write of one
+    bucket's bitmap); probes can run concurrently with a write and
+    simply see the store as of their actor start."""
     import pyarrow.compute as pc
     import ray.data  # noqa: F401
 
