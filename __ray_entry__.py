@@ -2410,6 +2410,111 @@ def q_events_hopping(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _events_iv(sf_dir: str):
+    """events + iv = CAST(FLOOR(value) AS BIGINT) — the integer value
+    column the window-function queries rank/sum over (integer outputs
+    hash-match exactly; float window sums don't)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+
+    def add_iv(t: pa.Table) -> pa.Table:
+        iv = pc.cast(pc.floor(t.column("value")), pa.int64())
+        return t.append_column("iv", iv)
+
+    return ev.map_batches(add_iv, batch_format="pyarrow")
+
+
+def q_window_rank(sf_dir: str):
+    """Analytic rank family: ROW_NUMBER (unique tie-break) plus
+    RANK/DENSE_RANK tying on the iv prefix, per event_type —
+    Ray Data has no OVER-clause; swishray.ops.analytic supplies it
+    (reference result-sort analog: libswish3 sorts results by
+    property value with stable paging)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import (analytic, dense_rank, rank,
+                                       row_number)
+
+    out = analytic(_events_iv(sf_dir), partition_by="event_type",
+                   order_by=[("iv", False), ("event_id", True)],
+                   specs=[row_number(), rank(), dense_rank()],
+                   rank_cols=["iv"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "iv": pc.cast(t.column("iv"), pa.int64()),
+            "rn": pc.cast(t.column("rn"), pa.int64()),
+            "rnk": pc.cast(t.column("rnk"), pa.int64()),
+            "drnk": pc.cast(t.column("drnk"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_window_lag(sf_dir: str):
+    """LAG/LEAD per user ordered by (ts, event_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import analytic, lag, lead
+
+    out = analytic(_events_iv(sf_dir), partition_by="user_id",
+                   order_by=["ts", "event_id"],
+                   specs=[lag("event_id"), lead("event_id")])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "prev_id": pc.cast(t.column("event_id_lag1"), pa.int64()),
+            "next_id": pc.cast(t.column("event_id_lead1"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_running_sum(sf_dir: str):
+    """Running/rolling integer sums, running max and NTILE per user
+    ordered by (ts, event_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import (analytic, ntile, rolling_sum,
+                                       running_max, running_sum)
+
+    out = analytic(_events_iv(sf_dir), partition_by="user_id",
+                   order_by=["ts", "event_id"],
+                   specs=[running_sum("iv"), rolling_sum("iv", 3),
+                          running_max("iv"), ntile(4)])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "iv_rsum": pc.cast(t.column("iv_rsum"), pa.int64()),
+            "iv_roll3": pc.cast(t.column("iv_roll3"), pa.int64()),
+            "iv_rmax": pc.cast(t.column("iv_rmax"), pa.int64()),
+            "tile": pc.cast(t.column("tile"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_running_sum_salted(sf_dir: str):
+    """The skew-proof two-phase prefix sum — same answer as the
+    per-user ORDER BY cumsum, but a pathological user never lands in
+    one task (within-salt cumsum + per-salt-total prefix offsets)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import running_sum_salted
+
+    out = running_sum_salted(_events_iv(sf_dir), key="user_id",
+                             ts_col="ts", val_col="iv", out="iv_rsum",
+                             salt_unit="day", tiebreak="event_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "iv_rsum": pc.cast(t.column("iv_rsum"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_self_dup_ngrams(sf_dir: str):
     """Corpus-internal duplicated 3-gram counts per doc (Lee et al.
     2022 exact-substring-dedup signal), exact-string mode so the SQL
@@ -2767,6 +2872,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier": q_frontier,
         "self_dup_ngrams": q_self_dup_ngrams,
         "events_hopping": q_events_hopping,
+        "window_rank": q_window_rank,
+        "window_lag": q_window_lag,
+        "running_sum": q_running_sum,
+        "running_sum_salted": q_running_sum_salted,
         "fixed_sample": q_fixed_sample,
         "profile": q_profile,
         "chunk_docs": q_chunk_docs,
@@ -3574,6 +3683,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS "
             "VARCHAR)), 1, 8)) AS BIGINT), doc_id LIMIT 50"),
+        "window_rank": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "cast(floor(value) as bigint) AS iv FROM events) "
+            "SELECT event_id, event_type, iv, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC, event_id) AS rn, "
+            "rank() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC) AS rnk, "
+            "dense_rank() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC) AS drnk FROM e"),
+        "window_lag": (
+            "SELECT event_id, user_id, "
+            "lag(event_id) OVER w AS prev_id, "
+            "lead(event_id) OVER w AS next_id FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+        "running_sum": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "cast(floor(value) as bigint) AS iv FROM events) "
+            "SELECT event_id, user_id, "
+            "cast(sum(iv) OVER (w ROWS UNBOUNDED PRECEDING) as bigint)"
+            " AS iv_rsum, "
+            "cast(sum(iv) OVER (w ROWS BETWEEN 2 PRECEDING AND "
+            "CURRENT ROW) as bigint) AS iv_roll3, "
+            "max(iv) OVER (w ROWS UNBOUNDED PRECEDING) AS iv_rmax, "
+            "ntile(4) OVER w AS tile FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+        "running_sum_salted": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "cast(floor(value) as bigint) AS iv FROM events) "
+            "SELECT event_id, user_id, "
+            "cast(sum(iv) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS UNBOUNDED PRECEDING) as bigint) "
+            "AS iv_rsum FROM e"),
         "events_hopping": (
             "WITH j AS (SELECT unnest(range(0, 2)) AS j), "
             "w AS (SELECT event_type, value, "

@@ -1,0 +1,274 @@
+"""Analytic (SQL OVER-clause) window functions for Ray Data.
+
+Ray Data has no ``PARTITION BY ... ORDER BY`` operator; this module
+supplies the family the reference's result-sorting surface implies
+(libswish3 sorts results by property and pages them —
+``src/libswish3/`` result sort + the swish_xapian ``--limit``
+paging) generalised to the analytic functions a training-data
+pipeline actually reaches for: row_number / rank / dense_rank,
+lag / lead, running (prefix) sums, rolling row-window sums, and
+ntile bucketing.
+
+Two execution shapes, both streaming-safe:
+
+* :func:`analytic` — ``groupby(partition).map_groups`` with a fully
+  vectorized pandas/numpy kernel. Partitioning assumption: one
+  partition key's rows fit in one group (the same contract as
+  ``sessionize``). This is the right default: analytic partitions
+  (a user, a domain, a day) are orders of magnitude smaller than
+  the corpus.
+* :func:`running_sum_salted` — the skew-proof escape hatch for the
+  one function whose math permits it (prefix sums are associative):
+  salt the partition by an order-contiguous period, prefix-sum
+  within each salt, then prefix-sum the *per-salt totals* (a table
+  orders of magnitude smaller) and add the offsets back with a
+  hash join. A pathological key never concentrates in one task.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# spec helpers — tiny dataclass-free dicts so specs stay picklable
+
+
+def row_number(out: str = "rn") -> dict:
+    return {"kind": "row_number", "out": out}
+
+
+def rank(out: str = "rnk") -> dict:
+    return {"kind": "rank", "out": out}
+
+
+def dense_rank(out: str = "drnk") -> dict:
+    return {"kind": "dense_rank", "out": out}
+
+
+def lag(col: str, n: int = 1, out: str | None = None) -> dict:
+    return {"kind": "lag", "col": col, "n": n, "out": out or f"{col}_lag{n}"}
+
+
+def lead(col: str, n: int = 1, out: str | None = None) -> dict:
+    return {"kind": "lead", "col": col, "n": n,
+            "out": out or f"{col}_lead{n}"}
+
+
+def running_sum(col: str, out: str | None = None) -> dict:
+    return {"kind": "running_sum", "col": col,
+            "out": out or f"{col}_rsum"}
+
+
+def rolling_sum(col: str, window: int, out: str | None = None) -> dict:
+    """Row-based window: current row + ``window - 1`` preceding
+    (SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``)."""
+    return {"kind": "rolling_sum", "col": col, "n": window,
+            "out": out or f"{col}_roll{window}"}
+
+
+def ntile(k: int, out: str = "tile") -> dict:
+    return {"kind": "ntile", "n": k, "out": out}
+
+
+def running_max(col: str, out: str | None = None) -> dict:
+    return {"kind": "running_max", "col": col,
+            "out": out or f"{col}_rmax"}
+
+
+# ---------------------------------------------------------------------------
+
+
+def _order_key_frame(order_by: Sequence) -> tuple:
+    """Normalise order_by into (cols, ascending) lists."""
+    cols, asc = [], []
+    for o in order_by:
+        if isinstance(o, str):
+            cols.append(o)
+            asc.append(True)
+        else:
+            cols.append(o[0])
+            asc.append(bool(o[1]))
+    return cols, asc
+
+
+def _apply_specs(g: pd.DataFrame, order_cols: list, specs: list,
+                 rank_cols: list | None = None) -> pd.DataFrame:
+    n = len(g)
+    arange1 = None
+
+    def rn1() -> np.ndarray:
+        nonlocal arange1
+        if arange1 is None:
+            arange1 = np.arange(1, n + 1, dtype=np.int64)
+        return arange1
+
+    # change flags over the RANK key (ties share rank), computed once;
+    # rank_cols defaults to the full order key, but SQL commonly ranks
+    # on a prefix of it while row_number consumes a unique suffix
+    change = None
+
+    def change_flags() -> np.ndarray:
+        nonlocal change
+        if change is None:
+            if n == 0:
+                change = np.zeros(0, dtype=bool)
+            else:
+                keys = g[rank_cols or order_cols]
+                neq = keys.ne(keys.shift())
+                # NaN != NaN in pandas .ne — treat equal-null as tie
+                bothna = keys.isna() & keys.isna().shift(fill_value=False)
+                change = (neq & ~bothna).any(axis=1).to_numpy()
+                change[0] = True
+        return change
+
+    for s in specs:
+        kind, out = s["kind"], s["out"]
+        if kind == "row_number":
+            g[out] = rn1()
+        elif kind == "rank":
+            r = np.where(change_flags(), rn1(), 0)
+            g[out] = np.maximum.accumulate(r) if n else r
+        elif kind == "dense_rank":
+            g[out] = change_flags().cumsum().astype(np.int64)
+        elif kind in ("lag", "lead"):
+            src = g[s["col"]]
+            if pd.api.types.is_integer_dtype(src.dtype):
+                # keep ints null-able instead of NaN-floating
+                src = src.astype("Int64")
+            g[out] = src.shift(s["n"] if kind == "lag" else -s["n"])
+        elif kind == "running_sum":
+            g[out] = g[s["col"]].cumsum()
+        elif kind == "running_max":
+            g[out] = g[s["col"]].cummax()
+        elif kind == "rolling_sum":
+            v = g[s["col"]].rolling(s["n"], min_periods=1).sum()
+            if pd.api.types.is_integer_dtype(g[s["col"]].dtype):
+                v = v.astype(np.int64)
+            g[out] = v
+        elif kind == "ntile":
+            # SQL NTILE(k): first (n % k) tiles get ceil(n/k) rows
+            k = s["n"]
+            base, extra = divmod(n, k)
+            sizes = np.full(min(k, n) if base == 0 else k, base,
+                            dtype=np.int64)
+            sizes[:extra] += 1
+            g[out] = np.repeat(
+                np.arange(1, len(sizes) + 1, dtype=np.int64), sizes)[:n]
+        else:  # pragma: no cover
+            raise ValueError(f"unknown analytic spec kind: {kind}")
+    return g
+
+
+def analytic(ds: Any, partition_by: str | list, order_by: Sequence,
+             specs: list, rank_cols: list | None = None) -> Any:
+    """Evaluate analytic window functions per partition.
+
+    ``order_by``: list of column names or ``(col, ascending)`` pairs.
+    ``specs``: list built from the helpers above. Output = input
+    columns + one column per spec, rows unordered across partitions
+    (order within a partition is not materialised — downstream sorts
+    decide presentation order, as everywhere else in the engine).
+
+    Ties in the order key get equal rank / dense_rank; row_number
+    breaks them arbitrarily unless the order key is unique — pass a
+    unique tie-breaker column for deterministic output (the SQL
+    contract is identical).
+    """
+    order_cols, asc = _order_key_frame(order_by)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=asc, kind="mergesort"
+                          ).reset_index(drop=True)
+        return _apply_specs(g, order_cols, specs, rank_cols)
+
+    return ds.groupby(partition_by).map_groups(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# skew-proof prefix sum
+
+
+def running_sum_salted(ds: Any, key: str, ts_col: str, val_col: str,
+                       out: str = "rsum",
+                       salt_unit: str = "day",
+                       tiebreak: str | None = None) -> Any:
+    """Prefix sum per ``key`` ordered by ``(ts_col, tiebreak)``,
+    skew-proof: a key with a pathological row count never lands in
+    one task.
+
+    Phase 1 groups by ``(key, salt)`` where salt =
+    ``floor_temporal(ts, salt_unit)`` — order-contiguous, so the
+    within-salt prefix sums are exact segments of the global one.
+    Phase 2 groups the per-salt TOTALS by key (rows = salts per key,
+    not events per key) and exclusive-prefix-sums them into offsets.
+    Phase 3 joins the offsets back on ``(key, salt)`` and adds.
+    Result is identical to the unsalted ``analytic(...,
+    running_sum(...))`` (t:test_running_sum_salted_equal)."""
+    import pyarrow.compute as pc
+    from swishray.ops.joins import hash_join
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = pc.cast(pc.floor_temporal(batch.column(ts_col),
+                                         unit=salt_unit), pa.int64())
+        ks = pc.binary_join_element_wise(
+            pc.cast(batch.column(key), pa.string()),
+            pc.cast(salt, pa.string()), "\x00")
+        return batch.append_column("__salt", salt) \
+                    .append_column("__ks", ks)
+
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort"
+                          ).reset_index(drop=True)
+        g[out] = g[val_col].cumsum()
+        g["__salt_total"] = g[val_col].sum()
+        return g
+
+    pieces = ds.map_batches(add_salt, batch_format="pyarrow") \
+        .groupby("__ks").map_groups(within, batch_format="pandas")
+
+    # per-(key, salt) totals ride a second, far smaller exchange
+    # (rows = distinct (key, salt) pairs, not events)
+    totals = pieces.groupby("__ks").max("__salt_total")
+
+    def tot_shape(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__key": pa.array([], pa.string()),
+                             "__salt": pa.array([], pa.int64()),
+                             "__ks": pa.array([], pa.string()),
+                             "__tot": pa.array([], pa.float64())})
+        parts = pc.split_pattern(t.column("__ks"), "\x00")
+        return pa.table({
+            "__key": pc.list_element(parts, 0),
+            "__salt": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "__ks": t.column("__ks"),
+            "__tot": pc.cast(t.column("max(__salt_total)"),
+                             pa.float64())})
+
+    totals = totals.map_batches(tot_shape, batch_format="pyarrow")
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__salt", kind="mergesort"
+                          ).reset_index(drop=True)
+        g["__off"] = g["__tot"].cumsum() - g["__tot"]
+        return g[["__ks", "__off"]]
+
+    off = totals.groupby("__key").map_groups(offsets,
+                                             batch_format="pandas")
+
+    joined = hash_join(pieces.drop_columns(["__salt_total", "__salt"]),
+                       off, key="__ks", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rsum = pc.add(t.column(out), pc.cast(t.column("__off_r"),
+                                             t.column(out).type))
+        t = t.set_column(t.schema.get_field_index(out), out, rsum)
+        return t.drop_columns(["__ks", "__off_r"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
