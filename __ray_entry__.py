@@ -1079,6 +1079,23 @@ def q_quantiles(sf_dir: str):
                               [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def q_quantiles_per_group(sf_dir: str):
+    """Exact per-group discrete quantiles: histogram-only shuffle,
+    per-group quantile walk (documents n_chars per lang)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.aggregates import discrete_quantiles_per_group
+    out = discrete_quantiles_per_group(
+        _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars",
+        [0.1, 0.25, 0.5, 0.75, 0.9])
+    return out.map_batches(
+        lambda t: pa.table({
+            "lang": pc.cast(t.column("lang"), pa.string()),
+            "q": pc.cast(t.column("q"), pa.float64()),
+            "value": pc.cast(t.column("value"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_topk_per_group(sf_dir: str):
     """Per-group top-k (ROW_NUMBER <= k) with a map-side combiner."""
     import ray.data as rd
@@ -2410,6 +2427,28 @@ def q_events_hopping(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE tokenizer trained on the corpus (distributed word count ->
+    driver merge loop over the unique-word table, Sennrich Alg. 1),
+    then applied distributed with a broadcast merge table. Rows-only:
+    learned merges aren't SQL-expressible; the trainer and encoder
+    are pytest-verified against an independent naive implementation
+    (t:test_bpe) and the sf0.01 rows are golden-frozen."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.bpe import bpe_token_counts, train_bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=80, min_count=3)
+    out = bpe_token_counts(docs, merges)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_bpe_tokens": pc.cast(t.column("n_bpe_tokens"),
+                                    pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _events_iv(sf_dir: str):
     """events + iv = CAST(FLOOR(value) AS BIGINT) — the integer value
     column the window-function queries rank/sum over (integer outputs
@@ -2811,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "quantiles": q_quantiles,
+        "quantiles_per_group": q_quantiles_per_group,
         "topk_per_group": q_topk_per_group,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -2872,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier": q_frontier,
         "self_dup_ngrams": q_self_dup_ngrams,
         "events_hopping": q_events_hopping,
+        "bpe_tokens": q_bpe_tokens,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
@@ -3116,6 +3157,12 @@ def oracle_sql() -> dict[str, str]:
             "ON l.l_quantity >= r.lo AND l.l_quantity < r.hi "
             "GROUP BY r.bucket"),
         "quantiles": 'SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem UNION ALL SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.5) AS value FROM lineitem UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.75) AS value FROM lineitem UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.9) AS value FROM lineitem',
+        "quantiles_per_group": (
+            "SELECT lang, "
+            "unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q, "
+            "unnest(quantile_disc(n_chars, "
+            "[0.1, 0.25, 0.5, 0.75, 0.9])) AS value "
+            "FROM documents GROUP BY lang"),
         "topk_per_group": (
             "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
             "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "

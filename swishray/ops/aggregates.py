@@ -16,8 +16,10 @@ def discrete_quantiles(ds: Any, col: str, qs: Sequence[float]) -> Any:
     (value, partial_count) pairs — map-side combined, so the exchange
     carries at most #distinct x #blocks rows — then the quantile walk
     runs over the (tiny) histogram. Semantics match SQL's
-    quantile_disc: value at index floor(q * (n-1)) of the sorted
-    multiset.
+    quantile_disc / PERCENTILE_DISC: the smallest value whose
+    cumulative fraction reaches q — index ceil(q * n) - 1 of the
+    sorted multiset (DuckDB-verified; the floor(q * (n-1)) rule
+    coincides only on dense repeated values).
 
     Partitioning assumption: the DISTINCT value set is small (ids,
     grades, bucketed measures); for continuous doubles bucket first
@@ -35,13 +37,15 @@ def discrete_quantiles(ds: Any, col: str, qs: Sequence[float]) -> Any:
         .groupby(col).aggregate(Sum("__n", alias_name="n"))
     rows = sorted(hist.take_all(), key=lambda r: r[col])
     total = sum(r["n"] for r in rows)
+    import math
     from fractions import Fraction
     out_q, out_v = [], []
     for q in qs:
-        # exact floor(q * (n-1)) via rational arithmetic — float
-        # truncation can be off by one (e.g. q=0.29, n=101 gives
+        # exact ceil(q * n) - 1 via rational arithmetic — float
+        # truncation can be off by one (e.g. q=0.29, n=100 gives
         # 28.999...), breaking the EXACT quantile_disc contract
-        target = (int(Fraction(str(q)) * (total - 1)) if total else 0)
+        target = (max(0, math.ceil(Fraction(str(q)) * total) - 1)
+                  if total else 0)
         acc = 0
         val = rows[-1][col] if rows else None
         for r in rows:
@@ -53,6 +57,51 @@ def discrete_quantiles(ds: Any, col: str, qs: Sequence[float]) -> Any:
         out_v.append(val)
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v)})
+
+
+def discrete_quantiles_per_group(ds: Any, group: str, col: str,
+                                 qs: Sequence[float]) -> Any:
+    """EXACT per-group quantiles (quantile_disc semantics, same
+    contract as :func:`discrete_quantiles`): the shuffle carries the
+    map-side-combined (group, value, count) histogram — never raw
+    rows — and the quantile walk runs per group over its (tiny)
+    histogram, vectorized. Partitioning assumption: one GROUP'S
+    distinct-value histogram fits in a task (the raw group row count
+    is irrelevant)."""
+    import math
+    import numpy as np
+    import pandas as pd
+    from fractions import Fraction
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, col]).to_pandas()
+        vc = df.groupby([group, col], sort=False).size() \
+            .reset_index(name="__n")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group, col]).aggregate(Sum("__n", alias_name="n"))
+
+    qlist = [float(q) for q in qs]
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col)
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1]) if len(cum) else 0
+        vals = g[col].to_numpy()
+        out_v = []
+        for q in qlist:
+            # exact ceil(q * n) - 1 — same rational arithmetic and
+            # convention as the global op (PERCENTILE_DISC rule)
+            target = (max(0, math.ceil(Fraction(str(q)) * total) - 1)
+                      if total else 0)
+            out_v.append(vals[np.searchsorted(cum, target, "right")]
+                         if total else None)
+        return pd.DataFrame({group: [g[group].iloc[0]] * len(qlist),
+                             "q": qlist, "value": out_v})
+
+    return hist.groupby(group).map_groups(walk, batch_format="pandas")
 
 
 def topk_per_group(ds: Any, group: str, order: str, k: int = 3,

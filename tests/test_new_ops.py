@@ -54,8 +54,10 @@ def test_discrete_quantiles_exact(ray_session):
            for r in discrete_quantiles(ds, "v", [0.0, 0.5, 0.9, 1.0])
            .to_pylist()}
     sv = np.sort(vals)
+    import math
     for q in [0.0, 0.5, 0.9, 1.0]:
-        assert out[q] == sv[int(q * (len(sv) - 1))]
+        # PERCENTILE_DISC rule: smallest value with cum fraction >= q
+        assert out[q] == sv[max(0, math.ceil(q * len(sv)) - 1)]
 
 
 def test_topk_per_group_combiner_equivalence(ray_session):
@@ -552,3 +554,31 @@ def test_profile(ray_session):
     # column subset
     sub = profile(rd.from_arrow(t), columns=["s"]).to_pandas()
     assert sub["column"].tolist() == ["s"]
+
+
+def test_quantiles_per_group_matches_walk(ray_session):
+    """Per-group exact quantile_disc vs a local sorted-multiset walk,
+    including a one-row group and a skewed value histogram."""
+    import ray.data as rd
+    from fractions import Fraction
+    from swishray.ops.aggregates import discrete_quantiles_per_group
+
+    rng = np.random.default_rng(7)
+    g = np.repeat(["a", "b", "c"], [500, 40, 1])
+    v = np.concatenate([
+        rng.choice([1, 2, 3, 3, 3, 9], 500),
+        rng.integers(0, 100, 40),
+        [42]]).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    qs = [0.1, 0.29, 0.5, 0.9, 1.0]
+    out = discrete_quantiles_per_group(
+        rd.from_arrow(t).repartition(6), "g", "v", qs).to_pandas()
+
+    import math
+    for grp in ["a", "b", "c"]:
+        vals = np.sort(v[g == grp])
+        for q in qs:
+            idx = max(0, math.ceil(Fraction(str(q)) * len(vals)) - 1)
+            want = vals[idx]
+            got = out[(out.g == grp) & (out.q == q)].value.iloc[0]
+            assert got == want, (grp, q)
