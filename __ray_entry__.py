@@ -2427,6 +2427,13 @@ def q_events_hopping(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_readability(sf_dir: str):
+    """Flesch-style readability inputs as exact integer counts
+    (words / sentences / vowel-group syllables)."""
+    from swishray.ops.textstats import readability_counts
+    return readability_counts(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_tokens(sf_dir: str):
     """BPE tokenizer trained on the corpus (distributed word count ->
     driver merge loop over the unique-word table, Sennrich Alg. 1),
@@ -2913,6 +2920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "self_dup_ngrams": q_self_dup_ngrams,
         "events_hopping": q_events_hopping,
         "bpe_tokens": q_bpe_tokens,
+        "readability": q_readability,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
@@ -3730,6 +3738,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS "
             "VARCHAR)), 1, 8)) AS BIGINT), doc_id LIMIT 50"),
+        "readability": (
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(coalesce(text, ''), "
+            "'\\s+'), x -> x <> '') AS ws, "
+            "lower(coalesce(text, '')) AS lt FROM documents) "
+            "SELECT doc_id, cast(len(ws) as bigint) AS n_words, "
+            "cast(len(list_filter(ws, x -> regexp_matches(x, "
+            "'[.!?]$'))) + CASE WHEN len(ws) > 0 AND NOT "
+            "regexp_matches(ws[-1], '[.!?]$') THEN 1 ELSE 0 END "
+            "as bigint) AS n_sentences, "
+            "cast(len(regexp_extract_all(lt, '[aeiouy]+')) + "
+            "len(ws) - len(list_filter(ws, x -> regexp_matches("
+            "lower(x), '[aeiouy]'))) as bigint) AS n_syllables "
+            "FROM w"),
         "window_rank": (
             "WITH e AS (SELECT event_id, event_type, "
             "cast(floor(value) as bigint) AS iv FROM events) "

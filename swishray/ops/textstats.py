@@ -722,6 +722,60 @@ def quality_model_score(ds: Any, col: str = "text",
         batch_format="pyarrow")
 
 
+def readability_counts(ds: Any, col: str = "text",
+                       key: str = "doc_id") -> Any:
+    """Integer readability signals per document — the inputs to
+    Flesch-style scores, kept as exact counts so results hash-match
+    across engines (the ratio itself is one float divide away):
+
+    * ``n_words`` — whitespace tokens (the _WORDS_SQL universe)
+    * ``n_sentences`` — split_sentences' terminal rule: words ending
+      ``. ! ?`` end a sentence; a trailing terminal-less run counts
+      as one final sentence
+    * ``n_syllables`` — the classic vowel-group heuristic: runs of
+      ``[aeiouy]`` in the lowercased text, plus one per vowelless
+      word (every word counts at least one syllable)
+
+    Fully vectorized: three RE2 count/match kernels per batch, no
+    Python loop, map-side only."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .filters import _text_col
+        txt = _text_col(batch, col)
+        lt = pc.utf8_lower(txt)
+        n_words = pc.cast(pc.count_substring_regex(txt, r"\S+"),
+                          pa.int64())
+        # terminal words end a sentence; a non-terminal last word
+        # adds the final implicit sentence
+        n_term = pc.cast(
+            pc.count_substring_regex(txt, r"\S*[.!?](\s|$)"),
+            pa.int64())
+        ends_open = pc.and_(
+            pc.greater(n_words, 0),
+            pc.invert(pc.match_substring_regex(txt, r"[.!?]\s*$")))
+        n_sent = pc.add(n_term,
+                        pc.cast(ends_open, pa.int64()))
+        groups = pc.cast(pc.count_substring_regex(lt, "[aeiouy]+"),
+                         pa.int64())
+        # words with no vowel at all still carry one syllable;
+        # counted as complement (RE2 has no lookaround): a word with
+        # >=1 vowel yields exactly one non-overlapping match here
+        # because the greedy tails consume the whole word
+        voweled = pc.cast(
+            pc.count_substring_regex(lt, r"\S*[aeiouy]\S*"),
+            pa.int64())
+        vowelless = pc.subtract(n_words, voweled)
+        return pa.table({
+            key: batch.column(key),
+            "n_words": n_words,
+            "n_sentences": n_sent,
+            "n_syllables": pc.add(groups, vowelless)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def split_sentences(ds: Any, col: str = "text",
                     key: str = "doc_id") -> Any:
     """Rule-based sentence segmentation -> one row per sentence
