@@ -2427,6 +2427,24 @@ def q_events_hopping(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_tfidf(sf_dir: str):
+    """Top-3 tf-idf terms per document: df table broadcast, per-doc
+    top-k map-side (a doc's words live in its row — no shuffle);
+    score tf*N/df is IEEE-exact on both engines, ties on term."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import tfidf_topk
+
+    out = tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=3, min_df=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "term": pc.cast(t.column("term"), pa.string()),
+            "tf": pc.cast(t.column("tf"), pa.int64()),
+            "df": pc.cast(t.column("df"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_readability(sf_dir: str):
     """Flesch-style readability inputs as exact integer counts
     (words / sentences / vowel-group syllables)."""
@@ -2921,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "bpe_tokens": q_bpe_tokens,
         "readability": q_readability,
+        "tfidf": q_tfidf,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
@@ -3738,6 +3757,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS "
             "VARCHAR)), 1, 8)) AS BIGINT), doc_id LIMIT 50"),
+        "tfidf": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '')) AS term FROM documents), "
+            "tc AS (SELECT doc_id, term, cast(count(*) as bigint) "
+            "AS tf FROM toks GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, cast(count(DISTINCT doc_id) "
+            "as bigint) AS df FROM toks GROUP BY term "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tc.doc_id, tc.term, tc.tf, dfreq.df, "
+            "CAST(tc.tf AS DOUBLE) * n.n / dfreq.df AS score "
+            "FROM tc JOIN dfreq USING (term), n) "
+            "SELECT doc_id, term, tf, df FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM s) WHERE rn <= 3"),
         "readability": (
             "WITH w AS (SELECT doc_id, "
             "list_filter(regexp_split_to_array(coalesce(text, ''), "

@@ -722,6 +722,110 @@ def quality_model_score(ds: Any, col: str = "text",
         batch_format="pyarrow")
 
 
+def tfidf_topk(ds: Any, col: str = "text", key: str = "doc_id",
+               k: int = 5, min_df: int = 2,
+               max_vocab: int | None = None) -> Any:
+    """Top-k characteristic terms per document by tf·idf — the
+    keyword-extraction tier (outputs the exact integers ``tf`` and
+    ``df``; the ranking score tf·N/df is IEEE-double-deterministic,
+    ties break on the term, so the oracle hash-matches).
+
+    Scale shape: pass 1 builds the document-frequency table over
+    DISTINCT (doc, term) pairs — a slim (term, partial_df) exchange
+    with map-side combining; ``min_df``/``max_vocab`` bound it BY
+    CONSTRUCTION so it broadcasts once via ``ray.put``. Pass 2 is
+    pure map-side: a document's words live in its own row, so the
+    per-doc top-k needs no shuffle at all — one flatten + index_in +
+    pandas groupby/head per batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import map_batches_stateful
+
+    def _flat_words(batch: pa.Table):
+        txt = pc.coalesce(pc.cast(batch.column(col),
+                                  pa.large_string()), "")
+        words = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        return words.flatten(), offs - offs[0]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, offs = _flat_words(batch)
+        fd = pd.DataFrame({
+            "term": flat.to_pandas(),
+            "row": np.repeat(np.arange(len(offs) - 1),
+                             np.diff(offs))})
+        fd = fd[fd.term != ""].drop_duplicates()
+        vc = fd.term.value_counts()
+        return pa.table({"term": pa.array(vc.index, pa.large_string()),
+                         "pdf": pa.array(vc.to_numpy(), pa.int64())})
+
+    dfs = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("pdf", alias_name="df"))
+    dfs = dfs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("df"),
+                                            int(min_df))),
+        batch_format="pyarrow")
+    if max_vocab is not None:
+        dfs = dfs.sort(["df", "term"], descending=[True, False]) \
+            .limit(max_vocab)
+    df_tbl = pa.Table.from_pylist(dfs.take_all())
+    n_docs = ds.count()
+    if df_tbl.num_rows == 0:
+        df_tbl = pa.table({"term": pa.array([], pa.large_string()),
+                           "df": pa.array([], pa.int64())})
+    ref = ray.put((df_tbl.column("term").combine_chunks(),
+                   df_tbl.column("df").to_numpy(zero_copy_only=False)
+                   .astype(np.int64), int(n_docs)))
+
+    class TopK:
+        def __init__(self, ref) -> None:
+            self.terms, self.df, self.n = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, offs = _flat_words(batch)
+            idx = pc.index_in(flat, value_set=self.terms) \
+                .to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+            hit = ~np.isnan(idx)
+            if not hit.any():
+                return pa.table({
+                    key: batch.column(key).take(
+                        pa.array([], pa.int64())),
+                    "term": pa.array([], pa.large_string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64())})
+            g = pd.DataFrame({"row": rows[hit],
+                              "tid": idx[hit].astype(np.int64)})
+            tc = g.groupby(["row", "tid"]).size().reset_index(name="tf")
+            dfv = self.df[tc.tid.to_numpy()]
+            tc["df"] = dfv
+            tc["score"] = tc.tf.to_numpy() * float(self.n) / dfv
+            terms = self.terms.take(
+                pa.array(tc.tid.to_numpy())).to_pandas()
+            tc["term"] = terms.to_numpy()
+            tc = tc.sort_values(["row", "score", "term"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+            tc = tc.groupby("row", sort=False).head(k)
+            ridx = pa.array(tc.row.to_numpy())
+            return pa.table({
+                key: batch.column(key).take(ridx),
+                "term": pa.array(tc.term.to_numpy(),
+                                 pa.large_string()),
+                "tf": pa.array(tc.tf.to_numpy(), pa.int64()),
+                "df": pa.array(tc.df.to_numpy(), pa.int64())})
+
+    return map_batches_stateful(
+        ds, TopK, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow")
+
+
 def readability_counts(ds: Any, col: str = "text",
                        key: str = "doc_id") -> Any:
     """Integer readability signals per document — the inputs to

@@ -48,3 +48,48 @@ def test_readability_counts(ray_session):
     #  t1: "hmm... brr pfft" -> 0 groups, 3 vowelless -> 3
     #  t5: "a.b ends mid.word": groups a,e,i,o = 4; vowelless 0
     assert list(out.n_syllables) == [6, 3, 6, 0, 0, 4]
+
+
+def test_tfidf_topk(ray_session):
+    """tf-idf top-k vs a local pandas replay; min_df cut, tf ties on
+    term, and docs with no qualifying terms emit nothing."""
+    import ray.data as rd
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from swishray.ops.textstats import tfidf_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple date date date",
+        "unique_solo_word only here",   # all df=1 except none
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = tfidf_topk(rd.from_arrow(t).repartition(3),
+                     k=2, min_df=2).to_pandas()
+
+    # local replay
+    n = len(texts)
+    tok = [(i, w) for i, s in enumerate(texts) for w in s.split() if w]
+    fd = pd.DataFrame(tok, columns=["doc_id", "term"])
+    df = fd.drop_duplicates().groupby("term").size()
+    df = df[df >= 2]
+    tc = fd.groupby(["doc_id", "term"]).size().reset_index(name="tf")
+    tc = tc[tc.term.isin(df.index)]
+    tc["df"] = df[tc.term].to_numpy()
+    tc["score"] = tc.tf.to_numpy() * float(n) / tc.df.to_numpy()
+    want = tc.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True]) \
+        .groupby("doc_id", sort=False).head(2)
+
+    got = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    want = want[["doc_id", "term", "tf", "df"]] \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"tf": "int64", "df": "int64"}),
+        want.astype({"tf": "int64", "df": "int64"}))
+    # doc 3 (all rare terms) and doc 4 (empty) emit no rows
+    assert set(got.doc_id) == {0, 1, 2}
