@@ -2427,6 +2427,48 @@ def q_events_hopping(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table:
+    cluster sizes (rows-only: iterative float centroids aren't
+    SQL-expressible; Euclidean mode is bit-exact vs a local Lloyd
+    replay in pytest, and these rows are golden-frozen)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from swishray.ops.clustering import assign_clusters, kmeans
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cent = kmeans(emb, k=6, iters=5, seed=7)
+    out = assign_clusters(emb, cent).groupby("cluster") \
+        .aggregate(Count(alias_name="n_members"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "cluster": pc.cast(t.column("cluster"), pa.int64()),
+            "n_members": pc.cast(t.column("n_members"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means then within-cluster
+    exact cosine dedup; keeps each semantic dup set's lowest key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.clustering import semdedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = semdedup(emb, k=6, threshold=0.92, iters=5, seed=7)
+    return out.map_batches(
+        lambda t: pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "cluster": pc.cast(t.column("cluster"), pa.int64()),
+            "kept": pc.cast(t.column("kept"), pa.bool_())}),
+        batch_format="pyarrow")
+
+
 def q_tfidf(sf_dir: str):
     """Top-3 tf-idf terms per document: df table broadcast, per-doc
     top-k map-side (a doc's words live in its row — no shuffle);
@@ -2940,6 +2982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "readability": q_readability,
         "tfidf": q_tfidf,
+        "kmeans_sizes": q_kmeans,
+        "semdedup": q_semdedup,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,

@@ -208,7 +208,13 @@ def bpe_token_counts(ds: Any, merges: pa.Table, col: str = "text",
                      key: str = "doc_id", lowercase: bool = True,
                      concurrency: int = 4,
                      batch_size: int = 256) -> Any:
-    """Per-document BPE token counts under a learned merge table."""
+    """Per-document BPE token counts under a learned merge table.
+
+    Cached-task mode (``force_tasks=True``): the encoder state is a
+    small dict, and a reserved actor pool feeding off an
+    unmaterialized upstream can deadlock a small session (the
+    conftest 4-CPU trap) — tasks with per-worker cached state give
+    the same warm-state behavior without the reservation."""
     import ray
     from swishray.util import map_batches_stateful
     ref = ray.put(merges)
@@ -217,4 +223,4 @@ def bpe_token_counts(ds: Any, merges: pa.Table, col: str = "text",
         fn_constructor_kwargs={"merges_ref": ref, "col": col,
                                "key": key, "lowercase": lowercase},
         batch_format="pyarrow", concurrency=concurrency,
-        batch_size=batch_size)
+        batch_size=batch_size, force_tasks=True)

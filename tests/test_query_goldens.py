@@ -20,7 +20,8 @@ _SF = "/root/testdata/sf0.01"
 @pytest.mark.parametrize("name",
                          ["simhash_pairs", "cosine_pairs_ivf",
                           "ivf_topk", "compression_stats",
-                          "cm_topk", "bpe_tokens"])
+                          "cm_topk", "bpe_tokens",
+                          "kmeans_sizes", "semdedup"])
 def test_rows_only_query_golden(ray_session, name):
     import sys
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
