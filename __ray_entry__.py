@@ -2427,6 +2427,45 @@ def q_events_hopping(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_session_paths(sf_dir: str):
+    """Per-user clickstream path: event types concatenated in
+    event order (SQL string_agg ORDER BY — no Ray Data collect
+    aggregate exists; ops.aggregates.collect_sorted supplies it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.aggregates import collect_sorted
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "event_id"])
+    out = collect_sorted(ev, group="user_id", col="event_type",
+                         sep=",", order="event_id", out="path")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "path": pc.cast(t.column("path"), pa.string()),
+            "n_items": pc.cast(t.column("n_items"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_mode_value(sf_dir: str):
+    """Per-type modal integer value, deterministic ties (histogram
+    shuffle only — a hot type never ships its raw rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.aggregates import mode_per_group
+
+    ev = _events_iv(sf_dir)
+    out = mode_per_group(ev.select_columns(["event_type", "iv"]),
+                         group="event_type", col="iv")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "mode": pc.cast(t.column("mode"), pa.int64()),
+            "mode_n": pc.cast(t.column("mode_n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embeddings table:
     cluster sizes (rows-only: iterative float centroids aren't
@@ -2984,6 +3023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "kmeans_sizes": q_kmeans,
         "semdedup": q_semdedup,
+        "session_paths": q_session_paths,
+        "mode_value": q_mode_value,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
@@ -3801,6 +3842,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS "
             "VARCHAR)), 1, 8)) AS BIGINT), doc_id LIMIT 50"),
+        "session_paths": (
+            "SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY event_id) AS path, "
+            "cast(count(*) as bigint) AS n_items "
+            "FROM events GROUP BY user_id"),
+        "mode_value": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(value) as bigint) AS iv FROM events), "
+            "h AS (SELECT event_type, iv, count(*) AS n FROM e "
+            "GROUP BY event_type, iv), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY "
+            "event_type ORDER BY n DESC, iv) AS rn FROM h) "
+            "SELECT event_type, iv AS mode, cast(n as bigint) "
+            "AS mode_n FROM r WHERE rn = 1"),
         "tfidf": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
             "regexp_split_to_array(coalesce(text, ''), '\\s+'), "

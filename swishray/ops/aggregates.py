@@ -104,6 +104,60 @@ def discrete_quantiles_per_group(ds: Any, group: str, col: str,
     return hist.groupby(group).map_groups(walk, batch_format="pandas")
 
 
+def collect_sorted(ds: Any, group: str, col: str, sep: str = ",",
+                   order: str | None = None,
+                   out: str = "items") -> Any:
+    """SQL ``string_agg(col, sep ORDER BY order, col)`` per group —
+    Ray Data has no collect/list aggregate; this is the explicit one
+    (clickstream paths, per-host url rosters). Moving every value to
+    its group is inherent to collection; the exchange carries only
+    (group, order, col). Partitioning assumption: one group's values
+    fit in a task (same contract as sessionize)."""
+    import pandas as pd
+
+    cols = [group, col] + ([order] if order and order != col else [])
+    by = ([order] if order else []) + [col]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, kind="mergesort")
+        return pd.DataFrame({
+            group: [g[group].iloc[0]],
+            out: [sep.join(g[col].astype(str))],
+            "n_items": [len(g)]})
+
+    return ds.select_columns(cols).groupby(group) \
+        .map_groups(fn, batch_format="pandas")
+
+
+def mode_per_group(ds: Any, group: str, col: str) -> Any:
+    """Exact per-group mode with a deterministic tie rule (highest
+    count, then smallest value). Skew-safe: the shuffle carries the
+    map-side-combined (group, value, count) histogram, never raw
+    rows — a hot group's row count is irrelevant, only its distinct-
+    value count."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, col]).to_pandas()
+        vc = df.groupby([group, col], sort=False).size() \
+            .reset_index(name="__n")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group, col]).aggregate(Sum("__n", alias_name="n"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", col], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({
+            group: [g[group].iloc[0]],
+            "mode": [g[col].iloc[0]],
+            "mode_n": [int(g["n"].iloc[0])]})
+
+    return hist.groupby(group).map_groups(pick, batch_format="pandas")
+
+
 def topk_per_group(ds: Any, group: str, order: str, k: int = 3,
                    tiebreak: str | None = None,
                    descending: bool = True) -> Any:

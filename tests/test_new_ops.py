@@ -582,3 +582,29 @@ def test_quantiles_per_group_matches_walk(ray_session):
             want = vals[idx]
             got = out[(out.g == grp) & (out.q == q)].value.iloc[0]
             assert got == want, (grp, q)
+
+
+def test_collect_sorted_and_mode(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import collect_sorted, mode_per_group
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o": pa.array([3, 1, 2, 10, 9], pa.int64()),
+        "v": pa.array(["c", "a", "b", "z", "z"], pa.string())})
+    ds = rd.from_arrow(t).repartition(3)
+
+    got = collect_sorted(ds, "g", "v", sep="-", order="o") \
+        .to_pandas().set_index("g").sort_index()
+    assert got.loc[1, "items"] == "a-b-c"
+    assert got.loc[2, "items"] == "z-z"
+    assert list(got.n_items) == [3, 2]
+
+    m = pa.table({
+        "g": pa.array([1] * 5 + [2] * 4, pa.int64()),
+        "v": pa.array([7, 7, 3, 3, 1, 9, 9, 2, 2], pa.int64())})
+    got = mode_per_group(rd.from_arrow(m).repartition(4), "g", "v") \
+        .to_pandas().set_index("g").sort_index()
+    # g1: 7 and 3 tie at 2 -> smaller value 3; g2: 9 and 2 tie -> 2
+    assert list(got["mode"]) == [3, 2]
+    assert list(got.mode_n) == [2, 2]
