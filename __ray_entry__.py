@@ -1079,6 +1079,20 @@ def q_quantiles(sf_dir: str):
                               [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def q_quantiles_continuous(sf_dir: str):
+    """Exact quantiles on a CONTINUOUS double column (l_extendedprice
+    is effectively all-distinct — the histogram-of-values discrete op
+    cannot hold its 'small distinct set' assumption there): iterative
+    range-narrowing histogram passes + bounded unique-value collect."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.aggregates import continuous_quantiles
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return continuous_quantiles(li, "l_extendedprice",
+                                [0.05, 0.29, 0.5, 0.75, 0.95])
+
+
 def q_quantiles_per_group(sf_dir: str):
     """Exact per-group discrete quantiles: histogram-only shuffle,
     per-group quantile walk (documents n_chars per lang)."""
@@ -2956,6 +2970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "quantiles": q_quantiles,
+        "quantiles_continuous": q_quantiles_continuous,
         "quantiles_per_group": q_quantiles_per_group,
         "topk_per_group": q_topk_per_group,
         "hash_sample": q_hash_sample,
@@ -3269,6 +3284,10 @@ def oracle_sql() -> dict[str, str]:
             "ON l.l_quantity >= r.lo AND l.l_quantity < r.hi "
             "GROUP BY r.bucket"),
         "quantiles": 'SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.1) AS value FROM lineitem UNION ALL SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.5) AS value FROM lineitem UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.75) AS value FROM lineitem UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.9) AS value FROM lineitem',
+        "quantiles_continuous": (
+            "SELECT unnest([0.05, 0.29, 0.5, 0.75, 0.95]) AS q, "
+            "unnest(quantile_disc(l_extendedprice, "
+            "[0.05, 0.29, 0.5, 0.75, 0.95])) AS value FROM lineitem"),
         "quantiles_per_group": (
             "SELECT lang, "
             "unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q, "

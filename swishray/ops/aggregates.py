@@ -104,6 +104,156 @@ def discrete_quantiles_per_group(ds: Any, group: str, col: str,
     return hist.groupby(group).map_groups(walk, batch_format="pandas")
 
 
+def continuous_quantiles(ds: Any, col: str, qs: Sequence[float],
+                         bins: int = 512, collect_cap: int = 100_000,
+                         max_rounds: int = 40) -> Any:
+    """EXACT quantiles over a CONTINUOUS column — the scale path the
+    discrete op's docstring defers to. Same PERCENTILE_DISC contract
+    (value at index ceil(q·n)−1 of the sorted multiset), but no
+    distinct-value-set assumption: each round is one streaming
+    histogram pass that narrows every unresolved quantile's value
+    range ~bins-fold, and a target is finished by collecting ONLY its
+    final range (≤ collect_cap values) and indexing exactly. Driver
+    state is O(bins × #quantiles) per round; the corpus never
+    shuffles, rows never leave their tasks.
+
+    Rounds needed: log_bins(n/collect_cap) — 2 passes cover 50M rows
+    at the defaults, 3 cover 25 billion. A massive point mass (more
+    than collect_cap copies of one value) pins lo == hi and resolves
+    without collection."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min
+
+    row = ds.aggregate(Count(alias_name="n"),
+                       Min(col, alias_name="lo"),
+                       Max(col, alias_name="hi"))
+    total, gmin, gmax = row["n"], row["lo"], row["hi"]
+    if total == 0 or gmin is None:
+        return pa.table({"q": pa.array([float(q) for q in qs],
+                                       pa.float64()),
+                         "value": pa.array([None] * len(qs),
+                                           pa.float64())})
+
+    # state per quantile: target global index, [lo, hi] value range
+    # (inclusive), and how many corpus values sort strictly below lo
+    st = []
+    for q in qs:
+        t = max(0, math.ceil(Fraction(str(q)) * total) - 1)
+        st.append({"q": float(q), "t": t, "lo": float(gmin),
+                   "hi": float(gmax), "below": 0, "val": None})
+
+    def unresolved():
+        return [s for s in st if s["val"] is None
+                and not (s["lo"] == s["hi"])]
+
+    rounds = 0
+    while unresolved() and rounds < max_rounds:
+        rounds += 1
+        open_st = unresolved()
+        edges = [np.linspace(s["lo"], s["hi"], bins + 1)
+                 for s in open_st]
+
+        def hist(batch: pa.Table, _edges=edges) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            rows = []
+            for i, e in enumerate(_edges):
+                inr = v[(v >= e[0]) & (v <= e[-1])]
+                # searchsorted-right puts a value equal to an edge in
+                # the bin to its LEFT's right neighbour — clip the
+                # top edge back into the last bin
+                b = np.minimum(np.searchsorted(e, inr, "right") - 1,
+                               len(e) - 2)
+                cnt = np.bincount(b, minlength=len(e) - 1)
+                rows.append({"i": i, "counts": cnt.tolist()})
+            return pa.Table.from_pylist(rows) if rows else pa.table(
+                {"i": pa.array([], pa.int64()),
+                 "counts": pa.array([], pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        sums = {i: np.zeros(bins, dtype=np.int64)
+                for i in range(len(open_st))}
+        for r in parts:
+            sums[r["i"]] += np.asarray(r["counts"], dtype=np.int64)
+
+        for i, s in enumerate(open_st):
+            e = edges[i]
+            cnt = sums[i]
+            cum = np.cumsum(cnt)
+            # rank within [lo, hi] of the target
+            r = s["t"] - s["below"]
+            b = int(np.searchsorted(cum, r, "right"))
+            s["below"] += int(cum[b - 1]) if b > 0 else 0
+            new_lo, new_hi = float(e[b]), float(e[b + 1])
+            in_bin = int(cnt[b])
+            if in_bin <= 0:
+                # numerical corner: located an empty bin — resolve
+                # by collecting the whole current range instead
+                s["val"] = "COLLECT"
+                continue
+            # zero-width bin: every value in it IS the edge — exact
+            if new_lo == new_hi:
+                s["lo"] = s["hi"] = new_lo
+                continue
+            # float precision exhausted (range no longer shrinks):
+            # the unique-gather collect is exact and cheap there
+            if new_hi == s["hi"] and new_lo == s["lo"]:
+                s["val"] = "COLLECT"
+                continue
+            s["lo"], s["hi"] = new_lo, new_hi
+            if in_bin <= collect_cap:
+                s["val"] = "COLLECT"
+
+    # final collection pass: only values inside each pending range
+    pend = [s for s in st if s["val"] == "COLLECT"
+            or (s["val"] is None and s["lo"] != s["hi"])]
+    if pend:
+        rngs = [(s["lo"], s["hi"]) for s in pend]
+
+        # unique (value, count) per batch, not raw values: a point
+        # mass of any size compresses to one entry, so driver bytes
+        # are bounded by DISTINCT values in the final ranges
+        def gather(batch: pa.Table, _r=rngs) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            rows = []
+            for i, (lo, hi) in enumerate(_r):
+                u, c = np.unique(v[(v >= lo) & (v <= hi)],
+                                 return_counts=True)
+                rows.append({"i": i, "vals": u.tolist(),
+                             "counts": c.tolist()})
+            return pa.Table.from_pylist(rows)
+
+        parts = ds.map_batches(gather, batch_format="pyarrow") \
+            .take_all()
+        buf: dict = {i: {} for i in range(len(pend))}
+        for r in parts:
+            d = buf[r["i"]]
+            for v, c in zip(r["vals"], r["counts"]):
+                d[v] = d.get(v, 0) + c
+        for i, s in enumerate(pend):
+            vals = sorted(buf[i].items())
+            r = s["t"] - s["below"]
+            acc = 0
+            for v, c in vals:
+                if acc + c > r:
+                    s["val"] = float(v)
+                    break
+                acc += c
+
+    for s in st:
+        if s["val"] is None or s["val"] == "COLLECT":
+            s["val"] = s["lo"]
+
+    return pa.table({
+        "q": pa.array([s["q"] for s in st], pa.float64()),
+        "value": pa.array([float(s["val"]) for s in st],
+                          pa.float64())})
+
+
 def collect_sorted(ds: Any, group: str, col: str, sep: str = ",",
                    order: str | None = None,
                    out: str = "items") -> Any:

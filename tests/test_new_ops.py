@@ -608,3 +608,39 @@ def test_collect_sorted_and_mode(ray_session):
     # g1: 7 and 3 tie at 2 -> smaller value 3; g2: 9 and 2 tie -> 2
     assert list(got["mode"]) == [3, 2]
     assert list(got.mode_n) == [2, 2]
+
+
+def test_continuous_quantiles_exact(ray_session):
+    """Exact PERCENTILE_DISC on continuous doubles vs a local sorted
+    replay — forced through multiple narrowing rounds by a tiny
+    collect_cap, plus a massive point mass and q=0/1 edges."""
+    import math
+    import ray.data as rd
+    from swishray.ops.aggregates import continuous_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.lognormal(0, 2, size=20000),
+        np.full(5000, 1.2345),          # point mass > collect_cap
+        -rng.rand(1000) * 1e6])
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})) \
+        .repartition(9)
+    qs = [0.0, 0.1, 0.29, 0.5, 0.75, 0.9, 0.999, 1.0]
+    out = {r["q"]: r["value"]
+           for r in continuous_quantiles(
+               ds, "v", qs, bins=64, collect_cap=500).to_pylist()}
+    sv = np.sort(vals)
+    for q in qs:
+        want = sv[max(0, math.ceil(q * len(sv)) - 1)]
+        assert out[q] == want, (q, out[q], want)
+
+
+def test_continuous_quantiles_all_identical(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import continuous_quantiles
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([7.5] * 1000, pa.float64())})).repartition(4)
+    out = continuous_quantiles(ds, "v", [0.1, 0.9], bins=16,
+                               collect_cap=10).to_pylist()
+    assert [r["value"] for r in out] == [7.5, 7.5]
