@@ -2614,6 +2614,28 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_rank_salted(sf_dir: str):
+    """Skew-proof RANK/DENSE_RANK: computed from the (partition,
+    value, count) census — a billion-row partition ships its
+    distinct-value histogram, never rows (same answer as the
+    map_groups path, same SQL oracle shape as window_rank)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import rank_salted
+
+    ev = _events_iv(sf_dir).select_columns(
+        ["event_id", "event_type", "iv"])
+    out = rank_salted(ev, "event_type", "iv", descending=True,
+                      out="rnk", dense_out="drnk")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "rnk": pc.cast(t.column("rnk"), pa.int64()),
+            "drnk": pc.cast(t.column("drnk"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_window_lag(sf_dir: str):
     """LAG/LEAD per user ordered by (ts, event_id)."""
     import pyarrow as pa
@@ -3041,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": q_session_paths,
         "mode_value": q_mode_value,
         "window_rank": q_window_rank,
+        "rank_salted": q_rank_salted,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -3911,6 +3934,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, iv, "
             "row_number() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC, event_id) AS rn, "
+            "rank() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC) AS rnk, "
+            "dense_rank() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC) AS drnk FROM e"),
+        "rank_salted": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "cast(floor(value) as bigint) AS iv FROM events) "
+            "SELECT event_id, event_type, "
             "rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "

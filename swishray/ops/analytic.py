@@ -190,6 +190,99 @@ def analytic(ds: Any, partition_by: str | list, order_by: Sequence,
 
 
 # ---------------------------------------------------------------------------
+# skew-proof rank
+
+
+def rank_salted(ds: Any, partition_by: str, col: str,
+                descending: bool = True,
+                out: str = "rnk", dense_out: str | None = None) -> Any:
+    """RANK (and optionally DENSE_RANK) per partition WITHOUT the
+    one-partition-per-task assumption: rank = 1 + count of better
+    values, which falls out of the (partition, value, count)
+    histogram — the same skew-proof census shape as
+    ``mode_per_group``/``discrete_quantiles_per_group``. A partition
+    with a billion rows ships its distinct-value census through the
+    rank computation, never its rows; the rows themselves ride one
+    (partition, value)-keyed hash join to pick up their rank.
+
+    ROW_NUMBER has no such form (it is order-dependent within ties);
+    use :func:`analytic` with a unique tie-break for that.
+
+    Key/value contract: ``partition_by`` and ``col`` ride a string
+    composite key, exact for integer and string columns (floats
+    would round-trip through repr — rank floats by a fixed-point
+    integer projection instead)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def ks(batch: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(batch.column(partition_by), pa.string()),
+            pc.cast(batch.column(col), pa.string()), "\x00")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"__ks": ks(batch).to_pandas()})
+        vc = df["__ks"].value_counts()
+        return pa.table({"__ks": pa.array(vc.index, pa.string()),
+                         "__n": pa.array(vc.to_numpy(), pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__ks").aggregate(Sum("__n", alias_name="n"))
+
+    coltype = dict(zip(ds.schema().names, ds.schema().types))[col]
+
+    def split_ks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__g": pa.array([], pa.string()),
+                             "__v": pa.array([], coltype),
+                             "__ks": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        parts = pc.split_pattern(t.column("__ks"), "\x00")
+        return pa.table({
+            "__g": pc.list_element(parts, 0),
+            "__v": pc.cast(pc.list_element(parts, 1), coltype),
+            "__ks": t.column("__ks"),
+            "n": pc.cast(t.column("n"), pa.int64())})
+
+    hist = hist.map_batches(split_ks, batch_format="pyarrow")
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__v", ascending=not descending,
+                          kind="mergesort").reset_index(drop=True)
+        cum = g["n"].cumsum()
+        g[out] = (cum - g["n"] + 1).astype("int64")
+        cols = ["__ks", out]
+        if dense_out:
+            g[dense_out] = pd.RangeIndex(1, len(g) + 1).astype("int64")
+            cols.append(dense_out)
+        return g[cols]
+
+    # per-partition group over the CENSUS (rows = distinct values)
+    rk = hist.groupby("__g").map_groups(ranks, batch_format="pandas")
+
+    def add_ks(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ks", ks(batch))
+
+    rows = ds.map_batches(add_ks, batch_format="pyarrow")
+    joined = hash_join(rows, rk, key="__ks", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = {out: f"{out}_r"}
+        if dense_out:
+            names[dense_out] = f"{dense_out}_r"
+        cols = {c: t.column(c) for c in t.column_names
+                if c not in ("__ks", *names.values())}
+        for want, got in names.items():
+            cols[want] = pc.cast(t.column(got), pa.int64())
+        return pa.table(cols)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # skew-proof prefix sum
 
 

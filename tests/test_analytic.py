@@ -148,3 +148,27 @@ def test_running_sum_salted_one_user_many_salts(ray_session):
         tiebreak="event_id").to_pandas().sort_values("event_id")
     want = (np.arange(n) % 7).cumsum()
     assert out.rsum.astype(int).tolist() == list(want)
+
+
+def test_rank_salted_equals_groupwise(ray_session):
+    """Histogram-based RANK/DENSE_RANK == the map_groups analytic
+    path, including heavy ties — and it never groups raw rows."""
+    import ray.data as rd
+    from swishray.ops.analytic import (analytic, dense_rank, rank,
+                                       rank_salted)
+
+    rng = np.random.default_rng(13)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 4, 800).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 12, 800).astype(np.int64)),
+        "id": pa.array(np.arange(800, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(6)
+
+    a = rank_salted(ds, "g", "v", descending=True,
+                    out="rnk", dense_out="drnk").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    b = analytic(ds, "g", [("v", False), ("id", True)],
+                 [rank(), dense_rank()], rank_cols=["v"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(a.rnk) == list(b.rnk)
+    assert list(a.drnk) == list(b.drnk)
