@@ -267,6 +267,20 @@ def rank_salted(ds: Any, partition_by: str, col: str,
         return batch.append_column("__ks", ks(batch))
 
     rows = ds.map_batches(add_ks, batch_format="pyarrow")
+
+    # an all-empty input loses its schema through map_batches (the
+    # Ray 2.49 empty-side trap) and hash_join needs one; the guard's
+    # null-key sentinel row never matches the inner join
+    from .joins import schema_guard
+    in_schema = ds.schema()
+    rows_schema = pa.schema(
+        list(zip(in_schema.names, in_schema.types))
+        + [("__ks", pa.string())])
+    rk_fields = [("__ks", pa.string()), (out, pa.int64())]
+    if dense_out:
+        rk_fields.append((dense_out, pa.int64()))
+    rows = schema_guard(rows, rows_schema)
+    rk = schema_guard(rk, pa.schema(rk_fields))
     joined = hash_join(rows, rk, key="__ks", how="inner")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -355,8 +369,19 @@ def running_sum_salted(ds: Any, key: str, ts_col: str, val_col: str,
     off = totals.groupby("__key").map_groups(offsets,
                                              batch_format="pandas")
 
-    joined = hash_join(pieces.drop_columns(["__salt_total", "__salt"]),
-                       off, key="__ks", how="inner")
+    # empty-input schema loss guard (same contract as rank_salted)
+    from .joins import schema_guard
+    in_schema = ds.schema()
+    in_fields = list(zip(in_schema.names, in_schema.types))
+    left_schema = pa.schema(
+        in_fields + [("__ks", pa.string()),
+                     (out, dict(in_fields)[val_col])])
+    off_schema = pa.schema([("__ks", pa.string()),
+                            ("__off", pa.float64())])
+    left = schema_guard(pieces.drop_columns(["__salt_total", "__salt"]),
+                        left_schema)
+    joined = hash_join(left, schema_guard(off, off_schema),
+                       key="__ks", how="inner")
 
     def finish(t: pa.Table) -> pa.Table:
         rsum = pc.add(t.column(out), pc.cast(t.column("__off_r"),

@@ -172,3 +172,33 @@ def test_rank_salted_equals_groupwise(ray_session):
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert list(a.rnk) == list(b.rnk)
     assert list(a.drnk) == list(b.drnk)
+
+
+def test_salted_ops_empty_and_single_row(ray_session):
+    """The Ray 2.49 empty-side trap: an all-empty input loses its
+    schema through map_batches; the schema_guard sentinel keeps both
+    salted ops alive (and a single row survives untouched)."""
+    import numpy as np
+    import ray.data as rd
+    from swishray.ops.analytic import rank_salted, running_sum_salted
+
+    empty = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "iv": pa.array([], pa.int64())}))
+    assert rank_salted(empty, "user_id", "iv").take_all() == []
+    assert running_sum_salted(empty, "user_id", "ts", "iv",
+                              tiebreak="event_id").take_all() == []
+
+    one = rd.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "event_id": pa.array([9], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")],
+                       pa.timestamp("us")),
+        "iv": pa.array([5], pa.int64())}))
+    r = rank_salted(one, "user_id", "iv").take_all()
+    assert len(r) == 1 and r[0]["rnk"] == 1
+    s = running_sum_salted(one, "user_id", "ts", "iv",
+                           tiebreak="event_id").take_all()
+    assert len(s) == 1 and s[0]["rsum"] == 5
