@@ -625,6 +625,50 @@ def q_hash_join(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def q_left_join(sf_dir: str):
+    """§2.4 LEFT OUTER hash join: every customer survives, matched or
+    not — per segment the join cardinality and the count of
+    order-less customers (null right keys)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from swishray.ops.joins import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+
+    def rekey_c(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["custkey", "c_mktsegment"])
+
+    def rekey_o(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["custkey", "o_orderkey"])
+
+    joined = hash_join(cust.map_batches(rekey_c, batch_format="pyarrow"),
+                       orders.map_batches(rekey_o, batch_format="pyarrow"),
+                       "custkey", how="left")
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "no_order": pc.cast(pc.is_null(b.column("o_orderkey_r")),
+                                pa.int64())})
+
+    agg = joined.map_batches(flags, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Count(alias_name="n_rows"),
+            Sum("no_order", alias_name="n_no_order"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": pc.cast(t.column("c_mktsegment"),
+                                    pa.string()),
+            "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+            "n_no_order": pc.cast(t.column("n_no_order"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_anti_join(sf_dir: str):
     """§2.4 --Delete anti-join: drop a broadcast key set."""
     from swishray.ops.joins import anti_join_keys
@@ -2986,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_source": q_warc_source,
         "filelist_source": q_filelist_source,
         "hash_join": q_hash_join,
+        "left_join": q_left_join,
         "anti_join": q_anti_join,
         "minhash_pairs": q_minhash_pairs,
         "lang_id": q_lang_id,
@@ -3294,6 +3339,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_orders, max(o.o_totalprice) AS max_totalprice "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"),
+        "left_join": (
+            "SELECT c.c_mktsegment, cast(count(*) as bigint) AS n_rows, "
+            "cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)"
+            " as bigint) AS n_no_order "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c.c_mktsegment"),
         "anti_join": (
             "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 50"),
         "asof_join": (
