@@ -360,9 +360,14 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
             key: batch.column(key).combine_chunks().take(idx),
         })
 
-    def pairs_super(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_super(g: pd.DataFrame) -> pa.Table:
         """One task handles a superbucket: vectorized pandas groupby
-        over its band buckets, numpy pair expansion per bucket."""
+        over its band buckets, numpy pair expansion per bucket.
+        Output is an explicitly-typed Arrow table — pandas blocks
+        here surface as PandasBlockSchema downstream, which defeats
+        Ray's schema dedup (unhashable) and costs a unification pass
+        per bundle."""
+        kt = pa.array(g[key].iloc[:1]).type
         outs_a, outs_b = [], []
         for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
             ks = np.unique(grp[key].to_numpy())
@@ -371,11 +376,13 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
                 outs_a.append(a)
                 outs_b.append(b)
         if not outs_a:
-            return pd.DataFrame({"a": g[key].iloc[0:0],
-                                 "b": g[key].iloc[0:0]})
-        return pd.DataFrame({
+            return pa.table({"a": pa.array([], kt),
+                             "b": pa.array([], kt)})
+        m = pd.DataFrame({
             "a": np.concatenate(outs_a),
             "b": np.concatenate(outs_b)}).drop_duplicates()
+        return pa.table({"a": pa.array(m["a"]).cast(kt),
+                         "b": pa.array(m["b"]).cast(kt)})
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     return exploded.groupby("__sb").map_groups(
@@ -513,12 +520,20 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
                 "__bk": _bk(k), "__is_set": ones})
         return f
 
-    def merge_a(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_a(g: pd.DataFrame) -> pa.Table:
         ps = g.loc[g["__is_set"] == 0, ["a", "b"]].drop_duplicates()
         ss = g.loc[g["__is_set"] == 1, ["a", "__sh"]] \
             .drop_duplicates(subset=["a"])
         m = ps.merge(ss, on="a", how="inner")
-        return m.rename(columns={"__sh": "__sha"})
+        # explicit Arrow types: pandas object-bytes would surface as
+        # 'binary' while every arrow stage emits 'large_binary', and
+        # the mixed schemas cost a unification pass per bundle (plus
+        # a worker warning per block)
+        return pa.table({
+            "a": pa.array(m["a"], type=ktype),
+            "b": pa.array(m["b"], type=ktype),
+            "__sha": pa.array(m["__sh"].tolist(),
+                              type=pa.large_binary())})
 
     stage_a = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
         .union(gram_sets.map_batches(tag_sets("a"),
@@ -536,12 +551,18 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
             "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
         })
 
-    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_b(g: pd.DataFrame) -> pa.Table:
         ps = g.loc[g["__is_set"] == 0, ["a", "b", "__sha"]]
         ss = g.loc[g["__is_set"] == 1, ["b", "__sh"]] \
             .drop_duplicates(subset=["b"])
         m = ps.merge(ss, on="b", how="inner")
-        return m.rename(columns={"__sh": "__shb"})
+        return pa.table({
+            "a": pa.array(m["a"], type=ktype),
+            "b": pa.array(m["b"], type=ktype),
+            "__sha": pa.array(m["__sha"].tolist(),
+                              type=pa.large_binary()),
+            "__shb": pa.array(m["__sh"].tolist(),
+                              type=pa.large_binary())})
 
     attached = stage_a.map_batches(tag_pairs_b, batch_format="pyarrow") \
         .union(gram_sets.map_batches(tag_sets("b"),
