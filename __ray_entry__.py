@@ -2584,6 +2584,15 @@ def q_tfidf(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_snippets(sf_dir: str):
+    """Search-result snippets: word window around the first query-
+    term hit (doc head when no hit) — the swish-e result-excerpt
+    surface, deterministic so the SQL replay hash-matches."""
+    from swishray.ops.textstats import snippets
+    return snippets(_docs(sf_dir, ["doc_id", "text"]),
+                    terms=["table", "vector"], before=3, after=3)
+
+
 def q_readability(sf_dir: str):
     """Flesch-style readability inputs as exact integer counts
     (words / sentences / vowel-group syllables)."""
@@ -3102,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "bpe_tokens": q_bpe_tokens,
         "readability": q_readability,
+        "snippets": q_snippets,
         "tfidf": q_tfidf,
         "kmeans_sizes": q_kmeans,
         "semdedup": q_semdedup,
@@ -3965,6 +3975,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df FROM ("
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term) AS rn FROM s) WHERE rn <= 3"),
+        "snippets": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "p AS (SELECT doc_id, ws, least("
+            "coalesce(nullif(list_position(list_transform(ws, "
+            "x -> lower(x)), 'table'), 0), 1000000000), "
+            "coalesce(nullif(list_position(list_transform(ws, "
+            "x -> lower(x)), 'vector'), 0), 1000000000)) AS a FROM w) "
+            "SELECT doc_id, CASE WHEN len(ws) = 0 THEN '' "
+            "WHEN a >= 1000000000 THEN array_to_string(ws[1:7], ' ') "
+            "ELSE array_to_string(ws[greatest(a-3, 1):a+3], ' ') END "
+            "AS snippet, a < 1000000000 AS matched FROM p"),
         "readability": (
             "WITH w AS (SELECT doc_id, "
             "list_filter(regexp_split_to_array(coalesce(text, ''), "

@@ -826,6 +826,74 @@ def tfidf_topk(ds: Any, col: str = "text", key: str = "doc_id",
         batch_format="pyarrow")
 
 
+def snippets(ds: Any, terms: Sequence[str], col: str = "text",
+             key: str = "doc_id", before: int = 3,
+             after: int = 3) -> Any:
+    """Search-result snippet generation (the swish-e StoreDescription
+    / result-excerpt surface): for each document, the word window
+    around the FIRST occurrence of any query term (case-folded exact
+    word match), or the document head when no term occurs.
+
+    Deterministic and SQL-replayable by design: words are the
+    whitespace universe, the anchor is the minimum first-occurrence
+    position over the terms, the window is
+    ``words[anchor-before : anchor+after]`` clamped to the document.
+    Map-side only; one flatten + index_in + segment-min per batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    tset = pa.array(sorted({t.lower() for t in terms}),
+                    pa.large_string())
+    width = before + after + 1
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = pc.coalesce(pc.cast(batch.column(col),
+                                  pa.large_string()), "")
+        words = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        flat = words.flatten()
+        lower = pc.utf8_lower(flat)
+        hit = pc.is_in(lower, value_set=tset) \
+            .to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "") \
+            .to_numpy(zero_copy_only=False)
+        hit = hit & nonempty
+        n_docs = len(offs) - 1
+        rows = np.repeat(np.arange(n_docs), np.diff(offs))
+        # position among the NONEMPTY words of the doc (the filtered
+        # universe the SQL replay indexes into)
+        cum = np.concatenate(([0], np.cumsum(nonempty)))
+        pos_ne = cum[np.arange(len(flat))] - cum[offs[:-1]][rows] \
+            if len(flat) else np.zeros(0, dtype=np.int64)
+        anchor = np.full(n_docs, -1, dtype=np.int64)
+        if hit.any():
+            first = pd.Series(pos_ne[hit]).groupby(rows[hit]).min()
+            anchor[first.index.to_numpy()] = first.to_numpy()
+        flat_py = flat.to_pylist()
+        snips = []
+        for i in range(n_docs):
+            ws = [w for w in flat_py[offs[i]:offs[i + 1]] if w]
+            if not ws:
+                snips.append("")
+                continue
+            if anchor[i] < 0:
+                snips.append(" ".join(ws[:width]))
+                continue
+            a = int(anchor[i])
+            lo = max(0, a - before)
+            snips.append(" ".join(ws[lo:a + after + 1]))
+        return pa.table({
+            key: batch.column(key),
+            "snippet": pa.array(snips, pa.string()),
+            "matched": pa.array(anchor >= 0)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def readability_counts(ds: Any, col: str = "text",
                        key: str = "doc_id") -> Any:
     """Integer readability signals per document — the inputs to

@@ -93,3 +93,35 @@ def test_tfidf_topk(ray_session):
         want.astype({"tf": "int64", "df": "int64"}))
     # doc 3 (all rare terms) and doc 4 (empty) emit no rows
     assert set(got.doc_id) == {0, 1, 2}
+
+
+def test_snippets(ray_session):
+    """Window clamping at both ends, head fallback, case folding,
+    empty/null docs."""
+    import ray.data as rd
+    import pyarrow as pa
+    from swishray.ops.textstats import snippets
+
+    texts = [
+        "a b c TARGET d e f g",            # centered window
+        "TARGET x y z",                    # clamped at start
+        "p q r s t u v w target",          # clamped at end
+        "no hits here at all one two three four",  # head fallback
+        "",
+        None,
+        "one two Target early target late",  # first hit wins
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = snippets(rd.from_arrow(t).repartition(3),
+                   terms=["TARGET"], before=2, after=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0].snippet == "b c TARGET d e"
+    assert out.loc[1].snippet == "TARGET x y"
+    assert out.loc[2].snippet == "v w target"
+    assert out.loc[3].snippet == "no hits here at all"  # width 5 head
+    assert out.loc[4].snippet == "" and not out.loc[4].matched
+    assert out.loc[5].snippet == ""
+    assert out.loc[6].snippet == "one two Target early target"
+    assert list(out.matched) == [True, True, True, False,
+                                 False, False, True]
