@@ -2584,6 +2584,26 @@ def q_tfidf(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_bigram_rarity(sf_dir: str):
+    """Second-order CCNet signal: corpus bigram-frequency sums per
+    doc — catches incoherent word ORDER that unigram rarity misses.
+    Integer outputs, hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import bigram_rarity
+
+    out = bigram_rarity(_docs(sf_dir, ["doc_id", "text"]),
+                        min_count=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "bi_freq_sum": pc.cast(t.column("bi_freq_sum"),
+                                   pa.int64()),
+            "n_bigrams": pc.cast(t.column("n_bigrams"), pa.int64()),
+            "n_oov": pc.cast(t.column("n_oov"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_snippets(sf_dir: str):
     """Search-result snippets: word window around the first query-
     term hit (doc head when no hit) — the swish-e result-excerpt
@@ -3112,6 +3132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "readability": q_readability,
         "snippets": q_snippets,
+        "bigram_rarity": q_bigram_rarity,
         "tfidf": q_tfidf,
         "kmeans_sizes": q_kmeans,
         "semdedup": q_semdedup,
@@ -3975,6 +3996,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df FROM ("
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term) AS rn FROM s) WHERE rn <= 3"),
+        "bigram_rarity": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(coalesce(text, ''), ' +'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram "
+            "FROM w, unnest(range(1, len(ws))) AS t(i) "
+            "WHERE len(ws) >= 2), "
+            "v AS (SELECT bigram, count(*) AS n FROM b "
+            "GROUP BY bigram HAVING count(*) >= 2), "
+            "j AS (SELECT b.doc_id, v.n FROM b "
+            "LEFT JOIN v USING (bigram)), "
+            "agg AS (SELECT doc_id, "
+            "cast(coalesce(sum(n), 0) as bigint) AS bi_freq_sum, "
+            "cast(count(*) as bigint) AS n_bigrams, "
+            "cast(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) "
+            "as bigint) AS n_oov FROM j GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.bi_freq_sum, 0) AS "
+            "bi_freq_sum, coalesce(a.n_bigrams, 0) AS n_bigrams, "
+            "coalesce(a.n_oov, 0) AS n_oov "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"),
         "snippets": (
             "WITH w AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(coalesce(text, ''), '\\s+'), "

@@ -437,6 +437,122 @@ URL_QUERY_RE = r"\?(?P<m>[^#]*)"
 URL_SITE_RE = r"(?P<m>[^.]+\.[^.]+)$"
 
 
+def _doc_bigrams(batch: pa.Table, col: str):
+    """Vectorized within-doc adjacent word pairs: flatten the
+    whitespace words (the _WORDS_SQL universe, empties dropped),
+    shift by one, keep pairs that stay inside their document.
+    Returns (bigram large_string array, doc-row index array)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    txt = pc.coalesce(pc.cast(batch.column(col), pa.large_string()),
+                      "")
+    words = pc.split_pattern_regex(txt, " +")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    flat = words.flatten()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    # compact away empty tokens first so adjacency skips them (the
+    # SQL replay filters then windows, same order)
+    keep = np.flatnonzero(nonempty)
+    if len(keep) == 0:
+        return pa.array([], pa.large_string()), np.zeros(0, np.int64)
+    fw = flat.take(pa.array(keep))
+    fr = rows[keep]
+    same = fr[:-1] == fr[1:]
+    if not same.any():
+        return pa.array([], pa.large_string()), np.zeros(0, np.int64)
+    left = fw.slice(0, len(fw) - 1).filter(pa.array(same))
+    right = fw.slice(1).filter(pa.array(same))
+    bi = pc.binary_join_element_wise(
+        left, right, pa.scalar(" ", pa.large_string()))
+    return bi, fr[:-1][same]
+
+
+def bigram_rarity(ds: Any, col: str = "text", key: str = "doc_id",
+                  min_count: int = 2,
+                  max_vocab: int | None = 500_000) -> Any:
+    """CCNet-style conditional (bigram) LM quality signal — the
+    second-order companion of :func:`word_rarity`: per document, the
+    integer sum of corpus-wide bigram counts of its adjacent word
+    pairs (``bi_freq_sum``), the bigram count (``n_bigrams``) and how
+    many pairs fell below the vocabulary cut (``n_oov``). A document
+    of individually common but incoherently ordered words (shuffled
+    spam, keyword stuffing) scores low where the unigram signal
+    cannot see it.
+
+    Same scale shape as word_rarity: the bigram vocabulary is bounded
+    BY CONSTRUCTION (min_count + max_vocab), broadcasts once via
+    ``ray.put``, and membership is one vectorized ``pc.index_in`` per
+    batch — corpus text never rides a shuffle; the count exchange
+    carries (bigram, partial) rows with map-side combining."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import map_batches_stateful
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bi, _ = _doc_bigrams(batch, col)
+        vc = pd.Series(bi.to_pandas()).value_counts()
+        return pa.table({
+            "bigram": pa.array(vc.index, pa.large_string()),
+            "__n": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("__n", alias_name="n"))
+
+    def cut(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"),
+                                         int(min_count)))
+
+    counts = counts.map_batches(cut, batch_format="pyarrow")
+    if max_vocab is not None:
+        counts = counts.sort(["n", "bigram"],
+                             descending=[True, False]).limit(max_vocab)
+    vocab = pa.Table.from_pylist(counts.take_all())
+    if vocab.num_rows == 0:
+        vocab = pa.table({"bigram": pa.array([], pa.large_string()),
+                          "n": pa.array([], pa.int64())})
+    ref = ray.put((pc.cast(vocab.column("bigram"),
+                           pa.large_string()).combine_chunks(),
+                   vocab.column("n").to_numpy(zero_copy_only=False)
+                   .astype(np.int64)))
+
+    class Score:
+        def __init__(self, ref) -> None:
+            self.bigrams, self.counts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bi, brows = _doc_bigrams(batch, col)
+            n_docs = batch.num_rows
+            freq_sum = np.zeros(n_docs, dtype=np.int64)
+            n_bi = np.zeros(n_docs, dtype=np.int64)
+            n_oov = np.zeros(n_docs, dtype=np.int64)
+            if len(bi):
+                idx = pc.index_in(bi, value_set=self.bigrams) \
+                    .to_numpy(zero_copy_only=False)
+                hit = ~np.isnan(idx)
+                np.add.at(n_bi, brows, 1)
+                np.add.at(n_oov, brows[~hit], 1)
+                np.add.at(freq_sum, brows[hit],
+                          self.counts[idx[hit].astype(np.int64)])
+            return pa.table({
+                key: batch.column(key),
+                "bi_freq_sum": pa.array(freq_sum),
+                "n_bigrams": pa.array(n_bi),
+                "n_oov": pa.array(n_oov)})
+
+    return map_batches_stateful(
+        ds, Score, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", force_tasks=True)
+
+
 def url_parts(ds: Any, col: str = "url", key: str | None = None) -> Any:
     """Split URLs into (scheme, host, port, path, query) — fully
     vectorized RE2 extracts, host lowercased, registrable-domain-ish

@@ -125,3 +125,32 @@ def test_snippets(ray_session):
     assert out.loc[6].snippet == "one two Target early target"
     assert list(out.matched) == [True, True, True, False,
                                  False, False, True]
+
+
+def test_bigram_rarity(ray_session):
+    """Hand-computed bigram census: adjacency never crosses doc
+    boundaries, OOV pairs counted, zero-rows for short/empty docs."""
+    import ray.data as rd
+    import pyarrow as pa
+    from swishray.ops.textstats import bigram_rarity
+
+    texts = [
+        "a b a b",        # bigrams: ab, ba, ab
+        "a b c",          # ab, bc
+        "b a",            # ba
+        "x",              # none
+        "",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = bigram_rarity(rd.from_arrow(t).repartition(3),
+                        min_count=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # census: "a b" x3, "b a" x2, "b c" x1, boundary pairs (e.g.
+    # "b a" across doc 0->1) must NOT exist beyond within-doc ones
+    # vocab (min_count=2): {"a b": 3, "b a": 2}
+    assert list(out.n_bigrams) == [3, 2, 1, 0, 0, 0]
+    #  d0: ab(3) + ba(2) + ab(3) = 8; d1: ab(3) + bc OOV; d2: ba(2)
+    assert list(out.bi_freq_sum) == [8, 3, 2, 0, 0, 0]
+    assert list(out.n_oov) == [0, 1, 0, 0, 0, 0]
