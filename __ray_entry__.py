@@ -2584,6 +2584,37 @@ def q_tfidf(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_union_harmonized(sf_dir: str):
+    """UNION ALL BY NAME across drifted schemas (crawl generations:
+    a column added, an id widened int32->int64) — missing columns
+    arrive as typed nulls, pure map-side casts, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from swishray.ops.partitioning import union_harmonized
+
+    old = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int32()),
+            "text": t.column("text")}), batch_format="pyarrow")
+    new = _docs(sf_dir, ["doc_id", "text", "lang"])
+    u = union_harmonized(old, new)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang": pc.coalesce(pc.cast(t.column("lang"),
+                                        pa.string()), "?")})
+
+    agg = u.map_batches(shape, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "lang": pc.cast(t.column("lang"), pa.string()),
+            "n": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_bigram_rarity(sf_dir: str):
     """Second-order CCNet signal: corpus bigram-frequency sums per
     doc — catches incoherent word ORDER that unigram rarity misses.
@@ -3133,6 +3164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "snippets": q_snippets,
         "bigram_rarity": q_bigram_rarity,
+        "union_harmonized": q_union_harmonized,
         "tfidf": q_tfidf,
         "kmeans_sizes": q_kmeans,
         "semdedup": q_semdedup,
@@ -3996,6 +4028,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df FROM ("
             "SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, term) AS rn FROM s) WHERE rn <= 3"),
+        "union_harmonized": (
+            "SELECT coalesce(lang, '?') AS lang, "
+            "cast(count(*) as bigint) AS n FROM ("
+            "SELECT CAST(doc_id AS INTEGER) AS doc_id, text "
+            "FROM documents UNION ALL BY NAME "
+            "SELECT doc_id, text, lang FROM documents) "
+            "GROUP BY coalesce(lang, '?')"),
         "bigram_rarity": (
             "WITH w AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(coalesce(text, ''), ' +'), "

@@ -98,3 +98,71 @@ def docs_per_host(extracted: Any, salt_buckets: int = 16) -> Any:
     aggregate from the north_rule."""
     hosted = add_host(extracted)
     return salted_group_count(hosted, "host", salt_buckets)
+
+
+def union_schemas(schemas) -> "pa.Schema":
+    """Union-by-name schema with type widening: a column missing on
+    one side arrives as nulls; int widths widen (int32+int64 ->
+    int64), int+float -> float64, string/large_string ->
+    large_string, binary likewise; otherwise types must agree."""
+    order: list = []
+    types: dict = {}
+    for s in schemas:
+        for f in s:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.type
+            else:
+                types[f.name] = _widen(types[f.name], f.type, f.name)
+    return pa.schema([(n, types[n]) for n in order])
+
+
+def _widen(a: "pa.DataType", b: "pa.DataType", name: str):
+    if a == b:
+        return a
+    def is_str(t):
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+    def is_bin(t):
+        return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+    if pa.types.is_integer(a) and pa.types.is_integer(b):
+        return a if a.bit_width >= b.bit_width else b
+    if (pa.types.is_integer(a) or pa.types.is_floating(a)) and \
+            (pa.types.is_integer(b) or pa.types.is_floating(b)):
+        return pa.float64()
+    if is_str(a) and is_str(b):
+        return pa.large_string()
+    if is_bin(a) and is_bin(b):
+        return pa.large_binary()
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    raise TypeError(
+        f"column {name!r}: cannot harmonize {a} with {b}")
+
+
+def union_harmonized(*dss) -> "Any":
+    """UNION ALL BY NAME across datasets with drifted schemas — the
+    crawl-generations case (an old snapshot lacks a column a new one
+    added; an id column widened from int32 to int64). Missing columns
+    arrive as typed nulls, shared columns widen per
+    :func:`union_schemas`. Pure map-side casts + Dataset.union: no
+    shuffle, streaming-safe at any scale."""
+    schemas = [ds.schema() for ds in dss]
+    target = union_schemas(
+        pa.schema(list(zip(s.names, s.types))) for s in schemas)
+
+    def conform(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for f in target:
+            if f.name in t.column_names:
+                cols[f.name] = t.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        return pa.table(cols)
+
+    out = dss[0].map_batches(conform, batch_format="pyarrow")
+    for d in dss[1:]:
+        out = out.union(d.map_batches(conform, batch_format="pyarrow"))
+    return out

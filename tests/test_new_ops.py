@@ -644,3 +644,34 @@ def test_continuous_quantiles_all_identical(ray_session):
     out = continuous_quantiles(ds, "v", [0.1, 0.9], bins=16,
                                collect_cap=10).to_pylist()
     assert [r["value"] for r in out] == [7.5, 7.5]
+
+
+def test_union_harmonized(ray_session):
+    """By-name union with widening: int32+int64 -> int64, missing
+    column -> typed nulls, int+float -> float64; incompatible types
+    raise."""
+    import pytest
+    import ray.data as rd
+    from swishray.ops.partitioning import union_harmonized
+
+    a = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int32()),
+        "x": pa.array([1.5, 2.5], pa.float64())}))
+    b = rd.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "x": pa.array([7], pa.int64()),
+        "tag": pa.array(["new"], pa.string())}))
+    u = union_harmonized(a, b)
+    t = pa.Table.from_pylist(u.take_all())
+    df = u.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.id) == [1, 2, 3]
+    assert list(df.x) == [1.5, 2.5, 7.0]
+    assert list(df.tag)[:2] == [None, None] and df.tag[2] == "new"
+    sch = u.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["id"] == pa.int64()
+    assert types["x"] == pa.float64()
+
+    c = rd.from_arrow(pa.table({"id": pa.array(["s"], pa.string())}))
+    with pytest.raises(TypeError, match="harmonize"):
+        union_harmonized(a, c)
