@@ -2718,6 +2718,25 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_range_window(sf_dir: str):
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW, with the SQL ts-peer rule) — the
+    frame type ROWS windows can't express."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import analytic, range_sum
+
+    out = analytic(_events_iv(sf_dir), "user_id",
+                   ["ts", "event_id"],
+                   [range_sum("iv", "ts", 3600, out="iv_hour")])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "iv_hour": pc.cast(t.column("iv_hour"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_rank_salted(sf_dir: str):
     """Skew-proof RANK/DENSE_RANK: computed from the (partition,
     value, count) census — a billion-row partition ships its
@@ -3172,6 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_value": q_mode_value,
         "window_rank": q_window_rank,
         "rank_salted": q_rank_salted,
+        "range_window": q_range_window,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4092,6 +4112,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "range_window": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "cast(floor(value) as bigint) AS iv FROM events) "
+            "SELECT event_id, user_id, "
+            "cast(sum(iv) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT "
+            "ROW) as bigint) AS iv_hour FROM e"),
         "rank_salted": (
             "WITH e AS (SELECT event_id, event_type, "
             "cast(floor(value) as bigint) AS iv FROM events) "

@@ -80,6 +80,16 @@ def running_max(col: str, out: str | None = None) -> dict:
             "out": out or f"{col}_rmax"}
 
 
+def range_sum(col: str, ts: str, seconds: float,
+              out: str | None = None) -> dict:
+    """Time-RANGE window frame (SQL ``RANGE BETWEEN INTERVAL s
+    PRECEDING AND CURRENT ROW``): sum of ``col`` over rows whose
+    ``ts`` lies in ``[cur - seconds, cur]`` — including the current
+    row's ts-peers, per the SQL RANGE peer rule."""
+    return {"kind": "range_sum", "col": col, "ts": ts,
+            "n": float(seconds), "out": out or f"{col}_range"}
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -145,6 +155,23 @@ def _apply_specs(g: pd.DataFrame, order_cols: list, specs: list,
             g[out] = g[s["col"]].cumsum()
         elif kind == "running_max":
             g[out] = g[s["col"]].cummax()
+        elif kind == "range_sum":
+            # requires the sort to lead with the ts column
+            ts = g[s["ts"]].to_numpy()
+            tsi = ts.astype("datetime64[us]").astype(np.int64) \
+                if ts.dtype.kind == "M" else ts.astype(np.int64)
+            span = int(round(s["n"] * 1_000_000)) \
+                if ts.dtype.kind == "M" else int(s["n"])
+            v = g[s["col"]].to_numpy()
+            cum = np.concatenate(([0], np.cumsum(v)))
+            # RANGE frame: [cur - span, cur] INCLUDING ts-peers of
+            # the current row (the SQL peer rule)
+            hi = np.searchsorted(tsi, tsi, "right")
+            lo = np.searchsorted(tsi, tsi - span, "left")
+            res = cum[hi] - cum[lo]
+            if pd.api.types.is_integer_dtype(g[s["col"]].dtype):
+                res = res.astype(np.int64)
+            g[out] = res
         elif kind == "rolling_sum":
             v = g[s["col"]].rolling(s["n"], min_periods=1).sum()
             if pd.api.types.is_integer_dtype(g[s["col"]].dtype):

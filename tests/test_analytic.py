@@ -202,3 +202,30 @@ def test_salted_ops_empty_and_single_row(ray_session):
     s = running_sum_salted(one, "user_id", "ts", "iv",
                            tiebreak="event_id").take_all()
     assert len(s) == 1 and s[0]["rsum"] == 5
+
+
+def test_range_sum_window(ray_session):
+    """Time-RANGE frame vs a local O(n^2) replay, including ts-peer
+    inclusion (SQL RANGE peer rule) and exact boundary hits."""
+    import ray.data as rd
+    from swishray.ops.analytic import analytic, range_sum
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 10, 10, 30, 70, 70, 71, 200], unit="s")
+    t = pa.table({
+        "event_id": pa.array(np.arange(8, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(8, dtype=np.int64)),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "iv": pa.array([1, 2, 4, 8, 16, 32, 64, 128],
+                       type=pa.int64())})
+    out = analytic(rd.from_arrow(t).repartition(3), "user_id",
+                   ["ts", "event_id"],
+                   [range_sum("iv", "ts", 60)]).to_pandas() \
+        .sort_values("event_id")
+    tsec = ts.astype("int64") // 10**9
+    want = [sum(v for v2, tt in zip([1, 2, 4, 8, 16, 32, 64, 128],
+                                    tsec)
+                for v in [v2]
+                if tsec[i] - 60 <= tt <= tsec[i])
+            for i in range(8)]
+    assert list(out.iv_range) == want
