@@ -2718,6 +2718,43 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_interval_join(sf_dir: str):
+    """Both-sides-large interval overlap join via grid cells (the
+    shuffle complement of the broadcast range join): events.value
+    points against 500 synthesized [lo, lo+3] intervals, rolled up
+    per interval."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from swishray.ops.joins import interval_join_grid
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        lo = pc.cast(pc.multiply(pc.subtract(
+            d, pc.multiply(pc.divide(d, 48), 48)), 2), pa.float64())
+        return pa.table({
+            "interval_id": pc.cast(d, pa.int64()),
+            "lo": lo,
+            "hi": pc.add(lo, 3.0)})
+
+    iv = _docs(sf_dir, ["doc_id"]).map_batches(
+        mk_intervals, batch_format="pyarrow")
+    pairs = interval_join_grid(ev, iv, point_col="value",
+                               lo_col="lo", hi_col="hi", cell=4.0)
+    agg = pairs.groupby("interval_id_r").aggregate(
+        Count(alias_name="n_events"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "interval_id": pc.cast(t.column("interval_id_r"),
+                                   pa.int64()),
+            "n_events": pc.cast(t.column("n_events"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_range_window(sf_dir: str):
     """Time-RANGE window frame (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW, with the SQL ts-peer rule) — the
@@ -3192,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": q_window_rank,
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
+        "interval_join": q_interval_join,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4112,6 +4150,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "interval_join": (
+            "WITH i AS (SELECT doc_id AS interval_id, "
+            "CAST((doc_id % 48) * 2 AS DOUBLE) AS lo, "
+            "CAST((doc_id % 48) * 2 + 3 AS DOUBLE) AS hi "
+            "FROM documents) "
+            "SELECT i.interval_id, cast(count(*) as bigint) "
+            "AS n_events FROM events e JOIN i "
+            "ON e.value >= i.lo AND e.value <= i.hi "
+            "GROUP BY i.interval_id"),
         "range_window": (
             "WITH e AS (SELECT event_id, user_id, ts, "
             "cast(floor(value) as bigint) AS iv FROM events) "

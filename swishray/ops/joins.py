@@ -391,6 +391,57 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
     return joined.map_batches(restore_types, batch_format="pyarrow")
 
 
+def interval_join_grid(points: Any, intervals: Any, point_col: str,
+                       lo_col: str, hi_col: str,
+                       cell: float, num_buckets: int = 32) -> Any:
+    """Both-sides-LARGE interval overlap join (points ⋈ intervals on
+    ``lo <= v <= hi``) — the shuffle-partitioned complement of the
+    broadcast :func:`range_join_broadcast`.
+
+    Grid decomposition: a point lands in exactly ONE cell
+    (``floor(v / cell)``), an interval replicates to every cell it
+    overlaps (``span/cell + 1`` copies — pick ``cell`` near the
+    typical span so replication stays O(1)); the equi-join on the
+    cell id then finds every candidate pair exactly once (the
+    point's unique cell is covered once per overlapping interval),
+    so the residual ``lo <= v <= hi`` filter needs no dedup. The
+    same decomposition spatial engines use for range/box joins.
+    """
+    import numpy as np
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        v = t.column(point_col).to_numpy(zero_copy_only=False)
+        c = np.floor(v / cell).astype(np.int64)
+        return t.append_column("__cell", pa.array(c))
+
+    def explode_intervals(t: pa.Table) -> pa.Table:
+        lo = t.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = t.column(hi_col).to_numpy(zero_copy_only=False)
+        c0 = np.floor(lo / cell).astype(np.int64)
+        c1 = np.floor(hi / cell).astype(np.int64)
+        reps = np.maximum(c1 - c0 + 1, 0)
+        idx = np.repeat(np.arange(len(lo)), reps)
+        cells = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(c0, c1)
+             if b >= a]) if reps.sum() else np.zeros(0, np.int64)
+        out = t.take(pa.array(idx))
+        return out.append_column("__cell", pa.array(cells))
+
+    p = points.map_batches(tag_points, batch_format="pyarrow")
+    iv = intervals.map_batches(explode_intervals,
+                               batch_format="pyarrow")
+    joined = hash_join(p, iv, key="__cell",
+                       num_buckets=num_buckets, how="inner")
+
+    def residual(t: pa.Table) -> pa.Table:
+        v = t.column(point_col)
+        keep = pc.and_(pc.greater_equal(v, t.column(f"{lo_col}_r")),
+                       pc.less_equal(v, t.column(f"{hi_col}_r")))
+        return t.filter(keep).drop_columns(["__cell"])
+
+    return joined.map_batches(residual, batch_format="pyarrow")
+
+
 def asof_join(left: Any, right: Any, on: str, left_ts: str,
               right_ts: str, right_cols: list[str],
               right_tiebreak: str | None = None) -> Any:

@@ -82,3 +82,35 @@ def test_sort_by_string(ray_session):
     ds = rd.from_arrow(pa.table({"a": [1, 1, 2], "b": [5, 9, 1]}))
     rows = sort_by_string(ds, "a asc b desc").take_all()
     assert [(r["a"], r["b"]) for r in rows] == [(1, 9), (1, 5), (2, 1)]
+
+
+def test_interval_join_grid(ray_session):
+    """Grid-decomposed overlap join vs a local nested-loop replay —
+    boundary-exact (lo == v and v == hi included), intervals
+    spanning multiple cells matched once, no duplicates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.joins import interval_join_grid
+
+    rng = np.random.default_rng(8)
+    v = np.round(rng.uniform(0, 100, 300), 1)
+    pts = pa.table({"pid": pa.array(np.arange(300, dtype=np.int64)),
+                    "v": pa.array(v, pa.float64())})
+    lo = np.round(rng.uniform(0, 95, 40), 1)
+    span = rng.uniform(0.5, 12, 40)  # some spans >> cell
+    iv = pa.table({"iid": pa.array(np.arange(40, dtype=np.int64)),
+                   "lo": pa.array(lo, pa.float64()),
+                   "hi": pa.array(np.round(lo + span, 1),
+                                  pa.float64())})
+    out = interval_join_grid(
+        rd.from_arrow(pts).repartition(4),
+        rd.from_arrow(iv).repartition(3),
+        point_col="v", lo_col="lo", hi_col="hi", cell=4.0) \
+        .take_all()
+    got = sorted((r["pid"], r["iid_r"]) for r in out)
+    hi = iv.column("hi").to_numpy()
+    want = sorted((p, i) for p in range(300) for i in range(40)
+                  if lo[i] <= v[p] <= hi[i])
+    assert got == want
+    assert len(got) == len(set(got))  # exactly-once, no dup pairs
