@@ -2718,6 +2718,26 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_funnel(sf_dir: str):
+    """Clickstream funnel: users reaching view -> click -> purchase
+    as an ordered subsequence, per prefix step."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.windows import funnel_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type",
+                                  "event_id"])
+    out = funnel_counts(ev, steps=["view", "click", "purchase"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "step": pc.cast(t.column("step"), pa.int64()),
+            "step_name": pc.cast(t.column("step_name"), pa.string()),
+            "n_users": pc.cast(t.column("n_users"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_interval_join(sf_dir: str):
     """Both-sides-large interval overlap join via grid cells (the
     shuffle complement of the broadcast range join): events.value
@@ -3230,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
         "interval_join": q_interval_join,
+        "funnel": q_funnel,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4150,6 +4171,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "funnel": (
+            "WITH p AS (SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY event_id) AS path FROM events GROUP BY user_id) "
+            "SELECT 1 AS step, 'view' AS step_name, "
+            "cast(sum(CASE WHEN regexp_matches(path, "
+            "'(,|^)view(,|$)') THEN 1 ELSE 0 END) as bigint) "
+            "AS n_users FROM p UNION ALL "
+            "SELECT 2, 'click', cast(sum(CASE WHEN regexp_matches("
+            "path, '(,|^)view,(.*,)?click(,|$)') THEN 1 ELSE 0 END) "
+            "as bigint) FROM p UNION ALL "
+            "SELECT 3, 'purchase', cast(sum(CASE WHEN "
+            "regexp_matches(path, "
+            "'(,|^)view,(.*,)?click,(.*,)?purchase(,|$)') "
+            "THEN 1 ELSE 0 END) as bigint) FROM p"),
         "interval_join": (
             "WITH i AS (SELECT doc_id AS interval_id, "
             "CAST((doc_id % 48) * 2 AS DOUBLE) AS lo, "

@@ -113,6 +113,54 @@ def sessionize_salted(ds: Any, gap_seconds: int = 1800,
         merge_boundaries, batch_format="pandas")
 
 
+def funnel_counts(ds: Any, steps: list, user_col: str = "user_id",
+                  event_col: str = "event_type",
+                  order_col: str = "event_id") -> Any:
+    """Funnel analysis: how many users performed steps[0..k] as an
+    ordered (not necessarily adjacent) subsequence of their event
+    stream, for every prefix k. The classic product-analytics op,
+    built on the engine's own primitives: one collect_sorted per
+    user (the inherent value shuffle), then a vectorized RE2
+    subsequence probe per prefix — ``A,(.*,)?B`` over the
+    comma-joined path — and one tiny Sum aggregate.
+
+    Output: (step:int64 1-based, step_name, n_users)."""
+    import re as _re
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from swishray.ops.aggregates import collect_sorted
+    paths = collect_sorted(ds, group=user_col, col=event_col,
+                           sep=",", order=order_col, out="__path")
+
+    pats = []
+    for k in range(1, len(steps) + 1):
+        parts = [_re.escape(str(s)) for s in steps[:k]]
+        # each step matches a whole comma-delimited token, any
+        # number of tokens apart
+        body = r"(,|^)" + r",(.*,)?".join(parts) + r"(,|$)"
+        pats.append(body)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        p = batch.column("__path")
+        cols = {"step": pa.array(range(1, len(steps) + 1),
+                                 pa.int64()),
+                "step_name": pa.array([str(s) for s in steps],
+                                      pa.string())}
+        counts = []
+        for pat in pats:
+            m = pc.match_substring_regex(p, pat)
+            counts.append(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        cols["__n"] = pa.array(counts, pa.int64())
+        return pa.table(cols)
+
+    per_block = paths.map_batches(probe, batch_format="pyarrow")
+    agg = per_block.groupby(["step", "step_name"]).aggregate(
+        Sum("__n", alias_name="n_users"))
+    return agg
+
+
 def hopping_counts(ds: Any, width_s: int, slide_s: int,
                    ts_col: str = "ts",
                    keys: tuple = ("event_type",)) -> Any:

@@ -675,3 +675,32 @@ def test_union_harmonized(ray_session):
     c = rd.from_arrow(pa.table({"id": pa.array(["s"], pa.string())}))
     with pytest.raises(TypeError, match="harmonize"):
         union_harmonized(a, c)
+
+
+def test_funnel_counts(ray_session):
+    """Subsequence semantics: ordered, not adjacent; partial
+    prefixes counted; no credit for out-of-order steps; step names
+    never match as substrings of other event types."""
+    import ray.data as rd
+    from swishray.ops.windows import funnel_counts
+
+    rows = [
+        # u0: full funnel with noise between steps
+        (0, "A"), (0, "noise"), (0, "B"), (0, "x"), (0, "C"),
+        # u1: A then B only
+        (1, "A"), (1, "B"),
+        # u2: out of order (B before A, no later B)
+        (2, "B"), (2, "A"), (2, "C"),
+        # u3: substring trap: "AB" is not "A" or "B"
+        (3, "AB"), (3, "C"),
+        # u4: A only
+        (4, "A"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "event_id": pa.array(range(len(rows)), pa.int64())})
+    out = funnel_counts(rd.from_arrow(t).repartition(3),
+                        steps=["A", "B", "C"]).to_pandas() \
+        .sort_values("step")
+    assert list(out.n_users) == [4, 2, 1]  # A: u0,u1,u2,u4; A->B: u0,u1; A->B->C: u0
