@@ -2718,6 +2718,18 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_retention(sf_dir: str):
+    """Weekly cohort retention: distinct cohort members active k
+    weeks after their first week — all-slim exchanges, raw events
+    never shuffle."""
+    import ray.data as rd
+    from swishray.ops.windows import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return retention_cohorts(ev, unit="week")
+
+
 def q_funnel(sf_dir: str):
     """Clickstream funnel: users reaching view -> click -> purchase
     as an ordered subsequence, per prefix step."""
@@ -3251,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_window": q_range_window,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
+        "retention": q_retention,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4171,6 +4184,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "retention": (
+            "WITH up AS (SELECT DISTINCT user_id, "
+            "date_trunc('week', ts) AS p FROM events), "
+            "f AS (SELECT user_id, min(p) AS c FROM up "
+            "GROUP BY user_id), "
+            "t AS (SELECT f.c, CAST(date_diff('week', f.c, up.p) "
+            "AS BIGINT) AS off, up.user_id FROM up "
+            "JOIN f USING (user_id)) "
+            "SELECT c AS cohort_start, off AS period_offset, "
+            "cast(count(*) as bigint) AS n_users FROM t "
+            "GROUP BY c, off"),
         "funnel": (
             "WITH p AS (SELECT user_id, string_agg(event_type, ',' "
             "ORDER BY event_id) AS path FROM events GROUP BY user_id) "

@@ -161,6 +161,80 @@ def funnel_counts(ds: Any, steps: list, user_col: str = "user_id",
     return agg
 
 
+def retention_cohorts(ds: Any, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      unit: str = "week") -> Any:
+    """Cohort retention: users grouped by their FIRST-activity
+    period; for each (cohort, period-offset) the count of distinct
+    cohort members active in that period.
+
+    Scale shape: everything slim — the event stream reduces map-side
+    to distinct (user, period) pairs per batch, the first-period
+    table is one Min groupby over those pairs, the cohort attach is
+    a bucketed hash join of two (user, int) tables, and the final
+    count rides a distinct (cohort, offset, user) exchange (the
+    anchor_stats two-level pattern). Raw events never shuffle.
+
+    Output: (cohort_start: timestamp, period_offset: int64,
+    n_users: int64)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from .joins import hash_join
+
+    def periods(batch: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor_temporal(batch.column(ts_col),
+                                      unit=unit), pa.timestamp("us"))
+        t = pa.table({user_col: batch.column(user_col),
+                      "__p": pc.cast(w, pa.int64())})
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    up = ds.map_batches(periods, batch_format="pyarrow")
+    # map-side distinct above bounds this groupby's input to
+    # (users x periods); Min gives each user's cohort
+    first = up.groupby(user_col).aggregate(Min("__p", alias_name="__c"))
+
+    j = hash_join(up, first, key=user_col, how="inner")
+
+    def offsets(t: pa.Table) -> pa.Table:
+        p = t.column("__p").to_numpy(zero_copy_only=False)
+        c = t.column("__c_r").to_numpy(zero_copy_only=False)
+        us = 1_000_000
+        if unit == "week":
+            span = 7 * 86400 * us
+        elif unit == "day":
+            span = 86400 * us
+        else:
+            raise ValueError("unit must be 'week' or 'day'")
+        off = ((p - c) // span).astype(np.int64)
+        return pa.table({
+            "__c": pa.array(c),
+            "__off": pa.array(off),
+            user_col: t.column(user_col)})
+
+    tagged = j.map_batches(offsets, batch_format="pyarrow")
+    # two-level exact distinct (the anchor_stats pattern): the
+    # map-side drop_duplicates in `periods` is per-BATCH only, so a
+    # user active in one week across many batches still needs the
+    # first groupby to collapse to one row per (cohort, offset, user)
+    distinct = tagged.groupby(["__c", "__off", user_col]).aggregate(
+        Count(alias_name="__dup"))
+    agg = distinct.groupby(["__c", "__off"]).aggregate(
+        Count(alias_name="n_users"))
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_start": pc.cast(t.column("__c"),
+                                    pa.timestamp("us")),
+            "period_offset": pc.cast(t.column("__off"), pa.int64()),
+            "n_users": pc.cast(t.column("n_users"), pa.int64())})
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
 def hopping_counts(ds: Any, width_s: int, slide_s: int,
                    ts_col: str = "ts",
                    keys: tuple = ("event_type",)) -> Any:

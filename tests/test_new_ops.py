@@ -704,3 +704,28 @@ def test_funnel_counts(ray_session):
                         steps=["A", "B", "C"]).to_pandas() \
         .sort_values("step")
     assert list(out.n_users) == [4, 2, 1]  # A: u0,u1,u2,u4; A->B: u0,u1; A->B->C: u0
+
+
+def test_retention_cohorts(ray_session):
+    """Hand-built two-cohort stream: week-0 self-retention, gaps in
+    later weeks, a second cohort starting one week later."""
+    import ray.data as rd
+    from swishray.ops.windows import retention_cohorts
+
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    wk = pd.Timedelta(days=7)
+    rows = []
+    # users 0,1: first seen week 0; user 0 returns wk1+wk3, user 1 wk1
+    for u, weeks in [(0, [0, 1, 3]), (1, [0, 1]), (2, [1])]:
+        for w in weeks:
+            rows.append((u, base + w * wk + pd.Timedelta(hours=u)))
+            rows.append((u, base + w * wk + pd.Timedelta(hours=9)))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))})
+    out = retention_cohorts(rd.from_arrow(t).repartition(3)) \
+        .to_pandas()
+    got = {(r.cohort_start, r.period_offset): r.n_users
+           for r in out.itertuples()}
+    w0, w1 = base, base + wk
+    assert got == {(w0, 0): 2, (w0, 1): 2, (w0, 3): 1, (w1, 0): 1}
