@@ -3146,6 +3146,32 @@ def q_word_rarity(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_moments(sf_dir: str):
+    """Per-language length statistics (n / sum / mean / sample
+    variance / stddev) via exact int64 partial sums — the float
+    columns are bit-identical to the oracle because both sides
+    evaluate the same IEEE-double expression over the same exact
+    integer sums (see swishray/ops/stats.py)."""
+    import ray.data as rd
+    from swishray.ops.stats import group_moments
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return group_moments(ds, "lang", "n_chars")
+
+
+def q_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs line number
+    over lineitem, from exact integer partial sums (stats.py)."""
+    import ray.data as rd
+    from swishray.ops.stats import group_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_linenumber"])
+    return group_corr(ds, "l_returnflag", "l_quantity", "l_linenumber")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3264,6 +3290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "retention": q_retention,
+        "moments_by_lang": q_moments,
+        "corr_by_flag": q_corr,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4184,6 +4212,39 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "moments_by_lang": (
+            "WITH a AS (SELECT lang, COUNT(*) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sx, "
+            "CAST(SUM(n_chars*n_chars) AS BIGINT) AS sx2 "
+            "FROM documents GROUP BY lang) "
+            "SELECT lang, n, sx AS sum_x, "
+            "CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mean_x, "
+            "(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) AS var_x, "
+            "SQRT((CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) AS std_x "
+            "FROM a"),
+        "corr_by_flag": (
+            "WITH s AS (SELECT l_returnflag, "
+            "CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(l_linenumber AS BIGINT) AS y FROM lineitem), "
+            "a AS (SELECT l_returnflag, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, "
+            "CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x*y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x*x) AS BIGINT) AS sx2, "
+            "CAST(SUM(y*y) AS BIGINT) AS sy2 "
+            "FROM s GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / "
+            "(SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+            "SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
+            "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy "
+            "FROM a"),
         "retention": (
             "WITH up AS (SELECT DISTINCT user_id, "
             "date_trunc('week', ts) AS p FROM events), "

@@ -1,0 +1,142 @@
+"""Distributed second-moment statistics (variance / stddev /
+correlation) with EXACT integer partial sums.
+
+The reference's report layer stops at counts/sums/facets
+(/root/reference/src/libswish3/docinfo.c totals); a training-data
+pipeline also needs spread and association statistics over corpus
+signals (length distributions, quality-score vs length correlation).
+Naive distributed float accumulation is order-dependent — the same
+job gives different last-bits run to run, which breaks byte-level
+replay against a SQL oracle. These operators instead shuffle only
+EXACT int64 partial sums (n, Σx, Σx², Σxy) — associative and
+order-independent — then derive the float statistics in ONE fixed
+IEEE-double expression at the end, so results are bit-identical to
+an oracle that evaluates the same expression over the same exact
+sums.
+
+Scale: the exchange carries #groups × #blocks tiny rows (map-side
+combined); nothing holds more than a batch. Overflow guard: the
+final products are computed in float64 (n·Σx² can exceed int64 at
+10^12 rows; the exact int sums themselves are the caller's contract
+— int64 Σx² holds to ~3e18, i.e. values up to ~50k over 10^12
+rows)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _i64(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    if pa.types.is_integer(col.type):
+        return pc.cast(col, pa.int64())
+    # integral-valued doubles (e.g. TPC-H quantity) cast exactly;
+    # truly fractional inputs are the caller's responsibility
+    return pc.cast(col, pa.int64())
+
+
+def group_moments(ds: Any, group: str, col: str) -> Any:
+    """Per-group n / sum / mean / sample-variance / stddev of an
+    integer-valued column. One slim shuffle of exact int64 partial
+    sums; mean/var/std derived as
+        mean = sx / n
+        var  = (n·sx2 − sx·sx) / (n·(n−1))      (double ops)
+        std  = sqrt(var)
+    with every operand cast to double FIRST, so a SQL oracle using
+    the same expression over SUM()s reproduces the bits."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _i64(batch.column(col))
+        df = pa.table({group: batch.column(group), "__x": x}).to_pandas()
+        xs = df["__x"].to_numpy(np.int64)
+        df["__x2"] = xs * xs
+        agg = (df.groupby(group, sort=False)
+               .agg(n=("__x", "count"), sx=("__x", "sum"),
+                    sx2=("__x2", "sum")).reset_index())
+        return pa.table({
+            group: pa.array(agg[group]),
+            "n": pa.array(agg["n"], type=pa.int64()),
+            "sx": pa.array(agg["sx"], type=pa.int64()),
+            "sx2": pa.array(agg["sx2"], type=pa.int64()),
+        })
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sx2", alias_name="sx2")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy().astype(np.float64)
+        sx2 = batch.column("sx2").to_numpy().astype(np.float64)
+        mean = sx / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (n * sx2 - sx * sx) / (n * (n - 1.0))
+        var = np.where(n > 1, var, np.nan)
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "sum_x": batch.column("sx"),
+            "mean_x": pa.array(mean, type=pa.float64()),
+            "var_x": pa.array(var, type=pa.float64()),
+            "std_x": pa.array(np.sqrt(var), type=pa.float64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def group_corr(ds: Any, group: str, xcol: str, ycol: str) -> Any:
+    """Per-group Pearson correlation of two integer-valued columns
+    via exact int64 partial sums (n, Σx, Σy, Σxy, Σx², Σy²), final
+        r = (n·sxy − sx·sy) / (sqrt(n·sx2 − sx²)·sqrt(n·sy2 − sy²))
+    in fixed double order — SQL-replayable bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _i64(batch.column(xcol))
+        y = _i64(batch.column(ycol))
+        df = pa.table({group: batch.column(group),
+                       "__x": x, "__y": y}).to_pandas()
+        xs = df["__x"].to_numpy(np.int64)
+        ys = df["__y"].to_numpy(np.int64)
+        df["__xy"] = xs * ys
+        df["__x2"] = xs * xs
+        df["__y2"] = ys * ys
+        g = df.groupby(group, sort=False)
+        agg = g.agg(n=("__x", "count"), sx=("__x", "sum"),
+                    sy=("__y", "sum"), sxy=("__xy", "sum"),
+                    sx2=("__x2", "sum"), sy2=("__y2", "sum"))
+        agg = agg.reset_index()
+        cols = {group: pa.array(agg[group])}
+        for c in ("n", "sx", "sy", "sxy", "sx2", "sy2"):
+            cols[c] = pa.array(agg[c], type=pa.int64())
+        return pa.table(cols)
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxy",
+                                   "sx2", "sy2")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = {c: batch.column(c).to_numpy().astype(np.float64)
+             for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}
+        n, sx, sy = f["n"], f["sx"], f["sy"]
+        num = n * f["sxy"] - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            den = (np.sqrt(n * f["sx2"] - sx * sx)
+                   * np.sqrt(n * f["sy2"] - sy * sy))
+            r = num / den
+        r = np.where((n > 1) & (den > 0), r, np.nan)
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "corr_xy": pa.array(r, type=pa.float64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
