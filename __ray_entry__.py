@@ -3172,6 +3172,35 @@ def q_corr(sf_dir: str):
     return group_corr(ds, "l_returnflag", "l_quantity", "l_linenumber")
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over lineitem (returnflag, linestatus):
+    count + exact integer quantity sum at every prefix level plus
+    the grand total, computed in ONE pass with a map-side multi-level
+    partial (ops/aggregates.py grouping_sets)."""
+    import ray.data as rd
+    from swishray.ops.aggregates import rollup_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                            "l_quantity")
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE over orders (orderpriority, orderstatus):
+    all four grouping sets in one pass, exact int64 order counts
+    keyed by o_custkey sums."""
+    import ray.data as rd
+    from swishray.ops.aggregates import cube_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_custkey"])
+    return cube_aggregate(ds, ["o_orderpriority", "o_orderstatus"],
+                          "o_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3292,6 +3321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "moments_by_lang": q_moments,
         "corr_by_flag": q_corr,
+        "rollup_lineitem": q_rollup,
+        "cube_orders": q_cube,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4212,6 +4243,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "rollup_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) "
+            "AS grouping_id, COUNT(*) AS n, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_v "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+        "cube_orders": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) "
+            "AS grouping_id, COUNT(*) AS n, "
+            "CAST(SUM(o_custkey) AS BIGINT) AS sum_v "
+            "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"),
         "moments_by_lang": (
             "WITH a AS (SELECT lang, COUNT(*) AS n, "
             "CAST(SUM(n_chars) AS BIGINT) AS sx, "

@@ -755,3 +755,94 @@ def profile(ds: Any, columns: "list[str] | None" = None,
             [int(round(hll_estimate(merged[c]))) if n_rows else 0
              for c in cols], pa.int64()),
     })
+
+
+_ROLLUP_NULL = "\x02\x02rollup-null"
+
+
+def grouping_sets(ds: Any, sets: "list[list[str]]", keys: "list[str]",
+                  val_col: str) -> Any:
+    """GROUP BY GROUPING SETS over string keys with an exact int64
+    measure: count + sum per set, every set computed in the SAME
+    single pass. The map-side partial pre-aggregates each batch at
+    every requested set (so the exchange carries #blocks × Σ set
+    cardinalities slim rows, never raw rows), rolled-up key slots
+    ride the shuffle as a sentinel string (Ray groupby keys must be
+    non-null), and the finish pass restores NULL. `grouping_id`
+    follows the SQL convention: bit i set (from the RIGHT end of
+    `keys`) when keys[i] is rolled up in that row's set.
+
+    Scale: identical to a plain pre-aggregated groupby — the only
+    all-to-all is the tiny (keys..., grouping_id) exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    sets = [list(s) for s in sets]
+    for s in sets:
+        if any(k not in keys for k in s):
+            raise ValueError(f"grouping set {s} not within {keys}")
+
+    def gid(s: "list[str]") -> int:
+        g = 0
+        for i, k in enumerate(keys):
+            if k not in s:
+                g |= 1 << (len(keys) - 1 - i)
+        return g
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        cols["__v"] = pc.cast(batch.column(val_col), pa.int64())
+        df = pa.table(cols).to_pandas()
+        outs = []
+        for s in sets:
+            if s:
+                agg = (df.groupby(s, sort=False)["__v"]
+                       .agg(n="count", sv="sum").reset_index())
+            else:
+                agg = pd.DataFrame({
+                    "n": [len(df)], "sv": [int(df["__v"].sum())]})
+            for k in keys:
+                if k not in s:
+                    agg[k] = _ROLLUP_NULL
+            agg["grouping_id"] = gid(s)
+            outs.append(agg[keys + ["grouping_id", "n", "sv"]])
+        allr = pd.concat(outs, ignore_index=True)
+        out = {k: pa.array(allr[k], pa.string()) for k in keys}
+        out["grouping_id"] = pa.array(allr["grouping_id"], pa.int64())
+        out["n"] = pa.array(allr["n"], pa.int64())
+        out["sv"] = pa.array(allr["sv"], pa.int64())
+        return pa.table(out)
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys + ["grouping_id"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sv", alias_name="sum_v")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for k in keys:
+            c = batch.column(k)
+            mask = pc.equal(c, _ROLLUP_NULL)
+            cols[k] = pc.if_else(mask, pa.scalar(None, pa.string()), c)
+        for c in ("grouping_id", "n", "sum_v"):
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_aggregate(ds: Any, keys: "list[str]", val_col: str) -> Any:
+    """GROUP BY ROLLUP(keys...): every key prefix plus the grand
+    total, one pass (see grouping_sets)."""
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets(ds, sets, keys, val_col)
+
+
+def cube_aggregate(ds: Any, keys: "list[str]", val_col: str) -> Any:
+    """GROUP BY CUBE(keys...): all 2^k key subsets, one pass."""
+    from itertools import combinations
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets(ds, sets, keys, val_col)

@@ -77,3 +77,47 @@ def test_group_corr_matches_numpy(ray_session):
         assert out.g.iloc[i] == gg
         assert abs(out.corr_xy.iloc[i] - want) < 1e-12
         assert out.corr_xy.iloc[i] > 0.9
+
+
+def test_grouping_sets_rollup_cube(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from swishray.ops.aggregates import (rollup_aggregate,
+                                         cube_aggregate)
+
+    rng = np.random.default_rng(3)
+    a = rng.choice(["x", "y", "z"], 900)
+    b = rng.choice(["p", "q"], 900)
+    v = rng.integers(0, 50, 900)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b),
+                  "v": pa.array(v, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(6)
+
+    out = rollup_aggregate(ds, ["a", "b"], "v").to_pandas()
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    # level 0: (a, b)
+    fine = df.groupby(["a", "b"])["v"].agg(["count", "sum"])
+    for (aa, bb), r in fine.iterrows():
+        row = out[(out.a == aa) & (out.b == bb) &
+                  (out.grouping_id == 0)]
+        assert len(row) == 1
+        assert row.n.iloc[0] == r["count"]
+        assert row.sum_v.iloc[0] == r["sum"]
+    # level 1: (a), b rolled up -> NULL
+    lv1 = out[out.grouping_id == 1]
+    assert lv1.b.isna().all() and len(lv1) == 3
+    assert (lv1.set_index("a").n.sort_index().values ==
+            df.groupby("a").size().sort_index().values).all()
+    # grand total
+    tot = out[out.grouping_id == 3]
+    assert len(tot) == 1 and tot.n.iloc[0] == 900
+    assert tot.sum_v.iloc[0] == int(v.sum())
+    assert len(out) == len(fine) + 3 + 1
+
+    cube = cube_aggregate(ds, ["a", "b"], "v").to_pandas()
+    # adds grouping_id==2: (b) with a rolled up
+    lv2 = cube[cube.grouping_id == 2]
+    assert lv2.a.isna().all() and len(lv2) == 2
+    assert (lv2.set_index("b").sum_v.sort_index().values ==
+            df.groupby("b")["v"].sum().sort_index().values).all()
+    assert len(cube) == len(out) + 2
