@@ -3201,6 +3201,21 @@ def q_cube(sf_dir: str):
                           "o_custkey")
 
 
+def q_pivot(sf_dir: str):
+    """Pivot lineitem to a wide per-returnflag table with one exact
+    integer quantity-sum column per linestatus value; the column
+    universe is discovered in a slim first pass
+    (ops/aggregates.py pivot_table)."""
+    import ray.data as rd
+    from swishray.ops.aggregates import pivot_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return pivot_table(ds, "l_returnflag", "l_linestatus",
+                       "l_quantity")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3323,6 +3338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_by_flag": q_corr,
         "rollup_lineitem": q_rollup,
         "cube_orders": q_cube,
+        "pivot_lineitem": q_pivot,
         "window_lag": q_window_lag,
         "running_sum": q_running_sum,
         "running_sum_salted": q_running_sum_salted,
@@ -4243,6 +4259,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY iv DESC) AS rnk, "
             "dense_rank() OVER (PARTITION BY event_type "
             "ORDER BY iv DESC) AS drnk FROM e"),
+        "pivot_lineitem": (
+            "SELECT l_returnflag, "
+            "CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)) "
+            "FILTER (WHERE l_linestatus='F'), 0) AS BIGINT) AS F, "
+            "CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)) "
+            "FILTER (WHERE l_linestatus='O'), 0) AS BIGINT) AS O "
+            "FROM lineitem GROUP BY l_returnflag"),
         "rollup_lineitem": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) "

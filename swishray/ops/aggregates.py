@@ -846,3 +846,52 @@ def cube_aggregate(ds: Any, keys: "list[str]", val_col: str) -> Any:
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in combinations(keys, r)]
     return grouping_sets(ds, sets, keys, val_col)
+
+
+def pivot_table(ds: Any, row_key: str, col_key: str, val_col: str,
+                prefix: str = "") -> Any:
+    """Pivot to a wide table: one int64-exact (count-weighted) sum
+    column per DISTINCT col_key value. Two slim passes: (1) the
+    column universe — a (col_key) groupby whose result is the
+    bounded set of output columns (sorted for a deterministic
+    schema); (2) a map-side pre-aggregated (row, col, sum) exchange
+    followed by a per-row-group widening. Missing cells are 0, so a
+    SQL replay uses COALESCE(SUM(..) FILTER (..), 0).
+
+    Partitioning assumption: |distinct col_key| is a report-shaped
+    bound (≤ thousands) — it becomes the schema; rows are unbounded."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    universe = sorted(
+        r[col_key]
+        for r in ds.groupby(col_key).count().take_all())
+    names = [f"{prefix}{u}" for u in universe]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "__r": batch.column(row_key),
+            "__c": batch.column(col_key),
+            "__v": pc.cast(batch.column(val_col), pa.int64()),
+        }).to_pandas()
+        agg = (df.groupby(["__r", "__c"], sort=False)["__v"]
+               .sum().reset_index())
+        return pa.table({
+            "__r": pa.array(agg["__r"]),
+            "__c": pa.array(agg["__c"], pa.string()),
+            "sv": pa.array(agg["__v"], type=pa.int64()),
+        })
+
+    slim = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["__r", "__c"])
+            .aggregate(Sum("sv", alias_name="sv")))
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        by = dict(zip(g["__c"], g["sv"]))
+        out = {row_key: [g["__r"].iloc[0]]}
+        for u, nm in zip(universe, names):
+            out[nm] = [int(by.get(u, 0))]
+        return pd.DataFrame(out)
+
+    return slim.groupby("__r").map_groups(widen)

@@ -121,3 +121,31 @@ def test_grouping_sets_rollup_cube(ray_session):
     assert (lv2.set_index("b").sum_v.sort_index().values ==
             df.groupby("b")["v"].sum().sort_index().values).all()
     assert len(cube) == len(out) + 2
+
+
+def test_pivot_table(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from swishray.ops.aggregates import pivot_table
+
+    rng = np.random.default_rng(5)
+    r = rng.choice(["r1", "r2", "r3", "r4"], 700)
+    c = rng.choice(["A", "B", "C"], 700)
+    v = rng.integers(0, 9, 700)
+    # r4 never sees column C -> must still be 0, not missing
+    mask = ~((r == "r4") & (c == "C"))
+    r, c, v = r[mask], c[mask], v[mask]
+    t = pa.table({"r": pa.array(r), "c": pa.array(c),
+                  "v": pa.array(v, type=pa.int64())})
+    out = pivot_table(rd.from_arrow(t).repartition(5),
+                      "r", "c", "v").to_pandas() \
+        .sort_values("r").reset_index(drop=True)
+    assert list(out.columns) == ["r", "A", "B", "C"]
+    df = pd.DataFrame({"r": r, "c": c, "v": v})
+    want = df.pivot_table(index="r", columns="c", values="v",
+                          aggfunc="sum", fill_value=0)
+    for _, row in out.iterrows():
+        for col in ("A", "B", "C"):
+            w = want.loc[row.r][col] if col in want.columns else 0
+            assert row[col] == w
+    assert out[out.r == "r4"].C.iloc[0] == 0
