@@ -2718,6 +2718,36 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_window_dist(sf_dir: str):
+    """Distribution window functions per event_type: PERCENT_RANK +
+    CUME_DIST tying on the iv prefix (SQL peer rule), plus whole-
+    partition FIRST_VALUE/LAST_VALUE of the unique (iv desc,
+    event_id) order — double outputs are single-division expressions
+    so the SQL replay is bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.analytic import (analytic, cume_dist,
+                                       first_value, last_value,
+                                       percent_rank)
+
+    out = analytic(_events_iv(sf_dir), partition_by="event_type",
+                   order_by=[("iv", False), ("event_id", True)],
+                   specs=[percent_rank(), cume_dist(),
+                          first_value("event_id", "first_eid"),
+                          last_value("event_id", "last_eid")],
+                   rank_cols=["iv"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "iv": pc.cast(t.column("iv"), pa.int64()),
+            "prnk": pc.cast(t.column("prnk"), pa.float64()),
+            "cdist": pc.cast(t.column("cdist"), pa.float64()),
+            "first_eid": pc.cast(t.column("first_eid"), pa.int64()),
+            "last_eid": pc.cast(t.column("last_eid"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_retention(sf_dir: str):
     """Weekly cohort retention: distinct cohort members active k
     weeks after their first week — all-slim exchanges, raw events
@@ -3329,6 +3359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": q_session_paths,
         "mode_value": q_mode_value,
         "window_rank": q_window_rank,
+        "window_dist": q_window_dist,
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
         "interval_join": q_interval_join,
@@ -4311,6 +4342,19 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
             "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy "
             "FROM a"),
+        "window_dist": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "cast(floor(value) as bigint) AS iv FROM events) "
+            "SELECT event_id, event_type, iv, "
+            "percent_rank() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC) AS prnk, "
+            "cume_dist() OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC) AS cdist, "
+            "first_value(event_id) OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC, event_id) AS first_eid, "
+            "last_value(event_id) OVER (PARTITION BY event_type "
+            "ORDER BY iv DESC, event_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING) AS last_eid FROM e"),
         "retention": (
             "WITH up AS (SELECT DISTINCT user_id, "
             "date_trunc('week', ts) AS p FROM events), "

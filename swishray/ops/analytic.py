@@ -93,6 +93,31 @@ def range_sum(col: str, ts: str, seconds: float,
 # ---------------------------------------------------------------------------
 
 
+def percent_rank(out: str = "prnk") -> dict:
+    """(rank − 1) / (n − 1) as IEEE double; 0.0 for a 1-row
+    partition — the SQL PERCENT_RANK contract, bit-replayable."""
+    return {"kind": "percent_rank", "out": out}
+
+
+def cume_dist(out: str = "cdist") -> dict:
+    """#rows ≤ the current row's last ORDER-BY peer, over n — the
+    SQL CUME_DIST peer rule (ties share the group-end count)."""
+    return {"kind": "cume_dist", "out": out}
+
+
+def first_value(col: str, out: str | None = None) -> dict:
+    return {"kind": "first_value", "col": col,
+            "out": out or f"{col}_first"}
+
+
+def last_value(col: str, out: str | None = None) -> dict:
+    """Whole-partition last value (SQL LAST_VALUE with ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING — the useful frame,
+    not the default running one)."""
+    return {"kind": "last_value", "col": col,
+            "out": out or f"{col}_last"}
+
+
 def _order_key_frame(order_by: Sequence) -> tuple:
     """Normalise order_by into (cols, ascending) lists."""
     cols, asc = [], []
@@ -145,6 +170,22 @@ def _apply_specs(g: pd.DataFrame, order_cols: list, specs: list,
             g[out] = np.maximum.accumulate(r) if n else r
         elif kind == "dense_rank":
             g[out] = change_flags().cumsum().astype(np.int64)
+        elif kind == "percent_rank":
+            if n <= 1:
+                g[out] = np.zeros(n, dtype=np.float64)
+            else:
+                r = np.where(change_flags(), rn1(), 0)
+                r = np.maximum.accumulate(r)
+                g[out] = (r - 1).astype(np.float64) / np.float64(n - 1)
+        elif kind == "cume_dist":
+            grp = change_flags().cumsum()
+            ends = pd.Series(rn1()).groupby(grp).transform("max") \
+                .to_numpy()
+            g[out] = ends.astype(np.float64) / np.float64(n)
+        elif kind == "first_value":
+            g[out] = g[s["col"]].iloc[0] if n else g[s["col"]]
+        elif kind == "last_value":
+            g[out] = g[s["col"]].iloc[-1] if n else g[s["col"]]
         elif kind in ("lag", "lead"):
             src = g[s["col"]]
             if pd.api.types.is_integer_dtype(src.dtype):

@@ -149,3 +149,38 @@ def test_pivot_table(ray_session):
             w = want.loc[row.r][col] if col in want.columns else 0
             assert row[col] == w
     assert out[out.r == "r4"].C.iloc[0] == 0
+
+
+def test_distribution_windows(ray_session):
+    import ray.data as rd
+    from swishray.ops.analytic import (analytic, cume_dist,
+                                       first_value, last_value,
+                                       percent_rank)
+
+    # one partition, known ties: iv = [5,5,3,3,3,1]
+    t = pa.table({
+        "p": pa.array(["a"] * 6),
+        "eid": pa.array(range(6), type=pa.int64()),
+        "iv": pa.array([5, 5, 3, 3, 3, 1], type=pa.int64())})
+    out = analytic(rd.from_arrow(t).repartition(3), "p",
+                   [("iv", False), ("eid", True)],
+                   [percent_rank(), cume_dist(),
+                    first_value("eid", "f"), last_value("eid", "l")],
+                   rank_cols=["iv"]).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    # ranks on iv desc: [1,1,3,3,3,6] -> percent_rank = (r-1)/5
+    assert list(out.prnk) == [0.0, 0.0, 0.4, 0.4, 0.4, 1.0]
+    # peer-group ends: [2,2,5,5,5,6] / 6
+    assert list(out.cdist) == [2/6, 2/6, 5/6, 5/6, 5/6, 1.0]
+    assert (out.f == 0).all() and (out.l == 5).all()
+
+
+def test_percent_rank_single_row(ray_session):
+    import ray.data as rd
+    from swishray.ops.analytic import analytic, percent_rank
+
+    t = pa.table({"p": ["a"], "eid": pa.array([0], type=pa.int64()),
+                  "iv": pa.array([9], type=pa.int64())})
+    out = analytic(rd.from_arrow(t), "p", [("iv", False), "eid"],
+                   [percent_rank()], rank_cols=["iv"]).to_pandas()
+    assert out.prnk.iloc[0] == 0.0
