@@ -2718,6 +2718,42 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_entities(sf_dir: str):
+    """All-matches regex entity extraction (flat-map shape): emails
+    are injected deterministically from doc_id on BOTH engines (the
+    corpus has none naturally), docs with doc_id%3==0 get a second
+    address, so multi-match ordinals are exercised."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.textstats import PII_EMAIL_RE, extract_entities
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        ids = pc.cast(d, pa.string())
+        base = pc.binary_join_element_wise(
+            t.column("text"), pa.scalar(" contact user"), ids,
+            pa.scalar("@example.com now"), pa.scalar(""))
+        second = pc.binary_join_element_wise(
+            base, pa.scalar(" cc admin"), ids,
+            pa.scalar("@corp.example.org"), pa.scalar(""))
+        mod3 = pc.equal(pc.subtract(
+            d, pc.multiply(pc.divide(d, 3), 3)), 0)
+        return pa.table({"doc_id": d,
+                         "text": pc.if_else(mod3, second, base)})
+
+    aug = docs.map_batches(inject, batch_format="pyarrow")
+    out = extract_entities(aug, PII_EMAIL_RE, kind="email")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "kind": t.column("kind"),
+            "m": t.column("m"),
+            "entity": t.column("entity")}),
+        batch_format="pyarrow")
+
+
 def q_window_dist(sf_dir: str):
     """Distribution window functions per event_type: PERCENT_RANK +
     CUME_DIST tying on the iv prefix (SQL peer rule), plus whole-
@@ -3360,6 +3396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_value": q_mode_value,
         "window_rank": q_window_rank,
         "window_dist": q_window_dist,
+        "extract_entities": q_entities,
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
         "interval_join": q_interval_join,
@@ -4342,6 +4379,19 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
             "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy "
             "FROM a"),
+        "extract_entities": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com now' || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || "
+            "CAST(doc_id AS VARCHAR) || '@corp.example.org' "
+            "ELSE '' END AS text FROM documents), "
+            "u AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS entity, generate_subscripts(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'), 1) "
+            "AS m FROM aug) "
+            "SELECT doc_id, 'email' AS kind, CAST(m AS BIGINT) AS m, "
+            "entity FROM u"),
         "window_dist": (
             "WITH e AS (SELECT event_id, event_type, "
             "cast(floor(value) as bigint) AS iv FROM events) "

@@ -154,3 +154,20 @@ def test_bigram_rarity(ray_session):
     #  d0: ab(3) + ba(2) + ab(3) = 8; d1: ab(3) + bc OOV; d2: ba(2)
     assert list(out.bi_freq_sum) == [8, 3, 2, 0, 0, 0]
     assert list(out.n_oov) == [0, 1, 0, 0, 0, 0]
+
+
+def test_extract_entities(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from swishray.ops.textstats import PII_EMAIL_RE, extract_entities
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["write a@b.com then c@d.org ok", "no entities here",
+                 None]})
+    out = extract_entities(rd.from_arrow(t), PII_EMAIL_RE) \
+        .to_pandas().sort_values(["doc_id", "m"])
+    assert list(out.entity) == ["a@b.com", "c@d.org"]
+    assert list(out.m) == [1, 2]
+    assert list(out.doc_id) == [1, 1]
+    assert (out.kind == "entity").all()
