@@ -2718,6 +2718,38 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_histogram(sf_dir: str):
+    """Fixed-width 20-bin histogram of events.value over [0, 500]
+    with pinned bin formula (ops/stats.py histogram_fixed) — the
+    oracle writes the same double expression, not width_bucket."""
+    import ray.data as rd
+    from swishray.ops.stats import histogram_fixed
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value"])
+    return histogram_fixed(ev, "value", 0.0, 500.0, 20)
+
+
+def q_zscore(sf_dir: str):
+    """Per-language length outliers |z| > 1.5 — the exact-moment
+    table is broadcast via ray.put into a map-side filter; z is the
+    same fixed double expression on both engines so boundary rows
+    select identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.stats import zscore_outliers
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out = zscore_outliers(docs, "lang", "n_chars", threshold=1.5)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang": t.column("lang"),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "z": t.column("z")}),
+        batch_format="pyarrow")
+
+
 def q_entities(sf_dir: str):
     """All-matches regex entity extraction (flat-map shape): emails
     are injected deterministically from doc_id on BOTH engines (the
@@ -3397,6 +3429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": q_window_rank,
         "window_dist": q_window_dist,
         "extract_entities": q_entities,
+        "histogram_values": q_histogram,
+        "zscore_outliers": q_zscore,
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
         "interval_join": q_interval_join,
@@ -4379,6 +4413,26 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
             "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy "
             "FROM a"),
+        "histogram_values": (
+            "WITH b AS (SELECT CAST(LEAST(GREATEST(FLOOR("
+            "(value - 0.0) * 20.0 / (500.0 - 0.0)) + 1.0, 0.0), "
+            "21.0) AS BIGINT) AS bin FROM events) "
+            "SELECT bin, COUNT(*) AS n FROM b GROUP BY bin"),
+        "zscore_outliers": (
+            "WITH a AS (SELECT lang, COUNT(*) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sx, "
+            "CAST(SUM(n_chars*n_chars) AS BIGINT) AS sx2 "
+            "FROM documents GROUP BY lang), "
+            "m AS (SELECT lang, "
+            "CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mu, "
+            "SQRT((CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) AS sd "
+            "FROM a) "
+            "SELECT doc_id, lang, n_chars, "
+            "(CAST(n_chars AS DOUBLE)-mu)/sd AS z "
+            "FROM documents JOIN m USING (lang) "
+            "WHERE ABS((CAST(n_chars AS DOUBLE)-mu)/sd) > 1.5"),
         "extract_entities": (
             "WITH aug AS (SELECT doc_id, text || ' contact user' || "
             "CAST(doc_id AS VARCHAR) || '@example.com now' || "

@@ -140,3 +140,66 @@ def group_corr(ds: Any, group: str, xcol: str, ycol: str) -> Any:
         })
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def histogram_fixed(ds: Any, col: str, lo: float, hi: float,
+                    nbins: int) -> Any:
+    """Fixed-width histogram over a numeric column: bin index
+        floor((x − lo) · nbins / (hi − lo)) + 1
+    clamped to [0, nbins+1] (0 = underflow, nbins+1 = overflow), so
+    a SQL replay that writes the SAME double expression matches
+    bit-for-bit on boundary values (width_bucket's internal op order
+    is not guaranteed — we pin the formula instead). Map-side
+    partial counts; the exchange is ≤ nbins+2 rows per block."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    lo_f, hi_f, nb = float(lo), float(hi), int(nbins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        idx = np.floor((x - lo_f) * np.float64(nb)
+                       / (hi_f - lo_f)) + 1.0
+        idx = np.clip(idx, 0.0, np.float64(nb + 1)).astype(np.int64)
+        b, c = np.unique(idx, return_counts=True)
+        return pa.table({"bin": pa.array(b, type=pa.int64()),
+                         "n": pa.array(c, type=pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
+def zscore_outliers(ds: Any, group: str, col: str,
+                    threshold: float = 3.0) -> Any:
+    """Rows whose |x − mean| > t·std within their group — the
+    composition pattern: the tiny per-group moment table (exact
+    int64 sums, see group_moments) is collected once and broadcast
+    via ray.put into a pure map-side filter; the corpus itself never
+    shuffles. z is the same fixed double expression on both engines,
+    so even boundary rows select identically."""
+    import numpy as np
+    import ray
+
+    stats_rows = group_moments(ds, group, col).take_all()
+    mu = {r[group]: r["mean_x"] for r in stats_rows}
+    sd = {r[group]: r["std_x"] for r in stats_rows}
+    ref = ray.put((mu, sd))
+    t = float(threshold)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m, s = ray.get(ref)
+        g = batch.column(group).to_pylist()
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mus = np.array([m[v] for v in g], dtype=np.float64)
+        sds = np.array([s[v] for v in g], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - mus) / sds
+        keep = np.abs(z) > t
+        out = batch.filter(pa.array(keep))
+        return out.append_column(
+            "z", pa.array(z[keep], type=pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -184,3 +184,35 @@ def test_percent_rank_single_row(ray_session):
     out = analytic(rd.from_arrow(t), "p", [("iv", False), "eid"],
                    [percent_rank()], rank_cols=["iv"]).to_pandas()
     assert out.prnk.iloc[0] == 0.0
+
+
+def test_histogram_fixed(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import histogram_fixed
+
+    # boundary values land in the bin the pinned formula says:
+    # x=10 with lo=0,hi=100,n=10 -> floor(10*10/100)+1 = 2
+    t = pa.table({"v": pa.array(
+        [-5.0, 0.0, 9.999, 10.0, 55.0, 100.0, 250.0],
+        type=pa.float64())})
+    out = histogram_fixed(rd.from_arrow(t).repartition(3),
+                          "v", 0.0, 100.0, 10).to_pandas() \
+        .set_index("bin").n.to_dict()
+    assert out == {0: 1, 1: 2, 2: 1, 6: 1, 11: 2}
+    assert sum(out.values()) == 7
+
+
+def test_zscore_outliers(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import zscore_outliers
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(95, 105, 300)
+    x[7] = 100000  # the outlier
+    t = pa.table({"g": pa.array(["a"] * 300),
+                  "k": pa.array(range(300), type=pa.int64()),
+                  "x": pa.array(x, type=pa.int64())})
+    out = zscore_outliers(rd.from_arrow(t).repartition(4),
+                          "g", "x", threshold=3.0).to_pandas()
+    assert list(out.k) == [7]
+    assert out.z.iloc[0] > 10
