@@ -2718,6 +2718,18 @@ def q_window_rank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type via two slim
+    already-deduped exchanges (ops/aggregates.py
+    count_distinct_per_group) — raw events never shuffle."""
+    import ray.data as rd
+    from swishray.ops.aggregates import count_distinct_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return count_distinct_per_group(ev, "event_type", "user_id")
+
+
 def q_histogram(sf_dir: str):
     """Fixed-width 20-bin histogram of events.value over [0, 500]
     with pinned bin formula (ops/stats.py histogram_fixed) — the
@@ -3430,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dist": q_window_dist,
         "extract_entities": q_entities,
         "histogram_values": q_histogram,
+        "distinct_users": q_distinct_users,
         "zscore_outliers": q_zscore,
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
@@ -4413,6 +4426,9 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
             "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy "
             "FROM a"),
+        "distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS "
+            "n_distinct FROM events GROUP BY event_type"),
         "histogram_values": (
             "WITH b AS (SELECT CAST(LEAST(GREATEST(FLOOR("
             "(value - 0.0) * 20.0 / (500.0 - 0.0)) + 1.0, 0.0), "

@@ -895,3 +895,31 @@ def pivot_table(ds: Any, row_key: str, col_key: str, val_col: str,
         return pd.DataFrame(out)
 
     return slim.groupby("__r").map_groups(widen)
+
+
+def count_distinct_per_group(ds: Any, group: str, col: str) -> Any:
+    """EXACT COUNT(DISTINCT col) per group in two slim levels:
+    map-side per-batch dedup of (group, col) pairs, a (group, col)
+    groupby that globally dedups them, then a map-side count +
+    (group) Sum. Raw rows never shuffle — both exchanges carry
+    already-deduped slim pairs, so a hot group costs its distinct
+    set, not its row count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        return batch.select([group, col]).group_by(
+            [group, col]).aggregate([])
+
+    pairs = (ds.map_batches(dedup, batch_format="pyarrow")
+             .groupby([group, col]).count())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(group).aggregate([(col, "count")])
+        return pa.table({
+            group: agg.column(group),
+            "__n": pc.cast(agg.column(f"{col}_count"), pa.int64())})
+
+    return (pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby(group)
+            .aggregate(Sum("__n", alias_name="n_distinct")))

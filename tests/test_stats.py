@@ -216,3 +216,19 @@ def test_zscore_outliers(ray_session):
                           "g", "x", threshold=3.0).to_pandas()
     assert list(out.k) == [7]
     assert out.z.iloc[0] > 10
+
+
+def test_count_distinct_per_group(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import count_distinct_per_group
+
+    rng = np.random.default_rng(13)
+    g = rng.choice(["a", "b"], 2000)
+    v = rng.integers(0, 37, 2000)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, type=pa.int64())})
+    out = count_distinct_per_group(
+        rd.from_arrow(t).repartition(8), "g", "v").to_pandas() \
+        .set_index("g").n_distinct.to_dict()
+    import pandas as pd
+    want = pd.DataFrame({"g": g, "v": v}).groupby("g").v.nunique()
+    assert out == want.to_dict()
