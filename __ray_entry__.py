@@ -1004,6 +1004,16 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup(docs, threshold=0.5)
 
 
+def q_setsim_pairs(sf_dir: str):
+    """EXACT gram-set Jaccard self-join >= 0.8 via prefix filtering
+    (ops/dedup.py setsim_join) — the exact counterpart of
+    minhash_pairs: complete by the prefix-filter lemma, no LSH
+    recall caveat, same brute-force SQL oracle shape."""
+    from swishray.ops.dedup import setsim_join
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return setsim_join(docs, threshold=0.8)
+
+
 def q_dedup_cross(sf_dir: str):
     """Cross-corpus near-dup removal (dedup.dedup_against_corpus):
     docs with doc_id%5==0 play the prior-snapshot reference, the rest
@@ -3361,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join": q_left_join,
         "anti_join": q_anti_join,
         "minhash_pairs": q_minhash_pairs,
+        "setsim_pairs": q_setsim_pairs,
         "lang_id": q_lang_id,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -4726,6 +4737,31 @@ def oracle_sql() -> dict[str, str]:
             "  >= 0.5) "
             "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 "
             "AND doc_id NOT IN (SELECT doc_id FROM dirty)"),
+        "setsim_pairs": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+            "      AS gram"
+            "    FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "      AS t(i) WHERE len(ws) >= 3"
+            "    UNION ALL"
+            "    SELECT doc_id, array_to_string(ws, ' ') AS gram FROM d"
+            "    WHERE len(ws) BETWEEN 1 AND 2)"
+            "), gsz AS ("
+            "  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter"
+            "  FROM grams a JOIN grams b"
+            "    ON a.gram = b.gram AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT i.a AS a, i.b AS b, "
+            "CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter) AS jaccard "
+            "FROM inter i JOIN gsz ga ON ga.doc_id = i.a "
+            "JOIN gsz gb ON gb.doc_id = i.b "
+            "WHERE CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter) "
+            ">= 0.8"),
         "minhash_pairs": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

@@ -402,6 +402,108 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def attach_pair_sets(cand: Any, sets: Any, key: str, ktype) -> Any:
+    """Attach per-key binary set blobs to candidate pairs: (a, b) x
+    (key, __sh) -> (a, b, __sha, __shb) via two bucketed merges (the
+    hash_join shape inlined). Shared by minhash_dedup and
+    setsim_join.
+
+    Grouping is on a FIXED bucket count (not per key): each reduce
+    task runs one vectorized pandas merge over its bucket instead of
+    Ray invoking a Python function per key — the r2 per-group
+    invocation overhead was the measured cost at sf0.1, not bytes.
+    All copies of a pair (duplicated e.g. across LSH bands) hash to
+    the same a-bucket, so stage A's drop_duplicates is a GLOBAL pair
+    dedup for free. No column is ever null-padded (set rows carry
+    their own key in the unused slot), so int64 keys never pass
+    through float64/NaN (exact for keys > 2^53 too)."""
+    import pandas as pd
+    from .joins import _key_hash64, default_join_partitions
+    B = default_join_partitions()
+
+    def _bk(arr) -> pa.Array:
+        return pa.array((_key_hash64(arr) % np.uint64(B))
+                        .astype(np.int32))
+
+    def tag_pairs_a(batch: pa.Table) -> pa.Table:
+        a = batch.column("a")
+        return pa.table({
+            "a": a, "b": batch.column("b"),
+            "__sh": pa.array([b""] * batch.num_rows,
+                             type=pa.large_binary()),
+            "__bk": _bk(a),
+            "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    def tag_sets(side: str):
+        # set rows carry their key in BOTH slots (no null padding —
+        # see note above); column order matches the pair side exactly
+        # so the union concatenates under one schema
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column(key)
+            ones = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+            if side == "a":
+                return pa.table({
+                    "a": k, "b": k, "__sh": batch.column("__sh"),
+                    "__bk": _bk(k), "__is_set": ones})
+            return pa.table({
+                "a": k, "b": k,
+                "__sha": pa.array([b""] * batch.num_rows,
+                                  type=pa.large_binary()),
+                "__sh": batch.column("__sh"),
+                "__bk": _bk(k), "__is_set": ones})
+        return f
+
+    def merge_a(g: pd.DataFrame) -> pa.Table:
+        ps = g.loc[g["__is_set"] == 0, ["a", "b"]].drop_duplicates()
+        ss = g.loc[g["__is_set"] == 1, ["a", "__sh"]] \
+            .drop_duplicates(subset=["a"])
+        m = ps.merge(ss, on="a", how="inner")
+        # explicit Arrow types: pandas object-bytes would surface as
+        # 'binary' while every arrow stage emits 'large_binary', and
+        # the mixed schemas cost a unification pass per bundle (plus
+        # a worker warning per block)
+        return pa.table({
+            "a": pa.array(m["a"], type=ktype),
+            "b": pa.array(m["b"], type=ktype),
+            "__sha": pa.array(m["__sh"].tolist(),
+                              type=pa.large_binary())})
+
+    stage_a = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
+        .union(sets.map_batches(tag_sets("a"),
+                                     batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(merge_a, batch_format="pandas")
+
+    def tag_pairs_b(batch: pa.Table) -> pa.Table:
+        b = batch.column("b")
+        return pa.table({
+            "a": batch.column("a"), "b": b,
+            "__sha": batch.column("__sha"),
+            "__sh": pa.array([b""] * batch.num_rows,
+                             type=pa.large_binary()),
+            "__bk": _bk(b),
+            "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    def merge_b(g: pd.DataFrame) -> pa.Table:
+        ps = g.loc[g["__is_set"] == 0, ["a", "b", "__sha"]]
+        ss = g.loc[g["__is_set"] == 1, ["b", "__sh"]] \
+            .drop_duplicates(subset=["b"])
+        m = ps.merge(ss, on="b", how="inner")
+        return pa.table({
+            "a": pa.array(m["a"], type=ktype),
+            "b": pa.array(m["b"], type=ktype),
+            "__sha": pa.array(m["__sha"].tolist(),
+                              type=pa.large_binary()),
+            "__shb": pa.array(m["__sh"].tolist(),
+                              type=pa.large_binary())})
+
+    return stage_a.map_batches(tag_pairs_b, batch_format="pyarrow") \
+        .union(sets.map_batches(tag_sets("b"),
+                                     batch_format="pyarrow")) \
+        .groupby("__bk").map_groups(merge_b, batch_format="pandas")
+
+
 def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 3, seed: int = 42,
                   col: str = "text", key: str = "doc_id",
@@ -474,100 +576,7 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
 
     gram_sets = sets_src.map_batches(to_sets, batch_format="pyarrow")
 
-    # ---- attach: two bucketed merges (the hash_join shape inlined).
-    # Grouping is on a FIXED bucket count (not per key): each reduce
-    # task runs one vectorized pandas merge over its bucket instead of
-    # Ray invoking a Python function per key — the r2 per-group
-    # invocation overhead was the measured cost at sf0.1, not bytes.
-    # All copies of a pair (duplicated across LSH bands) hash to the
-    # same a-bucket, so stage A's drop_duplicates is a GLOBAL pair
-    # dedup for free. No column is ever null-padded (set rows carry
-    # their own key in the unused slot), so int64 keys never pass
-    # through float64/NaN (exact for keys > 2^53 too).
-    from .joins import _key_hash64, default_join_partitions
-    B = default_join_partitions()
-
-    def _bk(arr) -> pa.Array:
-        return pa.array((_key_hash64(arr) % np.uint64(B))
-                        .astype(np.int32))
-
-    def tag_pairs_a(batch: pa.Table) -> pa.Table:
-        a = batch.column("a")
-        return pa.table({
-            "a": a, "b": batch.column("b"),
-            "__sh": pa.array([b""] * batch.num_rows,
-                             type=pa.large_binary()),
-            "__bk": _bk(a),
-            "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
-        })
-
-    def tag_sets(side: str):
-        # set rows carry their key in BOTH slots (no null padding —
-        # see note above); column order matches the pair side exactly
-        # so the union concatenates under one schema
-        def f(batch: pa.Table) -> pa.Table:
-            k = batch.column(key)
-            ones = pa.array(np.ones(batch.num_rows, dtype=np.int8))
-            if side == "a":
-                return pa.table({
-                    "a": k, "b": k, "__sh": batch.column("__sh"),
-                    "__bk": _bk(k), "__is_set": ones})
-            return pa.table({
-                "a": k, "b": k,
-                "__sha": pa.array([b""] * batch.num_rows,
-                                  type=pa.large_binary()),
-                "__sh": batch.column("__sh"),
-                "__bk": _bk(k), "__is_set": ones})
-        return f
-
-    def merge_a(g: pd.DataFrame) -> pa.Table:
-        ps = g.loc[g["__is_set"] == 0, ["a", "b"]].drop_duplicates()
-        ss = g.loc[g["__is_set"] == 1, ["a", "__sh"]] \
-            .drop_duplicates(subset=["a"])
-        m = ps.merge(ss, on="a", how="inner")
-        # explicit Arrow types: pandas object-bytes would surface as
-        # 'binary' while every arrow stage emits 'large_binary', and
-        # the mixed schemas cost a unification pass per bundle (plus
-        # a worker warning per block)
-        return pa.table({
-            "a": pa.array(m["a"], type=ktype),
-            "b": pa.array(m["b"], type=ktype),
-            "__sha": pa.array(m["__sh"].tolist(),
-                              type=pa.large_binary())})
-
-    stage_a = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
-        .union(gram_sets.map_batches(tag_sets("a"),
-                                     batch_format="pyarrow")) \
-        .groupby("__bk").map_groups(merge_a, batch_format="pandas")
-
-    def tag_pairs_b(batch: pa.Table) -> pa.Table:
-        b = batch.column("b")
-        return pa.table({
-            "a": batch.column("a"), "b": b,
-            "__sha": batch.column("__sha"),
-            "__sh": pa.array([b""] * batch.num_rows,
-                             type=pa.large_binary()),
-            "__bk": _bk(b),
-            "__is_set": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
-        })
-
-    def merge_b(g: pd.DataFrame) -> pa.Table:
-        ps = g.loc[g["__is_set"] == 0, ["a", "b", "__sha"]]
-        ss = g.loc[g["__is_set"] == 1, ["b", "__sh"]] \
-            .drop_duplicates(subset=["b"])
-        m = ps.merge(ss, on="b", how="inner")
-        return pa.table({
-            "a": pa.array(m["a"], type=ktype),
-            "b": pa.array(m["b"], type=ktype),
-            "__sha": pa.array(m["__sha"].tolist(),
-                              type=pa.large_binary()),
-            "__shb": pa.array(m["__sh"].tolist(),
-                              type=pa.large_binary())})
-
-    attached = stage_a.map_batches(tag_pairs_b, batch_format="pyarrow") \
-        .union(gram_sets.map_batches(tag_sets("b"),
-                                     batch_format="pyarrow")) \
-        .groupby("__bk").map_groups(merge_b, batch_format="pandas")
+    attached = attach_pair_sets(cand, gram_sets, key, ktype)
 
     def verify_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -772,3 +781,141 @@ def dedup_against_corpus(new: Any, ref: Any, threshold: float = 0.8,
         return t.set_column(i, key, pc.cast(t.column(key), ktype))
 
     return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+# ---- exact set-similarity self-join (prefix filtering) ----------------
+
+def setsim_join(ds: Any, threshold: float = 0.8, shingle_k: int = 3,
+                col: str = "text", key: str = "doc_id",
+                n_buckets: int | None = None) -> Any:
+    """EXACT Jaccard self-join via prefix filtering (AllPairs/PPJoin
+    family, Bayardo et al. 2007; Chaudhuri et al. 2006) — the exact
+    counterpart of :func:`minhash_dedup`: returns EVERY pair with
+    gram-set Jaccard >= threshold, no LSH recall loss.
+
+    Candidate completeness: order each doc's unique gram-hash set by
+    (global gram frequency asc, hash asc) and keep the PREFIX of
+    length |x| - ceil(t·|x|) + 1 (ceil in exact rational arithmetic).
+    For J(x,y) >= t the overlap o >= ceil(t·|x|), so the smallest
+    common gram (in that total order) sits within BOTH prefixes — an
+    equi-join of prefix rows on the gram finds every qualifying pair.
+
+    Scale shape: the (key, gram, size) index is the only big
+    intermediate (materialized once — two consumers; spill-backed);
+    gram frequencies are a slim groupby; the prefix join buckets on
+    the gram so each reduce task runs one vectorized self-merge;
+    rare-first ordering is what keeps those buckets small (a bucket
+    blows up only if many docs' RAREST retained gram coincides —
+    i.e. a true near-dup cluster, which is output-sized anyway).
+    Verify reuses the minhash machinery: Bloom-pruned set blobs,
+    :func:`attach_pair_sets`, one vectorized exact Jaccard per pair.
+    Empty docs never pair (they emit no grams), matching the SQL
+    replay. Output: (a, b, jaccard)."""
+    import math
+    from fractions import Fraction
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from .joins import (_key_hash64, bloom_keys, bloom_semi_filter,
+                        default_join_partitions)
+
+    ktype = ds.schema().base_schema.field(key).type
+    t_frac = Fraction(str(threshold))
+    B = n_buckets or default_join_partitions()
+    src = ds.select_columns([key, col])
+
+    def rows_f(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pylist()
+        ks, ws, szs = [], [], []
+        for kk, tt in zip(keys, batch.column(col).to_pylist()):
+            h = np.unique(gram_hashes(tt or "", shingle_k))
+            if not len(h):
+                continue
+            ks.extend([kk] * len(h))
+            ws.append(h)
+            szs.extend([len(h)] * len(h))
+        w = (np.concatenate(ws) if ws
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            key: pa.array(ks, type=ktype),
+            # int64 view: Ray 2.49 pickles uint64 groupby keys
+            "w": pa.array(w.view(np.int64)),
+            "size": pa.array(szs, type=pa.int64())})
+
+    rows = src.map_batches(rows_f, batch_format="pyarrow") \
+        .materialize()
+
+    freq = rows.groupby("w").count().map_batches(
+        lambda t: pa.table({"w": t.column("w"),
+                            "gfreq": t.column("count()")}),
+        batch_format="pyarrow")
+
+    from .joins import hash_join
+    ranked = hash_join(rows, freq, key="w", num_buckets=B)
+    freq_col = ("gfreq_r" if "gfreq_r" in ranked.schema().names
+                else "gfreq")
+
+    def bucket_by_key(batch: pa.Table) -> pa.Table:
+        bk = pa.array((_key_hash64(batch.column(key))
+                       % np.uint64(B)).astype(np.int32))
+        return batch.append_column("__bk", bk)
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, freq_col, "w"])
+        pos = g.groupby(key, sort=False).cumcount().to_numpy()
+        sizes = g["size"].to_numpy()
+        plen = {s: s - int(math.ceil(t_frac * s)) + 1
+                for s in np.unique(sizes)}
+        keep = pos < np.array([plen[s] for s in sizes])
+        return g.loc[keep, [key, "w", "size"]]
+
+    pref = ranked.map_batches(bucket_by_key, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(prefix, batch_format="pandas")
+
+    def bucket_by_w(batch: pa.Table) -> pa.Table:
+        bk = pa.array((batch.column("w").to_numpy()
+                       .view(np.uint64) % np.uint64(B))
+                      .astype(np.int32))
+        return batch.append_column("__bk", bk)
+
+    def pair_up(g: pd.DataFrame) -> pa.Table:
+        df = g[[key, "w"]]
+        m = df.merge(df, on="w", suffixes=("_a", "_b"))
+        m = m[m[f"{key}_a"] < m[f"{key}_b"]]
+        m = m.drop_duplicates(subset=[f"{key}_a", f"{key}_b"])
+        return pa.table({
+            "a": pa.array(m[f"{key}_a"], type=ktype),
+            "b": pa.array(m[f"{key}_b"], type=ktype)})
+
+    cand = pref.map_batches(bucket_by_w, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(pair_up, batch_format="pandas") \
+        .repartition(B).materialize()
+
+    mask_ref = bloom_keys(cand, ["a", "b"])
+    sets_src = bloom_semi_filter(src, mask_ref, key)
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        sets = [np.unique(gram_hashes(t or "", shingle_k)).tobytes()
+                for t in batch.column(col).to_pylist()]
+        return pa.table({
+            key: batch.column(key),
+            "__sh": pa.array(sets, type=pa.large_binary())})
+
+    blobs = sets_src.map_batches(to_sets, batch_format="pyarrow")
+    attached = attach_pair_sets(cand, blobs, key, ktype)
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        sha = batch.column("__sha").to_pylist()
+        shb = batch.column("__shb").to_pylist()
+        js = np.empty(len(sha), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(sha, shb)):
+            js[i] = hashed_jaccard(
+                np.frombuffer(x or b"", dtype=np.uint64),
+                np.frombuffer(y or b"", dtype=np.uint64))
+        out = pa.table({
+            "a": pc.cast(batch.column("a"), ktype),
+            "b": pc.cast(batch.column("b"), ktype),
+            "jaccard": pa.array(js, type=pa.float64())})
+        return out.filter(pa.array(js >= threshold))
+
+    return attached.map_batches(verify_batch, batch_format="pyarrow")

@@ -231,3 +231,62 @@ def test_dedup_against_corpus(ray_session):
                    dedup_against_corpus(clean, ref, threshold=0.5)
                    .take_all())
     assert kept2 == [7, 8]
+
+
+def test_setsim_join_complete_vs_bruteforce(ray_session):
+    """Prefix filtering must find EVERY pair >= t (completeness is
+    the whole contract) on adversarial size mixes: identical docs,
+    supersets, borderline J, shorts, empties."""
+    import itertools
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.dedup import (gram_hashes, hashed_jaccard,
+                                    setsim_join)
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    base = " ".join(rng.choice(vocab, 40))
+    texts.append(base)
+    texts.append(base)                       # identical
+    texts.append(base + " extra tail words here")  # superset
+    texts.append(" ".join(base.split()[:30]))      # truncation
+    texts.append("one two")                        # short (<k)
+    texts.append("one two")                        # short dup
+    texts.append("")                               # empty
+    for _ in range(24):                            # random chaff
+        texts.append(" ".join(rng.choice(vocab, rng.integers(5, 50))))
+    t = pa.table({"doc_id": pa.array(range(len(texts)),
+                                     type=pa.int64()),
+                  "text": texts})
+    out = setsim_join(rd.from_arrow(t).repartition(5),
+                      threshold=0.6).to_pandas()
+    got = {(a, b) for a, b in zip(out.a, out.b)}
+    want = {}
+    sets = [np.unique(gram_hashes(x, 3)) for x in texts]
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        if len(sets[i]) == 0 or len(sets[j]) == 0:
+            continue  # empty docs never pair (matches SQL)
+        jac = hashed_jaccard(sets[i], sets[j])
+        if jac >= 0.6:
+            want[(i, j)] = jac
+    assert got == set(want)
+    for _, r in out.iterrows():
+        assert abs(r.jaccard - want[(r.a, r.b)]) < 1e-15
+
+
+def test_setsim_join_string_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.dedup import setsim_join
+
+    t = pa.table({"url": ["u/a", "u/b", "u/c"],
+                  "text": ["alpha beta gamma delta one",
+                           "alpha beta gamma delta one",
+                           "nothing in common at all"]})
+    out = setsim_join(rd.from_arrow(t), threshold=0.9, col="text",
+                      key="url").to_pandas()
+    assert len(out) == 1
+    assert (out.a.iloc[0], out.b.iloc[0]) == ("u/a", "u/b")
+    assert out.jaccard.iloc[0] == 1.0
