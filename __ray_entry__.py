@@ -2740,6 +2740,122 @@ def q_distinct_users(sf_dir: str):
     return count_distinct_per_group(ev, "event_type", "user_id")
 
 
+def q_intersect(sf_dir: str):
+    """SQL INTERSECT: distinct customer keys that actually placed
+    orders (both sides deduped map-side, one slim flag groupby)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.aggregates import intersect_distinct
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    return intersect_distinct(cust, orders, ["c_custkey"])
+
+
+def q_except(sf_dir: str):
+    """SQL EXCEPT: customers with no big-ticket order (every
+    customer has SOME order in this corpus, so the right side is
+    restricted to totalprice > 450000 to keep the result non-empty)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.aggregates import except_distinct
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def big(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("o_totalprice"), 450000.0)
+        return pa.table({"c_custkey": t.column("o_custkey")})             .filter(keep)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"])         .map_batches(big, batch_format="pyarrow")
+    return except_distinct(cust, orders, ["c_custkey"])
+
+
+def q_gap_fill(sf_dir: str):
+    """Daily event counts per type with zero-filled gaps between each
+    type's first and last day (ops/aggregates.py gap_fill_counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.aggregates import gap_fill_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    out = gap_fill_counts(ev, "event_type", "ts", unit="day")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "period": pc.cast(t.column("period"), pa.timestamp("us")),
+            "n": pc.cast(t.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_unnest(sf_dir: str):
+    """Explode the embedding list column to (vec_id, index, value)
+    rows via the Arrow list offsets — zero per-row Python
+    (ops/textstats.py unnest_list); capped to vec_id < 50 to keep
+    the replay row count sane."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.textstats import unnest_list
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id < 50")
+    out = unnest_list(emb, "embedding", "vec_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "i": t.column("i"),
+            "val": pc.cast(t.column("val"), pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_full_outer(sf_dir: str):
+    """FULL OUTER hash join: even-keyed customers x per-customer
+    order counts — right-only rows (odd-key customers' orders) keep
+    null segments, order-less customers keep null counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from swishray.ops.joins import hash_join
+
+    def evens(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey")
+        keep = pc.equal(pc.subtract(
+            k, pc.multiply(pc.divide(k, 2), 2)), 0)
+        return pa.table({"custkey": k,
+                         "segment": t.column("c_mktsegment")}) \
+            .filter(keep)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(evens, batch_format="pyarrow")
+    ocnt = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"]) \
+        .groupby("o_custkey").count().map_batches(
+        lambda t: pa.table({
+            "custkey": t.column("o_custkey"),
+            "n_orders": pc.cast(t.column("count()"), pa.int64())}),
+        batch_format="pyarrow")
+    j = hash_join(cust, ocnt, "custkey", how="outer")
+    return j.map_batches(
+        lambda t: pa.table({
+            "custkey": pc.cast(t.column("custkey"), pa.int64()),
+            "segment": pc.cast(t.column("segment"), pa.string()),
+            "n_orders": pc.cast(t.column("n_orders_r"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_histogram(sf_dir: str):
     """Fixed-width 20-bin histogram of events.value over [0, 500]
     with pinned bin formula (ops/stats.py histogram_fixed) — the
@@ -3454,6 +3570,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": q_entities,
         "histogram_values": q_histogram,
         "distinct_users": q_distinct_users,
+        "intersect_keys": q_intersect,
+        "except_keys": q_except,
+        "gap_fill_daily": q_gap_fill,
+        "unnest_embeddings": q_unnest,
+        "full_outer_join": q_full_outer,
         "zscore_outliers": q_zscore,
         "rank_salted": q_rank_salted,
         "range_window": q_range_window,
@@ -4437,6 +4558,37 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
             "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy "
             "FROM a"),
+        "intersect_keys": (
+            "SELECT c_custkey FROM customer "
+            "INTERSECT SELECT o_custkey AS c_custkey FROM orders"),
+        "except_keys": (
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT o_custkey AS c_custkey FROM orders "
+            "WHERE o_totalprice > 450000.0"),
+        "gap_fill_daily": (
+            "WITH c AS (SELECT event_type, CAST(date_trunc('day', ts)"
+            " AS TIMESTAMP) AS period, count(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT event_type, min(period) AS lo, "
+            "max(period) AS hi FROM c GROUP BY 1), "
+            "g AS (SELECT event_type, unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS period FROM s) "
+            "SELECT g.event_type, g.period, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS n FROM g "
+            "LEFT JOIN c ON g.event_type = c.event_type "
+            "AND g.period = c.period"),
+        "unnest_embeddings": (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) "
+            "AS BIGINT) AS i, CAST(unnest(embedding) AS DOUBLE) "
+            "AS val FROM embeddings WHERE vec_id < 50"),
+        "full_outer_join": (
+            "WITH c AS (SELECT c_custkey AS custkey, c_mktsegment "
+            "AS segment FROM customer WHERE c_custkey % 2 = 0), "
+            "o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY 1) "
+            "SELECT COALESCE(c.custkey, o.custkey) AS custkey, "
+            "c.segment, o.n_orders "
+            "FROM c FULL OUTER JOIN o ON c.custkey = o.custkey"),
         "distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS "
             "n_distinct FROM events GROUP BY event_type"),

@@ -923,3 +923,93 @@ def count_distinct_per_group(ds: Any, group: str, col: str) -> Any:
     return (pairs.map_batches(partial, batch_format="pyarrow")
             .groupby(group)
             .aggregate(Sum("__n", alias_name="n_distinct")))
+
+
+def _flagged_distinct(ds_l: Any, ds_r: Any, cols: "list[str]") -> Any:
+    """(cols…, in_l, in_r) presence flags per DISTINCT tuple: both
+    sides are deduped map-side first, so the single groupby exchange
+    carries at most #blocks copies of each distinct tuple, never raw
+    row counts. Shared by intersect/except."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            d = batch.select(cols).group_by(cols).aggregate([])
+            n = d.num_rows
+            one = pa.array([1] * n, type=pa.int64())
+            zero = pa.array([0] * n, type=pa.int64())
+            return pa.table({**{c: d.column(c) for c in cols},
+                             "__l": one if side == "l" else zero,
+                             "__r": one if side == "r" else zero})
+        return f
+
+    both = ds_l.map_batches(tag("l"), batch_format="pyarrow").union(
+        ds_r.map_batches(tag("r"), batch_format="pyarrow"))
+    return both.groupby(cols).aggregate(
+        Max("__l", alias_name="in_l"), Max("__r", alias_name="in_r"))
+
+
+def _flag_filter(flagged: Any, cols: "list[str]", want_r: int) -> Any:
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch.column("in_l"), 1),
+                       pc.equal(batch.column("in_r"), want_r))
+        return batch.filter(keep).select(cols)
+
+    return flagged.map_batches(f, batch_format="pyarrow")
+
+
+def intersect_distinct(ds_l: Any, ds_r: Any, cols: "list[str]") -> Any:
+    """SQL INTERSECT (distinct tuples present on BOTH sides)."""
+    return _flag_filter(_flagged_distinct(ds_l, ds_r, cols), cols, 1)
+
+
+def except_distinct(ds_l: Any, ds_r: Any, cols: "list[str]") -> Any:
+    """SQL EXCEPT (distinct left tuples absent from the right)."""
+    return _flag_filter(_flagged_distinct(ds_l, ds_r, cols), cols, 0)
+
+
+def gap_fill_counts(ds: Any, group: str, ts_col: str,
+                    unit: str = "day") -> Any:
+    """Per-group period counts with ZERO-FILLED gaps between each
+    group's first and last period — the time-series resample shape.
+    The raw stream is reduced map-side to (group, period, n) partial
+    counts; after the slim groupby, each group's dense period range
+    is regenerated inside one per-group task (periods-per-group is
+    the documented bound — days × years, not rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    step = {"day": 86_400_000_000, "hour": 3_600_000_000,
+            "minute": 60_000_000}[unit]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = pc.floor_temporal(batch.column(ts_col), unit=unit)
+        df = pa.table({group: batch.column(group),
+                       "__p": pc.cast(p, pa.int64())}).to_pandas()
+        agg = (df.groupby([group, "__p"], sort=False).size()
+               .reset_index(name="__n"))
+        return pa.table({
+            group: pa.array(agg[group]),
+            "__p": pa.array(agg["__p"], type=pa.int64()),
+            "__n": pa.array(agg["__n"], type=pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group, "__p"])
+              .aggregate(Sum("__n", alias_name="n")))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = g["__p"].min(), g["__p"].max()
+        full = np.arange(lo, hi + step, step, dtype=np.int64)
+        have = dict(zip(g["__p"], g["n"]))
+        return pd.DataFrame({
+            group: [g[group].iloc[0]] * len(full),
+            "period": pd.to_datetime(full, unit="us"),
+            "n": np.array([have.get(p, 0) for p in full],
+                          dtype=np.int64)})
+
+    return counts.groupby(group).map_groups(fill)

@@ -1159,3 +1159,28 @@ def extract_entities(ds: Any, pattern: str, col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def unnest_list(ds: Any, col: str, key: str,
+                idx_out: str = "i", val_out: str = "val") -> Any:
+    """Explode a list column to (key, 1-based index, element) rows —
+    pure vectorized map-side flatten via the Arrow list OFFSETS (no
+    per-row Python): the standard bridge from nested payloads
+    (embeddings, token lists) to row-shaped operators."""
+    import numpy as np
+
+    def f(batch: pa.Table) -> pa.Table:
+        lc = batch.column(col)
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        offs = lc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        idx = np.arange(offs[-1], dtype=np.int64) - offs[rows] + 1
+        keys = batch.column(key).take(pa.array(rows))
+        return pa.table({key: keys,
+                         idx_out: pa.array(idx, type=pa.int64()),
+                         val_out: lc.flatten()})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -232,3 +232,52 @@ def test_count_distinct_per_group(ray_session):
     import pandas as pd
     want = pd.DataFrame({"g": g, "v": v}).groupby("g").v.nunique()
     assert out == want.to_dict()
+
+
+def test_set_ops(ray_session):
+    import ray.data as rd
+    from swishray.ops.aggregates import (except_distinct,
+                                         intersect_distinct)
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 4],
+                                              type=pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 4, 4, 5],
+                                              type=pa.int64())}))
+    inter = sorted(intersect_distinct(l, r, ["k"]).to_pandas().k)
+    assert inter == [2, 4]
+    exc = sorted(except_distinct(l, r, ["k"]).to_pandas().k)
+    assert exc == [1, 3]
+
+
+def test_gap_fill_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from swishray.ops.aggregates import gap_fill_counts
+
+    ts = pd.to_datetime(["2024-01-01 05:00", "2024-01-01 07:00",
+                         "2024-01-04 01:00",  # 2-day gap for g1
+                         "2024-02-01 00:00"])  # g2 single day
+    t = pa.table({"g": ["g1", "g1", "g1", "g2"],
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = gap_fill_counts(rd.from_arrow(t).repartition(2),
+                          "g", "ts", unit="day").to_pandas() \
+        .sort_values(["g", "period"]).reset_index(drop=True)
+    g1 = out[out.g == "g1"]
+    assert len(g1) == 4  # Jan 1,2,3,4 — gaps zero-filled
+    assert list(g1.n) == [2, 0, 0, 1]
+    g2 = out[out.g == "g2"]
+    assert len(g2) == 1 and g2.n.iloc[0] == 1
+
+
+def test_unnest_list(ray_session):
+    import ray.data as rd
+    from swishray.ops.textstats import unnest_list
+
+    t = pa.table({"k": pa.array([10, 20, 30], type=pa.int64()),
+                  "v": pa.array([[1.5, 2.5], [], [7.0]],
+                                type=pa.list_(pa.float32()))})
+    out = unnest_list(rd.from_arrow(t), "v", "k").to_pandas() \
+        .sort_values(["k", "i"]).reset_index(drop=True)
+    assert list(out.k) == [10, 10, 30]
+    assert list(out.i) == [1, 2, 1]
+    assert list(out.val) == [1.5, 2.5, 7.0]
