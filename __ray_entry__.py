@@ -2924,6 +2924,29 @@ def q_entities(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_ewma(sf_dir: str):
+    """Per-user EWMA (alpha=0.3, adjust=False recurrence) of event
+    values in time order — inherently sequential, no SQL-window
+    replay exists; rows-only check + pytest vs the closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.analytic import analytic, ewma
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "value"])
+    out = analytic(ev, "user_id", ["ts", "event_id"],
+                   [ewma("value", 0.3)])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "value_ewma": pc.cast(t.column("value_ewma"),
+                                  pa.float64())}),
+        batch_format="pyarrow")
+
+
 def q_window_dist(sf_dir: str):
     """Distribution window functions per event_type: PERCENT_RANK +
     CUME_DIST tying on the iv prefix (SQL peer rule), plus whole-
@@ -3593,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile": q_profile,
         "chunk_docs": q_chunk_docs,
         # rows-only:
+        "ewma_values": q_ewma,
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs_ivf": q_cosine_pairs_ivf,

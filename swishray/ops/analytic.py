@@ -93,6 +93,15 @@ def range_sum(col: str, ts: str, seconds: float,
 # ---------------------------------------------------------------------------
 
 
+def ewma(col: str, alpha: float, out: str | None = None) -> dict:
+    """Exponentially-weighted moving average (adjust=False
+    recurrence: s_i = α·x_i + (1−α)·s_{i−1}, s_0 = x_0) — the
+    standard smoothing signal. Sequential by definition, so there is
+    no SQL-window replay; covered by pytest vs the closed form."""
+    return {"kind": "ewma", "col": col, "alpha": float(alpha),
+            "out": out or f"{col}_ewma"}
+
+
 def percent_rank(out: str = "prnk") -> dict:
     """(rank − 1) / (n − 1) as IEEE double; 0.0 for a 1-row
     partition — the SQL PERCENT_RANK contract, bit-replayable."""
@@ -170,6 +179,9 @@ def _apply_specs(g: pd.DataFrame, order_cols: list, specs: list,
             g[out] = np.maximum.accumulate(r) if n else r
         elif kind == "dense_rank":
             g[out] = change_flags().cumsum().astype(np.int64)
+        elif kind == "ewma":
+            g[out] = g[s["col"]].ewm(alpha=s["alpha"],
+                                     adjust=False).mean()
         elif kind == "percent_rank":
             if n <= 1:
                 g[out] = np.zeros(n, dtype=np.float64)

@@ -229,3 +229,27 @@ def test_range_sum_window(ray_session):
                 if tsec[i] - 60 <= tt <= tsec[i])
             for i in range(8)]
     assert list(out.iv_range) == want
+
+
+def test_ewma_matches_closed_form(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.analytic import analytic, ewma
+
+    rng = np.random.default_rng(17)
+    x = rng.normal(0, 1, 50)
+    t = pa.table({"p": ["a"] * 50,
+                  "i": pa.array(range(50), type=pa.int64()),
+                  "x": pa.array(x, type=pa.float64())})
+    out = analytic(rd.from_arrow(t).repartition(4), "p", ["i"],
+                   [ewma("x", 0.25)]).to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    # closed form: s_i = a*sum_{j>=1..i}(1-a)^(i-j) x_j + (1-a)^i x_0
+    a = 0.25
+    want = np.empty(50)
+    want[0] = x[0]
+    for i in range(1, 50):
+        want[i] = a * x[i] + (1 - a) * want[i - 1]
+    assert np.allclose(out.x_ewma.to_numpy(), want, rtol=0, atol=1e-12)
