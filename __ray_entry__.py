@@ -2856,6 +2856,82 @@ def q_full_outer(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_winsorize(sf_dir: str):
+    """Winsorize events.value to its exact [0.05, 0.95] discrete
+    quantiles (PERCENTILE_DISC rule) — quantiles computed
+    distributed, clip applied map-side; bounds are data values so
+    the replay is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.stats import winsorize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    out = winsorize(ev, "value", 0.05, 0.95)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "value_w": pc.cast(t.column("value_w"), pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_minmax_norm(sf_dir: str):
+    """Per-language min-max normalization of n_chars — exact int
+    min/max broadcast map-side; one double division replays
+    bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.stats import minmax_normalize
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out = minmax_normalize(docs, "lang", "n_chars")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang": t.column("lang"),
+            "x_norm": pc.cast(t.column("x_norm"), pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_cross_join(sf_dir: str):
+    """Broadcast cartesian product: all 25 nations x 5 regions with
+    region name attached map-side (no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.joins import cross_join_broadcast
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    import pyarrow.parquet as pq
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    out = cross_join_broadcast(nat, reg)
+    return out.map_batches(
+        lambda t: pa.table({
+            "n_nationkey": pc.cast(t.column("n_nationkey"),
+                                   pa.int64()),
+            "n_name": pc.cast(t.column("n_name"), pa.string()),
+            "r_regionkey": pc.cast(t.column("r_regionkey"),
+                                   pa.int64()),
+            "r_name": pc.cast(t.column("r_name"), pa.string())}),
+        batch_format="pyarrow")
+
+
+def q_quantile_sketch(sf_dir: str):
+    """One-pass mergeable approximate quantiles of events.value
+    (rows-only: the sketch is approximate by contract; rank-error
+    bound pytest-checked vs the exact quantiles)."""
+    from swishray.ops.stats import quantile_sketch
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value"])
+    return quantile_sketch(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def q_histogram(sf_dir: str):
     """Fixed-width 20-bin histogram of events.value over [0, 500]
     with pinned bin formula (ops/stats.py histogram_fixed) — the
@@ -3592,6 +3668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dist": q_window_dist,
         "extract_entities": q_entities,
         "histogram_values": q_histogram,
+        "winsorize_values": q_winsorize,
+        "minmax_norm": q_minmax_norm,
+        "cross_join": q_cross_join,
         "distinct_users": q_distinct_users,
         "intersect_keys": q_intersect,
         "except_keys": q_except,
@@ -3617,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         # rows-only:
         "ewma_values": q_ewma,
+        "quantile_sketch": q_quantile_sketch,
         "hll_distinct": q_hll_distinct,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs_ivf": q_cosine_pairs_ivf,
@@ -4616,6 +4696,23 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS "
             "n_distinct FROM events GROUP BY event_type"),
+        "winsorize_values": (
+            "WITH b AS (SELECT quantile_disc(value, 0.05) AS lo, "
+            "quantile_disc(value, 0.95) AS hi FROM events) "
+            "SELECT event_id, LEAST(GREATEST(value, b.lo), b.hi) "
+            "AS value_w FROM events, b"),
+        "minmax_norm": (
+            "WITH m AS (SELECT lang, CAST(MIN(n_chars) AS DOUBLE) "
+            "AS lo, CAST(MAX(n_chars) AS DOUBLE) AS hi "
+            "FROM documents GROUP BY lang) "
+            "SELECT doc_id, lang, CASE WHEN hi > lo THEN "
+            "(CAST(n_chars AS DOUBLE) - lo) / (hi - lo) "
+            "ELSE 0.0 END AS x_norm "
+            "FROM documents JOIN m USING (lang)"),
+        "cross_join": (
+            "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+            "n_name, CAST(r_regionkey AS BIGINT) AS r_regionkey, "
+            "r_name FROM nation CROSS JOIN region"),
         "histogram_values": (
             "WITH b AS (SELECT CAST(LEAST(GREATEST(FLOOR("
             "(value - 0.0) * 20.0 / (500.0 - 0.0)) + 1.0, 0.0), "

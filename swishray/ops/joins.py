@@ -575,3 +575,31 @@ def range_join_broadcast(ds: Any, intervals: list[tuple], value_col: str,
                                    pa.array(out, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cross_join_broadcast(left: Any, right_table: pa.Table,
+                         suffix: str = "_r") -> Any:
+    """Cartesian product with a SMALL right side: the right Arrow
+    table ships once via ray.put and every batch expands map-side
+    (np.repeat × take — no shuffle at all). Output rows = |L| × |R|;
+    the |R| bound (≤ thousands) is the caller's contract, as with
+    any broadcast join."""
+    import numpy as np
+    import ray
+
+    ref = ray.put(right_table)
+
+    def f(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        nl, nr = batch.num_rows, r.num_rows
+        li = np.repeat(np.arange(nl, dtype=np.int64), nr)
+        ri = np.tile(np.arange(nr, dtype=np.int64), nl)
+        cols = {}
+        for name in batch.column_names:
+            cols[name] = batch.column(name).take(pa.array(li))
+        for name in r.column_names:
+            out = name + suffix if name in cols else name
+            cols[out] = r.column(name).take(pa.array(ri))
+        return pa.table(cols)
+
+    return left.map_batches(f, batch_format="pyarrow")

@@ -203,3 +203,108 @@ def zscore_outliers(ds: Any, group: str, col: str,
             "z", pa.array(z[keep], type=pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def minmax_normalize(ds: Any, group: str, col: str,
+                     out: str = "x_norm") -> Any:
+    """Per-group min-max feature scaling (x − min)/(max − min) —
+    the tiny exact min/max table is broadcast via ray.put into a
+    map-side transform (zscore_outliers' composition pattern); the
+    division is one double op, so a SQL replay matches bit-for-bit.
+    Constant groups (max == min) map to 0.0."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.groupby(group).aggregate(
+        Min(col, alias_name="lo"), Max(col, alias_name="hi")) \
+        .take_all()
+    table = {r[group]: (float(r["lo"]), float(r["hi"])) for r in mm}
+    ref = ray.put(table)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        m = _ray.get(ref)
+        g = batch.column(group).to_pylist()
+        x = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lo = np.array([m[v][0] for v in g], dtype=np.float64)
+        hi = np.array([m[v][1] for v in g], dtype=np.float64)
+        span = hi - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - lo) / span
+        z = np.where(span > 0, z, 0.0)
+        return batch.append_column(out, pa.array(z, type=pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def winsorize(ds: Any, col: str, q_lo: float = 0.05,
+              q_hi: float = 0.95, out: str | None = None) -> Any:
+    """Clip a column to its [q_lo, q_hi] EXACT discrete quantiles
+    (PERCENTILE_DISC rule — swishray.ops.aggregates
+    discrete_quantiles), computed distributed first, then applied
+    map-side. Clip bounds are data values, so outputs replay exactly
+    against quantile_disc + LEAST/GREATEST in SQL."""
+    from .aggregates import discrete_quantiles
+
+    qt = discrete_quantiles(ds, col, [q_lo, q_hi])
+    lo, hi = qt.column("value").to_pylist()
+    out = out or f"{col}_w"
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch.column(col)
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(x, pa.scalar(lo, x.type)),
+            pa.scalar(hi, x.type))
+        return batch.append_column(out, clipped)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quantile_sketch(ds: Any, col: str, qs, cap: int = 4096) -> Any:
+    """ONE-PASS mergeable approximate quantiles: each block sorts its
+    values (np.sort, vectorized) and emits min(n, cap) equally-spaced
+    order statistics carrying weight n/len(sample); the finish pass
+    takes the weighted quantile over the ~#blocks × cap sample. Rank
+    error is bounded by n_block/cap per block (≤ total/cap overall
+    when blocks are balanced) — the streaming complement of the
+    EXACT multi-round continuous_quantiles for 100-TB single-scan
+    use. Returns (q, value) rows."""
+    import pandas as pd
+
+    qs = [float(q) for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.sort(batch.column(col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        n = len(x)
+        if n == 0:
+            return pa.table({"v": pa.array([], type=pa.float64()),
+                             "w": pa.array([], type=pa.float64())})
+        k = min(n, cap)
+        idx = ((np.arange(k) + 0.5) * n / k).astype(np.int64)
+        return pa.table({
+            "v": pa.array(x[idx], type=pa.float64()),
+            "w": pa.array(np.full(k, n / k), type=pa.float64())})
+
+    sample = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy()
+        w = batch.column("w").to_numpy()
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1] if len(cw) else 0.0
+        vals = []
+        for q in qs:
+            if not len(v):
+                vals.append(float("nan"))
+                continue
+            i = int(np.searchsorted(cw, q * total, side="left"))
+            vals.append(v[min(i, len(v) - 1)])
+        return pa.table({"q": pa.array(qs, type=pa.float64()),
+                         "value": pa.array(vals, type=pa.float64())})
+
+    return sample.map_batches(finish, batch_format="pyarrow")

@@ -281,3 +281,59 @@ def test_unnest_list(ray_session):
     assert list(out.k) == [10, 10, 30]
     assert list(out.i) == [1, 2, 1]
     assert list(out.val) == [1.5, 2.5, 7.0]
+
+
+def test_minmax_normalize(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import minmax_normalize
+
+    t = pa.table({"g": ["a", "a", "a", "b", "b"],
+                  "x": pa.array([10, 20, 30, 7, 7], type=pa.int64())})
+    out = minmax_normalize(rd.from_arrow(t).repartition(2),
+                           "g", "x").to_pandas().sort_values(
+        ["g", "x"]).reset_index(drop=True)
+    assert list(out.x_norm) == [0.0, 0.5, 1.0, 0.0, 0.0]
+
+
+def test_winsorize(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import winsorize
+
+    x = list(range(1, 101))  # 1..100
+    t = pa.table({"x": pa.array(x, type=pa.int64())})
+    out = winsorize(rd.from_arrow(t).repartition(4), "x",
+                    0.05, 0.95).to_pandas()
+    # PERCENTILE_DISC: ceil(0.05*100)-1 = idx 4 -> 5;
+    # ceil(0.95*100)-1 = idx 94 -> 95
+    assert out.x_w.min() == 5 and out.x_w.max() == 95
+    assert sorted(out.x_w)[:6] == [5, 5, 5, 5, 5, 6]
+
+
+def test_quantile_sketch_rank_error(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import quantile_sketch
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(0, 100, 60000)
+    t = pa.table({"x": pa.array(x, type=pa.float64())})
+    out = quantile_sketch(rd.from_arrow(t).repartition(12),
+                          "x", [0.1, 0.5, 0.9], cap=1024) \
+        .to_pandas().set_index("q").value.to_dict()
+    xs = np.sort(x)
+    for q, v in out.items():
+        # observed rank of the estimate must be within 2% of q
+        rank = np.searchsorted(xs, v) / len(xs)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_cross_join_broadcast(ray_session):
+    import ray.data as rd
+    from swishray.ops.joins import cross_join_broadcast
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3],
+                                              type=pa.int64())}))
+    r = pa.table({"v": ["x", "y"]})
+    out = cross_join_broadcast(l, r).to_pandas()
+    assert len(out) == 6
+    assert sorted(zip(out.k, out.v)) == [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y")]
