@@ -3551,6 +3551,135 @@ def q_pivot(sf_dir: str):
                        "l_quantity")
 
 
+def q_linreg(sf_dir: str):
+    """Per-returnflag OLS fit of line number on quantity over
+    lineitem — slope/intercept/r² from exact integer partial sums in
+    a fixed double expression (ops/stats.py group_linreg), the
+    regression companion of corr_by_flag."""
+    import ray.data as rd
+    from swishray.ops.stats import group_linreg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_linenumber"])
+    return group_linreg(ds, "l_returnflag", "l_quantity",
+                        "l_linenumber")
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Recrawl audit (ops/increment.py snapshot_diff): old snapshot =
+    documents with doc_id % 7 != 0; new snapshot = documents with
+    doc_id % 11 != 0, texts of doc_id % 5 == 0 uppercased. The diff
+    classifies every churned key added/removed/changed from slim
+    (key, md5-prefix) exchanges — full texts never ride the
+    shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from swishray.ops.increment import snapshot_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def old_side(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 != 0))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 11 != 0))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mut = pa.array(ids % 5 == 0)
+        text = pc.if_else(mut, pc.utf8_upper(t.column("text")),
+                          t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": text})
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    return snapshot_diff(old, new, "doc_id")
+
+
+def q_editdist_pairs(sf_dir: str):
+    """EXACT Levenshtein<=2 self-join over the distinct part
+    name+brand strings via symmetric-delete blocking
+    (ops/editdist.py) — character-level near-dup detection for short
+    keys, complete by the deletion-neighborhood pigeonhole, verified
+    pair-by-pair with banded DP against DuckDB's brute-force
+    levenshtein oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from swishray.ops.editdist import editdist_join
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_name", "p_brand"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            t.column("p_name"), t.column("p_brand"), " ")
+        return pa.table({"s": pc.cast(s, pa.large_string())})
+
+    return editdist_join(ds.map_batches(derive,
+                                        batch_format="pyarrow"),
+                         "s", k=2)
+
+
+def q_triangles(sf_dir: str):
+    """Triangle count (ops/components.py triangle_count) over a
+    deterministic graph derived from lineitem (nodes = keys mod 500,
+    one edge per lineitem row of every 10th order) — degree-ordered
+    wedge counting, exactly replayable by a 3-way SQL self-join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swishray.ops.components import triangle_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+        keep = (t.column("l_orderkey").to_numpy() % 10) == 0
+        p = t.column("l_partkey").to_numpy()[keep] % 500
+        s = t.column("l_suppkey").to_numpy()[keep] % 500
+        return pa.table({"a": pa.array(p, type=pa.int64()),
+                         "b": pa.array(s, type=pa.int64())})
+
+    return triangle_count(ds.map_batches(derive,
+                                         batch_format="pyarrow"))
+
+
+def q_collocations(sf_dir: str):
+    """Corpus-level PMI collocation mining
+    (ops/textstats.py collocations_pmi): adjacent bigrams with count
+    >= 5 scored by the exp(PMI) ratio — counts are exact integers
+    from map-side-combined censuses, the score a fixed IEEE
+    multiply/divide chain so even the doubles hash-match SQL."""
+    import ray.data as rd
+
+    from swishray.ops.textstats import collocations_pmi
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return collocations_pmi(docs, min_count=5)
+
+
+def q_containment(sf_dir: str):
+    """EXACT asymmetric containment self-join >= 0.8 over word
+    3-gram sets (ops/dedup.py containment_join) — near-subset /
+    quotation detection: ordered pairs where most of a's grams occur
+    in b. One-sided prefix filter gives candidate completeness; the
+    brute-force SQL oracle divides by the CONTAINED side's set size
+    only."""
+    from swishray.ops.dedup import containment_join
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return containment_join(docs, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3668,6 +3797,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dist": q_window_dist,
         "extract_entities": q_entities,
         "histogram_values": q_histogram,
+        "linreg_by_flag": q_linreg,
+        "collocations": q_collocations,
+        "containment_pairs": q_containment,
+        "snapshot_diff": q_snapshot_diff,
+        "editdist_pairs": q_editdist_pairs,
+        "triangles": q_triangles,
         "winsorize_values": q_winsorize,
         "minmax_norm": q_minmax_norm,
         "cross_join": q_cross_join,
@@ -4696,6 +4831,79 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS "
             "n_distinct FROM events GROUP BY event_type"),
+        "collocations": (
+            "WITH d AS (SELECT doc_id, " + _WORDS_SQL + " AS ws "
+            "FROM documents), "
+            "uni AS (SELECT unnest(ws) AS w FROM d), "
+            "uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni "
+            "GROUP BY w), "
+            "t1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), "
+            "bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM d, "
+            "unnest(range(1, greatest(len(ws)-1, 0) + 1)) AS t(i) "
+            "WHERE len(ws) >= 2), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab "
+            "FROM bi GROUP BY w1, w2 HAVING count(*) >= 5), "
+            "t2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi) "
+            "SELECT w1, w2, cab, a.c AS ca, b.c AS cb, "
+            "((CAST(cab AS DOUBLE) * CAST(t1.n AS DOUBLE)) * "
+            "CAST(t1.n AS DOUBLE)) / "
+            "((CAST(t2.n AS DOUBLE) * CAST(a.c AS DOUBLE)) * "
+            "CAST(b.c AS DOUBLE)) AS pmi_ratio "
+            "FROM bc JOIN uc a ON a.w = bc.w1 "
+            "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "linreg_by_flag": (
+            "WITH s AS (SELECT l_returnflag, "
+            "CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(l_linenumber AS BIGINT) AS y FROM lineitem), "
+            "a AS (SELECT l_returnflag, COUNT(*) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, "
+            "CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x*y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x*x) AS BIGINT) AS sx2, "
+            "CAST(SUM(y*y) AS BIGINT) AS sy2 "
+            "FROM s GROUP BY l_returnflag), "
+            "f AS (SELECT l_returnflag, n, "
+            "CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num, "
+            "CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS dx, "
+            "CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - "
+            "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dy, "
+            "CAST(sx AS DOUBLE) AS fsx, CAST(sy AS DOUBLE) AS fsy "
+            "FROM a) "
+            "SELECT l_returnflag, n, num / dx AS slope, "
+            "(fsy - (num / dx) * fsx) / CAST(n AS DOUBLE) "
+            "AS intercept, "
+            "(num * num) / (dx * dy) AS r2 FROM f"),
+        "snapshot_diff": (
+            "WITH old AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            "new AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN upper(text) ELSE text END AS text FROM documents "
+            "WHERE doc_id % 11 <> 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+            "OR substr(md5(o.text), 1, 8) <> substr(md5(n.text), 1, 8)"),
+        "editdist_pairs": (
+            "WITH v AS (SELECT DISTINCT p_name || ' ' || p_brand "
+            "AS s FROM part) "
+            "SELECT a.s AS a, b.s AS b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+            "FROM v a JOIN v b ON a.s < b.s "
+            "WHERE levenshtein(a.s, b.s) <= 2"),
+        "triangles": (
+            "WITH e0 AS (SELECT l_partkey % 500 AS a, "
+            "l_suppkey % 500 AS b FROM lineitem "
+            "WHERE l_orderkey % 10 = 0), "
+            "e AS (SELECT DISTINCT least(a, b) AS u, "
+            "greatest(a, b) AS v FROM e0 WHERE a <> b) "
+            "SELECT CAST(count(*) AS BIGINT) AS triangles "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"),
         "winsorize_values": (
             "WITH b AS (SELECT quantile_disc(value, 0.05) AS lo, "
             "quantile_disc(value, 0.95) AS hi FROM events) "
@@ -5010,6 +5218,29 @@ def oracle_sql() -> dict[str, str]:
             "  >= 0.5) "
             "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 "
             "AND doc_id NOT IN (SELECT doc_id FROM dirty)"),
+        "containment_pairs": (
+            "WITH d AS ("
+            f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, gram FROM ("
+            "    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+            "      AS gram"
+            "    FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1))"
+            "      AS t(i) WHERE len(ws) >= 3"
+            "    UNION ALL"
+            "    SELECT doc_id, array_to_string(ws, ' ') AS gram FROM d"
+            "    WHERE len(ws) BETWEEN 1 AND 2)"
+            "), gsz AS ("
+            "  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter"
+            "  FROM grams a JOIN grams b"
+            "    ON a.gram = b.gram AND a.doc_id <> b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            "SELECT i.a AS a, i.b AS b, "
+            "CAST(i.ninter AS DOUBLE) / ga.n AS containment "
+            "FROM inter i JOIN gsz ga ON ga.doc_id = i.a "
+            "WHERE CAST(i.ninter AS DOUBLE) / ga.n >= 0.8"),
         "setsim_pairs": (
             "WITH d AS ("
             f"  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents"

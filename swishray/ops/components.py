@@ -227,3 +227,164 @@ def dedup_keep_canonical(docs: Any, pairs: Any, key: str = "doc_id",
         lambda t: t.filter(pc.is_null(t.column("_loser_r")))
         .drop_columns(["_loser_r"]),
         batch_format="pyarrow")
+
+
+def triangle_count(edges: Any, a: str = "a", b: str = "b",
+                   n_buckets: int | None = None) -> Any:
+    """Total number of TRIANGLES in the undirected graph given by the
+    (possibly duplicated, possibly self-looping) edge list — the
+    classic clustering/community signal over the link graph that
+    pagerank and connected_components leave uncovered, and unlike
+    both it is exactly SQL-replayable (3-way self-join oracle).
+
+    Algorithm (degree-ordered wedge counting — the MapReduce scheme
+    of Suri & Vassilvitskii 2011, "Counting Triangles and the Curse
+    of the Last Reducer"): canonicalize edges to distinct (u < v)
+    pairs; orient every edge from its LOWER endpoint in the total
+    order (degree, node id); per source node, emit each pair of
+    out-neighbors as a WEDGE.  Degree ordering bounds out-degree by
+    O(sqrt(m)) — the hub whose naive wedge set explodes becomes the
+    HIGHER endpoint of its edges and generates nothing — so total
+    wedge volume is O(m^1.5) worst case, far less on power-law
+    graphs.  A wedge (v, w) closes a triangle iff (v, w) is an
+    oriented edge: counted with one tagged groupby over
+    wedges ∪ edges (Σ wedge_n × edge_n), no join actors.
+
+    Exchanges: slim (int64, int64) rows only — dedupe shuffle,
+    degree shuffle, two tiny hash-joins to attach degrees, the wedge
+    shuffle.  Output: one row ``{triangles: int64}``."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..util import _session_cpus
+    B = n_buckets or max(8, 2 * _session_cpus())
+
+    def canon(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch.column(a)),
+                     pc.is_valid(batch.column(b)))
+        t = batch.filter(ok)
+        u = pc.cast(t.column(a), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(t.column(b), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+
+    dedup = (edges.map_batches(canon, batch_format="pyarrow")
+             .groupby(["u", "v"]).count()
+             .map_batches(lambda t: t.select(["u", "v"]),
+                          batch_format="pyarrow")
+             .materialize())  # two consumers: degrees + orientation
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            batch.column("u").combine_chunks(),
+            batch.column("v").combine_chunks()])
+        return pa.table({"node": both,
+                         "one": pa.array(
+                             np.ones(len(both), dtype=np.int64))})
+
+    degrees = (dedup.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("one", alias_name="deg"))
+               .materialize())  # consumed by BOTH degree joins
+
+    deg_u = degrees.map_batches(
+        lambda t: pa.table({"u": t.column("node"),
+                            "du": pc.cast(t.column("deg"),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+    deg_v = degrees.map_batches(
+        lambda t: pa.table({"v": t.column("node"),
+                            "dv": pc.cast(t.column("deg"),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+    with_deg = hash_join(hash_join(dedup, deg_u, key="u",
+                                   num_buckets=B),
+                         deg_v, key="v", num_buckets=B)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        du = batch.column("du_r" if "du_r" in names else "du") \
+            .to_numpy(zero_copy_only=False)
+        dv = batch.column("dv_r" if "dv_r" in names else "dv") \
+            .to_numpy(zero_copy_only=False)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        # src = endpoint lower in (degree, id) order
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        # rank key of dst for in-group wedge ordering
+        ddst = np.where(u_first, dv, du)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "ddst": pa.array(ddst)})
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow") \
+        .materialize()  # consumers: wedge gen + closure probe
+
+    def bucket_src(batch: pa.Table) -> pa.Table:
+        bk = pa.array((batch.column("src").to_numpy()
+                       .view(np.uint64) % np.uint64(B))
+                      .astype(np.int32))
+        return batch.append_column("__bk", bk)
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        outs = []
+        for _, grp in g.groupby("src", sort=False):
+            # order out-neighbors by (degree, id) so the wedge
+            # (x, y) matches the oriented edge direction x -> y
+            nb = grp.sort_values(["ddst", "dst"])["dst"] \
+                .to_numpy(np.int64)
+            d = len(nb)
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, 1)
+            outs.append(np.stack([nb[i], nb[j]], axis=1))
+        if not outs:
+            return pa.table({
+                "x": pa.array([], type=pa.int64()),
+                "y": pa.array([], type=pa.int64()),
+                "wn": pa.array([], type=pa.int64()),
+                "en": pa.array([], type=pa.int64())})
+        m = np.concatenate(outs)
+        return pa.table({
+            "x": pa.array(m[:, 0]), "y": pa.array(m[:, 1]),
+            "wn": pa.array(np.ones(len(m), dtype=np.int64)),
+            "en": pa.array(np.zeros(len(m), dtype=np.int64))})
+
+    wedge_rows = (oriented.map_batches(bucket_src,
+                                       batch_format="pyarrow")
+                  .groupby("__bk")
+                  .map_groups(wedges, batch_format="pandas"))
+
+    edge_rows = oriented.map_batches(
+        lambda t: pa.table({
+            "x": t.column("src"), "y": t.column("dst"),
+            "wn": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "en": pa.array(np.ones(len(t), dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    closed = (wedge_rows.union(edge_rows)
+              .groupby(["x", "y"])
+              .aggregate(Sum("wn", alias_name="wn"),
+                         Sum("en", alias_name="en")))
+
+    def partial_total(batch: pa.Table) -> pa.Table:
+        wn = batch.column("wn").to_numpy(zero_copy_only=False)
+        en = batch.column("en").to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array(
+            [int((wn * en).sum())], type=pa.int64())})
+
+    def final_total(batch: pa.Table) -> pa.Table:
+        tot = (int(batch.column("t").to_numpy().sum())
+               if batch.num_rows else 0)
+        return pa.table({"triangles": pa.array([tot],
+                                               type=pa.int64())})
+
+    return (closed.map_batches(partial_total, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_total, batch_format="pyarrow"))

@@ -35,7 +35,8 @@ def _fingerprints(ds: Any, key: str, content: str) -> Any:
     content hash, never null (null/absent bodies hash as empty)."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ..util import import_polars
+        pl = import_polars()
         body = pc.coalesce(
             pc.cast(batch.column(content), pa.large_binary()), b"")
         h = pl.from_arrow(

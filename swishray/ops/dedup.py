@@ -919,3 +919,160 @@ def setsim_join(ds: Any, threshold: float = 0.8, shingle_k: int = 3,
         return out.filter(pa.array(js >= threshold))
 
     return attached.map_batches(verify_batch, batch_format="pyarrow")
+
+
+def hashed_containment(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact containment |A∩B| / |A| over two UNIQUE gram-hash sets
+    (how much of A's gram set appears in B) — the asymmetric
+    companion of :func:`hashed_jaccard`."""
+    if sa.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / sa.size
+
+
+def containment_join(ds: Any, threshold: float = 0.9,
+                     shingle_k: int = 3, col: str = "text",
+                     key: str = "doc_id",
+                     n_buckets: int | None = None) -> Any:
+    """EXACT asymmetric containment self-join: every ORDERED pair
+    (a, b), a != b, where >= ``threshold`` of a's unique word
+    ``shingle_k``-grams also occur in b — near-subset / quotation /
+    excerpt detection, which the symmetric Jaccard joins miss by
+    construction (a short quote inside a long page has tiny Jaccard
+    but containment ~1).
+
+    Candidate completeness (one-sided prefix filter, Chaudhuri et
+    al. 2006): order grams by (global frequency asc, hash asc); a's
+    PREFIX of length |a| − ceil(t·|a|) + 1 must intersect b's FULL
+    gram set whenever |a∩b| >= ceil(t·|a|) — at most |a| − ceil(t·|a|)
+    of a's grams miss b, one fewer than the prefix length.  So the
+    equi-join of probe-side prefix rows against index-side full rows
+    finds every qualifying ordered pair; only the probe side is
+    pruned (the container needs no minimum overlap fraction of its
+    own).  Bucket economics: prefixes hold only globally RARE grams,
+    so a common gram contributes many index rows but almost no probe
+    rows — the per-bucket product stays near the true candidate
+    count.  Verify = one vectorized exact containment per distinct
+    pair over Bloom-pruned hashed-shingle blobs (shared
+    attach_pair_sets machinery).  Empty-gram docs never pair, either
+    side.  Output: (a, b, containment)."""
+    import math
+    from fractions import Fraction
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from .joins import (_key_hash64, bloom_keys, bloom_semi_filter,
+                        default_join_partitions)
+
+    ktype = ds.schema().base_schema.field(key).type
+    t_frac = Fraction(str(threshold))
+    B = n_buckets or default_join_partitions()
+    src = ds.select_columns([key, col])
+
+    def rows_f(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pylist()
+        ks, ws, szs = [], [], []
+        for kk, tt in zip(keys, batch.column(col).to_pylist()):
+            h = np.unique(gram_hashes(tt or "", shingle_k))
+            if not len(h):
+                continue
+            ks.extend([kk] * len(h))
+            ws.append(h)
+            szs.extend([len(h)] * len(h))
+        w = (np.concatenate(ws) if ws
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            key: pa.array(ks, type=ktype),
+            "w": pa.array(w.view(np.int64)),
+            "size": pa.array(szs, type=pa.int64())})
+
+    rows = src.map_batches(rows_f, batch_format="pyarrow") \
+        .materialize()
+
+    freq = rows.groupby("w").count().map_batches(
+        lambda t: pa.table({"w": t.column("w"),
+                            "gfreq": t.column("count()")}),
+        batch_format="pyarrow")
+
+    from .joins import hash_join
+    ranked = hash_join(rows, freq, key="w", num_buckets=B)
+    freq_col = ("gfreq_r" if "gfreq_r" in ranked.schema().names
+                else "gfreq")
+
+    def bucket_by_key(batch: pa.Table) -> pa.Table:
+        bk = pa.array((_key_hash64(batch.column(key))
+                       % np.uint64(B)).astype(np.int32))
+        return batch.append_column("__bk", bk)
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, freq_col, "w"])
+        pos = g.groupby(key, sort=False).cumcount().to_numpy()
+        sizes = g["size"].to_numpy()
+        plen = {s: s - int(math.ceil(t_frac * s)) + 1
+                for s in np.unique(sizes)}
+        keep = pos < np.array([plen[s] for s in sizes])
+        return g.loc[keep, [key, "w"]]
+
+    pref = ranked.map_batches(bucket_by_key, batch_format="pyarrow") \
+        .groupby("__bk").map_groups(prefix, batch_format="pandas")
+
+    def tag(side: int, src_ds):
+        def f(batch: pa.Table) -> pa.Table:
+            bk = pa.array((batch.column("w").to_numpy()
+                           .view(np.uint64) % np.uint64(B))
+                          .astype(np.int32))
+            return pa.table({
+                key: pc.cast(batch.column(key), ktype),
+                "w": batch.column("w"),
+                "__p": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)),
+                "__bk": bk})
+        return src_ds.map_batches(f, batch_format="pyarrow")
+
+    probe = tag(0, pref)
+    index = tag(1, rows.map_batches(
+        lambda t: t.select([key, "w"]), batch_format="pyarrow"))
+
+    def pair_up(g: pd.DataFrame) -> pa.Table:
+        p = g.loc[g["__p"] == 0, [key, "w"]]
+        ix = g.loc[g["__p"] == 1, [key, "w"]]
+        m = p.merge(ix, on="w", suffixes=("_a", "_b"))
+        m = m[m[f"{key}_a"] != m[f"{key}_b"]]
+        m = m.drop_duplicates(subset=[f"{key}_a", f"{key}_b"])
+        return pa.table({
+            "a": pa.array(m[f"{key}_a"], type=ktype),
+            "b": pa.array(m[f"{key}_b"], type=ktype)})
+
+    cand = probe.union(index) \
+        .groupby("__bk").map_groups(pair_up, batch_format="pandas") \
+        .repartition(B).materialize()
+
+    mask_ref = bloom_keys(cand, ["a", "b"])
+    sets_src = bloom_semi_filter(src, mask_ref, key)
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        sets = [np.unique(gram_hashes(t or "", shingle_k)).tobytes()
+                for t in batch.column(col).to_pylist()]
+        return pa.table({
+            key: batch.column(key),
+            "__sh": pa.array(sets, type=pa.large_binary())})
+
+    blobs = sets_src.map_batches(to_sets, batch_format="pyarrow")
+    attached = attach_pair_sets(cand, blobs, key, ktype)
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        sha = batch.column("__sha").to_pylist()
+        shb = batch.column("__shb").to_pylist()
+        cs = np.empty(len(sha), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(sha, shb)):
+            cs[i] = hashed_containment(
+                np.frombuffer(x or b"", dtype=np.uint64),
+                np.frombuffer(y or b"", dtype=np.uint64))
+        out = pa.table({
+            "a": pc.cast(batch.column("a"), ktype),
+            "b": pc.cast(batch.column("b"), ktype),
+            "containment": pa.array(cs, type=pa.float64())})
+        return out.filter(pa.array(cs >= threshold))
+
+    return attached.map_batches(verify_batch, batch_format="pyarrow")

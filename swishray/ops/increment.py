@@ -46,6 +46,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _K = 4  # double-hashed probes per key; fp ~ (1-e^(-K/bpk))^K
 
@@ -427,3 +428,70 @@ def dedup_incremental(ds: Any, store_dir: str, *, col: str = "text",
         fn_constructor_args=(store_dir, col, keep_md5, bloom_refs),
         concurrency=conc, batch_size=batch_size,
         batch_format="pyarrow")
+
+
+def snapshot_diff(old: Any, new: Any, key: str, col: str = "text") -> Any:
+    """Keyed diff of two crawl snapshots: which keys were ADDED,
+    REMOVED, or CHANGED between ``old`` and ``new``.  The reference's
+    incremental story is upsert-by-uri into the Xapian store
+    (/root/reference/src/xapian/swish_xapian.cpp:563-601 — replace vs
+    add decided per uri); this operator computes the upsert PLAN as
+    data, the audit a recrawl pipeline runs before committing.
+
+    Scale shape: each side maps to a slim (key, 32-bit content hash)
+    table — full payloads NEVER ride the shuffle — then ONE groupby
+    over tagged partial rows classifies each key vectorized
+    (at most one row per side per key: keys are unique within a
+    snapshot, the reference's uri contract).  Unchanged keys (the
+    100-TB common case) are dropped map-side after the aggregate, so
+    the output is proportional to the churn, not the corpus.
+
+    The content hash is the first 8 hex digits of md5(value) — the
+    same prefix DuckDB's md5() exposes, so the whole diff replays in
+    SQL via FULL OUTER JOIN.  Output: (key, status) with status in
+    {'added','removed','changed'}."""
+    from ray.data.aggregate import Sum
+
+    from .md5vec import md5_u32
+
+    def slim(tag: str):
+        def f(batch: pa.Table) -> pa.Table:
+            h = md5_u32(batch.column(col).to_pylist()) \
+                .astype(np.int64)
+            one = np.ones(len(batch), dtype=np.int64)
+            zero = np.zeros(len(batch), dtype=np.int64)
+            return pa.table({
+                key: pc.cast(batch.column(key), pa.int64()),
+                "old_n": pa.array(one if tag == "old" else zero),
+                "new_n": pa.array(zero if tag == "old" else one),
+                "old_h": pa.array(h if tag == "old" else zero),
+                "new_h": pa.array(zero if tag == "old" else h),
+            })
+        return f
+
+    merged = (old.map_batches(slim("old"), batch_format="pyarrow")
+              .union(new.map_batches(slim("new"), batch_format="pyarrow"))
+              .groupby(key)
+              .aggregate(Sum("old_n", alias_name="old_n"),
+                         Sum("new_n", alias_name="new_n"),
+                         Sum("old_h", alias_name="old_h"),
+                         Sum("new_h", alias_name="new_h")))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        old_n = batch.column("old_n").to_numpy()
+        new_n = batch.column("new_n").to_numpy()
+        old_h = batch.column("old_h").to_numpy()
+        new_h = batch.column("new_h").to_numpy()
+        status = np.where(old_n == 0, "added",
+                          np.where(new_n == 0, "removed",
+                                   np.where(old_h != new_h, "changed",
+                                            "")))
+        keep = status != ""
+        return pa.table({
+            key: pc.cast(batch.column(key), pa.int64())
+                .filter(pa.array(keep)),
+            "status": pa.array(status[keep].tolist(),
+                               type=pa.large_string()),
+        })
+
+    return merged.map_batches(classify, batch_format="pyarrow")

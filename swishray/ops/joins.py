@@ -351,7 +351,8 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
         # beyond 2^53, and null keys NEVER match (join_nulls=False is
         # the documented schema_guard sentinel contract; pandas merge
         # matched NaN keys to each other)
-        import polars as pl
+        from ..util import import_polars
+        pl = import_polars()
         df = pl.from_arrow(g)
         lg = df.filter(pl.col("__side") == "l").select([key] + lcols)
         rg = df.filter(pl.col("__side") == "r").select(

@@ -142,6 +142,74 @@ def group_corr(ds: Any, group: str, xcol: str, ycol: str) -> Any:
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def group_linreg(ds: Any, group: str, xcol: str, ycol: str) -> Any:
+    """Per-group ordinary-least-squares fit y = slope·x + intercept
+    with the coefficient of determination r², via the same exact
+    int64 partial-sum exchange as group_corr:
+        slope     = (n·sxy − sx·sy) / (n·sx2 − sx·sx)
+        intercept = (sy − slope·sx) / n
+        r2        = (n·sxy − sx·sy)² / ((n·sx2 − sx²)·(n·sy2 − sy²))
+    every operand cast to double FIRST and combined in this fixed
+    order, so a SQL oracle evaluating the identical expression over
+    SUM()s reproduces the bits. Degenerate groups (n < 2 or zero x
+    variance) yield NULL slope/intercept/r2.
+
+    Scale: shuffle carries #groups × #blocks rows of 7 int64s —
+    the regression itself never moves data."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _i64(batch.column(xcol))
+        y = _i64(batch.column(ycol))
+        df = pa.table({group: batch.column(group),
+                       "__x": x, "__y": y}).to_pandas()
+        xs = df["__x"].to_numpy(np.int64)
+        ys = df["__y"].to_numpy(np.int64)
+        df["__xy"] = xs * ys
+        df["__x2"] = xs * xs
+        df["__y2"] = ys * ys
+        g = df.groupby(group, sort=False)
+        agg = g.agg(n=("__x", "count"), sx=("__x", "sum"),
+                    sy=("__y", "sum"), sxy=("__xy", "sum"),
+                    sx2=("__x2", "sum"), sy2=("__y2", "sum"))
+        agg = agg.reset_index()
+        cols = {group: pa.array(agg[group])}
+        for c in ("n", "sx", "sy", "sxy", "sx2", "sy2"):
+            cols[c] = pa.array(agg[c], type=pa.int64())
+        return pa.table(cols)
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxy",
+                                   "sx2", "sy2")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = {c: batch.column(c).to_numpy().astype(np.float64)
+             for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}
+        n, sx, sy = f["n"], f["sx"], f["sy"]
+        num = n * f["sxy"] - sx * sy
+        dx = n * f["sx2"] - sx * sx
+        dy = n * f["sy2"] - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = num / dx
+            intercept = (sy - slope * sx) / n
+            r2 = (num * num) / (dx * dy)
+        ok = (n > 1) & (dx > 0)
+        slope = np.where(ok, slope, np.nan)
+        intercept = np.where(ok, intercept, np.nan)
+        r2 = np.where(ok & (dy > 0), r2, np.nan)
+        return pa.table({
+            group: batch.column(group),
+            "n": batch.column("n"),
+            "slope": pa.array(slope, type=pa.float64()),
+            "intercept": pa.array(intercept, type=pa.float64()),
+            "r2": pa.array(r2, type=pa.float64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def histogram_fixed(ds: Any, col: str, lo: float, hi: float,
                     nbins: int) -> Any:
     """Fixed-width histogram over a numeric column: bin index

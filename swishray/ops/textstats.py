@@ -1184,3 +1184,115 @@ def unnest_list(ds: Any, col: str, key: str,
                          val_out: lc.flatten()})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def collocations_pmi(ds: Any, col: str = "text",
+                     min_count: int = 5) -> Any:
+    """Corpus-level collocation mining: every adjacent word bigram
+    occurring >= ``min_count`` times, scored by the PMI RATIO
+        p(w1,w2) / (p(w1)·p(w2))
+          = (cab/T2) / ((ca/T1)·(cb/T1))
+          = ((cab·T1)·T1) / ((T2·ca)·cb)
+    i.e. exp(PMI).  The ratio is emitted instead of the log because
+    IEEE multiply/divide are correctly-rounded everywhere (the SQL
+    oracle reproduces the bits with the same operand order) while
+    ln() implementations differ in the last ulp between engines; the
+    ratio is monotone in PMI so ranking is unchanged.
+
+    Scale shape: unigram and bigram censuses are map-side-combined
+    Counters — the shuffles carry (word, partial) and (w1, w2,
+    partial) rows, never documents; corpus totals T1/T2 are two
+    scalar folds of those slim tables; the count attach is two
+    bucketed hash joins between the (min_count-pruned) bigram table
+    and the unigram table.  Adjacency never crosses documents.
+    Output: (w1, w2, cab, ca, cb, pmi_ratio)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def parts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        uni: dict = Counter()
+        bi: dict = Counter()
+        for t in batch.column(col).to_pylist():
+            w = (t or "").split()
+            uni.update(w)
+            for i in range(len(w) - 1):
+                bi[(w[i], w[i + 1])] += 1
+        n_u, n_b = len(uni), len(bi)
+        return pa.table({
+            "w1": pa.array([*uni.keys(),
+                            *(k[0] for k in bi.keys())],
+                           type=pa.string()),
+            "w2": pa.array([""] * n_u + [k[1] for k in bi.keys()],
+                           type=pa.string()),
+            "is_bi": pa.array([0] * n_u + [1] * n_b,
+                              type=pa.int64()),
+            "__n": pa.array([*uni.values(), *bi.values()],
+                            type=pa.int64()),
+        })
+
+    census = (ds.map_batches(parts, batch_format="pyarrow")
+              .groupby(["w1", "w2", "is_bi"])
+              .aggregate(Sum("__n", alias_name="n"))
+              .materialize())  # consumers: totals, unigrams, bigrams
+
+    # corpus totals: two tiny scalar folds over the census
+    tot = census.map_batches(
+        lambda t: pa.table({
+            "t1": pa.array([int(np.sum(
+                t.column("n").to_numpy()[
+                    t.column("is_bi").to_numpy() == 0]))],
+                type=pa.int64()),
+            "t2": pa.array([int(np.sum(
+                t.column("n").to_numpy()[
+                    t.column("is_bi").to_numpy() == 1]))],
+                type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    t1f = float(tot["t1"].sum())
+    t2f = float(tot["t2"].sum())
+
+    import pyarrow.compute as pc
+
+    def uni_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("is_bi"), 0))
+        return pa.table({"w1": t.column("w1"), "c": t.column("n")})
+
+    def bi_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("is_bi"), 1))
+        return t.select(["w1", "w2", "n"]).filter(
+            pc.greater_equal(t.column("n"), min_count))
+
+    uni = census.map_batches(uni_f, batch_format="pyarrow")
+    bi = census.map_batches(bi_f, batch_format="pyarrow")
+
+    j1 = hash_join(bi, uni, key="w1")  # -> c_r = ca
+    j1 = j1.map_batches(
+        lambda t: pa.table({"w2": t.column("w2"),
+                            "w1": t.column("w1"),
+                            "n": t.column("n"),
+                            "ca": t.column("c_r")}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, uni.map_batches(
+        lambda t: pa.table({"w2": t.column("w1"),
+                            "c": t.column("c")}),
+        batch_format="pyarrow"), key="w2")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cab = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cb = t.column("c_r").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ratio = ((cab * t1f) * t1f) / ((t2f * ca) * cb)
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "cab": pc.cast(t.column("n"), pa.int64()),
+            "ca": pc.cast(t.column("ca"), pa.int64()),
+            "cb": pc.cast(t.column("c_r"), pa.int64()),
+            "pmi_ratio": pa.array(ratio, type=pa.float64()),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -359,7 +359,8 @@ def top_n_words(extracted: "Any", n: int = 20) -> "Any":
     before the shuffle so the groupby moves (token, partial_count)
     rows, not every token."""
     import numpy as np
-    import polars as pl
+    from .util import import_polars
+    pl = import_polars()
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:

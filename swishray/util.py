@@ -92,3 +92,60 @@ def default_concurrency(reserve: int = 1, cap: int = 8) -> int:
     except Exception:
         cpus = 4
     return max(1, min(cap, cpus - reserve))
+
+
+def import_polars():
+    """Import polars defensively against the torn-module race seen in
+    fresh Ray workers: a task can observe ``polars`` mid-import
+    (``module 'polars' has no attribute 'Series'`` raised from inside
+    polars' own utilities) when the worker process is concurrently
+    importing it on another code path.  Poll until the module
+    namespace is fully populated; the window is milliseconds, so the
+    bounded wait only ever triggers on the race itself."""
+    import os
+    import sys
+    import time
+
+    def _consistent(mod) -> bool:
+        if not hasattr(mod, "Series"):
+            return False
+        # A FAILED first import (e.g. the streaming executor cancels
+        # a task mid-import in a worker that is later reused) removes
+        # only the top 'polars' entry from sys.modules; already-
+        # completed submodules SURVIVE, still binding `pl` to the
+        # dead half-populated module object.  A later import then
+        # rebuilds 'polars' fully (so hasattr passes) while internal
+        # code like polars._utils.various still dereferences the
+        # dead binding -> AttributeError deep inside polars.  Detect
+        # any submodule whose `pl` is not the live module.
+        for name, sub in list(sys.modules.items()):
+            if not name.startswith("polars.") or sub is None:
+                continue
+            bound = getattr(sub, "pl", mod)
+            if bound is not mod \
+                    and getattr(bound, "__name__", "") == "polars":
+                return False
+        return True
+
+    import polars as pl
+    if _consistent(pl):
+        return pl
+    # a LIVE concurrent importer may still be populating the module
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        time.sleep(0.05)
+        if _consistent(pl):
+            return pl
+    # permanent inconsistency: purge every polars module and
+    # re-import from scratch so all internal `import polars as pl`
+    # references rebind to one fresh, fully-populated module
+    print(f"swishray: repairing torn polars import (pid={os.getpid()})",
+          file=sys.stderr)
+    for name in [m for m in list(sys.modules)
+                 if m == "polars" or m.startswith("polars.")]:
+        del sys.modules[name]
+    import polars as pl
+    if not _consistent(pl):
+        raise ImportError("polars import is torn and could not be "
+                          "repaired in this worker")
+    return pl

@@ -290,3 +290,59 @@ def test_setsim_join_string_keys(ray_session):
     assert len(out) == 1
     assert (out.a.iloc[0], out.b.iloc[0]) == ("u/a", "u/b")
     assert out.jaccard.iloc[0] == 1.0
+
+
+def test_containment_join_quote_detection(ray_session):
+    """A short quote inside a long page: Jaccard tiny, containment
+    1.0 — only the ordered (quote, page) direction qualifies."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.dedup import containment_join
+
+    words = [f"w{i}" for i in range(60)]
+    page = " ".join(words)
+    quote = " ".join(words[20:28])  # 8 words -> 6 grams, all in page
+    other = " ".join(f"z{i}" for i in range(30))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([page, quote, other])})
+    out = containment_join(rd.from_arrow(t).repartition(2),
+                           threshold=0.9).to_pandas()
+    pairs = {(r.a, r.b): r.containment
+             for r in out.itertuples(index=False)}
+    assert pairs == {(2, 1): 1.0}
+
+
+def test_containment_join_vs_bruteforce(ray_session):
+    """Random overlapping docs vs a local brute-force containment
+    computation — completeness of the one-sided prefix filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.dedup import containment_join, gram_hashes
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = []
+    for _ in range(80):
+        n = rng.integers(3, 30)
+        texts.append(" ".join(vocab[i]
+                              for i in rng.integers(0, 40, n)))
+    t = pa.table({"doc_id": pa.array(range(80), type=pa.int64()),
+                  "text": pa.array(texts)})
+    thr = 0.7
+    out = containment_join(rd.from_arrow(t).repartition(5),
+                           threshold=thr).to_pandas()
+    got = {(r.a, r.b): round(r.containment, 12)
+           for r in out.itertuples(index=False)}
+    sets = [set(np.unique(gram_hashes(x, 3)).tolist())
+            for x in texts]
+    want = {}
+    for i in range(80):
+        for j in range(80):
+            if i == j or not sets[i]:
+                continue
+            c = len(sets[i] & sets[j]) / len(sets[i])
+            if c >= thr:
+                want[(i, j)] = round(c, 12)
+    assert got == want

@@ -120,3 +120,37 @@ def test_minhash_store_agrees_with_batch_path(ray_session, tmp_path):
     want = sorted(dedup_against_corpus(new, prior, threshold=0.5)
                   .to_pandas()["doc_id"])
     assert got == want
+
+
+def test_snapshot_diff(ray_session):
+    import ray.data as rd
+    from swishray.ops.increment import snapshot_diff
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["aa", "bb", "cc", "dd"])})
+    new = pa.table({
+        "doc_id": pa.array([2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["bb", "CC", "dd", "ee"])})
+    out = snapshot_diff(rd.from_arrow(old).repartition(2),
+                        rd.from_arrow(new).repartition(2),
+                        "doc_id").to_pandas()
+    got = dict(zip(out.doc_id, out.status))
+    # 2 and 4 unchanged -> dropped
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_empty_sides(ray_session):
+    import ray.data as rd
+    from swishray.ops.increment import snapshot_diff
+
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "text": pa.array(["x"])})
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out = snapshot_diff(rd.from_arrow(empty), rd.from_arrow(t),
+                        "doc_id").to_pandas()
+    assert dict(zip(out.doc_id, out.status)) == {7: "added"}
+    out2 = snapshot_diff(rd.from_arrow(t), rd.from_arrow(empty),
+                         "doc_id").to_pandas()
+    assert dict(zip(out2.doc_id, out2.status)) == {7: "removed"}

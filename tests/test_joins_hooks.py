@@ -114,3 +114,31 @@ def test_interval_join_grid(ray_session):
                   if lo[i] <= v[p] <= hi[i])
     assert got == want
     assert len(got) == len(set(got))  # exactly-once, no dup pairs
+
+
+def test_import_polars_repairs_stale_binding():
+    """A cancelled first import in a reused worker leaves polars
+    submodules binding `pl` to a dead half-populated module (top
+    entry removed, submodules surviving); import_polars must detect
+    and repair that state (util.py import_polars doc)."""
+    import sys
+    import types
+
+    import pyarrow as pa
+
+    from swishray.util import import_polars
+
+    pl = import_polars()
+    assert hasattr(pl, "Series")
+    sub = sys.modules["polars._utils.various"]
+    orig = sub.pl
+    try:
+        sub.pl = types.ModuleType("polars")  # dead binding
+        pl2 = import_polars()
+        assert sys.modules["polars._utils.various"].pl is pl2
+        df = pl2.from_arrow(pa.table({"s": ["l", "r"]}))
+        assert df.filter(pl2.col("s") == "l").height == 1
+    finally:
+        # repair replaced the modules wholesale; nothing to restore
+        # beyond ensuring a consistent end state
+        assert import_polars() is not None

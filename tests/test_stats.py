@@ -337,3 +337,51 @@ def test_cross_join_broadcast(ray_session):
     assert len(out) == 6
     assert sorted(zip(out.k, out.v)) == [
         (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y")]
+
+
+def test_group_linreg_bit_exact(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import group_linreg
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 4, 3000)
+    x = rng.integers(0, 1000, 3000)
+    y = 3 * x + rng.integers(-50, 51, 3000)
+    t = pa.table({"g": pa.array([f"g{i}" for i in g]),
+                  "x": pa.array(x, type=pa.int64()),
+                  "y": pa.array(y, type=pa.int64())})
+    out = group_linreg(rd.from_arrow(t).repartition(7), "g", "x", "y") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    import pandas as pd
+    for _, row in out.iterrows():
+        sel = g == int(row.g[1])
+        vx = x[sel].astype(np.int64)
+        vy = y[sel].astype(np.int64)
+        n = float(len(vx))
+        sx, sy = float(vx.sum()), float(vy.sum())
+        sxy = float((vx * vy).sum())
+        sx2 = float((vx * vx).sum())
+        sy2 = float((vy * vy).sum())
+        num = n * sxy - sx * sy
+        dx = n * sx2 - sx * sx
+        dy = n * sy2 - sy * sy
+        slope = num / dx
+        # bit-exact: same operands, same order
+        assert row.slope == slope
+        assert row.intercept == (sy - slope * sx) / n
+        assert row.r2 == (num * num) / (dx * dy)
+        assert abs(row.slope - 3.0) < 0.1
+
+
+def test_group_linreg_degenerate(ray_session):
+    import ray.data as rd
+    from swishray.ops.stats import group_linreg
+
+    # constant x -> zero variance -> NULL fit; n=1 group too
+    t = pa.table({"g": pa.array(["c", "c", "c", "one"]),
+                  "x": pa.array([5, 5, 5, 2], type=pa.int64()),
+                  "y": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = group_linreg(rd.from_arrow(t), "g", "x", "y") \
+        .to_pandas().set_index("g")
+    assert np.isnan(out.loc["c", "slope"])
+    assert np.isnan(out.loc["one", "slope"])

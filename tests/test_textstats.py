@@ -171,3 +171,31 @@ def test_extract_entities(ray_session):
     assert list(out.m) == [1, 2]
     assert list(out.doc_id) == [1, 1]
     assert (out.kind == "entity").all()
+
+
+def test_collocations_pmi(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.textstats import collocations_pmi
+
+    texts = (["big data big data big data"] * 3
+             + ["the big the data the big"] * 2)
+    t = pa.table({"text": pa.array(texts)})
+    out = collocations_pmi(rd.from_arrow(t).repartition(3),
+                           min_count=4).to_pandas()
+    got = {(r.w1, r.w2): (r.cab, r.ca, r.cb, r.pmi_ratio)
+           for r in out.itertuples(index=False)}
+    # unigrams: big 3*3+2*2=13? big occurs 3x per doc in first (3 docs)
+    #   = 9 + 2 per doc in second (2 docs) = 4 -> 13
+    # data: 3*3 + 1*2 = 11; the: 3*2 = 6
+    # bigrams 'big data': 3 per first doc x3 = 9
+    # 'data big': 2*3 = 6; 'the big': 2*2 = 4; others < 4
+    t1 = 13 + 11 + 6
+    t2 = (5 * 3) + (5 * 2)  # 6-word docs -> 5 bigrams each
+    assert set(got) == {("big", "data"), ("data", "big"),
+                        ("the", "big")}
+    cab, ca, cb, ratio = got[("big", "data")]
+    assert (cab, ca, cb) == (9, 13, 11)
+    assert ratio == ((9.0 * t1) * t1) / ((float(t2) * 13.0) * 11.0)
+    cab, ca, cb, _ = got[("the", "big")]
+    assert (cab, ca, cb) == (4, 6, 13)
