@@ -3680,6 +3680,22 @@ def q_containment(sf_dir: str):
     return containment_join(docs, threshold=0.8)
 
 
+def q_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    streams (ops/windows.py transition_counts): LEAD per user ordered
+    by (ts, event_id), then a map-side-combined (src, dst) census."""
+    import ray.data as rd
+
+    from swishray.ops.windows import transition_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id",
+                                  "event_type", "ts"])
+    return transition_counts(ev, key="user_id",
+                             order_by=["ts", "event_id"],
+                             col="event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3800,6 +3816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linreg_by_flag": q_linreg,
         "collocations": q_collocations,
         "containment_pairs": q_containment,
+        "transitions": q_transitions,
         "snapshot_diff": q_snapshot_diff,
         "editdist_pairs": q_editdist_pairs,
         "triangles": q_triangles,
@@ -4851,6 +4868,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.c AS DOUBLE)) AS pmi_ratio "
             "FROM bc JOIN uc a ON a.w = bc.w1 "
             "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "transitions": (
+            "WITH w AS (SELECT event_type, "
+            "LEAD(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS next_type FROM events) "
+            "SELECT event_type AS src, next_type AS dst, "
+            "CAST(count(*) AS BIGINT) AS n FROM w "
+            "WHERE next_type IS NOT NULL GROUP BY 1, 2"),
         "linreg_by_flag": (
             "WITH s AS (SELECT l_returnflag, "
             "CAST(l_quantity AS BIGINT) AS x, "

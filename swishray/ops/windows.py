@@ -277,3 +277,39 @@ def hopping_counts(ds: Any, width_s: int, slide_s: int,
         Count(alias_name="n_events"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"))
+
+
+def transition_counts(ds: Any, key: str, order_by, col: str) -> Any:
+    """First-order Markov transition census over per-key ordered
+    event streams: count (state, next_state) for consecutive rows
+    within each key — the behavioral-model companion of sessionize /
+    funnel (which match ONE pattern; this emits the full matrix).
+
+    Scale shape: the per-key ordering rides the analytic window
+    machinery (slim columns only — callers should select just
+    key/order/state); the census is then a map-side-combined
+    (src, dst, partial) exchange, never raw transitions.  Output:
+    (src, dst, n)."""
+    from ray.data.aggregate import Sum
+
+    from .analytic import analytic, lead
+
+    w = analytic(ds, partition_by=key, order_by=order_by,
+                 specs=[lead(col)])
+    nxt = f"{col}_lead1"
+
+    def census(batch) -> "pa.Table":
+        import pandas as pd  # noqa: F401
+        df = batch[[col, nxt]]
+        df = df[df[nxt].notna()]
+        agg = (df.groupby([col, nxt], sort=False).size()
+               .reset_index(name="__n"))
+        import pyarrow as pa
+        return pa.table({
+            "src": pa.array(agg[col], type=pa.large_string()),
+            "dst": pa.array(agg[nxt], type=pa.large_string()),
+            "__n": pa.array(agg["__n"], type=pa.int64())})
+
+    return (w.map_batches(census, batch_format="pandas")
+            .groupby(["src", "dst"])
+            .aggregate(Sum("__n", alias_name="n")))

@@ -253,3 +253,22 @@ def test_ewma_matches_closed_form(ray_session):
     for i in range(1, 50):
         want[i] = a * x[i] + (1 - a) * want[i - 1]
     assert np.allclose(out.x_ewma.to_numpy(), want, rtol=0, atol=1e-12)
+
+
+def test_transition_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.windows import transition_counts
+
+    # user 1: a->b->a ; user 2: b->b ; user 3: single event (none)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 1], type=pa.int64()),
+        "event_id": pa.array([10, 11, 12, 20, 21, 30],
+                             type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "b", "c"])})
+    out = transition_counts(rd.from_arrow(t).repartition(3),
+                            key="user_id", order_by=["ts", "event_id"],
+                            col="event_type").to_pandas()
+    got = {(r.src, r.dst): r.n for r in out.itertuples(index=False)}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
