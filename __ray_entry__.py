@@ -3696,6 +3696,38 @@ def q_transitions(sf_dir: str):
                              col="event_type")
 
 
+def q_winnow(sf_dir: str):
+    """MOSS winnowing fingerprints (ops/textstats.py
+    winnow_fingerprints, Schleimer et al. 2003): rightmost-minimal
+    md5 k-gram hash per w-window, distinct positions — entirely
+    map-side, one vectorized sliding-window MD5 pass per doc."""
+    from swishray.ops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                               k=8, w=4)
+
+
+def q_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (ops/aggregates.py rrf_fuse) of two
+    top-100 order rankings — highest-value and most-recent — the
+    union-search-results primitive; doubles are a fixed IEEE
+    divide/add chain so the fused scores hash-match SQL."""
+    import ray.data as rd
+
+    from swishray.ops.aggregates import ranked_topk, rrf_fuse
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    by_price = ranked_topk(orders, "o_orderkey",
+                           ["o_totalprice", "o_orderkey"],
+                           [True, False], 100)
+    by_date = ranked_topk(orders, "o_orderkey",
+                          ["o_orderdate", "o_orderkey"],
+                          [True, False], 100)
+    return rrf_fuse(by_price, by_date, "o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3817,6 +3849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "containment_pairs": q_containment,
         "transitions": q_transitions,
+        "winnow": q_winnow,
+        "rrf_orders": q_rrf,
         "snapshot_diff": q_snapshot_diff,
         "editdist_pairs": q_editdist_pairs,
         "triangles": q_triangles,
@@ -4868,6 +4902,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.c AS DOUBLE)) AS pmi_ratio "
             "FROM bc JOIN uc a ON a.w = bc.w1 "
             "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "rrf_orders": (
+            "WITH pa_r AS (SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) "
+            "AS ra FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+            "LIMIT 100), "
+            "pb AS (SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) "
+            "AS rb FROM orders ORDER BY o_orderdate DESC, o_orderkey "
+            "LIMIT 100) "
+            "SELECT COALESCE(pa_r.o_orderkey, pb.o_orderkey) "
+            "AS o_orderkey, "
+            "COALESCE(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0) + "
+            "COALESCE(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) AS rrf, "
+            "COALESCE(ra, 0) AS rank_a, COALESCE(rb, 0) AS rank_b "
+            "FROM pa_r FULL OUTER JOIN pb "
+            "ON pa_r.o_orderkey = pb.o_orderkey"),
+        "winnow": (
+            "WITH h AS ("
+            "  SELECT doc_id, i, CAST(('0x' || substr(md5("
+            "substr(text, i, 8)), 1, 8)) AS BIGINT) AS hv, "
+            "len(text) AS n "
+            "  FROM documents, unnest(range(1, "
+            "greatest(len(text) - 7, 0) + 1)) AS t(i)"
+            "), win AS ("
+            "  SELECT doc_id, i AS j FROM h WHERE i <= n - 10"
+            "), wm AS ("
+            "  SELECT w.doc_id, w.j, min(h.hv) AS mn"
+            "  FROM win w JOIN h ON h.doc_id = w.doc_id"
+            "  AND h.i BETWEEN w.j AND w.j + 3"
+            "  GROUP BY w.doc_id, w.j"
+            "), sel AS ("
+            "  SELECT wm.doc_id, max(h.i) AS pos, wm.mn AS fp"
+            "  FROM wm JOIN h ON h.doc_id = wm.doc_id"
+            "  AND h.i BETWEEN wm.j AND wm.j + 3 AND h.hv = wm.mn"
+            "  GROUP BY wm.doc_id, wm.j, wm.mn) "
+            "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, "
+            "CAST(fp AS BIGINT) AS fp FROM sel"),
         "transitions": (
             "WITH w AS (SELECT event_type, "
             "LEAD(event_type) OVER (PARTITION BY user_id "

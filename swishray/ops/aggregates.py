@@ -1013,3 +1013,85 @@ def gap_fill_counts(ds: Any, group: str, ts_col: str,
                           dtype=np.int64)})
 
     return counts.groupby(group).map_groups(fill)
+
+
+def ranked_topk(ds: Any, key: str, order_cols, descending,
+                k: int) -> Any:
+    """(key, rank) for the global top-``k`` rows of ``ds`` under the
+    given sort — distributed sort + limit does the heavy lifting
+    (per-block top-k then merge), ranks are assigned on the already-
+    tiny k-row result.  ``order_cols`` MUST end in a unique
+    tie-breaker for deterministic replay."""
+    import numpy as np
+
+    top = ds.sort(list(order_cols),
+                  descending=list(descending)).limit(k) \
+        .repartition(1)
+
+    def number(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "rank": pa.array(
+                np.arange(1, batch.num_rows + 1, dtype=np.int64))})
+
+    return top.map_batches(number, batch_format="pyarrow")
+
+
+def rrf_fuse(a: Any, b: Any, key: str, k_const: int = 60) -> Any:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two (key, rank) result lists:
+        rrf(key) = 1/(k + rank_a) + 1/(k + rank_b)
+    with a missing side contributing 0.0.  The union-search-results
+    primitive (fuse BM25 with recency, text with vector hits, ...).
+
+    One slim tagged groupby over (key, contribution) rows — result
+    lists are top-k-sized, so this is always tiny; the fixed a-then-b
+    addition order and pure IEEE divides make the doubles
+    SQL-replayable.  Output: (key, rrf, rank_a, rank_b) with rank 0
+    marking the missing side."""
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def contrib(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            r = batch.column("rank").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            c = 1.0 / (float(k_const) + r)
+            zero = np.zeros(len(r))
+            neg = np.full(len(r), -1, dtype=np.int64)
+            rk = pc.cast(batch.column("rank"), pa.int64())
+            return pa.table({
+                key: batch.column(key),
+                "ca": pa.array(c if side == "a" else zero),
+                "cb": pa.array(zero if side == "a" else c),
+                "ra": rk if side == "a" else pa.array(neg),
+                "rb": pa.array(neg) if side == "a" else rk,
+            })
+        return f
+
+    merged = (a.map_batches(contrib("a"), batch_format="pyarrow")
+              .union(b.map_batches(contrib("b"),
+                                   batch_format="pyarrow"))
+              .groupby(key)
+              .aggregate(Sum("ca", alias_name="ca"),
+                         Sum("cb", alias_name="cb"),
+                         Max("ra", alias_name="ra"),
+                         Max("rb", alias_name="rb")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").to_numpy(zero_copy_only=False)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False)
+        ra = batch.column("ra").to_numpy(zero_copy_only=False)
+        rb = batch.column("rb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: batch.column(key),
+            "rrf": pa.array(ca + cb, type=pa.float64()),
+            # 0 = not present on that side (ranks are 1-based)
+            "rank_a": pa.array(np.where(ra > 0, ra, 0),
+                               type=pa.int64()),
+            "rank_b": pa.array(np.where(rb > 0, rb, 0),
+                               type=pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

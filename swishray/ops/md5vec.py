@@ -97,3 +97,32 @@ def md5_u32(keys: list) -> np.ndarray:
     for i in np.nonzero(~short)[0]:
         out[i] = int.from_bytes(hashlib.md5(msgs[i]).digest()[:4], "big")
     return out
+
+
+def md5_u32_windows(data: bytes, k: int) -> np.ndarray:
+    """uint32 md5 prefixes (first 8 hex digits) of EVERY k-byte
+    sliding window of ``data`` — the winnowing-fingerprint hot path.
+    One (chunked) numpy pass: windows come from a zero-copy
+    stride-tricks view, padding/length fields are constant per call
+    (k <= 55 so each window is one MD5 block).  Equals
+    ``md5_u32([data[i:i+k] ...])`` bit-for-bit."""
+    if not 0 < k <= 55:
+        raise ValueError("k must be in 1..55")
+    a = np.frombuffer(data, dtype=np.uint8)
+    n = len(a) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint32)
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(a, k)
+    out = np.empty(n, dtype=np.uint32)
+    bits = np.array([k * 8], dtype="<u8").view(np.uint8)
+    CHUNK = 1 << 16  # bound the 64-byte-per-window block matrix
+    for s in range(0, n, CHUNK):
+        e = min(n, s + CHUNK)
+        block = np.zeros((e - s, 64), dtype=np.uint8)
+        block[:, :k] = wins[s:e]
+        block[:, k] = 0x80
+        block[:, 56:64] = bits
+        m = block.view("<u4").reshape(e - s, 16)
+        out[s:e] = _md5_block_u32(np.ascontiguousarray(m))
+    return out

@@ -1296,3 +1296,66 @@ def collocations_pmi(ds: Any, col: str = "text",
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def winnow_fingerprints(ds: Any, col: str = "text",
+                        key: str = "doc_id", k: int = 8,
+                        w: int = 4) -> Any:
+    """Winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003, the MOSS algorithm): hash every k-character window
+    of the text, slide a w-hash window over the hash sequence, and
+    select the RIGHTMOST MINIMAL hash of each window; consecutive
+    windows re-selecting the same position collapse, giving a
+    position-robust fingerprint set that is guaranteed to share an
+    entry with any copied passage of length >= w + k - 1.
+
+    Entirely map-side (document-local): the k-gram hashes come from
+    ONE vectorized sliding-window MD5 pass (md5vec.md5_u32_windows —
+    zero-copy byte windows, chunk-bounded block matrix), the
+    rightmost-min selection from one stride-tricks sliding-min +
+    reversed-argmax per doc; no shuffle at all.  MD5 prefixes make
+    the whole thing SQL-replayable (substr + md5 + window join).
+    Non-ASCII docs fall back to per-window substring hashing so
+    positions stay CHARACTER-indexed like SQL substr.  Docs shorter
+    than w + k - 1 chars emit nothing (no full window exists).
+    Output: one row per distinct (key, pos, fp), pos 1-based."""
+    import numpy as np
+
+    from .md5vec import md5_u32, md5_u32_windows
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+        keys_out, pos_out, fp_out = [], [], []
+        keys = batch.column(key).to_pylist()
+        for kk, tt in zip(keys, batch.column(col).to_pylist()):
+            s = tt or ""
+            if len(s) < k:
+                continue
+            if s.isascii():
+                h = md5_u32_windows(s.encode(), k)
+            else:
+                h = md5_u32([s[i:i + k]
+                             for i in range(len(s) - k + 1)])
+            if len(h) < w:
+                continue
+            sw = sliding_window_view(h, w)
+            m = sw.min(axis=1)
+            # rightmost index of the minimum within each window
+            off = w - 1 - np.argmax(sw[:, ::-1] == m[:, None], axis=1)
+            pos = np.arange(len(m), dtype=np.int64) + off
+            sel = np.unique(pos)
+            keys_out.extend([kk] * len(sel))
+            pos_out.append(sel + 1)  # 1-based, matches SQL substr
+            fp_out.append(h[sel].astype(np.int64))
+        return pa.table({
+            key: pa.array(keys_out,
+                          type=batch.column(key).type),
+            "pos": pa.array(
+                np.concatenate(pos_out) if pos_out
+                else np.empty(0, dtype=np.int64)),
+            "fp": pa.array(
+                np.concatenate(fp_out) if fp_out
+                else np.empty(0, dtype=np.int64)),
+        })
+
+    return ds.map_batches(winnow, batch_format="pyarrow")

@@ -729,3 +729,38 @@ def test_retention_cohorts(ray_session):
            for r in out.itertuples()}
     w0, w1 = base, base + wk
     assert got == {(w0, 0): 2, (w0, 1): 2, (w0, 3): 1, (w1, 0): 1}
+
+
+def test_rrf_fuse(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.aggregates import rrf_fuse
+
+    a = pa.table({"k": pa.array([10, 20, 30], type=pa.int64()),
+                  "rank": pa.array([1, 2, 3], type=pa.int64())})
+    b = pa.table({"k": pa.array([20, 40], type=pa.int64()),
+                  "rank": pa.array([1, 2], type=pa.int64())})
+    out = rrf_fuse(rd.from_arrow(a), rd.from_arrow(b), "k",
+                   k_const=60).to_pandas().set_index("k")
+    assert out.loc[20, "rrf"] == 1.0 / 62.0 + 1.0 / 61.0
+    assert out.loc[10, "rrf"] == 1.0 / 61.0
+    assert out.loc[40, "rrf"] == 1.0 / 62.0
+    assert (out.loc[20, "rank_a"], out.loc[20, "rank_b"]) == (2, 1)
+    assert (out.loc[10, "rank_a"], out.loc[10, "rank_b"]) == (1, 0)
+    # fused order: 20 (both lists) first
+    assert out.rrf.idxmax() == 20
+
+
+def test_ranked_topk(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.aggregates import ranked_topk
+
+    t = pa.table({"k": pa.array(range(50), type=pa.int64()),
+                  "v": pa.array([i % 7 for i in range(50)],
+                                type=pa.int64())})
+    out = ranked_topk(rd.from_arrow(t).repartition(5), "k",
+                      ["v", "k"], [True, False], 10).to_pandas()
+    assert list(out["rank"]) == list(range(1, 11))
+    # v desc, tie k asc: v=6 rows are k=6,13,20,27,34,41,48 (7 rows)
+    assert list(out["k"][:7]) == [6, 13, 20, 27, 34, 41, 48]

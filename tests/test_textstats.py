@@ -199,3 +199,63 @@ def test_collocations_pmi(ray_session):
     assert ratio == ((9.0 * t1) * t1) / ((float(t2) * 13.0) * 11.0)
     cab, ca, cb, _ = got[("the", "big")]
     assert (cab, ca, cb) == (4, 6, 13)
+
+
+def _winnow_ref(s: str, k: int, w: int):
+    """Straight-from-the-paper reference winnowing (Schleimer et al.
+    2003): rightmost minimal hash per window, distinct positions."""
+    import hashlib
+    if len(s) < k:
+        return set()
+    h = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:8], 16)
+         for i in range(len(s) - k + 1)]
+    if len(h) < w:
+        return set()
+    out = set()
+    for j in range(len(h) - w + 1):
+        window = h[j:j + w]
+        m = min(window)
+        pos = j + max(i for i, v in enumerate(window) if v == m)
+        out.add((pos + 1, h[pos]))
+    return out
+
+
+def test_winnow_fingerprints(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.textstats import winnow_fingerprints
+
+    rng = np.random.default_rng(13)
+    texts = []
+    for n in (0, 5, 11, 12, 40, 200):
+        texts.append("".join(chr(97 + c)
+                             for c in rng.integers(0, 6, n)))
+    texts.append("ünïcode straße " * 10)  # non-ASCII fallback path
+    t = pa.table({"doc_id": pa.array(range(len(texts)),
+                                     type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = winnow_fingerprints(rd.from_arrow(t).repartition(3),
+                              k=8, w=4).to_pandas()
+    for d, s in enumerate(texts):
+        got = {(r.pos, r.fp) for r in
+               out[out.doc_id == d].itertuples(index=False)}
+        assert got == _winnow_ref(s, 8, 4), (d, s[:20])
+
+
+def test_winnow_shared_passage(ray_session):
+    """Two docs sharing a passage >= w+k-1 chars must share at least
+    one fingerprint VALUE (the winnowing guarantee)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["AAAA " + shared + " BBBB",
+                          "xyzzy words " + shared + " qq"])})
+    out = winnow_fingerprints(rd.from_arrow(t), k=8, w=4).to_pandas()
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    assert f1 & f2
