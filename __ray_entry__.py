@@ -3728,6 +3728,67 @@ def q_rrf(sf_dir: str):
     return rrf_fuse(by_price, by_date, "o_orderkey")
 
 
+def q_survivorship(sf_dir: str):
+    """Golden-record consolidation
+    (ops/partitioning.py survivorship_merge): synthetic dup clusters
+    (doc_id % 50) collapse to one survivor row — longest text
+    (value-ascending ties), max n_chars, modal lang, min doc_id —
+    each rule deterministic and SQL-replayable."""
+    import pyarrow as pa
+
+    from swishray.ops.partitioning import survivorship_merge
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def with_cluster(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cluster", pa.array(ids % 50, type=pa.int64()))
+
+    ds = docs.map_batches(with_cluster, batch_format="pyarrow")
+    out = survivorship_merge(
+        ds, "cluster",
+        {"text": "longest", "n_chars": "max", "lang": "mode"},
+        keep_key="doc_id")
+    import pyarrow.compute as pc
+    return out.map_batches(
+        lambda t: pa.table({
+            "cluster": pc.cast(t.column("cluster"), pa.int64()),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "text": pc.cast(t.column("text"), pa.large_string()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "lang": pc.cast(t.column("lang"), pa.large_string())}),
+        batch_format="pyarrow")
+
+
+def q_scd2(sf_dir: str):
+    """SCD type-2 validity intervals (ops/windows.py scd2_intervals)
+    over per-user event-type streams: one row per run of consecutive
+    equal values with valid_from/valid_to/n_obs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swishray.ops.windows import scd2_intervals
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    out = scd2_intervals(ev, key="user_id", ts_col="ts",
+                         col="event_type")
+    import pyarrow.compute as pc
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"),
+                                  pa.large_string()),
+            "valid_from": pc.cast(t.column("valid_from"),
+                                  pa.timestamp("us")),
+            "valid_to": pc.cast(t.column("valid_to"),
+                                pa.timestamp("us")),
+            "n_obs": pc.cast(t.column("n_obs"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3851,6 +3912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": q_transitions,
         "winnow": q_winnow,
         "rrf_orders": q_rrf,
+        "survivorship": q_survivorship,
+        "scd2_intervals": q_scd2,
         "snapshot_diff": q_snapshot_diff,
         "editdist_pairs": q_editdist_pairs,
         "triangles": q_triangles,
@@ -4902,6 +4965,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.c AS DOUBLE)) AS pmi_ratio "
             "FROM bc JOIN uc a ON a.w = bc.w1 "
             "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "survivorship": (
+            "WITH c AS (SELECT doc_id % 50 AS cluster, doc_id, text, "
+            "lang, n_chars FROM documents), "
+            "tx AS (SELECT cluster, text FROM (SELECT cluster, text, "
+            "ROW_NUMBER() OVER (PARTITION BY cluster "
+            "ORDER BY len(text) DESC, text) AS rn FROM c) WHERE rn = 1), "
+            "lm AS (SELECT cluster, lang FROM (SELECT cluster, lang, "
+            "ROW_NUMBER() OVER (PARTITION BY cluster "
+            "ORDER BY n DESC, lang) AS rn FROM (SELECT cluster, lang, "
+            "count(*) AS n FROM c GROUP BY 1, 2)) WHERE rn = 1) "
+            "SELECT c.cluster, min(c.doc_id) AS doc_id, "
+            "any_value(tx.text) AS text, max(c.n_chars) AS n_chars, "
+            "any_value(lm.lang) AS lang "
+            "FROM c JOIN tx ON tx.cluster = c.cluster "
+            "JOIN lm ON lm.cluster = c.cluster GROUP BY c.cluster"),
+        "scd2_intervals": (
+            "WITH s AS (SELECT user_id, ts, event_type, "
+            "LAG(event_type) OVER w AS prev, "
+            "ROW_NUMBER() OVER w AS rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS tot FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "st AS (SELECT user_id, ts AS valid_from, event_type, rn, "
+            "tot FROM s WHERE prev IS NULL OR prev <> event_type), "
+            "r AS (SELECT user_id, event_type, valid_from, "
+            "LEAD(valid_from) OVER w2 AS valid_to, "
+            "COALESCE(LEAD(rn) OVER w2, tot + 1) - rn AS n_obs "
+            "FROM st WINDOW w2 AS (PARTITION BY user_id "
+            "ORDER BY valid_from)) "
+            "SELECT user_id, event_type, valid_from, valid_to, "
+            "CAST(n_obs AS BIGINT) AS n_obs FROM r"),
         "rrf_orders": (
             "WITH pa_r AS (SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
             "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) "

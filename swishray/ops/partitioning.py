@@ -166,3 +166,62 @@ def union_harmonized(*dss) -> "Any":
     for d in dss[1:]:
         out = out.union(d.map_batches(conform, batch_format="pyarrow"))
     return out
+
+
+def survivorship_merge(ds: Any, cluster: str, rules: dict,
+                       keep_key: str | None = None) -> Any:
+    """Golden-record consolidation: collapse each duplicate CLUSTER
+    (e.g. connected-component output of the near-dup joins) to one
+    survivor row, choosing each column by an explicit, DETERMINISTIC
+    survivorship rule — the step between "pairs found" and "corpus
+    written" that the reference's last-write-wins uri upsert
+    (/root/reference/src/xapian/swish_xapian.cpp:563-601) hardcodes.
+
+    Rules per output column: ``min`` / ``max`` (plain extremum),
+    ``longest`` (max by (length, value) — value ascends on ties so
+    replay is exact), ``mode`` (highest count, then smallest value).
+    ``keep_key`` (default: every rule column's cluster minimum of
+    ``cluster`` itself is implicit) names a column whose per-cluster
+    MINIMUM identifies the survivor.
+
+    Scale shape: records ride ONE cluster-keyed shuffle (merging
+    inherently co-locates a cluster); each reduce task processes its
+    clusters with vectorized pandas kernels.  Documented contract
+    (shared with collect_sorted): a cluster fits one task — dedup
+    clusters are output-sized, orders of magnitude below corpus
+    scale."""
+    import pandas as pd
+
+    allowed = {"min", "max", "longest", "mode"}
+    bad = {r for r in rules.values()} - allowed
+    if bad:
+        raise ValueError(f"unknown survivorship rules: {bad}")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = {cluster: [g[cluster].iloc[0]]}
+        if keep_key is not None:
+            out[keep_key] = [g[keep_key].min()]
+        for col, rule in rules.items():
+            s = g[col]
+            if rule == "min":
+                out[col] = [s.min()]
+            elif rule == "max":
+                out[col] = [s.max()]
+            elif rule == "longest":
+                tmp = pd.DataFrame({
+                    "v": s.to_numpy(),
+                    "l": s.astype(str).str.len().to_numpy()})
+                tmp = tmp.sort_values(["l", "v"],
+                                      ascending=[False, True])
+                out[col] = [tmp["v"].iloc[0]]
+            else:  # mode
+                vc = (pd.DataFrame({"v": s})
+                      .groupby("v", sort=False).size()
+                      .reset_index(name="n")
+                      .sort_values(["n", "v"],
+                                   ascending=[False, True]))
+                out[col] = [vc["v"].iloc[0]]
+        return pd.DataFrame(out)
+
+    return ds.groupby(cluster).map_groups(merge,
+                                          batch_format="pandas")

@@ -313,3 +313,50 @@ def transition_counts(ds: Any, key: str, order_by, col: str) -> Any:
     return (w.map_batches(census, batch_format="pandas")
             .groupby(["src", "dst"])
             .aggregate(Sum("__n", alias_name="n")))
+
+
+def scd2_intervals(ds: Any, key: str, ts_col: str, col: str) -> Any:
+    """Slowly-changing-dimension type-2 build: collapse a per-key
+    observation stream (e.g. repeated recrawls of a url) into
+    VALIDITY INTERVALS — one row per run of consecutive equal values,
+    with ``valid_from`` = first observation of the run and
+    ``valid_to`` = the first observation of the NEXT run (null for
+    the current value).  The interval form of snapshot_diff: diff
+    answers "what changed between two snapshots", this materializes
+    the full change history a time-travel join needs.
+
+    Scale shape: per-key ordering rides the analytic window
+    machinery (callers select only key/ts/value columns); the
+    run-collapse is vectorized inside each key group; output is one
+    row per VALUE RUN, not per observation.  Ties on ``ts_col``
+    within a key must not occur (observation streams are unique per
+    (key, ts) — the reference's crawl model).
+    Output: (key, value, valid_from, valid_to, n_obs)."""
+    import numpy as np
+    import pandas as pd
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        v = g[col].to_numpy()
+        ts = g[ts_col]
+        new_run = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_run[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(g))
+        # valid_to = ts of the NEXT run's first row; NaT/None on the
+        # open (current) run — pandas keeps the ts dtype and maps the
+        # missing slot to null in Arrow
+        valid_to = ts.iloc[np.minimum(ends, len(g) - 1)] \
+            .reset_index(drop=True)
+        valid_to[ends >= len(g)] = None
+        return pd.DataFrame({
+            key: g[key].iloc[0],
+            col: v[starts],
+            "valid_from": ts.iloc[starts].reset_index(drop=True),
+            "valid_to": valid_to,
+            "n_obs": (ends - starts).astype(np.int64),
+        })
+
+    slim = ds.select_columns([key, ts_col, col])
+    return slim.groupby(key).map_groups(runs, batch_format="pandas")

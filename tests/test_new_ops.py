@@ -764,3 +764,54 @@ def test_ranked_topk(ray_session):
     assert list(out["rank"]) == list(range(1, 11))
     # v desc, tie k asc: v=6 rows are k=6,13,20,27,34,41,48 (7 rows)
     assert list(out["k"][:7]) == [6, 13, 20, 27, 34, 41, 48]
+
+
+def test_survivorship_merge(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.partitioning import survivorship_merge
+
+    t = pa.table({
+        "cluster": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "doc_id": pa.array([7, 3, 9, 4], type=pa.int64()),
+        "text": pa.array(["bb", "aaa", "ccc", "x"]),
+        "lang": pa.array(["en", "de", "en", "fr"]),
+        "n": pa.array([5, 9, 2, 1], type=pa.int64())})
+    out = survivorship_merge(
+        rd.from_arrow(t).repartition(2), "cluster",
+        {"text": "longest", "lang": "mode", "n": "max"},
+        keep_key="doc_id").to_pandas().set_index("cluster")
+    # longest: len 3 tie between aaa/ccc -> value-ascending: aaa
+    assert out.loc[1, "text"] == "aaa"
+    assert out.loc[1, "lang"] == "en"      # mode 2-1
+    assert out.loc[1, "n"] == 9
+    assert out.loc[1, "doc_id"] == 3       # min survivor key
+    assert out.loc[2, "text"] == "x"
+
+    import pytest
+    with pytest.raises(ValueError):
+        survivorship_merge(rd.from_arrow(t), "cluster",
+                           {"text": "nosuch"})
+
+
+def test_scd2_intervals(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.windows import scd2_intervals
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5, 1], type=pa.int64()),
+        "v": pa.array(["a", "a", "b", "b", "a", "z"])})
+    out = scd2_intervals(rd.from_arrow(t).repartition(3),
+                         key="k", ts_col="ts", col="v").to_pandas()
+    k1 = out[out.k == 1].sort_values("valid_from")
+    assert list(k1.v) == ["a", "b", "a"]
+    assert list(k1.valid_from) == [1, 3, 5]
+    assert list(k1.n_obs) == [2, 2, 1]
+    assert list(k1.valid_to)[:2] == [3, 5]
+    assert pa.compute.is_null(
+        pa.array(list(k1.valid_to))).to_pylist()[2] or \
+        k1.valid_to.isna().iloc[2]
+    k2 = out[out.k == 2]
+    assert len(k2) == 1 and k2.n_obs.iloc[0] == 1
