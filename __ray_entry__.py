@@ -3789,6 +3789,57 @@ def q_scd2(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_unpivot(sf_dir: str):
+    """Wide -> long reshape (ops/aggregates.py unpivot): orders
+    melted to one (key, attr, value) row per value column — pure
+    map-side, the inverse of pivot_lineitem."""
+    import ray.data as rd
+
+    from swishray.ops.aggregates import unpivot
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_custkey"])
+    return unpivot(orders, ["o_orderkey"],
+                   ["o_totalprice", "o_custkey"])
+
+
+def q_impute(sf_dir: str):
+    """Per-group mean imputation (ops/aggregates.py
+    impute_group_mean): integer values nulled on event_id % 13 == 0
+    refill with their event_type's exact-sum mean — slim stats
+    exchange, broadcast fill, corpus never shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from swishray.ops.aggregates import impute_group_mean
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+        iv = pc.cast(pc.floor(t.column("value")), pa.int64())
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        iv = pc.if_else(pa.array(ids % 13 == 0),
+                        pa.nulls(len(t), pa.int64()), iv)
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "iv": iv})
+
+    out = impute_group_mean(ev.map_batches(prep,
+                                           batch_format="pyarrow"),
+                            "event_type", "iv")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "iv": pc.cast(t.column("iv"), pa.int64()),
+            "iv_imp": t.column("iv_imp")}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3914,6 +3965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_orders": q_rrf,
         "survivorship": q_survivorship,
         "scd2_intervals": q_scd2,
+        "unpivot_orders": q_unpivot,
+        "impute_values": q_impute,
         "snapshot_diff": q_snapshot_diff,
         "editdist_pairs": q_editdist_pairs,
         "triangles": q_triangles,
@@ -4965,6 +5018,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.c AS DOUBLE)) AS pmi_ratio "
             "FROM bc JOIN uc a ON a.w = bc.w1 "
             "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "unpivot_orders": (
+            "SELECT o_orderkey, 'o_totalprice' AS attr, "
+            "CAST(o_totalprice AS DOUBLE) AS value FROM orders "
+            "UNION ALL SELECT o_orderkey, 'o_custkey' AS attr, "
+            "CAST(o_custkey AS DOUBLE) AS value FROM orders"),
+        "impute_values": (
+            "WITH s AS (SELECT event_id, event_type, "
+            "CASE WHEN event_id % 13 = 0 THEN NULL "
+            "ELSE CAST(FLOOR(value) AS BIGINT) END AS iv FROM events), "
+            "m AS (SELECT event_type, CAST(SUM(iv) AS DOUBLE) / "
+            "CAST(COUNT(iv) AS DOUBLE) AS mean FROM s "
+            "GROUP BY event_type) "
+            "SELECT s.event_id, s.event_type, s.iv, "
+            "COALESCE(CAST(s.iv AS DOUBLE), m.mean) AS iv_imp "
+            "FROM s JOIN m USING (event_type)"),
         "survivorship": (
             "WITH c AS (SELECT doc_id % 50 AS cluster, doc_id, text, "
             "lang, n_chars FROM documents), "

@@ -1095,3 +1095,93 @@ def rrf_fuse(a: Any, b: Any, key: str, k_const: int = 60) -> Any:
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def unpivot(ds: Any, id_cols, value_cols, var_name: str = "attr",
+            value_name: str = "value",
+            value_type=None) -> Any:
+    """Wide -> long reshape (SQL UNPIVOT / pandas melt): one output
+    row per (input row x value column), carrying the id columns, the
+    source column's NAME, and its value cast to one common type
+    (float64 default).  The inverse of :func:`pivot_table`.  Pure
+    map-side — each batch expands locally by len(value_cols), no
+    shuffle."""
+    import pyarrow.compute as pc
+
+    vt = value_type or pa.float64()
+    value_cols = list(value_cols)
+    id_cols = list(id_cols)
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_name] = pa.array([vc] * batch.num_rows,
+                                      type=pa.large_string())
+            cols[value_name] = pc.cast(batch.column(vc), vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def impute_group_mean(ds: Any, group: str, col: str,
+                      out: str | None = None) -> Any:
+    """Null imputation by per-group mean: nulls in an integer-valued
+    column become their group's mean of the NON-NULL values, computed
+    from exact int64 partial sums (mean = Σx/n in one double divide —
+    bit-replayable against SUM()/COUNT() SQL, unlike engine-native
+    AVG accumulation order).  Two-pass: one slim (group, n, sx)
+    exchange, then the tiny means table is BROADCAST into a pure
+    map-side fill — the corpus itself never shuffles.  Groups that
+    are entirely null stay null."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    out = out or f"{col}_imp"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(col)))
+        x = pc.cast(t.column(col), pa.int64())
+        df = pa.table({group: t.column(group),
+                       "__x": x}).to_pandas()
+        agg = (df.groupby(group, sort=False)
+               .agg(n=("__x", "count"), sx=("__x", "sum"))
+               .reset_index())
+        return pa.table({
+            group: pa.array(agg[group]),
+            "n": pa.array(agg["n"], type=pa.int64()),
+            "sx": pa.array(agg["sx"], type=pa.int64())})
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"))).to_pandas()
+    means = {g: float(sx) / float(n)
+             for g, n, sx in zip(sums[group], sums["n"], sums["sx"])
+             if n > 0}
+
+    import ray
+    means_ref = ray.put(means)
+
+    class Fill:
+        def __init__(self, ref):
+            self.means = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gs = batch.column(group).to_pylist()
+            x = pc.cast(batch.column(col), pa.float64()) \
+                .to_numpy(zero_copy_only=False)
+            fill = np.array([self.means.get(g, np.nan)
+                             for g in gs])
+            v = np.where(np.isnan(x), fill, x)
+            return batch.append_column(
+                out, pa.array(v, type=pa.float64(),
+                              from_pandas=True))
+
+    from ..util import default_concurrency, map_batches_stateful
+    return map_batches_stateful(
+        ds, Fill, fn_constructor_kwargs=dict(ref=means_ref),
+        batch_format="pyarrow",
+        concurrency=default_concurrency())

@@ -815,3 +815,38 @@ def test_scd2_intervals(ray_session):
         k1.valid_to.isna().iloc[2]
     k2 = out[out.k == 2]
     assert len(k2) == 1 and k2.n_obs.iloc[0] == 1
+
+
+def test_unpivot(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.aggregates import unpivot
+
+    t = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "x": pa.array([10, 20], type=pa.int64()),
+                  "y": pa.array([0.5, 1.5], type=pa.float64())})
+    out = unpivot(rd.from_arrow(t), ["k"], ["x", "y"]) \
+        .to_pandas().sort_values(["k", "attr"]).reset_index(drop=True)
+    assert len(out) == 4
+    assert list(out.columns) == ["k", "attr", "value"]
+    assert out[(out.k == 1) & (out.attr == "x")].value.iloc[0] == 10.0
+    assert out[(out.k == 2) & (out.attr == "y")].value.iloc[0] == 1.5
+
+
+def test_impute_group_mean(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.aggregates import impute_group_mean
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "x": pa.array([1, None, 4, 7, None, None],
+                      type=pa.int64())})
+    out = impute_group_mean(rd.from_arrow(t).repartition(3),
+                            "g", "x").to_pandas()
+    a = out[out.g == "a"].sort_values("x", na_position="last")
+    assert sorted(out[out.g == "a"].x_imp) == [1.0, 2.5, 4.0]
+    assert sorted(out[out.g == "b"].x_imp) == [7.0, 7.0]
+    # all-null group stays null/NaN
+    assert np.isnan(out[out.g == "c"].x_imp.iloc[0])
