@@ -230,7 +230,8 @@ def dedup_keep_canonical(docs: Any, pairs: Any, key: str = "doc_id",
 
 
 def triangle_count(edges: Any, a: str = "a", b: str = "b",
-                   n_buckets: int | None = None) -> Any:
+                   n_buckets: int | None = None,
+                   dense_max_edges: int | None = None) -> Any:
     """Total number of TRIANGLES in the undirected graph given by the
     (possibly duplicated, possibly self-looping) edge list — the
     classic clustering/community signal over the link graph that
@@ -249,6 +250,11 @@ def triangle_count(edges: Any, a: str = "a", b: str = "b",
     graphs.  A wedge (v, w) closes a triangle iff (v, w) is an
     oriented edge: counted with one tagged groupby over
     wedges ∪ edges (Σ wedge_n × edge_n), no join actors.
+
+    Small graphs (<= dense_max_edges distinct edges, default the
+    graphdense TRI gate; 0 forces the distributed path) skip the
+    joins/wedge shuffle for a single-task bitset count
+    (graphdense.dense_triangles).
 
     Exchanges: slim (int64, int64) rows only — dedupe shuffle,
     degree shuffle, two tiny hash-joins to attach degrees, the wedge
@@ -279,6 +285,18 @@ def triangle_count(edges: Any, a: str = "a", b: str = "b",
              .map_batches(lambda t: t.select(["u", "v"]),
                           batch_format="pyarrow")
              .materialize())  # two consumers: degrees + orientation
+
+    # small-graph fast path (graphdense.dense_triangles): candidate
+    # and link graphs at sweep scale fit one worker's bitset — skip
+    # the degree joins + wedge shuffle entirely when gated in
+    from .graphdense import TRI_MAX_EDGES, dense_triangles
+    gate = (TRI_MAX_EDGES if dense_max_edges is None
+            else dense_max_edges)
+    fast = dense_triangles(dedup, max_edges=gate) if gate else None
+    if fast is not None:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "triangles": pa.array([fast], type=pa.int64())}))
 
     def endpoints(batch: pa.Table) -> pa.Table:
         both = pa.concat_arrays([

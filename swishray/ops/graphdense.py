@@ -207,3 +207,73 @@ def dense_components(edges: Any, *, a: str = "a", b: str = "b",
     _kill(shards)
     return pa.table({"node": keys,
                      "component": keys.take(pa.array(label))})
+
+
+TRI_MAX_EDGES = 2_000_000
+TRI_MAX_NODES = 16_384
+
+
+def dense_triangles(dedup_edges: Any,
+                    max_edges: int = TRI_MAX_EDGES,
+                    max_nodes: int = TRI_MAX_NODES):
+    """Single-task bitset fast path for triangle counting — the
+    module-doc regime argument applies doubly here: candidate/dedup
+    graphs are output-sized, and a <=16k-node graph's full adjacency
+    BITSET is <=32 MB, so one worker counts every triangle with
+    chunked AND+popcount instead of the wedge shuffle.  Gates:
+    distinct-edge count (Dataset metadata) then node count (checked
+    inside the task); returns the count, or None past either gate —
+    the caller falls back to the distributed wedge formulation.
+
+    Input must already be the canonical DISTINCT (u < v) edge list
+    produced by components.triangle_count."""
+    import numpy as np
+    import ray
+
+    if dedup_edges.count() > max_edges:
+        return None
+
+    @ray.remote
+    def count(_max_nodes: int, *blocks):
+        import pyarrow as pa_mod
+        tabs = [b for b in blocks if b.num_rows]
+        if not tabs:
+            return 0
+        t = pa_mod.concat_tables(tabs)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]),
+                               return_inverse=True)
+        n = len(nodes)
+        if n > _max_nodes:
+            return None
+        ui, vi = inv[:len(u)], inv[len(u):]
+        deg = np.bincount(ui, minlength=n) + np.bincount(
+            vi, minlength=n)
+        # orient low (deg, id) -> high; id order via the index
+        u_first = (deg[ui] < deg[vi]) | ((deg[ui] == deg[vi])
+                                         & (ui < vi))
+        src = np.where(u_first, ui, vi)
+        dst = np.where(u_first, vi, ui)
+        w = (n + 7) // 8
+        bits = np.zeros((n, w), dtype=np.uint8)
+        # ufunc.at, NOT fancy |=: several edges of one src can land
+        # in the same byte and buffered fancy assignment keeps only
+        # one of the duplicate writes
+        np.bitwise_or.at(bits, (src, dst >> 3),
+                         (1 << (dst & 7)).astype(np.uint8))
+        pop = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None],
+            axis=1).sum(axis=1).astype(np.int64)
+        total = 0
+        CH = 65536
+        for s in range(0, len(src), CH):
+            a = bits[src[s:s + CH]]
+            b = bits[dst[s:s + CH]]
+            total += int(pop[a & b].sum())
+        return total
+
+    # refs resolve IN the task (object-store locality) — the edge
+    # blocks never pass through the driver
+    refs = dedup_edges.to_arrow_refs()
+    return ray.get(count.remote(max_nodes, *refs))

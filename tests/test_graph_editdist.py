@@ -105,6 +105,10 @@ def test_triangle_count_random_vs_trace(ray_session):
                   "b": pa.array(b, type=pa.int64())})
     out = triangle_count(rd.from_arrow(t).repartition(5)).to_pandas()
     assert out.iloc[0, 0] == want
+    # force the distributed wedge path past the dense gate
+    out2 = triangle_count(rd.from_arrow(t).repartition(5),
+                          dense_max_edges=0).to_pandas()
+    assert out2.iloc[0, 0] == want
 
 
 def test_triangle_count_no_triangles(ray_session):
