@@ -3840,6 +3840,73 @@ def q_impute(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """Delimited-source path: orders written to CSV shards
+    (Dataset.write_csv) and read back (ray.data.read_csv), then a
+    per-priority count + orderkey-sum rollup — values must survive
+    the text roundtrip exactly; the oracle computes the same rollup
+    from the parquet directly."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    out = tempfile.mkdtemp(prefix="swishray-csv-", dir="/tmp")
+    try:
+        orders.write_csv(out)
+        back = rd.read_csv(out)
+        from ray.data.aggregate import Count, Sum
+        agg = back.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n"),
+            Sum("o_orderkey", alias_name="key_sum"))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "key_sum": pc.cast(t.column("key_sum"),
+                                   pa.int64())}),
+            batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL-source path: same rollup through Dataset.write_json /
+    ray.data.read_json shards."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    out = tempfile.mkdtemp(prefix="swishray-jsonl-", dir="/tmp")
+    try:
+        orders.write_json(out)
+        back = rd.read_json(out)
+        from ray.data.aggregate import Count, Sum
+        agg = back.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n"),
+            Sum("o_orderkey", alias_name="key_sum"))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "key_sum": pc.cast(t.column("key_sum"),
+                                   pa.int64())}),
+            batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -3967,6 +4034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": q_scd2,
         "unpivot_orders": q_unpivot,
         "impute_values": q_impute,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "snapshot_diff": q_snapshot_diff,
         "editdist_pairs": q_editdist_pairs,
         "triangles": q_triangles,
@@ -5018,6 +5087,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.c AS DOUBLE)) AS pmi_ratio "
             "FROM bc JOIN uc a ON a.w = bc.w1 "
             "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "csv_roundtrip": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
+            "FROM orders GROUP BY o_orderpriority"),
+        "jsonl_roundtrip": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
+            "FROM orders GROUP BY o_orderpriority"),
         "unpivot_orders": (
             "SELECT o_orderkey, 'o_totalprice' AS attr, "
             "CAST(o_totalprice AS DOUBLE) AS value FROM orders "
