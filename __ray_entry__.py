@@ -3907,6 +3907,21 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_sliding_distinct(sf_dir: str):
+    """EXACT unique-user count per 2h hopping window sliding 1h
+    (ops/windows.py sliding_distinct) — distinct does not decompose
+    over overlapping windows, so the exchange carries distinct
+    (user, window) pairs, never events."""
+    import ray.data as rd
+
+    from swishray.ops.windows import sliding_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return sliding_distinct(ev, key="user_id", ts_col="ts",
+                            width_s=7200, slide_s=3600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -4036,6 +4051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_values": q_impute,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sliding_distinct": q_sliding_distinct,
         "snapshot_diff": q_snapshot_diff,
         "editdist_pairs": q_editdist_pairs,
         "triangles": q_triangles,
@@ -5087,6 +5103,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.c AS DOUBLE)) AS pmi_ratio "
             "FROM bc JOIN uc a ON a.w = bc.w1 "
             "JOIN uc b ON b.w = bc.w2, t1, t2"),
+        "sliding_distinct": (
+            "WITH j AS (SELECT unnest(range(0, 2)) AS j), "
+            "p AS (SELECT DISTINCT user_id, make_timestamp("
+            "(epoch_us(ts) // 3600000000) * 3600000000 "
+            "- j.j * 3600000000) AS window_start FROM events, j) "
+            "SELECT window_start, CAST(count(*) AS BIGINT) "
+            "AS n_distinct FROM p GROUP BY window_start"),
         "csv_roundtrip": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(o_orderkey) AS BIGINT) AS key_sum "

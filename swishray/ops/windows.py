@@ -360,3 +360,64 @@ def scd2_intervals(ds: Any, key: str, ts_col: str, col: str) -> Any:
 
     slim = ds.select_columns([key, ts_col, col])
     return slim.groupby(key).map_groups(runs, batch_format="pandas")
+
+
+def sliding_distinct(ds: Any, key: str, ts_col: str, width_s: int,
+                     slide_s: int) -> Any:
+    """EXACT distinct-key count per hopping window (e.g. unique
+    active users per rolling 24 h, sliding hourly) — the distinct
+    companion of :func:`hopping_counts`, which can only count EVENTS
+    (distinct does not decompose over overlapping windows by
+    addition).
+
+    Scale shape: batch-local (key, window) dedup first, then one
+    global (key, window) dedup-groupby — the exchange carries one
+    slim row per distinct pair, k-fold replicated like every hopping
+    shuffle — then a map-side-combined per-window census.  A hot
+    window costs its distinct-key set, never its event count.
+    Output: (window_start, n_distinct)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if width_s % slide_s != 0:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    slide_us = slide_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
+        t_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        keys = pc.cast(batch.column(key), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        last = (t_us // slide_us) * slide_us
+        starts = (last[:, None]
+                  - (np.arange(k, dtype=np.int64) * slide_us)).ravel()
+        pairs = np.stack([np.repeat(keys, k), starts], axis=1)
+        pairs = np.unique(pairs, axis=0)  # batch-local dedup
+        return pa.table({
+            key: pa.array(pairs[:, 0]),
+            "window_start": pa.array(pairs[:, 1])})
+
+    distinct = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby([key, "window_start"]).count())
+
+    def census(batch: pa.Table) -> pa.Table:
+        ws = batch.column("window_start").to_numpy(
+            zero_copy_only=False)
+        u, c = np.unique(ws, return_counts=True)
+        return pa.table({"window_start": pa.array(u),
+                         "__n": pa.array(c.astype(np.int64))})
+
+    out = (distinct.map_batches(census, batch_format="pyarrow")
+           .groupby("window_start")
+           .aggregate(Sum("__n", alias_name="n_distinct")))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(
+                pc.cast(batch.column("window_start"), pa.int64()),
+                pa.timestamp("us")),
+            "n_distinct": pc.cast(batch.column("n_distinct"),
+                                  pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow")

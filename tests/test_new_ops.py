@@ -850,3 +850,29 @@ def test_impute_group_mean(ray_session):
     assert sorted(out[out.g == "b"].x_imp) == [7.0, 7.0]
     # all-null group stays null/NaN
     assert np.isnan(out[out.g == "c"].x_imp.iloc[0])
+
+
+def test_sliding_distinct(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.windows import sliding_distinct
+
+    H = 3_600_000_000  # us
+    # user 1 at t=0.5h and 1.5h; user 2 at 0.2h (dup twice); user 3
+    # at 2.5h
+    ts = pa.array([H // 2, H + H // 2, H // 5, H // 5, 2 * H + H // 2],
+                  type=pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array([1, 1, 2, 2, 3],
+                                      type=pa.int64()), "ts": ts})
+    out = sliding_distinct(rd.from_arrow(t).repartition(3),
+                           "user_id", "ts", width_s=7200,
+                           slide_s=3600).to_pandas()
+    got = {int(r.window_start.timestamp() // 3600): r.n_distinct
+           for r in out.itertuples(index=False)}
+    # window [-1h,1h): users 1,2 -> but window_start -1h covers
+    # hours -1..0: events at 0..1h fall in windows starting -0h and
+    # -1h... windows are [start, start+2h): start 0 covers users
+    # 1(0.5h),2(0.2h),1(1.5h) -> {1,2}=2; start -1h covers 0..1h
+    # events -> {1,2}=2; start 1h covers 1.5h + 2.5h -> {1,3}=2;
+    # start 2h covers 2.5h -> {3}=1
+    assert got == {-1: 2, 0: 2, 1: 2, 2: 1}

@@ -63,11 +63,15 @@ def main():
     qs = e.queries()
     oracles = e.oracle_sql()
     ok = fail = 0
+    times = {}
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.perf_counter()
         try:
             mine = norm(to_df(fn(sf_dir)))
+            times[name] = _time.perf_counter() - _t0
         except Exception as ex:
             print(f"{name}: QUERY ERROR {type(ex).__name__}: {ex}")
             fail += 1
@@ -102,6 +106,10 @@ def main():
         print(f"{name}: OK ({len(mine)} rows)")
         ok += 1
     print(f"== {ok} ok, {fail} fail ==")
+    if times:
+        slow = sorted(times.items(), key=lambda kv: -kv[1])[:12]
+        print("slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+        print(f"total: {sum(times.values()):.1f}s over {len(times)}")
     ray.shutdown()
     sys.exit(1 if fail else 0)
 
