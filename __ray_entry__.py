@@ -3922,6 +3922,51 @@ def q_sliding_distinct(sf_dir: str):
                             width_s=7200, slide_s=3600)
 
 
+def q_semi_join(sf_dir: str):
+    """Both-sides-large distributed SEMI join (ops/robust.py
+    semi_join_large): orders that have at least one returned
+    lineitem, no left-row duplication. The exchange carries bare
+    distinct keys (map-side pc.unique, then groupby), never lineitem
+    rows — the --Skip-duplicates semi-filter shape
+    (swish_xapian.cpp:1124-1140) with neither side on the driver."""
+    import ray.data as rd
+
+    from swishray.ops.robust import semi_join_large
+
+    left = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    right = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"]) \
+        .filter(expr="l_returnflag == 'R'")
+    return semi_join_large(left, right, "o_orderkey",
+                           right_key="l_orderkey")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier tail via EXACT median/MAD (ops/robust.py
+    mad_outliers over the iterative range-narrowing exact quantile):
+    documents whose char length sits > 2 MADs from the corpus
+    median. No shuffle — two streaming histogram narrowing passes
+    plus a broadcast-scalar filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from swishray.ops.robust import mad_outliers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(b.column("text")),
+                               pa.float64())}),
+        batch_format="pyarrow")
+    return mad_outliers(docs, "n_chars", k=2.0, keep="outliers")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
@@ -4081,6 +4126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fixed_sample": q_fixed_sample,
         "profile": q_profile,
         "chunk_docs": q_chunk_docs,
+        "semi_join": q_semi_join,
+        "mad_outliers": q_mad_outliers,
         # rows-only:
         "ewma_values": q_ewma,
         "quantile_sketch": q_quantile_sketch,
@@ -5647,4 +5694,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN gsz gb ON gb.doc_id = i.b "
             "WHERE CAST(i.ninter AS DOUBLE) / (ga.n + gb.n - i.ninter) "
             ">= 0.5"),
+        "semi_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+            "WHERE o.o_orderkey IN "
+            "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"),
+        "mad_outliers": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(length(text) AS DOUBLE) AS n_chars FROM documents), "
+            "m AS (SELECT quantile_disc(n_chars, 0.5) AS med FROM t), "
+            "d AS (SELECT quantile_disc(abs(n_chars - m.med), 0.5) "
+            "AS mad FROM t, m) "
+            "SELECT t.doc_id, t.n_chars FROM t, m, d "
+            "WHERE abs(t.n_chars - m.med) > 2.0 * d.mad"),
     }
