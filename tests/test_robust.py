@@ -74,3 +74,31 @@ def test_semi_join_large_right_key_rename(rd):
     out = semi_join_large(left, right, "k", right_key="rk") \
         .to_pandas().sort_values("k")
     assert out["k"].tolist() == [1, 3]
+
+
+def test_mad_outliers_empty_and_allnull(rd):
+    from swishray.ops.robust import mad_outliers
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert mad_outliers(empty, "x").count() == 0
+    assert mad_outliers(empty, "x", keep="outliers").count() == 0
+    nulls = rd.from_arrow(pa.table(
+        {"x": pa.array([None, None], pa.float64())}))
+    assert mad_outliers(nulls, "x").count() == 2
+    assert mad_outliers(nulls, "x", keep="outliers").count() == 0
+
+
+def test_semi_join_large_empty_right(rd):
+    from swishray.ops.robust import semi_join_large
+    left = rd.from_arrow(pa.table({"k": [1, 2], "v": [1, 2]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert semi_join_large(left, right, "k").count() == 0
+
+
+def test_semi_join_large_string_keys(rd):
+    # key-type agnosticism (the r2 ADVICE int64-hardcode class)
+    from swishray.ops.robust import semi_join_large
+    left = rd.from_arrow(pa.table({"k": ["a", "b", "c"],
+                                   "v": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"k": ["c", "a", "c"]}))
+    out = semi_join_large(left, right, "k").to_pandas().sort_values("k")
+    assert out["k"].tolist() == ["a", "c"]
