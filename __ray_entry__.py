@@ -3922,6 +3922,27 @@ def q_sliding_distinct(sf_dir: str):
                             width_s=7200, slide_s=3600)
 
 
+def q_token_drift(sf_dir: str):
+    """Distribution-drift census (ops/drift.py): top-100 tokens by
+    chi-square contribution between the English slice and the rest
+    of the corpus, Laplace-smoothed over the joint vocabulary. The
+    contribution is one fixed IEEE expression per TOKEN row (no
+    accumulation), so DuckDB replays the doubles bit-for-bit; the
+    corpus-wide scalar statistic is the consumer's trivial reduce."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from swishray.ops.drift import drift_census
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+    return drift_census(
+        docs,
+        lambda b: pc.equal(b.column("lang"), "en")
+        .to_numpy(zero_copy_only=False),
+        top=100)
+
+
 def q_semi_join(sf_dir: str):
     """Both-sides-large distributed SEMI join (ops/robust.py
     semi_join_large): orders that have at least one returned
@@ -4128,6 +4149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "semi_join": q_semi_join,
         "mad_outliers": q_mad_outliers,
+        "token_drift": q_token_drift,
         # rows-only:
         "ewma_values": q_ewma,
         "quantile_sketch": q_quantile_sketch,
@@ -5706,4 +5728,25 @@ def oracle_sql() -> dict[str, str]:
             "AS mad FROM t, m) "
             "SELECT t.doc_id, t.n_chars FROM t, m, d "
             "WHERE abs(t.n_chars - m.med) > 2.0 * d.mad"),
+        "token_drift": (
+            "WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 "
+            f"END AS a, {_WORDS_SQL} AS ws FROM documents), "
+            "w AS (SELECT a, unnest(ws) AS token FROM d), "
+            "c AS (SELECT token, a, count(*) AS n "
+            "FROM w GROUP BY token, a), "
+            "ca AS (SELECT token, n FROM c WHERE a = 1), "
+            "cb AS (SELECT token, n FROM c WHERE a = 0), "
+            "tot AS (SELECT "
+            "(SELECT coalesce(sum(n), 0) FROM ca) AS ta, "
+            "(SELECT coalesce(sum(n), 0) FROM cb) AS tb, "
+            "(SELECT count(DISTINCT token) FROM c) AS v), "
+            "j AS (SELECT coalesce(ca.token, cb.token) AS token, "
+            "coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b "
+            "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), "
+            "p AS (SELECT token, n_a, n_b, "
+            "(n_a + 1.0) / (ta + v) AS p_a, "
+            "(n_b + 1.0) / (tb + v) AS p_b FROM j, tot) "
+            "SELECT token, n_a, n_b, "
+            "(p_a - p_b) * (p_a - p_b) / p_b AS chi2 FROM p "
+            "ORDER BY chi2 DESC, token ASC LIMIT 100"),
     }
