@@ -852,8 +852,10 @@ def setsim_join(ds: Any, threshold: float = 0.8, shingle_k: int = 3,
 
     from .joins import hash_join
     ranked = hash_join(rows, freq, key="w", num_buckets=B)
-    freq_col = ("gfreq_r" if "gfreq_r" in ranked.schema().names
-                else "gfreq")
+    # hash_join pre-suffixes right non-key columns unconditionally,
+    # so the name is static — probing ranked.schema() here would
+    # EXECUTE the whole join once for the probe and again downstream
+    freq_col = "gfreq_r"
 
     def bucket_by_key(batch: pa.Table) -> pa.Table:
         bk = pa.array((_key_hash64(batch.column(key))
@@ -997,8 +999,10 @@ def containment_join(ds: Any, threshold: float = 0.9,
 
     from .joins import hash_join
     ranked = hash_join(rows, freq, key="w", num_buckets=B)
-    freq_col = ("gfreq_r" if "gfreq_r" in ranked.schema().names
-                else "gfreq")
+    # hash_join pre-suffixes right non-key columns unconditionally,
+    # so the name is static — probing ranked.schema() here would
+    # EXECUTE the whole join once for the probe and again downstream
+    freq_col = "gfreq_r"
 
     def bucket_by_key(batch: pa.Table) -> pa.Table:
         bk = pa.array((_key_hash64(batch.column(key))

@@ -295,6 +295,37 @@ def _schema_types(schema) -> dict:
     return out
 
 
+def _schema_or_materialize(ds: Any) -> tuple:
+    """A side's schema WITHOUT paying its lineage twice.
+
+    ``ds.schema()`` (fetch_if_missing=True) on an unmaterialized
+    side EXECUTES the upstream plan to produce the first block — and
+    for an all-to-all upstream (groupby/sort) that means the WHOLE
+    shuffle — then the join consumes the side again from scratch
+    (measured: a side-effect-counting map stage runs twice). When the
+    schema isn't already known, materialize the side ONCE so the
+    probe and the join share a single execution; read/from_arrow
+    sides have a known schema and keep streaming unmaterialized."""
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        ds = ds.materialize()
+        sch = ds.schema()
+        # Ray 2.49 metadata bug: the snapshot of an expr-filter +
+        # select_columns lineage can report the PRE-projection schema
+        # while the blocks are correctly projected (observed racy in
+        # long sessions). The blocks are the truth — and a pyarrow
+        # take_batch sees exactly what the join's map_batches will
+        # see — so cross-check against the first real row's schema.
+        if ds.count() > 0:
+            probe = ds.take_batch(1, batch_format="pyarrow")
+            if list(probe.schema.names) != list(sch.names):
+                from ray.data.dataset import Schema
+                from ray.data import DataContext
+                sch = Schema(probe.schema,
+                             data_context=DataContext.get_current())
+    return ds, sch
+
+
 def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
               how: str = "inner") -> Any:
     """Both-sides-large partitioned hash join: bucket both sides on
@@ -304,8 +335,8 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
     heap (raise num_buckets for skew; salt hot keys upstream)."""
     import pandas as pd
 
-    lschema = left.schema()
-    rschema = right.schema()
+    left, lschema = _schema_or_materialize(left)
+    right, rschema = _schema_or_materialize(right)
     lcols = [c for c in lschema.names if c != key]
     rcols = [c for c in rschema.names if c != key]
     rcols_out = [c + "_r" for c in rcols]
@@ -463,9 +494,12 @@ def asof_join(left: Any, right: Any, on: str, left_ts: str,
     import pandas as pd
 
     # resolve schemas ON THE DRIVER — dataset handles must not leak
-    # into UDF closures
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    # into UDF closures (and never pay an unmaterialized side's
+    # lineage twice for the probe — _schema_or_materialize)
+    left, lsch = _schema_or_materialize(left)
+    right, rsch = _schema_or_materialize(right)
+    lschema = lsch.base_schema
+    rschema = rsch.base_schema
     lcols = list(lschema.names)
     ltypes = {c: lschema.field(c).type for c in lcols}
     rtypes = {c: rschema.field(c).type for c in [right_ts] + right_cols}
