@@ -27,6 +27,28 @@ import os
 import sys
 
 
+
+def _ray_init(num_cpus) -> None:
+    """Start or join a Ray session for a CLI command.
+
+    Local runs (the default; RAY_ADDRESS unset or "local") start a
+    capped local session. Under `ray job submit` / an existing
+    cluster, RAY_ADDRESS points at it — connect as a driver and let
+    the CLUSTER own its size (a per-CLI num_cpus cap would be
+    meaningless there)."""
+    import os
+
+    import ray
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS", "local") or "local"
+    if addr == "local":
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    else:
+        ray.init(address=addr, logging_level="ERROR")
+
+
 def cmd_lint(args) -> int:
     from .config import Config
     from .extractor import DocumentExtractor
@@ -147,9 +169,7 @@ def cmd_header(args) -> int:
 
 def cmd_extract(args) -> int:
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _ray_init(args.num_cpus)
     import ray.data as rd
     from .manifest import write_partitioned
     from .pipeline import extract_pages
@@ -187,9 +207,7 @@ def cmd_index(args) -> int:
     (emit="full" token streams) -> segmented postings index. Re-running
     over changed pages upserts (newer segment shadows by url)."""
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _ray_init(args.num_cpus)
     import ray.data as rd
     from .index import build_index
     from .pipeline import extract_pages
@@ -233,9 +251,7 @@ def cmd_compact(args) -> int:
     """xapian-compact analog: merge all segments into one, resolving
     upsert shadowing and tombstones with a distributed join."""
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _ray_init(args.num_cpus)
     from .index import compact_index
     print(compact_index(args.index, num_buckets=args.num_buckets,
                         delete_old=args.delete_old))
@@ -318,9 +334,7 @@ def cmd_pipeline(args) -> int:
     pair generation and boilerplate census are the only stages that
     need their own passes)."""
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _ray_init(args.num_cpus)
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -464,9 +478,7 @@ def cmd_links(args) -> int:
     (links mode), the site-level graph rollup (graph mode), or
     PageRank over that graph (pagerank mode)."""
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _ray_init(args.num_cpus)
     import ray.data as rd
     from .manifest import write_partitioned
     from .ops.links import extract_links, link_graph, pagerank
@@ -516,9 +528,7 @@ def cmd_profile(args) -> int:
     """Column profiler over a parquet input: rows/nulls/min/max per
     column plus a HyperLogLog distinct estimate."""
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _ray_init(args.num_cpus)
     import ray.data as rd
     from .ops.aggregates import profile
 

@@ -55,3 +55,31 @@ def test_pipeline_cli_end_to_end(tmp_path):
     # corpus-wide boilerplate line stripped from every doc
     assert not any("FOOTER" in x for x in texts)
     assert sorted(t.column_names) == ["text", "url"]
+
+
+def test_ray_init_honors_cluster_address(monkeypatch):
+    """Under `ray job submit` RAY_ADDRESS points at the cluster — the
+    CLI must join it instead of starting a capped local session."""
+    import swishray.__main__ as m
+
+    calls = {}
+
+    class FakeRay:
+        @staticmethod
+        def is_initialized():
+            return False
+
+        @staticmethod
+        def init(**kw):
+            calls.update(kw)
+
+    monkeypatch.setitem(__import__("sys").modules, "ray", FakeRay)
+    monkeypatch.setenv("RAY_ADDRESS", "ray://head:10001")
+    m._ray_init(4)
+    assert calls["address"] == "ray://head:10001"
+    assert "num_cpus" not in calls  # the cluster owns its size
+
+    calls.clear()
+    monkeypatch.setenv("RAY_ADDRESS", "local")
+    m._ray_init(4)
+    assert calls["address"] == "local" and calls["num_cpus"] == 4
