@@ -111,7 +111,7 @@ def q_extract_totals(sf_dir: str):
     import pandas as pd
     ext = _extracted(sf_dir)
     return pd.DataFrame({"n_docs": [ext.count()],
-                         "total_words": [int(ext.sum("nwords"))]})
+                         "total_words": [int(ext.sum("nwords") or 0)]})
 
 
 def q_facet_lang(sf_dir: str):
@@ -253,7 +253,7 @@ def q_range_filter(sf_dir: str):
                                    pc.less_equal(t["l_quantity"], 20))),
         batch_format="pyarrow")
     n = f.count()
-    norders = f.unique("l_orderkey")
+    norders = f.unique("l_orderkey") or []
     return pd.DataFrame({"n_rows": [n], "n_orders": [len(norders)]})
 
 
@@ -579,6 +579,12 @@ def q_filelist_source(sf_dir: str):
     with open(fl, "w") as f:
         f.write("\n".join(lines) + "\n")
 
+    if len(lines) <= 2:  # empty corpus: no page files to list
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.large_string()),
+            "nwords": pa.array([], pa.int64()),
+            "title": pa.array([], pa.string())}))
     pages = read_filelist(fl).repartition(max(8, 2 * _session_cpus()))
     ext = extract_pages(pages, emit="text", concurrency=_conc())
 
@@ -1918,7 +1924,14 @@ def q_warc_roundtrip(sf_dir: str):
         pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
             shape, batch_format="pyarrow").repartition(_conc())
         write_warc(pages, out)
-        back = read_warc(sorted(glob.glob(f"{out}/part-*.warc.gz")))
+        shards = sorted(glob.glob(f"{out}/part-*.warc.gz"))
+        if not shards:  # empty corpus wrote no WARC shards
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                "url": pa.array([], pa.large_string()),
+                "body": pa.array([], pa.string()),
+                "http_status": pa.array([], pa.int64())}))
+        back = read_warc(shards)
         return back.map_batches(
             lambda t: pa.table({
                 "url": t.column("url"),
@@ -3859,6 +3872,12 @@ def q_csv_roundtrip(sf_dir: str):
     out = tempfile.mkdtemp(prefix="swishray-csv-", dir="/tmp")
     try:
         orders.write_csv(out)
+        import os as _os
+        if not _os.listdir(out):  # empty corpus wrote no shards
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.large_string()),
+                "n": pa.array([], pa.int64()),
+                "key_sum": pa.array([], pa.int64())})
         back = rd.read_csv(out)
         from ray.data.aggregate import Count, Sum
         agg = back.groupby("o_orderpriority").aggregate(
@@ -3891,6 +3910,12 @@ def q_jsonl_roundtrip(sf_dir: str):
     out = tempfile.mkdtemp(prefix="swishray-jsonl-", dir="/tmp")
     try:
         orders.write_json(out)
+        import os as _os
+        if not _os.listdir(out):  # empty corpus wrote no shards
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.large_string()),
+                "n": pa.array([], pa.int64()),
+                "key_sum": pa.array([], pa.int64())})
         back = rd.read_json(out)
         from ray.data.aggregate import Count, Sum
         agg = back.groupby("o_orderpriority").aggregate(

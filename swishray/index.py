@@ -257,6 +257,11 @@ def build_index(ds: Any, out_dir: str, *, key: str = "doc_id",
     out.write_parquet(os.path.join(seg_dir, "data"),
                       partition_cols=["kind", "bucket"],
                       max_rows_per_file=max_rows_per_file)
+    if not os.path.isdir(os.path.join(seg_dir, "data")):
+        # empty corpus: write_parquet produced nothing — record NO
+        # segment (a searcher over zero segments answers empty)
+        return {"segment": None, "num_buckets": nb, "path": seg_dir,
+                "n_docs": 0}
     n_docs, total_len = _docstore_stats(seg_dir)
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
              "n_docs": n_docs, "total_doclen": total_len,
@@ -332,7 +337,9 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
 
     segs = _load_segments(out_dir)
     if not segs:
-        raise FileNotFoundError(f"no index segments under {out_dir}")
+        # an index over an empty corpus has no segments — compacting
+        # it is a no-op (the reference's empty Xapian DB analog)
+        return {"segment": None, "n_docs": 0}
     if num_buckets is None:
         num_buckets = max((s["num_buckets"] for s in segs
                            if s.get("kind") == "index"), default=1)
@@ -440,6 +447,9 @@ def compact_index(out_dir: str, num_buckets: int | None = None,
     seg_dir = os.path.join(out_dir, seg_name)
     out.write_parquet(os.path.join(seg_dir, "data"),
                       partition_cols=["kind", "bucket"])
+    if not os.path.isdir(os.path.join(seg_dir, "data")):
+        return {"segment": None, "num_buckets": nb, "path": seg_dir,
+                "n_docs": 0}
     n_docs, total_len = _docstore_stats(seg_dir)
     entry = {"segment": seg_name, "num_buckets": nb, "kind": "index",
              "n_docs": n_docs, "total_doclen": total_len,
@@ -475,9 +485,9 @@ class IndexSearcher:
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
+        # zero segments = a valid EMPTY index (empty-corpus build):
+        # every lookup naturally answers empty, like an empty Xapian DB
         self.segments = _load_segments(out_dir)
-        if not self.segments:
-            raise FileNotFoundError(f"no index segments under {out_dir}")
         from .stem import get_stemmer
         lang = next((s.get("stemmer") for s in reversed(self.segments)
                      if s.get("kind") == "index"), None)

@@ -1158,9 +1158,10 @@ def impute_group_mean(ds: Any, group: str, col: str,
             .groupby(group)
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sx", alias_name="sx"))).to_pandas()
-    means = {g: float(sx) / float(n)
-             for g, n, sx in zip(sums[group], sums["n"], sums["sx"])
-             if n > 0}
+    means = ({g: float(sx) / float(n)
+              for g, n, sx in zip(sums[group], sums["n"], sums["sx"])
+              if n > 0}
+             if group in sums.columns else {})  # empty input: no groups
 
     import ray
     means_ref = ray.put(means)

@@ -298,6 +298,9 @@ def rank_salted(ds: Any, partition_by: str, col: str,
 
     from .joins import hash_join
 
+    if ds.schema() is None:  # all-empty input: nothing to rank
+        return ds
+
     def ks(batch: pa.Table) -> pa.Array:
         return pc.binary_join_element_wise(
             pc.cast(batch.column(partition_by), pa.string()),
@@ -398,6 +401,9 @@ def running_sum_salted(ds: Any, key: str, ts_col: str, val_col: str,
     running_sum(...))`` (t:test_running_sum_salted_equal)."""
     import pyarrow.compute as pc
     from swishray.ops.joins import hash_join
+
+    if ds.schema() is None:  # all-empty input: nothing to sum
+        return ds
 
     def add_salt(batch: pa.Table) -> pa.Table:
         salt = pc.cast(pc.floor_temporal(batch.column(ts_col),

@@ -92,6 +92,11 @@ def search_ivf_index(index_dir: str, query_ids: list,
     from .similarity import _mat, _norm
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     nc = cent.shape[0]
+    if nc == 0 or len(query_ids) == 0:
+        # empty index (built from an empty corpus) or no queries
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     qm = _norm(np.asarray(query_vecs, dtype=np.float64))
     if n_probe is None or n_probe >= nc:
         probes = [list(range(nc)) for _ in query_ids]

@@ -177,7 +177,8 @@ def remove_duplicate_lines(ds: Any, col: str = "text",
     # large_string through the exchanges (union needs one schema) and
     # is cast back to the input's Arrow type at the end — resolved on
     # the DRIVER (a worker-side closure mutation would not propagate).
-    ktype = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(ds, key)
     from .dedup import _mix64
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -63,6 +63,8 @@ def _bootstrap(ds: Any, k: int, seed: int, col: str,
     sample.sort(key=lambda r: r[key])
     sample = sample[:sample_limit]
     sm = np.asarray([r[col] for r in sample], dtype=np.float64)
+    if sm.size == 0:  # empty corpus: no vectors to seed from
+        return np.zeros((0, 0), dtype=np.float64)
     if normalize:
         sm = _unit(sm)
     rng = np.random.RandomState(seed)
@@ -86,6 +88,8 @@ def kmeans(ds: Any, col: str = "embedding", key: str = "vec_id",
     import ray
 
     cent = _bootstrap(ds, k, seed, col, sample_limit, normalize, key)
+    if cent.size == 0:  # empty corpus: no centroids
+        return cent
 
     for _ in range(iters):
         cent_ref = ray.put(cent)
@@ -184,6 +188,12 @@ def semdedup(ds: Any, col: str = "embedding", key: str = "vec_id",
     import ray
 
     cent = kmeans(ds, col=col, key=key, k=k, iters=iters, seed=seed)
+    if cent.size == 0:  # empty corpus: nothing to dedup
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            key: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.bool_())}))
     ref = ray.put(cent)
 
     # assignment is map-side, so the vector column rides along into

@@ -39,7 +39,7 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .joins import hash_join, native_join
+from .joins import field_type, hash_join, native_join
 
 
 def connected_components(edges: Any, a: str = "a", b: str = "b",
@@ -209,7 +209,7 @@ def dedup_keep_canonical(docs: Any, pairs: Any, key: str = "doc_id",
         m = pc.not_equal(batch.column("node"), batch.column("component"))
         t = batch.filter(m)
         return pa.table({key: t.column("node").combine_chunks()
-                         .cast(docs.schema().base_schema.field(key).type),
+                         .cast(field_type(docs, key)),
                          "_loser": pa.array([1] * t.num_rows,
                                             pa.int8())})
 
@@ -220,7 +220,7 @@ def dedup_keep_canonical(docs: Any, pairs: Any, key: str = "doc_id",
     # left join below
     loser_ds = schema_guard(
         cc.map_batches(losers, batch_format="pyarrow"),
-        pa.schema([(key, docs.schema().base_schema.field(key).type),
+        pa.schema([(key, field_type(docs, key)),
                    ("_loser", pa.int8())]))
     joined = hash_join(docs, loser_ds, key, how="left")
     return joined.map_batches(

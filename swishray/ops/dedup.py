@@ -547,7 +547,8 @@ def minhash_dedup(ds: Any, threshold: float = 0.8, num_perm: int = 64,
     type is carried through to the output ``a``/``b`` columns."""
     import pandas as pd
 
-    ktype = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(ds, key)
 
     sigs = minhash_signatures(ds, num_perm, shingle_k, seed, col, key)
     cand = lsh_candidate_pairs(sigs, bands, key, bucket_cap)
@@ -728,7 +729,8 @@ def dedup_against_corpus(new: Any, ref: Any, threshold: float = 0.8,
 
     from .joins import hash_join, schema_guard
 
-    ktype = new.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(new, key)
 
     def tag(prefix: str):
         def f(t: pa.Table) -> pa.Table:
@@ -819,7 +821,8 @@ def setsim_join(ds: Any, threshold: float = 0.8, shingle_k: int = 3,
     from .joins import (_key_hash64, bloom_keys, bloom_semi_filter,
                         default_join_partitions)
 
-    ktype = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(ds, key)
     t_frac = Fraction(str(threshold))
     B = n_buckets or default_join_partitions()
     src = ds.select_columns([key, col])
@@ -967,7 +970,8 @@ def containment_join(ds: Any, threshold: float = 0.9,
     from .joins import (_key_hash64, bloom_keys, bloom_semi_filter,
                         default_join_partitions)
 
-    ktype = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(ds, key)
     t_frac = Fraction(str(threshold))
     B = n_buckets or default_join_partitions()
     src = ds.select_columns([key, col])

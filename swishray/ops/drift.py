@@ -75,19 +75,37 @@ def drift_census(ds: Any, is_a: Callable[[pa.Table], pa.Array],
     # word-keyed merge of the two census halves. The census is
     # already one row per (token, side) — pivot it side-by-side with
     # a bucketed pandas merge (hash_join shape) instead of a per-key
-    # map_groups.
+    # map_groups. The halves carry DISTINCT count column names so an
+    # all-one-slice corpus (the join's degenerate pass-through shape)
+    # stays unambiguous.
     from .joins import hash_join
 
-    a_half = cens.filter(expr="__a == 1").select_columns(["token", "n"])
-    b_half = cens.filter(expr="__a == 0").select_columns(["token", "n"])
+    def half(side_val: int, out_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            s = t.filter(pc.equal(t.column("__a"), side_val))
+            return pa.table({
+                "token": s.column("token"),
+                out_col: pc.cast(s.column("n"), pa.int64())})
+        return f
+
+    a_half = cens.map_batches(half(1, "na"), batch_format="pyarrow")
+    b_half = cens.map_batches(half(0, "nb"), batch_format="pyarrow")
 
     joined = hash_join(a_half, b_half, "token", how="outer")
 
     def contrib(batch: pa.Table) -> pa.Table:
-        na = batch.column("n").to_numpy(zero_copy_only=False)
-        nb = batch.column("n_r").to_numpy(zero_copy_only=False)
-        na = np.nan_to_num(na, nan=0.0).astype(np.int64)
-        nb = np.nan_to_num(nb, nan=0.0).astype(np.int64)
+        names = batch.column_names
+
+        def counts(*cands) -> np.ndarray:
+            for c in cands:
+                if c in names:
+                    return np.nan_to_num(
+                        batch.column(c).to_numpy(zero_copy_only=False)
+                        .astype(np.float64), nan=0.0)
+            return np.zeros(batch.num_rows)
+
+        na = counts("na", "na_r").astype(np.int64)
+        nb = counts("nb_r", "nb").astype(np.int64)
         # one fixed IEEE expression per row — DuckDB replays it
         p_a = (na + 1.0) / float(tot_a + vocab)
         p_b = (nb + 1.0) / float(tot_b + vocab)

@@ -349,7 +349,8 @@ def url_blocklist(ds: Any, domains: Sequence[str],
     # groupby emits when nothing is blocked (a schema-less right side
     # breaks the join — the Ray 2.49 FieldRef trap, dedup.py:440);
     # the repartition folds them so the join sees uniform blocks
-    ktype = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(ds, key)
 
     def typed(t: pa.Table) -> pa.Table:
         if key not in t.column_names:
@@ -517,7 +518,8 @@ def decontaminate(ds: Any, bench: Any, n: int = 3,
     from .joins import default_join_partitions, native_join, \
         schema_guard
 
-    ktype = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype = field_type(ds, key)
     # schema_guard on bgrams: an empty/short benchmark produces zero
     # grams and the side would reach the join schema-less; on hits: a
     # CLEAN corpus (zero contaminated grams — the common production
@@ -741,7 +743,8 @@ def self_dup_ngram_stats(ds: Any, n: int = 13, col: str = "text",
         return pa.table({"gram": pc.cast(kept.column("gram"), gtype)})
 
     from .joins import schema_guard
-    ktype2 = ds.schema().base_schema.field(key).type
+    from .joins import field_type
+    ktype2 = field_type(ds, key)
     # schema_guard (not repartition): an all-unique corpus leaves
     # `dup` and `hits` all-empty, and empty blocks never reach the
     # join shuffle at all — both are inner/left right-sides, so the

@@ -171,9 +171,11 @@ class _Prober:
         # ray.get on a numpy object yields a READ-ONLY zero-copy view
         # backed by plasma — exactly what the probe needs
         self.blooms = {b: ray.get(r) for b, r in bloom_refs.items()}
-        self.fps = pads.dataset(
-            os.path.join(store_dir, "fingerprints"),
-            partitioning="hive")
+        fp_path = os.path.join(store_dir, "fingerprints")
+        # empty-prior-corpus store: no fingerprint partitions on disk
+        # (and no blooms) — every probe misses
+        self.fps = (pads.dataset(fp_path, partitioning="hive")
+                    if os.path.isdir(fp_path) else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -190,7 +192,7 @@ class _Prober:
             pos = _bloom_positions(h1[sel], h2[sel], bm.shape[0] * 8)
             maybe[sel] = _test_bits(bm, pos)
         dup = np.zeros(n, bool)
-        if maybe.any():
+        if maybe.any() and self.fps is not None:
             cand = [hexes[i] for i in np.flatnonzero(maybe)]
             cb = sorted(int(b) for b in np.unique(buckets[maybe]))
             flt = (pads.field("bucket").isin(cb)
@@ -316,10 +318,16 @@ class _MinhashProber:
         self.signer = MinHasher(num_perm=m["num_perm"],
                                 shingle_k=m["shingle_k"],
                                 seed=m["seed"], col=col, key=col)
-        self.bands_ds = pads.dataset(
-            os.path.join(store_dir, "bands"), partitioning="hive")
-        self.sets_ds = pads.dataset(
-            os.path.join(store_dir, "sets"), partitioning="hive")
+        # a store written from an EMPTY prior corpus has no band/set
+        # partitions on disk — a valid state meaning "no prior docs":
+        # every probe misses and nothing is a duplicate
+        bands_path = os.path.join(store_dir, "bands")
+        sets_path = os.path.join(store_dir, "sets")
+        self.empty_store = not (os.path.isdir(bands_path)
+                                and os.path.isdir(sets_path))
+        if not self.empty_store:
+            self.bands_ds = pads.dataset(bands_path, partitioning="hive")
+            self.sets_ds = pads.dataset(sets_path, partitioning="hive")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -331,7 +339,7 @@ class _MinhashProber:
         nb = m["num_buckets"]
         texts = batch.column(self.col).to_pylist()
         n = len(texts)
-        if n == 0:
+        if n == 0 or self.empty_store:
             return batch
         gsets = [np.unique(gram_hashes(t or "", m["shingle_k"]))
                  for t in texts]

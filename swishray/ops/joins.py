@@ -226,6 +226,22 @@ def native_join(left: Any, right: Any, key: str,
     suffix to match hash_join's output shape."""
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    # resolve both sides' schemas up front (single-execution probe);
+    # an empty-with-unknown-schema side short-circuits to the join's
+    # degenerate answer instead of poisoning the built-in shuffle
+    left, lsch_w = _schema_or_materialize(left)
+    right, rsch_w = _schema_or_materialize(right)
+    if lsch_w is None or rsch_w is None:
+        out = _join_empty_side(left, lsch_w, right, rsch_w, how)
+        if out is not None:
+            return out
+    if _known_empty(left) or _known_empty(right):
+        # a resolved-but-empty side never reaches the built-in join's
+        # aggregators (empty blocks are dropped — the schema_guard
+        # trap); the portable union-based join handles typed empties
+        # for every `how`
+        return hash_join(left, right, key, num_buckets=num_partitions,
+                         how=how)
     from ..util import _session_cpus
     if _session_cpus() < 2:
         # the built-in join's aggregator ACTORS (0.125 CPU each) plus
@@ -307,23 +323,115 @@ def _schema_or_materialize(ds: Any) -> tuple:
     probe and the join share a single execution; read/from_arrow
     sides have a known schema and keep streaming unmaterialized."""
     sch = ds.schema(fetch_if_missing=False)
-    if sch is None:
-        ds = ds.materialize()
-        sch = ds.schema()
+    if sch is not None:
+        return ds, sch
+    if not _has_all_to_all(ds):
+        # task-only lineage: a one-block limit(1) probe is cheap
+        # (the executor stops after the first block) and the batch
+        # schema is exactly what the join's pyarrow map_batches will
+        # see. The block re-executes at consumption — negligible.
+        try:
+            probe = ds.limit(1).take_batch(1, batch_format="pyarrow")
+            return ds, _wrap_schema(probe.schema)
+        except ValueError:
+            return ds, None  # all-empty side, columns unknowable
+        except Exception:
+            # planner quirk (e.g. Ray 2.49 limit-over-union asserts
+            # during physical planning) — fall through to materialize
+            pass
+    # all-to-all upstream: a probe would run the WHOLE shuffle and
+    # the join would run it again — materialize once and share.
+    ds = ds.materialize()
+    sch = ds.schema()
+    if ds.count() > 0:
         # Ray 2.49 metadata bug: the snapshot of an expr-filter +
         # select_columns lineage can report the PRE-projection schema
         # while the blocks are correctly projected (observed racy in
-        # long sessions). The blocks are the truth — and a pyarrow
-        # take_batch sees exactly what the join's map_batches will
-        # see — so cross-check against the first real row's schema.
-        if ds.count() > 0:
-            probe = ds.take_batch(1, batch_format="pyarrow")
-            if list(probe.schema.names) != list(sch.names):
-                from ray.data.dataset import Schema
-                from ray.data import DataContext
-                sch = Schema(probe.schema,
-                             data_context=DataContext.get_current())
+        # long sessions). The blocks are the truth.
+        probe = ds.take_batch(1, batch_format="pyarrow")
+        if sch is None or list(probe.schema.names) != list(sch.names):
+            sch = _wrap_schema(probe.schema)
     return ds, sch
+
+
+def _wrap_schema(pa_schema: pa.Schema):
+    from ray.data import DataContext
+    from ray.data.dataset import Schema
+    return Schema(pa_schema, data_context=DataContext.get_current())
+
+
+def _has_all_to_all(ds: Any) -> bool:
+    """True when the dataset's logical plan contains a shuffle
+    (groupby/sort/repartition/join) — the case where executing "just
+    one block" costs the whole exchange. Unknown internals read as
+    True (the conservative answer: materialize once)."""
+    try:
+        from ray.data._internal.logical.operators.all_to_all_operator \
+            import AbstractAllToAll
+        stack = [ds._plan._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if isinstance(op, AbstractAllToAll) or type(op).__name__ in (
+                    "Join", "HashAggregate", "StreamingRepartition",
+                    "Union"):  # limit-over-union asserts in the planner
+                return True
+            stack.extend(op.input_dependencies)
+        return False
+    except Exception:
+        return True
+
+
+def _known_empty(ds: Any) -> bool:
+    """True only when emptiness is already known without execution
+    (a materialized side) — streaming sides are never probed."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+        return isinstance(ds, MaterializedDataset) and ds.count() == 0
+    except Exception:
+        return False
+
+
+def field_type(ds: Any, name: str, default=None):
+    """Arrow type of ``ds[name]`` via the single-execution schema
+    probe. For an all-empty mapped lineage the type is unknowable —
+    and moot, since no row will ever carry it — so ``default``
+    (large_string unless given) is returned instead of crashing."""
+    _, sch = _schema_or_materialize(ds)
+    fallback = default if default is not None else pa.large_string()
+    if sch is None or name not in sch.names:
+        return fallback
+    base = sch.base_schema
+    if isinstance(base, pa.Schema):
+        return base.field(name).type
+    return _schema_types(sch).get(name, fallback)
+
+
+def _join_empty_side(left: Any, lschema, right: Any, rschema,
+                     how: str) -> Any | None:
+    """Join semantics when a side executed to ZERO blocks with no
+    schema metadata (an empty corpus partition through a map lineage:
+    its columns are unknowable because the map fn never ran).
+
+    inner — any empty side empties the result. Outer hows — the
+    KNOWN side's rows pass through; the empty side had no columns to
+    contribute, so no null-padded suffix columns appear (documented
+    degenerate shape; every row-preserving case previously crashed).
+    Returns None when both schemas are known (caller proceeds)."""
+    import ray.data as rd
+
+    def fieldless():
+        return rd.from_arrow(pa.table({}))
+
+    if lschema is None and rschema is None:
+        return fieldless()
+    if how == "inner":
+        return fieldless()
+    if how == "left":
+        return left if lschema is not None else fieldless()
+    if how == "right":
+        return right if rschema is not None else fieldless()
+    # outer: whichever side is known survives unmatched
+    return left if lschema is not None else right
 
 
 def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
@@ -337,6 +445,10 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
 
     left, lschema = _schema_or_materialize(left)
     right, rschema = _schema_or_materialize(right)
+    if lschema is None or rschema is None:
+        out = _join_empty_side(left, lschema, right, rschema, how)
+        if out is not None:
+            return out
     lcols = [c for c in lschema.names if c != key]
     rcols = [c for c in rschema.names if c != key]
     rcols_out = [c + "_r" for c in rcols]
@@ -498,6 +610,13 @@ def asof_join(left: Any, right: Any, on: str, left_ts: str,
     # lineage twice for the probe — _schema_or_materialize)
     left, lsch = _schema_or_materialize(left)
     right, rsch = _schema_or_materialize(right)
+    if lsch is None:
+        return left  # all-empty left: an as-of join yields no rows
+    if rsch is None:
+        # all-empty right with unknowable columns: every left row
+        # stays unmatched; the ``__r_*`` columns cannot be typed, so
+        # the degenerate shape is the left unchanged (documented)
+        return left
     lschema = lsch.base_schema
     rschema = rsch.base_schema
     lcols = list(lschema.names)

@@ -149,6 +149,13 @@ def union_harmonized(*dss) -> "Any":
     :func:`union_schemas`. Pure map-side casts + Dataset.union: no
     shuffle, streaming-safe at any scale."""
     schemas = [ds.schema() for ds in dss]
+    # an all-empty generation through a map lineage has an unknowable
+    # schema and zero rows — it contributes nothing to the union
+    dss = [d for d, s in zip(dss, schemas) if s is not None]
+    schemas = [s for s in schemas if s is not None]
+    if not dss:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({}))
     target = union_schemas(
         pa.schema(list(zip(s.names, s.types))) for s in schemas)
 

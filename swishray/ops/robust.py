@@ -83,31 +83,18 @@ def semi_join_large(left: Any, right: Any, key: str,
 
     from ray.data.aggregate import Count
 
+    from .joins import native_join
+
     keys = right.map_batches(distinct_keys, batch_format="pyarrow") \
         .groupby(key).aggregate(Count(alias_name="__c"))
-
-    from .joins import native_join, schema_guard
 
     left_cols = None
     sch = left.schema(fetch_if_missing=False)
     if sch is not None:
         left_cols = list(sch.names)
 
-    # a right side that matched nothing arrives schema-less at the
-    # join shuffle (the Ray 2.49 empty-side trap) — guard it with a
-    # typed null-key sentinel; null keys never match an inner join
-    ktype = None
-    for side in (right, left):
-        ssch = side.schema(fetch_if_missing=False)
-        if ssch is not None and isinstance(ssch.base_schema, pa.Schema):
-            name = rk if side is right else key
-            if name in ssch.base_schema.names:
-                ktype = ssch.base_schema.field(name).type
-                break
-    if ktype is not None:
-        keys = schema_guard(
-            keys, pa.schema([(key, ktype), ("__c", pa.int64())]))
-
+    # an all-empty keys side is handled inside native_join (resolved
+    # schemas + degenerate empty-side answers)
     out = native_join(left, keys, key, how="inner")
     if left_cols is not None:
         out = out.select_columns(left_cols)

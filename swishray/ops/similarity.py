@@ -70,6 +70,12 @@ def brute_force_topk(ds: Any, query_ids: list[int],
     import ray
     from ..util import map_batches_stateful
 
+    if len(query_ids) == 0:  # empty query set: empty result
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            key: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
     qref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
     partial = map_batches_stateful(
         ds, _BruteScorer,
@@ -90,6 +96,8 @@ def _train_centroids(ds: Any, n_centroids: int, seed: int, col: str,
     only driver-side materialization in the IVF family, capped at
     sample_limit rows)."""
     sample = ds.limit(sample_limit).select_columns([col]).take_all()
+    if not sample:  # empty corpus: no centroids to train
+        return np.zeros((0, 0), dtype=np.float64)
     sm = _norm(np.asarray([r[col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
     cent = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)),
@@ -120,6 +128,12 @@ def ivf_topk(ds: Any, query_ids: list[int], query_vecs: "np.ndarray",
     import ray
 
     cent = _train_centroids(ds, n_centroids, seed, col, sample_limit)
+    if cent.size == 0 or len(query_ids) == 0:  # empty corpus/queries
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            key: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
     cent_ref = ray.put(cent)
 
     qm = _norm(np.asarray(query_vecs, dtype=np.float64))
@@ -266,6 +280,11 @@ def cosine_dup_pairs_ivf(ds: Any, threshold: float = 0.95,
     import ray
 
     cent = _train_centroids(ds, n_centroids, seed, col, sample_limit)
+    if cent.size == 0:  # empty corpus: no pairs
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64())}))
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:

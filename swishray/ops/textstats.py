@@ -1250,6 +1250,16 @@ def collocations_pmi(ds: Any, col: str = "text",
                     t.column("is_bi").to_numpy() == 1]))],
                 type=pa.int64())}),
         batch_format="pyarrow").to_pandas()
+    if "t1" not in tot.columns or float(tot["t1"].sum()) == 0.0:
+        # empty corpus: no unigrams, no collocations
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.large_string()),
+            "w2": pa.array([], pa.large_string()),
+            "cab": pa.array([], pa.int64()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+            "pmi_ratio": pa.array([], pa.float64())}))
     t1f = float(tot["t1"].sum())
     t2f = float(tot["t2"].sum())
 
