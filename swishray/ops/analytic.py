@@ -296,9 +296,12 @@ def rank_salted(ds: Any, partition_by: str, col: str,
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from .joins import hash_join
+    from .joins import _schema_or_materialize, hash_join
 
-    if ds.schema() is None:  # all-empty input: nothing to rank
+    # one schema probe that never pays an all-to-all lineage twice
+    # (the joins.py _schema_or_materialize contract)
+    ds, in_schema = _schema_or_materialize(ds)
+    if in_schema is None:  # all-empty input: nothing to rank
         return ds
 
     def ks(batch: pa.Table) -> pa.Array:
@@ -315,7 +318,7 @@ def rank_salted(ds: Any, partition_by: str, col: str,
     hist = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("__ks").aggregate(Sum("__n", alias_name="n"))
 
-    coltype = dict(zip(ds.schema().names, ds.schema().types))[col]
+    coltype = dict(zip(in_schema.names, in_schema.types))[col]
 
     def split_ks(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -355,7 +358,6 @@ def rank_salted(ds: Any, partition_by: str, col: str,
     # Ray 2.49 empty-side trap) and hash_join needs one; the guard's
     # null-key sentinel row never matches the inner join
     from .joins import schema_guard
-    in_schema = ds.schema()
     rows_schema = pa.schema(
         list(zip(in_schema.names, in_schema.types))
         + [("__ks", pa.string())])
@@ -400,9 +402,11 @@ def running_sum_salted(ds: Any, key: str, ts_col: str, val_col: str,
     Result is identical to the unsalted ``analytic(...,
     running_sum(...))`` (t:test_running_sum_salted_equal)."""
     import pyarrow.compute as pc
-    from swishray.ops.joins import hash_join
+    from swishray.ops.joins import _schema_or_materialize, hash_join
 
-    if ds.schema() is None:  # all-empty input: nothing to sum
+    # one schema probe that never pays an all-to-all lineage twice
+    ds, in_schema = _schema_or_materialize(ds)
+    if in_schema is None:  # all-empty input: nothing to sum
         return ds
 
     def add_salt(batch: pa.Table) -> pa.Table:
@@ -457,7 +461,6 @@ def running_sum_salted(ds: Any, key: str, ts_col: str, val_col: str,
 
     # empty-input schema loss guard (same contract as rank_salted)
     from .joins import schema_guard
-    in_schema = ds.schema()
     in_fields = list(zip(in_schema.names, in_schema.types))
     left_schema = pa.schema(
         in_fields + [("__ks", pa.string()),

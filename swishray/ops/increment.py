@@ -102,14 +102,22 @@ def write_fingerprint_store(ds: Any, store_dir: str, *,
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+        if not meta.get("complete"):
+            raise ValueError(
+                f"fingerprint store {store_dir} is incomplete (a "
+                "previous build died mid-write) — rebuild it from "
+                "scratch before appending")
         nb, bpk = meta["num_buckets"], meta["bits_per_key"]
     else:
         nb = num_buckets or max(8, 2 * _session_cpus())
         bpk = bits_per_key
         os.makedirs(os.path.join(store_dir, "bloom"), exist_ok=True)
+        # 'complete' is flipped true only after the LAST bloom lands;
+        # a probe against a half-written store raises instead of
+        # silently missing every fingerprint (ADVICE r3)
         with open(meta_path, "w") as f:
             json.dump({"num_buckets": nb, "bits_per_key": bpk,
-                       "k": _K}, f)
+                       "k": _K, "complete": False}, f)
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch.column(col).to_pylist()
@@ -148,6 +156,11 @@ def write_fingerprint_store(ds: Any, store_dir: str, *,
 
     built = slim.groupby("bucket").map_groups(
         build_bloom, batch_format="pyarrow").take_all()
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_buckets": nb, "bits_per_key": bpk,
+                   "k": _K, "complete": True}, f)
+    os.replace(tmp, meta_path)
     return {"num_buckets": nb, "bits_per_key": bpk,
             "n_keys": int(sum(r["n"] for r in built)),
             "buckets_touched": len(built)}
@@ -165,6 +178,11 @@ class _Prober:
         import pyarrow.dataset as pads
         with open(os.path.join(store_dir, "_bloom.json")) as f:
             meta = json.load(f)
+        if not meta.get("complete"):
+            raise ValueError(
+                f"fingerprint store {store_dir} is incomplete (the "
+                "build died mid-write); probing it would silently "
+                "miss every prior fingerprint — rebuild the store")
         self.nb = meta["num_buckets"]
         self.col = col
         self.keep_md5 = keep_md5
@@ -173,9 +191,19 @@ class _Prober:
         self.blooms = {b: ray.get(r) for b, r in bloom_refs.items()}
         fp_path = os.path.join(store_dir, "fingerprints")
         # empty-prior-corpus store: no fingerprint partitions on disk
-        # (and no blooms) — every probe misses
+        # (and no blooms) — every probe misses. Blooms WITHOUT the
+        # fingerprint dir (or vice versa) is a truncated/corrupt
+        # store, not an empty one — raise rather than silently
+        # letting duplicates through (ADVICE r3).
+        has_fps = os.path.isdir(fp_path)
+        if bool(self.blooms) != has_fps:
+            raise ValueError(
+                f"fingerprint store {store_dir} is inconsistent: "
+                f"blooms={'present' if self.blooms else 'missing'} "
+                f"fingerprints={'present' if has_fps else 'missing'}"
+                " — rebuild the store")
         self.fps = (pads.dataset(fp_path, partitioning="hive")
-                    if os.path.isdir(fp_path) else None)
+                    if has_fps else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -245,6 +273,10 @@ def write_minhash_store(ds: Any, store_dir: str, *,
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+        if not meta.get("complete"):
+            raise ValueError(
+                f"minhash store {store_dir} is incomplete (a previous"
+                " build died mid-write) — rebuild it before appending")
         want = dict(num_perm=num_perm, bands=bands,
                     shingle_k=shingle_k, seed=seed)
         have = {k: meta[k] for k in want}
@@ -255,10 +287,11 @@ def write_minhash_store(ds: Any, store_dir: str, *,
     else:
         nb = num_buckets or max(8, 2 * _session_cpus())
         os.makedirs(store_dir, exist_ok=True)
+        # 'complete' flips true only after BOTH sinks land (ADVICE r3)
         with open(meta_path, "w") as f:
             json.dump({"num_perm": num_perm, "bands": bands,
                        "shingle_k": shingle_k, "seed": seed,
-                       "num_buckets": nb}, f)
+                       "num_buckets": nb, "complete": False}, f)
 
     signer = MinHasher(num_perm=num_perm, shingle_k=shingle_k,
                        seed=seed, col=col, key=key)
@@ -299,6 +332,12 @@ def write_minhash_store(ds: Any, store_dir: str, *,
 
     ds.map_batches(set_rows, batch_format="pyarrow").write_parquet(
         os.path.join(store_dir, "sets"), partition_cols=["bucket"])
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands,
+                   "shingle_k": shingle_k, "seed": seed,
+                   "num_buckets": nb, "complete": True}, f)
+    os.replace(tmp, meta_path)
     return {"num_buckets": nb, "bands": bands, "num_perm": num_perm}
 
 
@@ -312,19 +351,32 @@ class _MinhashProber:
         from .dedup import MinHasher
         with open(os.path.join(store_dir, "_meta.json")) as f:
             m = json.load(f)
+        if not m.get("complete"):
+            raise ValueError(
+                f"minhash store {store_dir} is incomplete (the build "
+                "died mid-write); probing it would silently miss "
+                "prior near-dups — rebuild the store")
         self.meta = m
         self.col = col
         self.threshold = threshold
         self.signer = MinHasher(num_perm=m["num_perm"],
                                 shingle_k=m["shingle_k"],
                                 seed=m["seed"], col=col, key=col)
-        # a store written from an EMPTY prior corpus has no band/set
-        # partitions on disk — a valid state meaning "no prior docs":
-        # every probe misses and nothing is a duplicate
+        # a store written from an EMPTY prior corpus has NEITHER
+        # band nor set partitions on disk — a valid state meaning
+        # "no prior docs": every probe misses. Exactly ONE of the
+        # two dirs missing is a truncated/corrupt store — raise
+        # instead of silently missing duplicates (ADVICE r3).
         bands_path = os.path.join(store_dir, "bands")
         sets_path = os.path.join(store_dir, "sets")
-        self.empty_store = not (os.path.isdir(bands_path)
-                                and os.path.isdir(sets_path))
+        have_b, have_s = os.path.isdir(bands_path), os.path.isdir(sets_path)
+        if have_b != have_s:
+            raise ValueError(
+                f"minhash store {store_dir} is inconsistent: "
+                f"bands={'present' if have_b else 'missing'} "
+                f"sets={'present' if have_s else 'missing'}"
+                " — rebuild the store")
+        self.empty_store = not (have_b and have_s)
         if not self.empty_store:
             self.bands_ds = pads.dataset(bands_path, partitioning="hive")
             self.sets_ds = pads.dataset(sets_path, partitioning="hive")

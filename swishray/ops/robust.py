@@ -29,6 +29,11 @@ def mad_outliers(ds: Any, col: str, k: float = 3.0,
     their tasks, driver state is O(bins)), then one broadcast-scalar
     filter pass. No shuffle anywhere. ``keep`` selects ``inliers``
     (drop the tail) or ``outliers`` (inspect the tail).
+
+    Null contract: a null value cannot be judged, so it is NEVER an
+    outlier — null rows are kept by ``keep='inliers'`` and dropped by
+    ``keep='outliers'``, consistently with the all-null early return
+    (which keeps everything as inliers).
     """
     from .aggregates import continuous_quantiles
 
@@ -54,7 +59,9 @@ def mad_outliers(ds: Any, col: str, k: float = 3.0,
     def f(batch: pa.Table) -> pa.Table:
         d = pc.abs(pc.subtract(
             pc.cast(batch.column(col), pa.float64()), med))
-        mask = pc.greater(d, thr)
+        # null deviation -> "not an outlier" in BOTH modes (see
+        # the null contract in the docstring)
+        mask = pc.fill_null(pc.greater(d, thr), False)
         if keep == "inliers":
             mask = pc.invert(mask)
         return batch.filter(mask)

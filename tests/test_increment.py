@@ -154,3 +154,68 @@ def test_snapshot_diff_empty_sides(ray_session):
     out2 = snapshot_diff(rd.from_arrow(t), rd.from_arrow(empty),
                          "doc_id").to_pandas()
     assert dict(zip(out2.doc_id, out2.status)) == {7: "removed"}
+
+
+def test_incomplete_or_truncated_store_raises(ray_session, tmp_path):
+    """A store whose build died mid-write (complete=false) or lost a
+    partition dir must raise, not silently miss every probe
+    (ADVICE r3: corrupt != empty)."""
+    import json
+    import os
+    import shutil
+
+    store = str(tmp_path / "store")
+    write_fingerprint_store(_tbl([(1, "aaa"), (2, "bbb")]), store,
+                            num_buckets=2)
+
+    # simulate a writer killed before the complete marker landed
+    meta_path = os.path.join(store, "_bloom.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["complete"] = False
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(Exception, match="incomplete"):
+        dedup_incremental(_tbl([(9, "aaa")]), store).to_pandas()
+    with pytest.raises(ValueError, match="incomplete"):
+        write_fingerprint_store(_tbl([(3, "ccc")]), store)
+
+    # restore the marker, then truncate the fingerprints dir:
+    # blooms-without-fingerprints is corrupt, not empty
+    meta["complete"] = True
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(os.path.join(store, "fingerprints"))
+    with pytest.raises(Exception, match="inconsistent"):
+        dedup_incremental(_tbl([(9, "aaa")]), store).to_pandas()
+
+
+def test_truncated_minhash_store_raises(ray_session, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from swishray.ops.increment import (dedup_against_store,
+                                        write_minhash_store)
+    store = str(tmp_path / "mstore")
+    write_minhash_store(
+        _tbl([(1, "the quick brown fox jumps over the lazy dog")]),
+        store, num_buckets=2)
+
+    meta_path = os.path.join(store, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["complete"] = False
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(Exception, match="incomplete"):
+        dedup_against_store(_tbl([(9, "zzz")]), store).to_pandas()
+    with pytest.raises(ValueError, match="incomplete"):
+        write_minhash_store(_tbl([(2, "more text here")]), store)
+
+    meta["complete"] = True
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(os.path.join(store, "sets"))
+    with pytest.raises(Exception, match="inconsistent"):
+        dedup_against_store(_tbl([(9, "zzz")]), store).to_pandas()

@@ -102,3 +102,18 @@ def test_semi_join_large_string_keys(rd):
     right = rd.from_arrow(pa.table({"k": ["c", "a", "c"]}))
     out = semi_join_large(left, right, "k").to_pandas().sort_values("k")
     assert out["k"].tolist() == ["a", "c"]
+
+
+def test_mad_outliers_mixed_nulls_one_contract(rd):
+    """Null rows are never outliers: kept by keep='inliers', dropped
+    by keep='outliers' — and the two modes partition the non-null
+    rows exactly (ADVICE r3 asymmetric-null fix)."""
+    from swishray.ops.robust import mad_outliers
+    x = [10.0, 10.0, 10.0, 10.0, None, 500.0, None]
+    ds = rd.from_arrow(pa.table(
+        {"i": list(range(len(x))), "x": pa.array(x, pa.float64())}))
+    inl = mad_outliers(ds, "x").to_pandas()
+    out = mad_outliers(ds, "x", keep="outliers").to_pandas()
+    assert sorted(inl["i"]) == [0, 1, 2, 3, 4, 6]  # nulls kept
+    assert sorted(out["i"]) == [5]                 # nulls excluded
+    assert len(inl) + len(out) == len(x)
