@@ -1067,11 +1067,123 @@ def q_ivf_topk(sf_dir: str):
         ["query_id", "vec_id"])
 
 
+_IMG_W, _IMG_H, _IMG_C = 24, 16, 3       # decode_images synth geometry
+_AUD_RATE, _AUD_N, _AUD_EVERY = 16000, 1600, 160
+_VID_W, _VID_H, _VID_N, _VID_EVERY = 16, 12, 8, 2
+
+
 def q_decode_images(sf_dir: str):
-    from swishray.ops.multimodal import decode_images, synth_media_dataset
+    """REAL PNG decode end-to-end: per document, synthesize a PNG
+    whose pixel j is (doc_id*37 + j*11) % 251 (analytic — the DuckDB
+    oracle recomputes pixel_sum from the formula), encode it with the
+    from-scratch encoder, decode it through the actor-pool stage
+    (zlib inflate + scanline un-filtering), and emit the decoded
+    geometry + sample checksum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_png
+    from swishray.ops.multimodal import decode_images
     from swishray.util import default_concurrency
-    media = synth_media_dataset(200, "image")
-    return decode_images(media, concurrency=default_concurrency(cap=2))
+
+    n_px = _IMG_W * _IMG_H * _IMG_C
+
+    def synth(t: pa.Table) -> pa.Table:
+        j = np.arange(n_px, dtype=np.int64)
+        blobs = [
+            encode_png(((int(i) * 37 + j * 11) % 251).astype(
+                np.uint8).reshape(_IMG_H, _IMG_W, _IMG_C))
+            for i in t.column("doc_id").to_pylist()]
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = decode_images(media, concurrency=default_concurrency(cap=2))
+    return out.select_columns(
+        ["media_id", "width", "height", "channels", "pixel_sum"])
+
+
+def q_decode_audio(sf_dir: str):
+    """REAL WAV decode: per document, write a 16-bit PCM mono WAV
+    with stdlib ``wave`` (an INDEPENDENT writer) whose sample j is
+    ((doc_id*13 + j*7) % 65536) - 32768, then frame-sample it through
+    the RIFF/PCM decoder stage. The oracle recomputes the sampled
+    mean-|amplitude| analytically (exact: integer sums in float64)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.multimodal import SampleAudioFrames
+    from swishray.util import default_concurrency, map_batches_stateful
+
+    def synth(t: pa.Table) -> pa.Table:
+        j = np.arange(_AUD_N, dtype=np.int64)
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            s = (((int(i) * 13 + j * 7) % 65536) - 32768).astype("<i2")
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(_AUD_RATE)
+            w.writeframes(s.tobytes())
+            w.close()
+            blobs.append(buf.getvalue())
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = map_batches_stateful(
+        media, SampleAudioFrames,
+        fn_constructor_kwargs=dict(every_n=_AUD_EVERY),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(cap=2), num_cpus=1)
+    return out.select_columns(
+        ["media_id", "sample_rate", "n_frames_sampled",
+         "mean_abs_amplitude"])
+
+
+def q_decode_video(sf_dir: str):
+    """REAL Y4M decode: per document, build a Cmono YUV4MPEG2 stream
+    whose frame-f pixel p is (doc_id*19 + f*5 + p*3) % 256, then
+    frame-sample every 2nd frame. The oracle recomputes the sampled
+    luma checksum from the formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_y4m
+    from swishray.ops.multimodal import SampleVideoFrames
+    from swishray.util import default_concurrency, map_batches_stateful
+
+    fsz = _VID_W * _VID_H
+
+    def synth(t: pa.Table) -> pa.Table:
+        f = np.arange(_VID_N, dtype=np.int64)[:, None]
+        p = np.arange(fsz, dtype=np.int64)[None, :]
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            y = ((int(i) * 19 + f * 5 + p * 3) % 256).astype(
+                np.uint8).reshape(_VID_N, _VID_H, _VID_W)
+            blobs.append(encode_y4m(y))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = map_batches_stateful(
+        media, SampleVideoFrames,
+        fn_constructor_kwargs=dict(every_n=_VID_EVERY),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(cap=2), num_cpus=1)
+    return out.select_columns(
+        ["media_id", "n_frames", "n_sampled", "y_sum"])
 
 
 def q_extract_fixture_corpus(sf_dir: str):
@@ -4183,6 +4295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_ivf": q_cosine_pairs_ivf,
         "ivf_topk": q_ivf_topk,
         "decode_images": q_decode_images,
+        "decode_audio": q_decode_audio,
+        "decode_video": q_decode_video,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4352,6 +4466,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"),
+        # the media decode oracles recompute each blob's analytic
+        # content formula (see q_decode_* docstrings) — the Ray side
+        # must reproduce it THROUGH the real container encode+decode
+        "decode_images": (
+            "SELECT d.doc_id AS media_id, 24 AS width, 16 AS height, "
+            "3 AS channels, "
+            "(SELECT CAST(SUM((d.doc_id*37 + j*11) % 251) AS BIGINT) "
+            " FROM generate_series(0, 1151) t(j)) AS pixel_sum "
+            "FROM documents d"),
+        "decode_audio": (
+            "SELECT d.doc_id AS media_id, 16000 AS sample_rate, "
+            "10 AS n_frames_sampled, "
+            "(SELECT SUM(ABS(((d.doc_id*13 + j*7) % 65536) - 32768))"
+            "/10.0 FROM generate_series(0, 1440, 160) t(j)) "
+            "AS mean_abs_amplitude FROM documents d"),
+        "decode_video": (
+            "SELECT d.doc_id AS media_id, 8 AS n_frames, "
+            "4 AS n_sampled, "
+            "(SELECT CAST(SUM((d.doc_id*19 + f.f*5 + p.p*3) % 256) "
+            " AS BIGINT) FROM generate_series(0, 6, 2) f(f), "
+            " generate_series(0, 191) p(p)) AS y_sum "
+            "FROM documents d"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "
             "'Doc ' || doc_id || chr(3) || text AS text, "

@@ -1,10 +1,12 @@
 """Optional native accelerators (import-try gated, per task brief).
 
-Two extensions, each independently optional:
+Three extensions, each independently optional:
   * ``swishtok`` — the C tokenizer (A/B-verified against
     swishray/tokenizer.py by tokenizer._native_selftest before use)
   * ``swishsax`` — the C event-batching SAX front-end (A/B-verified
     against the ctypes event stream by libxml._sax_selftest before use)
+  * ``swishpng`` — the PNG scanline un-filter kernel (A/B-verified
+    against the numpy path by ops.codecs._native_selftest before use)
 
 On first import, tries to load a prebuilt extension from this
 directory; if absent and a C compiler is available, compiles it
@@ -23,6 +25,7 @@ import sysconfig
 
 swishtok = None
 swishsax = None
+swishpng = None
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -74,11 +77,12 @@ def _load_one(name: str, cflags: list[str], libs: list[str]):
 
 
 def _load() -> None:
-    global swishtok, swishsax
+    global swishtok, swishsax, swishpng
     if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
         return
     swishtok = _load_one("swishtok", [], [])
     swishsax = _load_one("swishsax", _LIBXML2_CFLAGS, _LIBXML2_LIBS)
+    swishpng = _load_one("swishpng", [], [])
 
 
 _load()

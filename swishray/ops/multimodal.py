@@ -1,16 +1,20 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns
+with typed metadata, decoded by REAL from-scratch codecs
+(ops/codecs.py): PNG (zlib inflate + scanline un-filtering + Adam7),
+BMP, PPM/PGM, WAV (RIFF/PCM + IEEE float) and Y4M video. Formats that
+would need a codec we haven't built (JPEG/GIF/TIFF/WebP, compressed
+video) raise NotImplementedError into the per-row error column —
+distinguishable from ValueError, which marks a CORRUPT file of a
+supported format.
 
-The decode kernels are STUBS (no image/audio libraries in this
-container — task brief): a deterministic fake container format
-("SWIM"/"SWAU" headers) exercises the REAL Ray-side plumbing — schema,
-actor signature, batch sizing, output layout — and any real payload
-raises NotImplementedError into the per-row error column exactly like
-a production decode failure would.
+The deterministic synthetic containers ("SWIM"/"SWAU"/"SWVI" headers)
+are kept for tests/demos — they exercise the same plumbing with
+zero-cost payload generation.
 
 Fake container layouts (big-endian):
-  image: b"SWIM" + u16 width + u16 height + u8 channels + pixels?
-  audio: b"SWAU" + u32 sample_rate + u32 n_samples
+  image: b"SWIM" + u16 width + u16 height + u8 channels + pixels
+  audio: b"SWAU" + u32 sample_rate + u32 n_samples + i16 samples
+  video: b"SWVI" + u16 w + u16 h + u16 n_frames + gray frames
 """
 
 from __future__ import annotations
@@ -41,47 +45,59 @@ def synth_audio_blob(seed: int, sample_rate: int = 16000,
 
 
 class DecodeImages:
-    """Actor-pool decode stage. __init__ is where a real build would
-    load the codec/model once per worker; __call__ decodes per batch.
+    """Actor-pool decode stage over the real codecs (PNG/BMP/PPM +
+    the SWIM test container). __init__ holds per-worker state (the
+    codec dispatch is stateless but warm imports live here); __call__
+    decodes per batch.
 
     Output schema (stable regardless of decode success):
       key, width:int32, height:int32, channels:int32,
+      pixel_sum:int64 (sum of raw samples — a decode checksum the
+      DuckDB oracle can recompute analytically),
       feature:list<float> (8-dim content hash embedding), error:string
     """
 
     FEATURE_DIM = 8
 
     def __init__(self, key: str = "media_id", col: str = "payload"):
+        from . import codecs
         self.key = key
         self.col = col
-        # real build: self.codec = load_image_codec()  (once per actor)
+        self.codecs = codecs  # warm module ref, once per actor
+
+    def _feature(self, sample_bytes: bytes) -> list[float]:
+        digest = hashlib.blake2b(sample_bytes,
+                                 digest_size=self.FEATURE_DIM).digest()
+        return [b / 255.0 for b in digest]
 
     def _decode(self, blob: bytes):
         if blob[:4] == b"SWIM":
             w, h, c = struct.unpack(">HHB", blob[4:9])
             pixels = np.frombuffer(blob[9:9 + w * h * c], dtype=np.uint8)
-            digest = hashlib.blake2b(pixels.tobytes(),
-                                     digest_size=self.FEATURE_DIM).digest()
-            feat = [b / 255.0 for b in digest]
-            return w, h, c, feat, None
-        raise NotImplementedError(
-            "real image codecs unavailable in this container; only the "
-            "SWIM fake container decodes (task brief: decode is stubbed)")
+            return (w, h, c, int(pixels.sum(dtype=np.int64)),
+                    self._feature(pixels.tobytes()), None)
+        arr, meta = self.codecs.decode_image(blob)
+        h, w = arr.shape[:2]
+        c = arr.shape[2] if arr.ndim == 3 else 1
+        raw = np.ascontiguousarray(arr)
+        return (w, h, c, int(raw.sum(dtype=np.int64)),
+                self._feature(raw.tobytes()), None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key).to_pylist()
         blobs = batch.column(self.col).to_pylist()
-        w_, h_, c_, f_, e_ = [], [], [], [], []
+        w_, h_, c_, s_, f_, e_ = [], [], [], [], [], []
         for blob in blobs:
             try:
-                w, h, c, feat, err = self._decode(blob or b"")
+                w, h, c, psum, feat, err = self._decode(blob or b"")
             except Exception as e:
-                w = h = c = 0
+                w = h = c = psum = 0
                 feat = [0.0] * self.FEATURE_DIM
                 err = f"{type(e).__name__}: {e}"
             w_.append(w)
             h_.append(h)
             c_.append(c)
+            s_.append(psum)
             f_.append(feat)
             e_.append(err)
         return pa.table({
@@ -89,6 +105,7 @@ class DecodeImages:
             "width": pa.array(w_, type=pa.int32()),
             "height": pa.array(h_, type=pa.int32()),
             "channels": pa.array(c_, type=pa.int32()),
+            "pixel_sum": pa.array(s_, type=pa.int64()),
             "feature": pa.array(f_, type=pa.list_(pa.float32())),
             "error": pa.array(e_, type=pa.string()),
         })
@@ -106,14 +123,28 @@ def decode_images(ds: Any, key: str = "media_id", col: str = "payload",
 
 
 class SampleAudioFrames:
-    """Frame-sample stage for audio blobs: emits every Nth frame's
-    amplitude stats. Same stub discipline as DecodeImages."""
+    """Frame-sample stage for audio blobs (real WAV via the RIFF/PCM
+    decoder, plus the SWAU test container): emits every Nth frame's
+    amplitude stats over the first channel."""
 
     def __init__(self, every_n: int = 160, key: str = "media_id",
                  col: str = "payload"):
+        from . import codecs
         self.every_n = every_n
         self.key = key
         self.col = col
+        self.codecs = codecs
+
+    def _samples(self, blob: bytes):
+        if blob[:4] == b"SWAU":
+            rate, n = struct.unpack(">II", blob[4:12])
+            return np.frombuffer(blob[12:12 + 2 * n],
+                                 dtype=np.int16), rate
+        if blob[:4] == b"RIFF":
+            arr, meta = self.codecs.decode_wav(blob)
+            return arr[:, 0], meta["sample_rate"]
+        raise NotImplementedError(
+            f"unknown audio container (header={blob[:4]!r})")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key).to_pylist()
@@ -121,15 +152,13 @@ class SampleAudioFrames:
         rates, counts, means, errs = [], [], [], []
         for blob in blobs:
             try:
-                if not blob or blob[:4] != b"SWAU":
-                    raise NotImplementedError("only SWAU fake audio decodes")
-                rate, n = struct.unpack(">II", blob[4:12])
-                samples = np.frombuffer(blob[12:12 + 2 * n], dtype=np.int16)
+                samples, rate = self._samples(blob or b"")
                 sampled = samples[::self.every_n]
                 rates.append(rate)
                 counts.append(len(sampled))
-                means.append(float(np.abs(sampled).mean()) if len(sampled)
-                             else 0.0)
+                means.append(float(np.abs(
+                    sampled.astype(np.float64)).mean())
+                    if len(sampled) else 0.0)
                 errs.append(None)
             except Exception as e:
                 rates.append(0)
@@ -156,45 +185,60 @@ def synth_video_blob(seed: int, width: int = 16, height: int = 12,
 
 
 class SampleVideoFrames:
-    """Frame-sample stage for video blobs: decode every Nth frame,
-    emit per-sampled-frame mean luminance + a content feature. Same
-    stub discipline: only the SWVI fake container decodes; real codecs
-    raise into the error column."""
+    """Frame-sample stage for video blobs (real uncompressed Y4M via
+    the YUV4MPEG2 decoder, plus the SWVI test container): decode
+    every Nth frame, emit per-sampled-frame mean luminance, a total
+    luma checksum (``y_sum`` — oracle-recomputable), and the error
+    column. Compressed video (MP4/MPEG/AVI...) has no codec here and
+    raises NotImplementedError into the error column."""
 
     def __init__(self, every_n: int = 2, key: str = "media_id",
                  col: str = "payload"):
+        from . import codecs
         self.every_n = every_n
         self.key = key
         self.col = col
+        self.codecs = codecs
+
+    def _frames(self, blob: bytes):
+        """-> (n_frames_total, (n, h*w) flattened gray frames)."""
+        if blob[:4] == b"SWVI":
+            w, h, n = struct.unpack(">HHH", blob[4:10])
+            fsz = w * h
+            pix = np.frombuffer(blob[10:10 + fsz * n], dtype=np.uint8)
+            return n, pix.reshape(n, fsz)
+        if blob[:9] == b"YUV4MPEG2":
+            y, meta = self.codecs.decode_y4m(blob)
+            return meta["n_frames"], y.reshape(y.shape[0], -1)
+        raise NotImplementedError(
+            f"unknown video container (header={blob[:9]!r}); "
+            "compressed video has no codec here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key).to_pylist()
         blobs = batch.column(self.col).to_pylist()
-        nfr, sampled, lum, errs = [], [], [], []
+        nfr, sampled, lum, ysum, errs = [], [], [], [], []
         for blob in blobs:
             try:
-                if not blob or blob[:4] != b"SWVI":
-                    raise NotImplementedError(
-                        "real video codecs unavailable; only the SWVI "
-                        "fake container decodes (task brief)")
-                w, h, n = struct.unpack(">HHH", blob[4:10])
-                fsz = w * h
-                pix = np.frombuffer(blob[10:10 + fsz * n], dtype=np.uint8)
-                frames = pix.reshape(n, fsz)[::self.every_n]
+                n, all_frames = self._frames(blob or b"")
+                frames = all_frames[::self.every_n]
                 nfr.append(n)
                 sampled.append(frames.shape[0])
                 lum.append([float(f.mean()) for f in frames])
+                ysum.append(int(frames.sum(dtype=np.int64)))
                 errs.append(None)
             except Exception as e:
                 nfr.append(0)
                 sampled.append(0)
                 lum.append([])
+                ysum.append(0)
                 errs.append(f"{type(e).__name__}: {e}")
         return pa.table({
             self.key: pa.array(keys),
             "n_frames": pa.array(nfr, type=pa.int32()),
             "n_sampled": pa.array(sampled, type=pa.int32()),
             "frame_luminance": pa.array(lum, type=pa.list_(pa.float32())),
+            "y_sum": pa.array(ysum, type=pa.int64()),
             "error": pa.array(errs, type=pa.string()),
         })
 
@@ -231,33 +275,37 @@ def synth_media_dataset(n: int, kind: str = "image", seed: int = 42):
 
 class ResizeImages:
     """Actor-pool resize stage (the brief's resize verb): nearest-
-    neighbor downscale of the SWIM fake container's pixel grid — the
-    resampling math is REAL numpy (a production build swaps only the
-    container codec), output is a new SWIM blob plus dimensions, with
-    the same per-row error discipline as DecodeImages."""
+    neighbor downscale over any supported container. A SWIM test blob
+    resizes to a SWIM blob (legacy contract); a real PNG/BMP/PPM
+    decodes through ops/codecs.py and re-encodes as PNG — the
+    engine's canonical image output container."""
 
     def __init__(self, out_w: int = 8, out_h: int = 6,
                  key: str = "media_id", col: str = "payload"):
+        from . import codecs
         self.out_w = out_w
         self.out_h = out_h
         self.key = key
         self.col = col
-        # real build: self.codec = load_image_codec()  (once per actor)
+        self.codecs = codecs
 
-    def _resize(self, blob: bytes) -> bytes:
-        if blob[:4] != b"SWIM":
-            raise NotImplementedError(
-                "real image codecs unavailable in this container; only "
-                "the SWIM fake container resizes (task brief)")
-        w, h, c = struct.unpack(">HHB", blob[4:9])
-        px = np.frombuffer(blob[9:9 + w * h * c],
-                           dtype=np.uint8).reshape(h, w, c)
+    def _nn(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
         ys = (np.arange(self.out_h) * h // self.out_h)
         xs = (np.arange(self.out_w) * w // self.out_w)
-        small = px[ys][:, xs]
-        return (b"SWIM"
-                + struct.pack(">HHB", self.out_w, self.out_h, c)
-                + small.tobytes())
+        return px[ys][:, xs]
+
+    def _resize(self, blob: bytes) -> bytes:
+        if blob[:4] == b"SWIM":
+            w, h, c = struct.unpack(">HHB", blob[4:9])
+            px = np.frombuffer(blob[9:9 + w * h * c],
+                               dtype=np.uint8).reshape(h, w, c)
+            small = self._nn(px)
+            return (b"SWIM"
+                    + struct.pack(">HHB", self.out_w, self.out_h, c)
+                    + small.tobytes())
+        arr, _meta = self.codecs.decode_image(blob)
+        return self.codecs.encode_png(self._nn(arr))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key).to_pylist()

@@ -25,7 +25,7 @@ QUERIES = [
     "semdedup", "dedup_store", "dedup_incremental",
     "dedup_canonical", "cap_domains", "link_graph",
     "running_sum_salted", "rank_salted", "training_pipeline",
-    "warc_roundtrip",
+    "warc_roundtrip", "decode_images", "decode_audio", "decode_video",
 ]
 
 

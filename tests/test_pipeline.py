@@ -127,19 +127,36 @@ def test_similarity_ops(ray_session):
     assert any(r["vec_id"] == 0 for r in approx)
 
 
-def test_multimodal_stub(ray_session):
+def test_multimodal_decode(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from swishray.ops.codecs import encode_png
     from swishray.ops.multimodal import (decode_images,
                                          synth_media_dataset)
     out = decode_images(synth_media_dataset(10), concurrency=1).take_all()
     assert len(out) == 10
     assert all(r["width"] == 32 and r["error"] is None for r in out)
-    # non-fake payload -> NotImplementedError lands in error column
-    import ray.data as rd
+    # REAL PNG payloads decode through the from-scratch codec
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    real = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([encode_png(px)], type=pa.binary())}))
+    o = decode_images(real, concurrency=1).take_all()[0]
+    assert o["error"] is None and (o["width"], o["height"]) == (5, 6)
+    assert o["pixel_sum"] == int(px.astype(np.int64).sum())
+    # uncoded format (JPEG) -> NotImplementedError in the error column
     bad = rd.from_arrow(pa.table({
         "media_id": pa.array([1], type=pa.int64()),
-        "payload": pa.array([b"\x89PNG real image"], type=pa.binary())}))
+        "payload": pa.array([b"\xff\xd8\xff\xe0 jpeg"], type=pa.binary())}))
     o = decode_images(bad, concurrency=1).take_all()[0]
     assert "NotImplementedError" in o["error"]
+    # corrupt file of a SUPPORTED format -> ValueError in the column
+    trunc = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([encode_png(px)[:30]], type=pa.binary())}))
+    o = decode_images(trunc, concurrency=1).take_all()[0]
+    assert "ValueError" in o["error"]
 
 
 def test_windows_ops(ray_session):
@@ -194,7 +211,9 @@ def test_salted_group_count(ray_session):
     assert hosts == {"h0.x": 10, "h1.x": 10, "h2.x": 10}
 
 
-def test_video_and_audio_stubs(ray_session):
+def test_video_and_audio_decode(ray_session):
+    import numpy as np
+    from swishray.ops.codecs import encode_y4m
     from swishray.ops.multimodal import (SampleAudioFrames,
                                          sample_video_frames,
                                          synth_media_dataset)
@@ -203,14 +222,43 @@ def test_video_and_audio_stubs(ray_session):
     assert len(out) == 6
     assert all(r["n_frames"] == 8 and r["n_sampled"] == 4
                and r["error"] is None for r in out)
-    # audio path
+    # audio path (SWAU container)
     auds = synth_media_dataset(4, "audio")
     import pyarrow as pa
     res = auds.map_batches(SampleAudioFrames(every_n=100),
                            batch_format="pyarrow").take_all()
     assert len(res) == 4 and all(r["error"] is None for r in res)
-    # real-codec payload lands in the error column
+    # REAL WAV payloads decode (stdlib wave as independent writer)
+    import io
+    import wave
     import ray.data as rd
+    s = np.arange(-500, 500, dtype="<i2")
+    buf = io.BytesIO()
+    wf = wave.open(buf, "wb")
+    wf.setnchannels(1)
+    wf.setsampwidth(2)
+    wf.setframerate(8000)
+    wf.writeframes(s.tobytes())
+    wf.close()
+    wav_ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "payload": pa.array([buf.getvalue()], type=pa.binary())}))
+    r = wav_ds.map_batches(SampleAudioFrames(every_n=100),
+                           batch_format="pyarrow").take_all()[0]
+    assert r["error"] is None and r["sample_rate"] == 8000
+    assert r["n_frames_sampled"] == 10
+    assert r["mean_abs_amplitude"] == float(
+        np.abs(s[::100].astype(np.float64)).mean())
+    # REAL Y4M payloads decode
+    frames = np.arange(5 * 4 * 6, dtype=np.uint8).reshape(5, 4, 6)
+    y4m_ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "payload": pa.array([encode_y4m(frames)], type=pa.binary())}))
+    v = sample_video_frames(y4m_ds, every_n=2).take_all()[0]
+    assert v["error"] is None and v["n_frames"] == 5
+    assert v["n_sampled"] == 3
+    assert v["y_sum"] == int(frames[::2].astype(np.int64).sum())
+    # compressed video has no codec -> error column
     bad = rd.from_arrow(pa.table({
         "media_id": pa.array([0], type=pa.int64()),
         "payload": pa.array([b"\x00\x00\x01\xba mpeg-ps"],
@@ -352,6 +400,18 @@ def test_resize_images_stage(ray_session):
     decoded = dec(t)
     assert decoded.column("width").to_pylist() == [8] * 30
     assert decoded.column("height").to_pylist() == [6] * 30
+    # REAL PNG in -> resized PNG out with source-grid pixels
+    import numpy as np
+    from swishray.ops.codecs import decode_png, encode_png
+    px = np.arange(16 * 12 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    res = ResizeImages(out_w=4, out_h=3)(pa2.table({
+        "media_id": pa2.array([7], type=pa2.int64()),
+        "payload": pa2.array([encode_png(px)], type=pa2.binary())}))
+    assert res.column("error").to_pylist() == [None]
+    small, _ = decode_png(res.column("payload").to_pylist()[0])
+    ys = np.arange(3) * 12 // 3
+    xs = np.arange(4) * 16 // 4
+    assert (small == px[ys][:, xs]).all()
     # bad payload -> error row, stable schema
     bad = ResizeImages()(pa2.table({
         "media_id": pa2.array([0], type=pa2.int64()),
