@@ -3470,6 +3470,45 @@ def q_robots_filter(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_robots_filter_join(sf_dir: str):
+    """Same REP policies as robots_filter, but through the
+    both-sides-large JOIN path (rules compiled map-side, slim
+    host-keyed exchange, disallowed keys joined back) — the mode a
+    10^8-host crawl uses; same oracle closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.robots import robots_filter
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        s = pc.cast(did, pa.string())
+        m3 = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), pa.string())
+        v = pc.subtract(did, pc.multiply(pc.divide(did, 4), 4))
+        seg = pc.case_when(
+            pc.make_struct(pc.equal(v, 0), pc.equal(v, 1),
+                           pc.equal(v, 2)),
+            "/private/p", "/ok/p", "/pub/p", "/x")
+        url = pc.binary_join_element_wise(
+            "https://s", m3, ".example", seg, s, "")
+        return pa.table({"doc_id": did, "url": url})
+
+    robots = rd.from_arrow(pa.table({
+        "host": ["s0.example", "s1.example"],
+        "body": [b"User-agent: *\nDisallow: /private\n",
+                 b"User-agent: *\nDisallow: /\nAllow: /ok\n"]}))
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = robots_filter(ds, robots, key="doc_id", mode="join")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "url": pc.cast(t.column("url"), pa.string()),
+            "robots_allowed": t.column("robots_allowed")}),
+        batch_format="pyarrow")
+
+
 def q_sitemap_parse(sf_dir: str):
     """Sitemap/sitemapindex parse over synthetic XML bodies (every
     5th doc is an index, the rest urlsets with one full and one
@@ -4223,6 +4262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_parse": q_sitemap_parse,
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
+        "robots_filter_join": q_robots_filter_join,
         "resample_mix": q_resample_mix,
         "weighted_sample": q_weighted_sample,
         "frontier": q_frontier,
@@ -5682,6 +5722,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
             "1, 8)) AS BIGINT) < thr.t"),
         "robots_filter": (
+            "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
+            "doc_id % 3 AS m, doc_id % 4 AS v FROM documents) "
+            "SELECT doc_id, 'https://s' || cast(m as varchar) || "
+            "'.example' || CASE v WHEN 0 THEN '/private/p' "
+            "WHEN 1 THEN '/ok/p' WHEN 2 THEN '/pub/p' ELSE '/x' END "
+            "|| s AS url, "
+            "CASE m WHEN 0 THEN v <> 0 WHEN 1 THEN v = 1 "
+            "ELSE TRUE END AS robots_allowed FROM d"),
+        "robots_filter_join": (
             "WITH d AS (SELECT doc_id, cast(doc_id as varchar) AS s, "
             "doc_id % 3 AS m, doc_id % 4 AS v FROM documents) "
             "SELECT doc_id, 'https://s' || cast(m as varchar) || "

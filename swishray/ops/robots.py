@@ -15,14 +15,24 @@ spec (RFC 9309 + the original robotstxt.org conventions):
 * an empty ``Disallow:`` means allow-all; a missing robots.txt means
   allow-all.
 
-Scale shape: robots bodies are tiny (parse cap 500 KiB per RFC 9309
-§2.4) and one-per-host, so the rule table is bounded by the crawl's
-host universe — it broadcasts once via ``ray.put`` per run.  Per
-batch the filter extracts host+path with one vectorized RE2 pass,
-groups rows by host, and walks each host's ordered rule list with
-``pc.match_substring_regex`` over that host's path subarray (rules
-per host are tens, not thousands) — no per-URL Python regex loop.
-URLs never ride a shuffle.
+Scale shape — TWO modes (``robots_filter(mode=...)``):
+
+* ``broadcast``: the rule table rides one ``ray.put``; per batch the
+  filter extracts host+path with one vectorized RE2 pass, groups rows
+  by host, and walks each host's ordered rule list with
+  ``pc.match_substring_regex`` over that host's path subarray (rules
+  per host are tens, not thousands) — no per-URL Python regex loop,
+  URLs never ride a shuffle.  Right for hand-sized host universes
+  (the driver materializes the robots table).
+* ``join``: both-sides-large — a real crawl has 10^7-10^8 hosts and
+  their robots bodies do NOT fit one driver dict.  Rules compile
+  MAP-SIDE over the robots Dataset into a slim (host, rules) table;
+  a slim (key, host, path) projection of the URLs hash-joins it on
+  host; verdicts keep only the DISALLOWED keys (default is allow),
+  and that usually-tiny blocked set left-joins back to the full rows
+  (the url_blocklist big-list shape, filters.py).  Driver state: none.
+* ``auto`` (default): broadcast below ``broadcast_max_hosts``, join
+  above it (join needs a unique ``key`` column).
 """
 from __future__ import annotations
 
@@ -118,6 +128,41 @@ _HOSTPATH_RE = (r"^[A-Za-z][A-Za-z0-9+.-]*://"
                 r"(?P<h>[^/?#]*)(?P<p>[^#]*)")
 
 
+def _extract_hostpath(batch: pa.Table, url_col: str):
+    """Vectorized (lowercased host, path+query) extraction from a URL
+    column; empty path normalizes to "/" per REP matching."""
+    import pyarrow.compute as pc
+    c = batch.column(url_col)
+    if pa.types.is_null(c.type):
+        c = c.cast(pa.large_string())
+    u = pc.coalesce(pc.cast(c, pa.large_string()), "")
+    ext = pc.extract_regex(u, _HOSTPATH_RE)
+    host = pc.utf8_lower(pc.coalesce(
+        pc.struct_field(ext, "h"), ""))
+    host = pc.replace_substring_regex(host, r"^[^@]*@", "")
+    host = pc.replace_substring_regex(host, r":[0-9]*$", "")
+    path = pc.coalesce(pc.struct_field(ext, "p"), "")
+    path = pc.if_else(pc.equal(path, ""), "/", path).combine_chunks()
+    return host, path
+
+
+def _decide_host(rules: list, sub: pa.Array) -> np.ndarray:
+    """Longest-match REP verdict over ONE host's path subarray —
+    vectorized per rule, rules ordered most specific first."""
+    import pyarrow.compute as pc
+    undecided = np.ones(len(sub), dtype=bool)
+    verdict = np.ones(len(sub), dtype=bool)
+    for allow, _, pat in rules:
+        if not undecided.any():
+            break
+        m = pc.match_substring_regex(sub, pat) \
+            .to_numpy(zero_copy_only=False)
+        hit = m & undecided
+        verdict[hit] = allow
+        undecided &= ~m
+    return verdict
+
+
 class RobotsFilter:
     """Actor stage: annotate/filter URL rows by REP permission.
 
@@ -134,19 +179,7 @@ class RobotsFilter:
                       for h, b in bodies.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        c = batch.column(self.url_col)
-        if pa.types.is_null(c.type):
-            c = c.cast(pa.large_string())
-        u = pc.coalesce(pc.cast(c, pa.large_string()), "")
-        ext = pc.extract_regex(u, _HOSTPATH_RE)
-        host = pc.utf8_lower(pc.coalesce(
-            pc.struct_field(ext, "h"), ""))
-        host = pc.replace_substring_regex(host, r"^[^@]*@", "")
-        host = pc.replace_substring_regex(host, r":[0-9]*$", "")
-        path = pc.coalesce(pc.struct_field(ext, "p"), "")
-        path = pc.if_else(pc.equal(path, ""), "/", path) \
-            .combine_chunks()
+        host, path = _extract_hostpath(batch, self.url_col)
         hosts_np = host.to_numpy(zero_copy_only=False)
         allowed = np.ones(len(batch), dtype=bool)
         for h in np.unique(hosts_np):
@@ -154,18 +187,7 @@ class RobotsFilter:
             if not rules:
                 continue
             idx = np.flatnonzero(hosts_np == h)
-            sub = path.take(pa.array(idx))
-            undecided = np.ones(len(idx), dtype=bool)
-            verdict = np.ones(len(idx), dtype=bool)
-            for allow, _, pat in rules:
-                if not undecided.any():
-                    break
-                m = pc.match_substring_regex(sub, pat) \
-                    .to_numpy(zero_copy_only=False)
-                hit = m & undecided
-                verdict[hit] = allow
-                undecided &= ~m
-            allowed[idx] = verdict
+            allowed[idx] = _decide_host(rules, path.take(pa.array(idx)))
         if self.keep_only:
             return batch.filter(pa.array(allowed))
         return batch.append_column("robots_allowed",
@@ -175,17 +197,39 @@ class RobotsFilter:
 def robots_filter(ds: Any, robots: Any, url_col: str = "url",
                   host_col: str = "host", body_col: str = "body",
                   agent: str = "*", keep_only: bool = False,
-                  concurrency=None, batch_size: int = 4096) -> Any:
+                  concurrency=None, batch_size: int = 4096,
+                  key: str | None = None, mode: str = "auto",
+                  broadcast_max_hosts: int = 65536) -> Any:
     """Filter/annotate a URL Dataset by robots.txt permission.
 
-    ``robots``: a pyarrow Table — or a small Dataset, materialized
-    here — of (host, body): one robots.txt per host, bounded by the
-    crawl's host universe; broadcast once (``ray.put``), never
-    joined.  With ``keep_only=True`` disallowed rows are dropped;
-    otherwise a boolean ``robots_allowed`` column is appended."""
+    ``robots``: a (host, body) table/Dataset — one robots.txt per
+    host.  With ``keep_only=True`` disallowed rows are dropped;
+    otherwise a boolean ``robots_allowed`` column is appended.
+
+    ``mode='broadcast'`` materializes the robots table on the driver
+    and broadcasts {host: body} once via ``ray.put`` — right when the
+    host universe fits a driver dict.  ``mode='join'`` never
+    materializes anything: rules compile map-side, a slim
+    (key, host, path) projection joins them on host, and only the
+    DISALLOWED keys join back to the full rows — the shape that
+    survives a real crawl's 10^7-10^8 hosts (needs ``key``, a unique
+    row id).  ``'auto'`` picks broadcast when the robots side counts
+    at most ``broadcast_max_hosts`` rows (or no ``key`` was given)."""
     import ray
 
     from ..util import map_batches_stateful
+
+    if mode == "auto":
+        n_hosts = (robots.num_rows if isinstance(robots, pa.Table)
+                   else robots.count())
+        mode = ("broadcast" if key is None
+                or n_hosts <= broadcast_max_hosts else "join")
+
+    if mode == "join":
+        return _robots_filter_join(
+            ds, robots, url_col=url_col, host_col=host_col,
+            body_col=body_col, agent=agent, keep_only=keep_only,
+            key=key, batch_size=batch_size)
 
     if not isinstance(robots, pa.Table):
         robots = pa.Table.from_pylist(robots.take_all())
@@ -198,3 +242,96 @@ def robots_filter(ds: Any, robots: Any, url_col: str = "url",
                                    agent=agent, keep_only=keep_only),
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size, force_tasks=concurrency is None)
+
+
+def _robots_filter_join(ds: Any, robots: Any, *, url_col: str,
+                        host_col: str, body_col: str, agent: str,
+                        keep_only: bool, key: str | None,
+                        batch_size: int) -> Any:
+    """Both-sides-large robots filtering (see robots_filter).
+
+    Exchanges are slim end to end: (host, compiled-rules) — one row
+    per host WITH rules, allow-all hosts drop out; (key, host, path)
+    — three columns per URL; (key) — disallowed rows only.  The full
+    URL rows ride exactly one left join against that blocked set."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .joins import field_type, native_join, schema_guard
+
+    if key is None:
+        raise ValueError("robots_filter(mode='join') needs a unique "
+                         "`key` column to route verdicts back")
+    if isinstance(robots, pa.Table):
+        robots = rd.from_arrow(robots)
+
+    def compile_rules(t: pa.Table) -> pa.Table:
+        hs, blobs = [], []
+        for h, b in zip(t.column(host_col).to_pylist(),
+                        t.column(body_col).to_pylist()):
+            rules = compile_robots(b, agent)
+            if rules and h:  # allow-all hosts contribute nothing
+                hs.append(str(h).lower())
+                blobs.append(json.dumps([(a, ln, p)
+                                         for a, ln, p in rules]))
+        return pa.table({"__rhost": pa.array(hs, pa.large_string()),
+                         "__rules": pa.array(blobs, pa.large_string())})
+
+    rules_ds = schema_guard(
+        robots.map_batches(compile_rules, batch_format="pyarrow"),
+        pa.schema([("__rhost", pa.large_string()),
+                   ("__rules", pa.large_string())]))
+
+    ktype = field_type(ds, key)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        host, path = _extract_hostpath(batch, url_col)
+        return pa.table({key: batch.column(key).cast(ktype),
+                         "__rhost": pc.cast(host, pa.large_string()),
+                         "__path": pc.cast(path, pa.large_string())})
+
+    probes = schema_guard(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        pa.schema([(key, ktype), ("__rhost", pa.large_string()),
+                   ("__path", pa.large_string())]))
+
+    # inner join: URLs on rule-less hosts drop out (default allow)
+    joined = native_join(probes, rules_ds, "__rhost", how="inner")
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        keys = t.column(key).combine_chunks()
+        paths = t.column("__path").combine_chunks()
+        blobs = t.column("__rules_r")
+        hosts_np = np.asarray(t.column("__rhost").to_pylist(),
+                              dtype=object)
+        bad = []
+        for h in np.unique(hosts_np):
+            idx = np.flatnonzero(hosts_np == h)
+            rules = json.loads(blobs[int(idx[0])].as_py())
+            v = _decide_host(rules, paths.take(pa.array(idx)))
+            bad.append(keys.take(pa.array(idx[~v])))
+        ks = (pa.concat_arrays([a.combine_chunks()
+                                if isinstance(a, pa.ChunkedArray)
+                                else a for a in bad])
+              if bad else pa.array([], ktype))
+        # null keys (unparseable URLs) never match the join back
+        return pa.table({key: ks.cast(ktype),
+                         "__bl": pa.array([1] * len(ks), pa.int8())})
+
+    blocked = schema_guard(
+        joined.map_batches(verdicts, batch_format="pyarrow"),
+        pa.schema([(key, ktype), ("__bl", pa.int8())]))
+
+    out = native_join(ds, blocked, key, how="left")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        allowed = pc.is_null(batch.column("__bl_r"))
+        batch = batch.drop_columns(["__bl_r"])
+        if keep_only:
+            return batch.filter(allowed)
+        return batch.append_column(
+            "robots_allowed", pc.cast(allowed, pa.bool_()))
+
+    return out.map_batches(shape, batch_format="pyarrow")

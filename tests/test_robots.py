@@ -78,3 +78,72 @@ def test_robots_filter_stage(ray_session):
     # keep_only drops the blocked rows
     kept = robots_filter(ds, robots, keep_only=True).to_pandas()
     assert len(kept) == 4  # 3 allowed + the null url row
+
+
+def _mk_urls_ds(urls):
+    return rd.from_items([{"rid": i, "url": u}
+                          for i, u in enumerate(urls)]).repartition(2)
+
+
+def test_robots_filter_join_mode_matches_broadcast(ray_session):
+    robots = pa.table({
+        "host": ["a.example", "b.example", "c.example"],
+        "body": [b"User-agent: *\nDisallow: /private\n",
+                 b"User-agent: *\nDisallow: /\nAllow: /ok\n",
+                 b"User-agent: *\nDisallow:\n"]})  # allow-all body
+    urls = [
+        "https://a.example/private/x",
+        "https://A.EXAMPLE:8080/public",
+        "https://b.example/ok/page",
+        "https://b.example/no",
+        "https://c.example/anything",
+        "https://d.example/unlisted",
+        None,
+    ]
+    want = robots_filter(_mk_urls_ds(urls), robots).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    got = robots_filter(_mk_urls_ds(urls), robots, key="rid",
+                        mode="join").to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert want[["rid", "robots_allowed"]].equals(
+        got[["rid", "robots_allowed"]])
+    # keep_only parity too
+    kb = robots_filter(_mk_urls_ds(urls), robots,
+                       keep_only=True).to_pandas()
+    kj = robots_filter(_mk_urls_ds(urls), robots, key="rid",
+                       mode="join", keep_only=True).to_pandas()
+    assert sorted(kb["rid"]) == sorted(kj["rid"])
+
+
+def test_robots_filter_auto_switches_past_broadcast_cap(ray_session):
+    """A host universe larger than broadcast_max_hosts must route to
+    the join path (and produce the same verdicts) — the 10^8-host
+    crawl contract: the driver never materializes the robots table."""
+    n_hosts = 50
+    robots = pa.table({
+        "host": [f"h{i}.example" for i in range(n_hosts)],
+        "body": [(b"User-agent: *\nDisallow: /secret\n" if i % 2
+                  else b"") for i in range(n_hosts)]})
+    urls = [f"https://h{i % n_hosts}.example/"
+            f"{'secret/x' if i % 3 == 0 else 'open/y'}"
+            for i in range(200)]
+    # cap of 10 forces the join path in auto mode
+    out = robots_filter(_mk_urls_ds(urls), rd.from_arrow(robots),
+                        key="rid", mode="auto",
+                        broadcast_max_hosts=10).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    for i, u in enumerate(urls):
+        host_i = i % n_hosts
+        blocked = (host_i % 2 == 1) and (i % 3 == 0)
+        assert bool(out.loc[i, "robots_allowed"]) == (not blocked), u
+
+
+def test_robots_filter_join_all_allowed_empty_blocked(ray_session):
+    # zero disallowed rows -> blocked side all-empty (the Ray 2.49
+    # schema-less trap) — must still return every row as allowed
+    robots = pa.table({"host": ["a.example"],
+                       "body": [b"User-agent: *\nDisallow: /none\n"]})
+    urls = ["https://a.example/fine", "https://b.example/x"]
+    out = robots_filter(_mk_urls_ds(urls), robots, key="rid",
+                        mode="join").to_pandas()
+    assert out["robots_allowed"].all() and len(out) == 2
