@@ -253,7 +253,8 @@ def run_benchmarks() -> dict:
         with timed("minhash_dedup"):
             mh.count()
 
-        ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_type", "ts", "value"])
         tw = tumbling_counts(ev, "hour")
         with timed("events_tumbling"):
             tw.count()
@@ -375,11 +376,34 @@ def run_scaling() -> None:
     print(json.dumps(report))
 
 
+def quick_scaling_pair() -> dict:
+    """One fresh-process 4 -> 8 CPU extraction pair (the driver-
+    visible scaling evidence — VERDICT r3 asked for the efficiency
+    number inside BENCH_rN.json, not only BASELINE.md). Smaller page
+    count than the official --scaling ladder; BASELINE.md carries the
+    5-pair median."""
+    pages = os.environ.get("BENCH_SCALING_PAIR_PAGES", "48000")
+    out: dict = {"pages": int(pages), "docs_per_s": {}}
+    for ncpu in (4, 8):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_PAGES=pages, BENCH_EXTRACT_ONLY="1")
+        r = subprocess.run([sys.executable, __file__], env=env,
+                           capture_output=True, text=True, check=True)
+        j = json.loads(r.stdout.strip().splitlines()[-1])
+        out["docs_per_s"][str(ncpu)] = j["extract"]["docs_per_s"]
+    out["eff_4_8"] = round(
+        (out["docs_per_s"]["8"] / out["docs_per_s"]["4"]) / 2, 3)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
         result = run_benchmarks()
-        print(json.dumps(result))
         import ray
-        ray.shutdown()
+        ray.shutdown()  # free the session before the fresh-process pair
+        if not EXTRACT_ONLY \
+                and os.environ.get("BENCH_SKIP_SCALING") != "1":
+            result["scaling"] = quick_scaling_pair()
+        print(json.dumps(result))

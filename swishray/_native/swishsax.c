@@ -280,37 +280,68 @@ finish(Ctx *c, int rc)
     return Py_BuildValue("(iN)", rc, c->events);
 }
 
+/* Both entry points take y* (any read-only buffer object): the
+ * pipeline hands ZERO-COPY memoryview slices of Arrow blocks, which
+ * y# would reject. Both libxml2 calls are length-based, so the
+ * buffers need no NUL terminator. */
+
 static PyObject *
 parse_xml(PyObject *self, PyObject *args)
 {
-    const char *buf;
-    Py_ssize_t n;
-    if (!PyArg_ParseTuple(args, "y#", &buf, &n))
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view))
         return NULL;
     Ctx c = {0};
     c.events = PyList_New(0);
-    if (c.events == NULL)
+    if (c.events == NULL) {
+        PyBuffer_Release(&view);
         return NULL;
-    int rc = xmlSAXUserParseMemory(&SAX, &c, buf, (int)n);
+    }
+    int rc = xmlSAXUserParseMemory(&SAX, &c, (const char *)view.buf,
+                                   (int)view.len);
+    PyBuffer_Release(&view);
     return finish(&c, rc);
 }
 
 static PyObject *
 parse_html(PyObject *self, PyObject *args)
 {
-    const char *buf;
-    Py_ssize_t n;
-    if (!PyArg_ParseTuple(args, "y#", &buf, &n))
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view))
         return NULL;
     Ctx c = {0};
     c.events = PyList_New(0);
-    if (c.events == NULL)
+    if (c.events == NULL) {
+        PyBuffer_Release(&view);
         return NULL;
-    /* NUL-terminated buffer, like htmlSAXParseDoc via ctypes (the
-     * y# char* from a bytes object is NUL-terminated by CPython) */
-    htmlDocPtr doc = htmlSAXParseDoc((const xmlChar *)buf, NULL, &SAX, &c);
-    if (doc != NULL)
-        xmlFreeDoc(doc);
+    }
+    /* htmlSAXParseDoc needs a NUL-terminated string; its body is
+     * htmlCreateMemoryParserCtxt(cur, strlen(cur)) + sax swap +
+     * htmlParseDocument — replicated here with the EXPLICIT length
+     * so an un-terminated buffer view parses identically (callers
+     * guarantee NUL-free input; the A/B selftest in libxml.py and
+     * the extraction fuzz harness pin the equivalence). */
+    htmlParserCtxtPtr ctxt =
+        htmlCreateMemoryParserCtxt((const char *)view.buf,
+                                   (int)view.len);
+    if (ctxt == NULL) {
+        PyBuffer_Release(&view);
+        Py_DECREF(c.events);
+        PyErr_NoMemory();
+        return NULL;
+    }
+    if (ctxt->sax != NULL && ctxt->sax != (xmlSAXHandlerPtr)&SAX)
+        xmlFree(ctxt->sax);
+    ctxt->sax = &SAX;        /* static: never freed by libxml */
+    ctxt->userData = &c;
+    htmlParseDocument(ctxt);
+    if (ctxt->myDoc != NULL) {
+        xmlFreeDoc(ctxt->myDoc);
+        ctxt->myDoc = NULL;
+    }
+    ctxt->sax = NULL;        /* keep htmlFreeParserCtxt off our SAX */
+    htmlFreeParserCtxt(ctxt);
+    PyBuffer_Release(&view);
     return finish(&c, 0);
 }
 

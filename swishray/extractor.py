@@ -110,7 +110,7 @@ class DocumentExtractor:
         """The encoding libxml2 records in ctxt->encoding: the XML
         declaration's encoding value, verbatim (document_encoding,
         parser.c:2733-2759)."""
-        head = data[:256]
+        head = bytes(data[:256])  # tiny copy; data may be a view
         i = head.find(b"<?xml")
         if i < 0:
             return None
@@ -129,11 +129,18 @@ class DocumentExtractor:
 
     # -- main entry -----------------------------------------------------
 
-    def extract(self, uri: str, body: bytes,
+    def extract(self, uri: str, body: bytes | memoryview,
                 mime: str | None = None,
                 parser: str | None = None) -> ExtractionRecord:
         """Parse one document; never raises — failures land in
-        record.error (the per-row error side-channel, SURVEY.md §4)."""
+        record.error (the per-row error side-channel, SURVEY.md §4).
+
+        ``body`` may be a ZERO-COPY buffer view (pipeline's Arrow
+        slice path) under the contract that a view is NUL-free — the
+        no_nulls scrub (io.c:43-73) triggers only on NUL bytes, so
+        the view path skips it exactly when the reference would
+        no-op; NUL-carrying rows arrive as bytes (see
+        pipeline._binary_views)."""
         cfg = self.config
         di = resolve_docinfo(cfg, uri, len(body), mime, parser)
         state = ExtractionState(cfg, uri=uri, tokenizer=self.tokenizer)
@@ -162,8 +169,11 @@ class DocumentExtractor:
             except Exception as e:
                 raise ParseAbort(f"gzip: {e}") from e
         # io.c no_nulls: NUL and \x03 -> newline (only when a NUL
-        # exists, matching the reference's guard)
-        body = scrub_nulls(body)
+        # exists, matching the reference's guard). A memoryview body
+        # is NUL-free by the zero-copy contract (extract docstring)
+        # so the scrub is the same no-op it would be on the bytes.
+        if isinstance(body, (bytes, bytearray)):
+            body = scrub_nulls(body)
         if di.is_gzipped:
             di.size = len(body)  # docparser resets size post-gunzip
 
@@ -178,7 +188,11 @@ class DocumentExtractor:
             # the env default — libxml2 does its own charset
             # switching internally
             di.encoding = self.swish_encoding
-            html_parse(body.split(b"\x00")[0], state)
+            # post-scrub bytes and contract-clean views are both
+            # NUL-free, so the reference's NUL cut is a no-op split
+            body_h = (body.split(b"\x00")[0]
+                      if isinstance(body, (bytes, bytearray)) else body)
+            html_parse(body_h, state)
         elif p0 == "X":
             xml_parse(body, state)
             enc = self._xml_declared_encoding(body)
@@ -268,6 +282,8 @@ class DocumentExtractor:
     def _txt_parse(self, body: bytes, state: ExtractionState,
                    di: DocInfo) -> None:
         """txt_parser (parser.c:2599-2710)."""
+        if not isinstance(body, (bytes, bytearray)):
+            body = bytes(body)  # TXT transcodes/decodes: needs bytes
         di.encoding = self._set_encoding(body)
         if di.encoding != C.DEFAULT_ENCODING:
             # reference transcodes only when the declared/env encoding

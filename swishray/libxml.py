@@ -355,6 +355,8 @@ def xml_parse(buffer: bytes, target: SaxTarget) -> int:
         rc, events = _sax_native.parse_xml(buffer)
         _replay(events, target)
         return rc
+    if not isinstance(buffer, (bytes, bytearray)):
+        buffer = bytes(buffer)  # ctypes path needs a bytes object
     return _xml_parse_ctypes(buffer, target)
 
 
@@ -366,6 +368,8 @@ def html_parse(buffer: bytes, target: SaxTarget) -> int:
         rc, events = _sax_native.parse_html(buffer)
         _replay(events, target)
         return rc
+    if not isinstance(buffer, (bytes, bytearray)):
+        buffer = bytes(buffer)  # ctypes path needs a bytes object
     return _html_parse_ctypes(buffer, target)
 
 

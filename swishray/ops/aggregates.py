@@ -256,19 +256,33 @@ def continuous_quantiles(ds: Any, col: str, qs: Sequence[float],
 
 def collect_sorted(ds: Any, group: str, col: str, sep: str = ",",
                    order: str | None = None,
-                   out: str = "items") -> Any:
+                   out: str = "items",
+                   max_group_bytes: int = 256 * 1024 * 1024) -> Any:
     """SQL ``string_agg(col, sep ORDER BY order, col)`` per group —
     Ray Data has no collect/list aggregate; this is the explicit one
     (clickstream paths, per-host url rosters). Moving every value to
     its group is inherent to collection; the exchange carries only
     (group, order, col). Partitioning assumption: one group's values
-    fit in a task (same contract as sessionize)."""
+    fit in a task (same contract as sessionize) — GUARDED: a group
+    whose collected string would exceed ``max_group_bytes`` raises a
+    clear error instead of silently OOM-ing the task (mirror of
+    semdedup's max_cluster guard). For unbounded hot groups, shard
+    the key upstream (e.g. salt by time bucket, the
+    windows.sessionize_salted pattern) or raise the cap knowingly."""
     import pandas as pd
 
     cols = [group, col] + ([order] if order and order != col else [])
     by = ([order] if order else []) + [col]
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[col].astype(str)
+        approx = int(vals.str.len().sum()) + len(sep) * len(g)
+        if approx > max_group_bytes:
+            raise ValueError(
+                f"collect_sorted: group {g[group].iloc[0]!r} would "
+                f"collect ~{approx} bytes (> max_group_bytes="
+                f"{max_group_bytes}); salt the group key upstream "
+                "(sessionize_salted pattern) or raise the cap")
         g = g.sort_values(by, kind="mergesort")
         return pd.DataFrame({
             group: [g[group].iloc[0]],

@@ -33,6 +33,55 @@ from .config import Config
 from .extractor import DocumentExtractor
 
 
+def _binary_views(col) -> list:
+    """Per-row ZERO-COPY views of a binary column: memoryview slices
+    into the Arrow data buffers (b"" for nulls), instead of
+    ``to_pylist()``'s full copy of every blob into Python bytes.
+    Memory bandwidth is this box's proven extraction ceiling past 16
+    workers (BASELINE.md) — eliminating one full pass over every
+    HTML body is the cheapest remaining win.
+
+    Contract: a memoryview row is guaranteed NUL-FREE — rows that
+    contain a NUL byte (where the reference's no_nulls scrub must
+    run, io.c:43-73) are detected with ONE vectorized kernel and
+    materialized to bytes so the scrub path sees them; everything
+    downstream (extractor._docparse) can skip the scan for views."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    out: list = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        wide = (pa.types.is_large_binary(ch.type)
+                or pa.types.is_large_string(ch.type))
+        off_dt = np.int64 if wide else np.int32
+        bufs = ch.buffers()
+        offs = np.frombuffer(bufs[1], off_dt,
+                             n + 1, ch.offset * off_dt(0).nbytes)
+        # toreadonly: PyArg y# rejects writable views (Arrow buffers
+        # are mutable); a read-only view is still zero-copy
+        data = (memoryview(bufs[2]).toreadonly()
+                if bufs[2] is not None else memoryview(b""))
+        hn = pc.fill_null(pc.match_substring(ch, "\x00"), False) \
+            .to_numpy(zero_copy_only=False)
+        nulls = (pc.is_null(ch).to_numpy(zero_copy_only=False)
+                 if ch.null_count else None)
+        for i in range(n):
+            if nulls is not None and nulls[i]:
+                out.append(b"")
+            elif hn[i]:
+                out.append(data[offs[i]:offs[i + 1]].tobytes())
+            else:
+                out.append(data[offs[i]:offs[i + 1]])
+    return out
+
+
 class ExtractPages:
     """Actor-pool batch extractor.
 
@@ -93,7 +142,7 @@ class ExtractPages:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ex = self._extractor()
         urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
+        htmls = _binary_views(batch.column("html"))
         n = len(urls)
         # optional per-row mime/parser overrides (the stdin-header
         # path: Content-Type / Parser-Type, docinfo.c:123-199)

@@ -876,3 +876,21 @@ def test_sliding_distinct(ray_session):
     # events -> {1,2}=2; start 1h covers 1.5h + 2.5h -> {1,3}=2;
     # start 2h covers 2.5h -> {3}=1
     assert got == {-1: 2, 0: 2, 1: 2, 2: 1}
+
+
+def test_collect_sorted_group_size_guard(ray_session):
+    """A group whose collected bytes exceed the cap raises a clear
+    error naming the salted alternative instead of silently OOM-ing
+    (VERDICT r3 item 6)."""
+    import pytest
+    import ray.data as rd
+    from swishray.ops.aggregates import collect_sorted
+
+    ds = rd.from_items([{"g": "hot", "v": "x" * 100} for _ in range(50)])
+    with pytest.raises(Exception, match="max_group_bytes"):
+        collect_sorted(ds, "g", "v",
+                       max_group_bytes=1000).take_all()
+    # under the cap: fine
+    out = collect_sorted(ds, "g", "v",
+                         max_group_bytes=10_000_000).take_all()
+    assert out[0]["n_items"] == 50
