@@ -50,9 +50,37 @@ def _conc():
     return default_concurrency(reserve=1, cap=8)
 
 
+_EXTRACT_MEMO: dict = {}
+
+
 def _extracted(sf_dir: str, emit: str = "text", **kw):
+    """Extraction root shared by dozens of queries. MEMOIZED as a
+    materialized Dataset per (session, sf_dir, emit): a correctness
+    sweep calls many extraction-rooted queries back to back, and
+    re-extracting the corpus per query dominated the harness
+    (VERDICT r3 item 3). Datasets are immutable, so sharing the
+    materialization cannot change any query's result; the session id
+    in the key invalidates the cache across ray.init boundaries.
+    Queries passing extra extractor kwargs bypass the memo."""
     from swishray.pipeline import extract_pages
-    return extract_pages(_pages(sf_dir), emit=emit, concurrency=_conc(), **kw)
+    key = None
+    if not kw:
+        try:
+            import ray
+            sess = (ray.get_runtime_context().get_job_id()
+                    if ray.is_initialized() else None)
+        except Exception:
+            sess = None
+        key = (sess, sf_dir, emit)
+        hit = _EXTRACT_MEMO.get(key)
+        if hit is not None:
+            return hit
+    out = extract_pages(_pages(sf_dir), emit=emit,
+                        concurrency=_conc(), **kw)
+    if key is not None:
+        out = out.materialize()
+        _EXTRACT_MEMO[key] = out
+    return out
 
 
 def _docs(sf_dir: str, cols: list[str] | None = None):

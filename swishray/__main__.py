@@ -108,6 +108,91 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+_ISW_TYPES = ["alnum", "cntrl", "ideogram", "print", "special",
+              "alpha", "digit", "lower", "punct", "upper",
+              "blank", "graph", "phonogram", "space", "xdigit"]
+
+
+def _iswctype_reporter():
+    """glibc iswctype_l bound for the engine's authoritative locale
+    (C.utf8) — the same libc calls swish_isw makes
+    (src/swish_isw.c:103-119), so the reports agree byte for byte.
+    Returns fn(cp, type_name) -> 0/1, or None when glibc symbols are
+    unavailable (non-glibc host)."""
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.newlocale.restype = ctypes.c_void_p
+        libc.newlocale.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                   ctypes.c_void_p]
+        libc.wctype_l.restype = ctypes.c_ulong
+        libc.wctype_l.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        libc.iswctype_l.argtypes = [ctypes.c_uint32, ctypes.c_ulong,
+                                    ctypes.c_void_p]
+        LC_CTYPE_MASK = 1  # glibc locale.h: 1 << LC_CTYPE
+        loc = libc.newlocale(LC_CTYPE_MASK, b"C.utf8", None)
+        if not loc:
+            return None
+
+        def rep(cp: int, typ: str) -> int:
+            wt = libc.wctype_l(typ.encode(), loc)
+            if not wt:  # class name unknown to this libc
+                return 0
+            return 1 if libc.iswctype_l(cp, wt, loc) else 0
+        return rep
+    except Exception:
+        return None
+
+
+def cmd_isw(args) -> int:
+    """swish_isw analog (src/swish_isw.c:1-119): per decimal
+    codepoint, report the 15 iswctype classes under the engine's
+    locale, plus the tokenizer's own word-char verdict (the table
+    the extraction path actually uses, _uniprops.WORD_RANGES)."""
+    from .tokenizer import _is_word_cp
+    rep = _iswctype_reporter()
+    print("locale = C.utf8")
+    for s in args.codepoints:
+        n = int(s)
+        ch = chr(n)
+        print(f"{ch if ch.isprintable() else '?'}  {n}  0x{n:04x}")
+        for t in _ISW_TYPES:
+            v = rep(n, t) if rep is not None else "?"
+            print(f"{t:>10} => {v}")
+        print(f"{'word-char':>10} => {1 if _is_word_cp(n) else 0} "
+              "(tokenizer WORD_RANGES)")
+    return 0
+
+
+def cmd_utf8(args) -> int:
+    """swish_utf8 analog (src/swish_utf8.c:1-290): char-by-char UTF-8
+    sequence report — byte length, raw bytes, codepoint, glibc
+    lowercase (the LOWER_MAP parity table), class flags."""
+    from .text import glibc_lower
+    from .tokenizer import _is_word_cp
+    rep = _iswctype_reporter()
+    strings = list(args.strings)
+    if args.file:
+        with open(args.file, "rb") as f:
+            strings.append(f.read().decode("utf-8", "replace"))
+    for s in strings:
+        low = glibc_lower(s)
+        print(f"string: {s}")
+        print(f"lower:  {low}")
+        print("-" * 58)
+        for ch in s:
+            cp = ord(ch)
+            bs = ch.encode("utf-8")
+            hexs = " ".join(f"0x{b:02x}" for b in bs)
+            flags = ([t for t in _ISW_TYPES if rep(cp, t)]
+                     if rep is not None else [])
+            word = "word" if _is_word_cp(cp) else "non-word"
+            print(f"clen = {len(bs)} {hexs} -> {ch} [0x{cp:x}] [{cp}] "
+                  f"lower={glibc_lower(ch)} {word} "
+                  f"({' '.join(flags)})")
+    return 0
+
+
 def cmd_dump(args) -> int:
     """SWISH_DEBUG_NAMEDBUFFER-style per-record introspection
     (namedbuffer.c dumps / tools/golden_dump.c shape): one JSON line
@@ -557,6 +642,15 @@ def main(argv=None) -> int:
     pt = sub.add_parser("tokenize")
     pt.add_argument("strings", nargs="+")
     pt.set_defaults(fn=cmd_tokenize)
+
+    pw = sub.add_parser("isw")  # swish_isw analog
+    pw.add_argument("codepoints", nargs="+")
+    pw.set_defaults(fn=cmd_isw)
+
+    pu = sub.add_parser("utf8")  # swish_utf8 analog
+    pu.add_argument("strings", nargs="*")
+    pu.add_argument("-f", "--file")
+    pu.set_defaults(fn=cmd_utf8)
 
     pd = sub.add_parser("dump")
     pd.add_argument("files", nargs="+")

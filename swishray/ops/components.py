@@ -90,14 +90,18 @@ def connected_components(edges: Any, a: str = "a", b: str = "b",
             "component": pa.array([], ntype)}))
 
     from .graphdense import (DENSE_MAX_EDGES, DENSE_MAX_NODES,
-                             dense_components)
+                             dense_components, dense_components_small)
     max_nodes = (DENSE_MAX_NODES if dense_max_nodes is None
                  else dense_max_nodes)
     max_edges = (DENSE_MAX_EDGES if dense_max_edges is None
                  else dense_max_edges)
     if max_nodes and e1.count() <= max_edges:
-        tbl = dense_components(e1, a=a, b=b, max_rounds=max_rounds,
-                               dense_max_nodes=max_nodes)
+        # tiniest graphs: one task, no shard actors (graphdense doc)
+        tbl = dense_components_small(e1, a=a, b=b)
+        if tbl is None:
+            tbl = dense_components(e1, a=a, b=b,
+                                   max_rounds=max_rounds,
+                                   dense_max_nodes=max_nodes)
         if tbl is not None:
             import ray.data as rd
             out = rd.from_arrow(tbl)

@@ -169,6 +169,108 @@ def dense_pagerank(edges: Any, *, weighted: bool, iters: int, d: float,
     return pa.table({"node": keys, "rank": pa.array(rank)})
 
 
+SMALL_MAX_EDGES = 1_000_000
+
+
+def dense_components_small(edges: Any, *, a: str = "a", b: str = "b",
+                           max_edges: int = SMALL_MAX_EDGES):
+    """SINGLE-TASK fast path below ``max_edges`` distinct rows (the
+    dense_triangles precedent): a tiny near-dup pair graph doesn't
+    even justify the Pregel-lite actors — their spawn alone costs
+    seconds when a previous stage's pool is still tearing down. One
+    task pulls the edge blocks (object-store locality; never via the
+    driver), labels with min-propagation + full path compression,
+    and returns the (node, component) table. None past the gate."""
+    import ray
+
+    if edges.count() > max_edges:
+        return None
+
+    @ray.remote
+    def label(a_col: str, b_col: str, *blocks):
+        import pyarrow as pa_mod
+        tabs = [t for t in blocks if t.num_rows]
+        if not tabs:
+            return None
+        t = pa_mod.concat_tables(tabs)
+        typ = t.column(a_col).type
+        u = t.column(a_col).to_numpy(zero_copy_only=False)
+        v = t.column(b_col).to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]),
+                               return_inverse=True)
+        n = len(nodes)
+        ui, vi = inv[:len(u)], inv[len(u):]
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            m = np.minimum(lab[ui], lab[vi])
+            new = lab.copy()
+            # ufunc.at, NOT fancy assignment: several edges can
+            # target one node and buffered writes keep only one
+            np.minimum.at(new, ui, m)
+            np.minimum.at(new, vi, m)
+            while True:  # full path compression per round
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pa_mod.table({
+            "node": pa_mod.array(nodes).cast(typ),
+            "component": pa_mod.array(nodes[lab]).cast(typ)})
+
+    refs = edges.to_arrow_refs()
+    return ray.get(label.remote(a, b, *refs))
+
+
+def dense_pagerank_small(edges: Any, *, weighted: bool, iters: int,
+                         d: float,
+                         max_edges: int = SMALL_MAX_EDGES):
+    """SINGLE-TASK PageRank below ``max_edges`` rows — identical math
+    to dense_pagerank (sorted-key index encoding, dangling mass
+    redistributed uniformly) without the shard actors. None past the
+    gate."""
+    import ray
+
+    if edges.count() > max_edges:
+        return None
+
+    @ray.remote
+    def rank_task(_weighted: bool, _iters: int, _d: float, *blocks):
+        import pyarrow as pa_mod
+        tabs = [t for t in blocks if t.num_rows]
+        if not tabs:
+            return None
+        t = pa_mod.concat_tables(tabs)
+        typ = t.column("s").type
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        wt = (t.column("wt").to_numpy(zero_copy_only=False)
+              if _weighted else np.ones(len(s)))
+        nodes, inv = np.unique(np.concatenate([s, tt]),
+                               return_inverse=True)
+        n = len(nodes)
+        si, ti = inv[:len(s)], inv[len(s):]
+        outdeg = np.zeros(n)
+        np.add.at(outdeg, si, wt)
+        dangling_mask = outdeg == 0.0
+        rank = np.full(n, 1.0 / n)
+        for _ in range(_iters):
+            dangling = float(rank[dangling_mask].sum())
+            share = np.where(outdeg > 0.0, rank / np.where(
+                outdeg > 0.0, outdeg, 1.0), 0.0)
+            contrib = np.zeros(n)
+            np.add.at(contrib, ti, share[si] * wt)
+            rank = (1.0 - _d) / n + _d * dangling / n + _d * contrib
+        return pa_mod.table({
+            "node": pa_mod.array(nodes).cast(typ),
+            "rank": pa_mod.array(rank)})
+
+    refs = edges.to_arrow_refs()
+    return ray.get(rank_task.remote(weighted, iters, d, *refs))
+
+
 def dense_components(edges: Any, *, a: str = "a", b: str = "b",
                      max_rounds: int = 20,
                      dense_max_nodes: int = DENSE_MAX_NODES):

@@ -306,9 +306,14 @@ def pagerank(edges: Any, src: str = "src", dst: str = "dst",
     max_edges = (DENSE_MAX_EDGES if dense_max_edges is None
                  else dense_max_edges)
     if max_nodes and 0 < e.count() <= max_edges:
-        tbl = dense_pagerank(e, weighted=weight is not None,
-                             iters=iters, d=d,
-                             dense_max_nodes=max_nodes)
+        from .graphdense import dense_pagerank_small
+        # tiniest graphs: one task, no shard actors (graphdense doc)
+        tbl = dense_pagerank_small(e, weighted=weight is not None,
+                                   iters=iters, d=d)
+        if tbl is None:
+            tbl = dense_pagerank(e, weighted=weight is not None,
+                                 iters=iters, d=d,
+                                 dense_max_nodes=max_nodes)
         if tbl is not None:
             import ray.data as rd
             out = rd.from_arrow(tbl)
