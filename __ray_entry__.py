@@ -65,13 +65,7 @@ def _extracted(sf_dir: str, emit: str = "text", **kw):
     from swishray.pipeline import extract_pages
     key = None
     if not kw:
-        try:
-            import ray
-            sess = (ray.get_runtime_context().get_job_id()
-                    if ray.is_initialized() else None)
-        except Exception:
-            sess = None
-        key = (sess, sf_dir, emit)
+        key = (_session_id(), sf_dir, emit)
         hit = _EXTRACT_MEMO.get(key)
         if hit is not None:
             return hit
@@ -83,6 +77,15 @@ def _extracted(sf_dir: str, emit: str = "text", **kw):
     return out
 
 
+def _session_id():
+    try:
+        import ray
+        return (ray.get_runtime_context().get_job_id()
+                if ray.is_initialized() else None)
+    except Exception:
+        return None
+
+
 def _docs(sf_dir: str, cols: list[str] | None = None):
     """Documents table with column pruning at the read — only the
     columns a query touches leave storage (parquet column projection).
@@ -92,11 +95,22 @@ def _docs(sf_dir: str, cols: list[str] | None = None):
     one serial task (measured: the whole minhash sign phase on one
     core). A session-sized repartition fans the small table out; at
     production scale the read is already many-blocked (thousands of
-    files / row groups) and a driver would skip this."""
+    files / row groups) and a driver would skip this.
+
+    MEMOIZED per (session, sf_dir, cols) like _extracted: ~170
+    sweep queries each paid this read+repartition (an all-to-all)
+    from scratch; Datasets are immutable so sharing the
+    materialization cannot change any result."""
     import ray.data as rd
     from swishray.util import _session_cpus
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
-    return ds.repartition(max(8, 2 * _session_cpus()))
+    key = (_session_id(), sf_dir, tuple(cols) if cols else None)
+    hit = _EXTRACT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols) \
+        .repartition(max(8, 2 * _session_cpus())).materialize()
+    _EXTRACT_MEMO[key] = ds
+    return ds
 
 
 # ---------------------------------------------------------------------

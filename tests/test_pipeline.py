@@ -417,3 +417,32 @@ def test_resize_images_stage(ray_session):
         "media_id": pa2.array([0], type=pa2.int64()),
         "payload": pa2.array([b"JUNK"], type=pa2.binary())}))
     assert bad.column("error").to_pylist()[0] is not None
+
+
+def test_extract_pages_nul_bytes_match_unit_extractor(ray_session):
+    """The zero-copy view contract: rows WITH a NUL byte must take
+    the bytes+scrub path and extract byte-identically to the unit
+    extractor (io.c no_nulls parity); NUL-free rows ride memoryviews.
+    """
+    import ray.data as rd
+    from swishray.config import Config
+    from swishray.extractor import DocumentExtractor
+    from swishray.pipeline import extract_pages
+
+    bodies = [
+        b"<html><body><p>plain words here</p></body></html>",
+        b"<html><body><p>nul\x00inside</p>\x00<p>tail</p></body></html>",
+        b"<html><body><p>ctrl\x03char no nul</p></body></html>",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": [f"https://x.example/{i}.html" for i in range(3)],
+        "html": pa.array(bodies, pa.binary())}))
+    out = {r["url"]: r for r in
+           extract_pages(ds, emit="text", concurrency=1).take_all()}
+    ex = DocumentExtractor(Config.default())
+    for i, b in enumerate(bodies):
+        url = f"https://x.example/{i}.html"
+        rec = ex.extract(url, b)
+        assert out[url]["nwords"] == rec.docinfo.nwords, url
+        want = rec.metanames.get("swishdefault", b"")
+        assert out[url]["text"] == want.decode("utf-8", "replace"), url

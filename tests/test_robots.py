@@ -147,3 +147,15 @@ def test_robots_filter_join_all_allowed_empty_blocked(ray_session):
     out = robots_filter(_mk_urls_ds(urls), robots, key="rid",
                         mode="join").to_pandas()
     assert out["robots_allowed"].all() and len(out) == 2
+
+
+def test_robots_filter_join_string_keys(ray_session):
+    # key-type agnosticism (the r2 ADVICE int64-hardcode class)
+    robots = pa.table({"host": ["a.example"],
+                       "body": [b"User-agent: *\nDisallow: /no\n"]})
+    ds = rd.from_items([
+        {"rid": "k1", "url": "https://a.example/no/x"},
+        {"rid": "k2", "url": "https://a.example/yes"}]).repartition(2)
+    out = robots_filter(ds, robots, key="rid", mode="join").to_pandas()
+    got = dict(zip(out["rid"], out["robots_allowed"]))
+    assert got == {"k1": False, "k2": True}

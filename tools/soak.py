@@ -32,7 +32,9 @@ ROOT = os.environ.get("SOAK_DIR", "/tmp/swishray_soak")
 DATA = os.path.join(ROOT, "data")
 SCALE = int(os.environ.get("SOAK_SCALE", "20"))
 
-PIPELINES = ["minhash_dedup", "setsim_pairs", "training_pipeline",
+# the five most expensive pipelines by sweep cost; minhash rides
+# dedup_cross (sign + LSH + verify on both sides)
+PIPELINES = ["dedup_cross", "setsim_pairs", "training_pipeline",
              "revenue_rollup", "pagerank"]
 
 
@@ -58,9 +60,14 @@ def build_corpus(scale: int) -> None:
         if k <= 1:
             tx = text  # replica 1 = exact duplicate of replica 0
         else:
-            tx = [f"soakvariant{k}tok " +
-                  (s or "").replace(" ", f" v{k}x ", 1) +
-                  f" uniq{k}tail" for s in text]
+            # interleave a replica-unique token after EVERY word:
+            # kills ~all shared word-3-grams (J ~ 0 vs any other
+            # replica), so near-dup structure stays realistic —
+            # pairs, not 20-cliques (a weaker mutation measurably
+            # exploded the candidate count in the first soak run)
+            tx = [" ".join(w + f" z{k}q{i}" for i, w in
+                           enumerate((s or "").split()))
+                  for s in text]
         chunk = pa.table({
             "doc_id": pa.array(doc_id + k * (doc_id.max() + 1),
                                pa.int64()),
@@ -124,8 +131,8 @@ name = sys.argv[1]
 data = sys.argv[2]
 t0 = time.perf_counter()
 res = e.queries()[name](data)
-n = res.count() if hasattr(res, "count") and not hasattr(res, "columns") \
-    else len(res)
+import ray.data as _rd
+n = res.count() if isinstance(res, _rd.Dataset) else len(res)
 wall = time.perf_counter() - t0
 rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 # object-store spill: raylet logs its cumulative spilled bytes
