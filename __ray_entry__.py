@@ -1228,6 +1228,46 @@ def q_decode_video(sf_dir: str):
         ["media_id", "n_frames", "n_sampled", "y_sum"])
 
 
+def q_decode_gif(sf_dir: str):
+    """REAL GIF decode: per document, build a 6-frame gray-palette
+    GIF89a (palette i -> (16i,16i,16i); frame-f pixel p indexes
+    (doc_id*7 + f*3 + p) % 16) through the from-scratch LZW encoder,
+    frame-sample every 2nd frame through the LZW decoder + luma rule
+    (integer mean of R,G,B = exactly 16*index here). The oracle
+    recomputes the sampled luma checksum from the formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_gif
+    from swishray.ops.multimodal import SampleVideoFrames
+    from swishray.util import default_concurrency, map_batches_stateful
+
+    W, H, N = 8, 6, 6
+    pal = np.stack([np.arange(16, dtype=np.uint8) * 16] * 3, axis=1)
+
+    def synth(t: pa.Table) -> pa.Table:
+        f = np.arange(N, dtype=np.int64)[:, None]
+        p = np.arange(W * H, dtype=np.int64)[None, :]
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            idx = ((int(i) * 7 + f * 3 + p) % 16).astype(
+                np.uint8).reshape(N, H, W)
+            blobs.append(encode_gif(idx, pal))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = map_batches_stateful(
+        media, SampleVideoFrames,
+        fn_constructor_kwargs=dict(every_n=2),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(cap=2), num_cpus=1)
+    return out.select_columns(
+        ["media_id", "n_frames", "n_sampled", "y_sum"])
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4379,6 +4419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": q_decode_images,
         "decode_audio": q_decode_audio,
         "decode_video": q_decode_video,
+        "decode_gif": q_decode_gif,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4569,6 +4610,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM((d.doc_id*19 + f.f*5 + p.p*3) % 256) "
             " AS BIGINT) FROM generate_series(0, 6, 2) f(f), "
             " generate_series(0, 191) p(p)) AS y_sum "
+            "FROM documents d"),
+        "decode_gif": (
+            "SELECT d.doc_id AS media_id, 6 AS n_frames, "
+            "3 AS n_sampled, "
+            "(SELECT CAST(SUM(16*((d.doc_id*7 + f.f*3 + p.p) % 16)) "
+            " AS BIGINT) FROM generate_series(0, 4, 2) f(f), "
+            " generate_series(0, 47) p(p)) AS y_sum "
             "FROM documents d"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "

@@ -321,6 +321,12 @@ parse_html(PyObject *self, PyObject *args)
      * so an un-terminated buffer view parses identically (callers
      * guarantee NUL-free input; the A/B selftest in libxml.py and
      * the extraction fuzz harness pin the equivalence). */
+    if (view.len == 0) {
+        /* htmlSAXParseDoc("") is a no-op (ctxt creation fails on an
+         * empty buffer): zero events, rc 0 — same as before */
+        PyBuffer_Release(&view);
+        return finish(&c, 0);
+    }
     htmlParserCtxtPtr ctxt =
         htmlCreateMemoryParserCtxt((const char *)view.buf,
                                    (int)view.len);

@@ -437,6 +437,206 @@ def decode_ppm(blob: bytes) -> tuple[np.ndarray, dict]:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode, palettes, interlace, frame compositing
+
+
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """Decode a GIF LZW stream (variable-width codes, LSB-first bit
+    packing, CLEAR/EOI per the GIF89a spec appendix) into palette
+    indices."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    # bit reader state
+    bits = 0
+    nbits = 0
+    pos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bits |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+def decode_gif(blob: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a GIF to (n_frames, h, w, 4) RGBA uint8: per-frame
+    regions composited onto the logical screen per the disposal
+    rules (none/keep = paint over, restore-background = region goes
+    transparent after the frame). Transparent-index pixels leave the
+    prior canvas visible."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad magic)")
+    if len(blob) < 14:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 4), np.uint8)
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                flags = blob[pos + 1]
+                disposal = (flags >> 2) & 7
+                transparent = (blob[pos + 4] if flags & 1 else None)
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1  # block terminator
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, fw, fh, fp = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        if left + fw > w or top + fh > h:
+            raise ValueError("GIF frame exceeds logical screen")
+        pal = gct
+        if fp & 0x80:
+            n = 2 << (fp & 7)
+            pal = np.frombuffer(blob, np.uint8, 3 * n,
+                                pos).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
+        if pos >= len(blob):
+            raise ValueError("truncated GIF image data")
+        min_code = blob[pos]
+        if not (1 <= min_code <= 11):
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        pos += 1
+        chunks = []
+        while pos < len(blob) and blob[pos] != 0:
+            ln = blob[pos]
+            chunks.append(blob[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # terminator
+        idx = _gif_lzw(b"".join(chunks), min_code, fw * fh)
+        if fp & 0x40:  # interlaced rows: 4-pass order
+            rows = np.empty(fh, np.int64)
+            order = np.concatenate([np.arange(0, fh, 8),
+                                    np.arange(4, fh, 8),
+                                    np.arange(2, fh, 4),
+                                    np.arange(1, fh, 2)])
+            rows[order] = np.arange(fh)
+            idx = idx.reshape(fh, fw)[rows].reshape(-1)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        region = np.dstack([pal[idx.reshape(fh, fw)],
+                            np.full((fh, fw), 255, np.uint8)])
+        if transparent is not None:
+            opaque = idx.reshape(fh, fw) != transparent
+            prior = canvas[top:top + fh, left:left + fw]
+            region = np.where(opaque[..., None], region, prior)
+        canvas[top:top + fh, left:left + fw] = region
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background -> transparent region
+            canvas[top:top + fh, left:left + fw] = 0
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return np.stack(frames), {"width": w, "height": h,
+                              "n_frames": len(frames)}
+
+
+def encode_gif(frames: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder for tests/demos: indexed frames
+    (n, h, w) uint8 + (N, 3) palette, LZW with a clear code before
+    every literal (valid, uncompressed — decoders must accept it)."""
+    f = np.asarray(frames, np.uint8)
+    if f.ndim == 2:
+        f = f[None]
+    n, h, w = f.shape
+    pal = np.asarray(palette, np.uint8)
+    depth = max(2, int(np.ceil(np.log2(max(2, pal.shape[0])))))
+    pal_full = np.zeros((1 << depth, 3), np.uint8)
+    pal_full[:pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_full.tobytes()
+    min_code = depth
+    clear = 1 << min_code
+    for i in range(n):
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        # emit CLEAR before every literal: code width stays
+        # min_code+1 and the table never grows
+        bits = 0
+        nbits = 0
+        payload = bytearray()
+        width = min_code + 1
+
+        def emit(code: int):
+            nonlocal bits, nbits
+            bits |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                payload.append(bits & 0xFF)
+                bits >>= 8
+                nbits -= 8
+
+        for px in f[i].reshape(-1):
+            emit(clear)
+            emit(int(px))
+        emit(clear + 1)  # EOI
+        if nbits:
+            payload.append(bits & 0xFF)
+        for s in range(0, len(payload), 255):
+            chunk = payload[s:s + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF/WAVE; PCM and IEEE-float)
 
 
@@ -573,7 +773,7 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 # dispatch
 
 _MAGIC_UNSUPPORTED = (
-    (b"\xff\xd8\xff", "JPEG"), (b"GIF8", "GIF"),
+    (b"\xff\xd8\xff", "JPEG"),
     (b"RIFF", "RIFF image (WebP?)"), (b"II*\x00", "TIFF"),
     (b"MM\x00*", "TIFF"),
 )
@@ -587,14 +787,18 @@ def sniff_image(blob: bytes) -> str | None:
         return "bmp"
     if blob[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return "ppm"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
 def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
-    """Decode any supported image container (PNG/BMP/PPM/PGM) to an
-    (h, w, channels) sample array. NotImplementedError for known-but-
-    uncoded formats (JPEG/GIF/TIFF/WebP) and unknown magics;
-    ValueError for corrupt files of a supported format."""
+    """Decode any supported image container (PNG/BMP/PPM/PGM/GIF) to
+    an (h, w, channels) sample array (a multi-frame GIF contributes
+    its FIRST composited frame; frame-sample animations through
+    SampleVideoFrames instead). NotImplementedError for known-but-
+    uncoded formats (JPEG/TIFF/WebP) and unknown magics; ValueError
+    for corrupt files of a supported format."""
     fmt = sniff_image(blob)
     if fmt == "png":
         arr, meta = decode_png(blob)
@@ -602,6 +806,9 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
         arr, meta = decode_bmp(blob)
     elif fmt == "ppm":
         arr, meta = decode_ppm(blob)
+    elif fmt == "gif":
+        frames, meta = decode_gif(blob)
+        arr = frames[0]
     else:
         for magic, name in _MAGIC_UNSUPPORTED:
             if blob[:len(magic)] == magic:

@@ -210,6 +210,13 @@ class SampleVideoFrames:
         if blob[:9] == b"YUV4MPEG2":
             y, meta = self.codecs.decode_y4m(blob)
             return meta["n_frames"], y.reshape(y.shape[0], -1)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            frames, meta = self.codecs.decode_gif(blob)  # (n,h,w,4)
+            rgb = frames[..., :3].astype(np.uint16)
+            # documented luma rule: integer mean of R,G,B (exact —
+            # oracle-recomputable)
+            gray = (rgb.sum(axis=3) // 3).astype(np.uint8)
+            return meta["n_frames"], gray.reshape(frames.shape[0], -1)
         raise NotImplementedError(
             f"unknown video container (header={blob[:9]!r}); "
             "compressed video has no codec here")

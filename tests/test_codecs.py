@@ -195,7 +195,8 @@ def test_png_corruption_taxonomy():
     # unsupported-but-recognized containers
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
-    with pytest.raises(NotImplementedError, match="GIF"):
+    # GIF is now a SUPPORTED format: corrupt file -> ValueError
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a fake")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01unknown")
@@ -358,3 +359,96 @@ def test_y4m_420_skips_chroma():
     assert (y[1].reshape(-1) == yplane[::-1]).all()
     with pytest.raises(ValueError, match="truncated"):
         decode_y4m(blob[:-3])
+
+
+# ---------------------------------------------------------------------------
+# GIF
+
+
+def test_gif_roundtrip_and_palette():
+    from swishray.ops.codecs import decode_gif, encode_gif
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, (3, 5, 7), dtype=np.uint8)  # 3 frames
+    frames, meta = decode_gif(encode_gif(idx, pal))
+    assert meta["n_frames"] == 3 and frames.shape == (3, 5, 7, 4)
+    for i in range(3):
+        assert (frames[i, ..., :3] == pal[idx[i]]).all()
+        assert (frames[i, ..., 3] == 255).all()
+
+
+def test_gif_decode_image_first_frame():
+    from swishray.ops.codecs import decode_image, encode_gif
+    pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    idx = np.array([[[0, 1], [1, 0]]], np.uint8)
+    arr, meta = decode_image(encode_gif(idx, pal))
+    assert meta["format"] == "gif"
+    assert arr[0, 0, :3].tolist() == [255, 0, 0]
+    assert arr[0, 1, :3].tolist() == [0, 255, 0]
+
+
+def test_gif_lzw_growing_table():
+    """Hand-built LZW stream exercising real dict growth (the
+    uncompressed encoder never grows the table): spec-style encode of
+    a repeating pattern, decoded against the expected pixels."""
+    from swishray.ops.codecs import _gif_lzw
+
+    # min_code=2: literals 0-3, CLEAR=4, EOI=5, first dict entry 6.
+    # The canonical KwKwK case: codes CLEAR,0,6,5 where 6 == the
+    # not-yet-defined next entry -> entry = prev + prev[0] = "00";
+    # decodes to pixels 0,0,0 (spec appendix, deferred-entry rule).
+    codes = [4, 0, 6, 5]
+    width = 3
+    bits = 0
+    nbits = 0
+    payload = bytearray()
+    for c in codes:
+        bits |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            payload.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(bits & 0xFF)
+    out = _gif_lzw(bytes(payload), 2, 3)
+    assert out.tolist() == [0, 0, 0]
+
+
+def test_gif_transparency_and_disposal():
+    """Frame 2 has a transparent index: prior canvas must show
+    through; a restore-background frame clears its region after."""
+    from swishray.ops.codecs import decode_gif, encode_gif
+
+    pal = np.array([[10, 10, 10], [200, 200, 200]], np.uint8)
+    base = encode_gif(np.zeros((1, 2, 2), np.uint8), pal)
+    # splice a graphic-control extension (transparent index 0) before
+    # a second frame whose pixels are [[0,1],[0,1]]
+    second = encode_gif(np.array([[[0, 1], [0, 1]]], np.uint8), pal)
+    img_desc_at = second.index(b"\x2c")
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])  # transparent=0
+    blob = base[:-1] + gce + second[img_desc_at:]
+    frames, meta = decode_gif(blob)
+    assert meta["n_frames"] == 2
+    # transparent-0 pixels keep frame 1's color 10; index-1 paints 200
+    assert frames[1][0, 0, 0] == 10 and frames[1][0, 1, 0] == 200
+
+
+def test_gif_video_frame_sampling(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_gif
+    from swishray.ops.multimodal import sample_video_frames
+
+    pal = np.stack([np.arange(0, 240, 16, dtype=np.uint8)] * 3, axis=1)
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 15, (6, 4, 4), dtype=np.uint8)
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_gif(idx, pal)], pa.binary())}))
+    r = sample_video_frames(ds, every_n=2).take_all()[0]
+    assert r["error"] is None and r["n_frames"] == 6
+    assert r["n_sampled"] == 3
+    want = int((pal[idx[::2]].astype(np.uint16).sum(axis=3) // 3)
+               .astype(np.int64).sum())
+    assert r["y_sum"] == want
