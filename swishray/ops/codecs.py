@@ -12,8 +12,10 @@ stages (the reference engine, libswish3, is text-only — multimodal
 columns are the builder's brief, not reference parity). Error
 discipline: a CORRUPT file of a known format raises ``ValueError``
 (it lands in the stage's per-row error column); a format we have no
-codec for (JPEG/GIF/WebP/MP4...) raises ``NotImplementedError`` so
-the two failure classes stay distinguishable downstream.
+codec for (TIFF/WebP/MP4...) raises ``NotImplementedError`` so the
+two failure classes stay distinguishable downstream. JPEG (baseline
++ progressive) lives in ops/jpeg.py and dispatches from
+``decode_image`` here; GIF (LZW) is below.
 
 Scale notes: decoding is per-row CPU work with zero driver state —
 it parallelizes embarrassingly under map_batches actor pools. The
@@ -773,7 +775,6 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 # dispatch
 
 _MAGIC_UNSUPPORTED = (
-    (b"\xff\xd8\xff", "JPEG"),
     (b"RIFF", "RIFF image (WebP?)"), (b"II*\x00", "TIFF"),
     (b"MM\x00*", "TIFF"),
 )
@@ -789,16 +790,19 @@ def sniff_image(blob: bytes) -> str | None:
         return "ppm"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
 def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
-    """Decode any supported image container (PNG/BMP/PPM/PGM/GIF) to
-    an (h, w, channels) sample array (a multi-frame GIF contributes
-    its FIRST composited frame; frame-sample animations through
-    SampleVideoFrames instead). NotImplementedError for known-but-
-    uncoded formats (JPEG/TIFF/WebP) and unknown magics; ValueError
-    for corrupt files of a supported format."""
+    """Decode any supported image container (PNG/BMP/PPM/PGM/GIF/
+    JPEG — baseline AND progressive) to an (h, w, channels) sample
+    array (a multi-frame GIF contributes its FIRST composited frame;
+    frame-sample animations through SampleVideoFrames instead).
+    NotImplementedError for known-but-uncoded formats (TIFF/WebP,
+    CMYK/lossless/arithmetic JPEG) and unknown magics; ValueError for
+    corrupt files of a supported format."""
     fmt = sniff_image(blob)
     if fmt == "png":
         arr, meta = decode_png(blob)
@@ -809,6 +813,9 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     elif fmt == "gif":
         frames, meta = decode_gif(blob)
         arr = frames[0]
+    elif fmt == "jpeg":
+        from .jpeg import decode_jpeg
+        arr, meta = decode_jpeg(blob)
     else:
         for magic, name in _MAGIC_UNSUPPORTED:
             if blob[:len(magic)] == magic:

@@ -192,10 +192,9 @@ def test_png_corruption_taxonomy():
     blob = _hand_png((2, 1, 8, 0, 0, 0, 0), [], bytes([9, 1, 2]))
     with pytest.raises(ValueError, match="filter"):
         decode_png(blob)
-    # unsupported-but-recognized containers
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG and GIF are SUPPORTED formats: corrupt file -> ValueError
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
-    # GIF is now a SUPPORTED format: corrupt file -> ValueError
     with pytest.raises(ValueError):
         decode_image(b"GIF89a fake")
     with pytest.raises(NotImplementedError):

@@ -145,10 +145,20 @@ def test_multimodal_decode(ray_session):
     o = decode_images(real, concurrency=1).take_all()[0]
     assert o["error"] is None and (o["width"], o["height"]) == (5, 6)
     assert o["pixel_sum"] == int(px.astype(np.int64).sum())
-    # uncoded format (JPEG) -> NotImplementedError in the error column
+    # REAL JPEG payloads decode through the from-scratch codec too
+    from swishray.ops.jpeg import encode_jpeg
+    flat = np.repeat(np.repeat(np.array([[64, 128]], np.uint8), 8, 0),
+                     8, 1)
+    jp = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([encode_jpeg(flat)], type=pa.binary())}))
+    o = decode_images(jp, concurrency=1).take_all()[0]
+    assert o["error"] is None and (o["width"], o["height"]) == (16, 8)
+    assert o["pixel_sum"] == int(flat.astype(np.int64).sum())
+    # uncoded format (TIFF) -> NotImplementedError in the error column
     bad = rd.from_arrow(pa.table({
         "media_id": pa.array([1], type=pa.int64()),
-        "payload": pa.array([b"\xff\xd8\xff\xe0 jpeg"], type=pa.binary())}))
+        "payload": pa.array([b"II*\x00 tiff"], type=pa.binary())}))
     o = decode_images(bad, concurrency=1).take_all()[0]
     assert "NotImplementedError" in o["error"]
     # corrupt file of a SUPPORTED format -> ValueError in the column
