@@ -1,0 +1,364 @@
+"""From-scratch JPEG codec conformance (ops/jpeg.py).
+
+Three independent angles:
+
+1. **A/B vs libjpeg-turbo** — ``tools/jpeg_dump.c`` (compiled on
+   demand against the container's libjpeg62-turbo) decodes the same
+   streams with fancy upsampling off and a float IDCT; our decoder
+   must match within ±1 level (IDCT rounding tolerance — measured 0
+   on every corpus file). This covers REAL encoder output (the
+   system's progressive and baseline JPEGs) and OUR encoder's output
+   (conformance of the emitted stream itself).
+2. **Progressive == sequential** — a test-only progressive encoder
+   (spectral selection + successive approximation, T.81 Annex G)
+   re-codes the exact quantized coefficients of a baseline stream;
+   both decodes must be byte-identical, pinning the DC-first /
+   DC-refine / AC-first / AC-refine decode paths deterministically
+   with no dependency on system files.
+3. **Error taxonomy** — corrupt streams of supported flavors raise
+   ValueError; recognized-but-uncoded flavors (CMYK, 12-bit,
+   lossless, arithmetic) raise NotImplementedError.
+"""
+
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from swishray.ops import jpeg as J
+from swishray.ops.jpeg import ZIGZAG, decode_jpeg, encode_jpeg
+
+# real-world JPEGs shipped with the container's system packages
+# (novel inputs in the same spirit as the /usr/share/doc HTML corpus
+# used by the extraction A/B) — 3 progressive + 2 baseline
+_SYSTEM_JPEGS = [p for p in map(Path, [
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests"
+    "/ext/flower-of-life.jpg",
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google"
+    "/appengine/tools/java/jetty12/jetty-home/modules/demo.d/root"
+    "/images/webtide_logo.jpg",
+]) if p.exists()]
+
+# ITU-T T.81 Annex K.1 luminance table (quality 50), zigzag order
+_Q50 = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+    92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+    100, 103, 99], np.int32)[ZIGZAG]
+
+
+@pytest.fixture(scope="module")
+def jpeg_dump(tmp_path_factory):
+    """Compile the libjpeg ground-truth dumper; skip A/B tests when
+    the toolchain or libjpeg dev files are absent."""
+    src = Path(__file__).resolve().parent.parent / "tools/jpeg_dump.c"
+    exe = tmp_path_factory.mktemp("jpegdump") / "jpeg_dump"
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    if gcc is None:
+        pytest.skip("no C compiler for the libjpeg A/B oracle")
+    r = subprocess.run([gcc, "-O2", "-o", str(exe), str(src),
+                        "-ljpeg"], capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"libjpeg unavailable: {r.stderr.decode()[:200]}")
+    return str(exe)
+
+
+def _ref_decode(exe: str, blob: bytes) -> np.ndarray:
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+        f.write(blob)
+        f.flush()
+        out = subprocess.run([exe, f.name], capture_output=True,
+                             check=True).stdout
+    magic, dims, _maxv, data = out.split(b"\n", 3)
+    w, h = map(int, dims.split())
+    nc = 1 if magic == b"P5" else 3
+    return np.frombuffer(data, np.uint8, h * w * nc) \
+        .reshape(h, w, nc).squeeze()
+
+
+def _ab(exe: str, blob: bytes, tol: int = 1) -> None:
+    ref = _ref_decode(exe, blob)
+    mine, _ = decode_jpeg(blob)
+    assert ref.shape == mine.shape
+    d = np.abs(ref.astype(np.int32) - mine.astype(np.int32))
+    assert d.max() <= tol, f"max diff {d.max()} vs libjpeg"
+
+
+# ---------------------------------------------------------------------------
+# 1. A/B vs libjpeg
+
+
+def test_ab_real_system_jpegs(jpeg_dump):
+    if not _SYSTEM_JPEGS:
+        pytest.skip("no system JPEGs on this container")
+    progressive_seen = False
+    for p in _SYSTEM_JPEGS:
+        blob = p.read_bytes()
+        _ab(jpeg_dump, blob)
+        _, meta = decode_jpeg(blob)
+        progressive_seen |= meta["progressive"]
+    assert progressive_seen, "corpus lost its progressive samples"
+
+
+def test_ab_own_encoder_output(jpeg_dump):
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (23, 37)).astype(np.uint8), {}),
+        (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8),
+         {"subsampling": "444"}),
+        (rng.integers(0, 256, (31, 33, 3)).astype(np.uint8),
+         {"subsampling": "420"}),
+        (rng.integers(0, 256, (40, 48, 3)).astype(np.uint8),
+         {"subsampling": "420", "dri": 2}),
+        (rng.integers(0, 256, (64, 64)).astype(np.uint8),
+         {"qtable": _Q50}),
+    ]
+    for img, kw in cases:
+        _ab(jpeg_dump, encode_jpeg(img, **kw))
+
+
+# ---------------------------------------------------------------------------
+# 2. flat-block exactness (the decode_jpeg oracle contract)
+
+
+def test_flat_blocks_roundtrip_exact():
+    # constant 8x8 blocks + all-8 quantizer -> bit-exact roundtrip
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, (3, 5)).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    out, meta = decode_jpeg(encode_jpeg(img))
+    assert meta == {"width": 40, "height": 24, "n_components": 1,
+                    "progressive": False}
+    assert np.array_equal(out, img)
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    plain, _ = decode_jpeg(encode_jpeg(img))
+    with_dri, _ = decode_jpeg(encode_jpeg(img, dri=1))
+    assert np.array_equal(plain, with_dri)
+
+
+# ---------------------------------------------------------------------------
+# 3. progressive == sequential on identical coefficients
+
+_DC_TABS = [J._build_codes(J._DC_LUM_BITS, J._DC_LUM_VALS),
+            J._build_codes(J._DC_CHR_BITS, J._DC_CHR_VALS)]
+_AC_TABS = [J._build_codes(J._AC_LUM_BITS, J._AC_LUM_VALS),
+            J._build_codes(J._AC_CHR_BITS, J._AC_CHR_VALS)]
+
+
+def _emit_ac_first(bw, band, coefs, al, ac):
+    """One block's AC-first scan segment (T.81 G.1.2.2, Ah=0)."""
+    run = 0
+    for v in (int(x) for x in band):
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac[0xF0])
+            run -= 16
+        s = a.bit_length()
+        bw.write(*ac[(run << 4) | s])
+        bw.write(a if v > 0 else (1 << s) - 1 - a, s)
+        run = 0
+    if run:
+        bw.write(*ac[0x00])  # EOB (eobrun = 1)
+
+
+def _emit_ac_refine(bw, band, al, ac):
+    """One block's AC-refinement segment (T.81 G.1.2.3, Ah=Al+1)."""
+    run = 0
+    pend = []
+    for v in (int(x) for x in band):
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        if a > 1:  # already significant: buffered correction bit
+            pend.append(a & 1)
+            continue
+        while run > 15:
+            bw.write(*ac[0xF0])
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+            run -= 16
+        bw.write(*ac[(run << 4) | 1])
+        bw.write(1 if v > 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        run = 0
+    if run or pend:
+        bw.write(*ac[0x00])
+        for b in pend:
+            bw.write(b, 1)
+
+
+def _encode_progressive(arr: np.ndarray, qtable: np.ndarray) -> bytes:
+    """Test-only progressive (SOF2) encoder re-coding encode_jpeg's
+    exact quantized coefficients: DC first (Al=1) -> AC 1..20 first
+    (Al=1) -> AC 21..63 first (Al=1) -> DC refine -> AC refines.
+    4:4:4 or grayscale only."""
+    import struct
+    a = np.asarray(arr, np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    q = np.asarray(qtable, np.int32)
+    if gray:
+        planes = [a]
+    else:
+        f = a.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = (128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
+              + 0.5 * f[..., 2])
+        cr = (128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
+              - 0.081312 * f[..., 2])
+        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                  for p in (y, cb, cr)]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    coefs = [J._fdct_quant(np.pad(
+        p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"), q)
+        for p in planes]
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) \
+        + q.astype(np.uint8).tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i in range(nc):
+        out += struct.pack(">BBB", i + 1, 0x11, 0)
+    for tc, th, bits, vals in [
+            (0, 0, J._DC_LUM_BITS, J._DC_LUM_VALS),
+            (1, 0, J._AC_LUM_BITS, J._AC_LUM_VALS),
+            (0, 1, J._DC_CHR_BITS, J._DC_CHR_VALS),
+            (1, 1, J._AC_CHR_BITS, J._AC_CHR_VALS)][:2 * nc:]:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (tc << 4) | th) \
+            + bytes(bits) + bytes(vals)
+
+    def sos(comp_specs, ss, se, ah, al):
+        seg = bytearray(b"\xff\xda")
+        seg += struct.pack(">HB", 6 + 2 * len(comp_specs),
+                           len(comp_specs))
+        for cid, td, ta in comp_specs:
+            seg += struct.pack(">BB", cid, (td << 4) | ta)
+        seg += bytes([ss, se, (ah << 4) | al])
+        return seg
+
+    tab = lambda i: 0 if i == 0 else 1  # noqa: E731
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift)
+    out += sos([(i + 1, tab(i), 0) for i in range(nc)], 0, 0, 0, 1)
+    bw = J._BitWriter()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for i in range(nc):
+            dc = int(coefs[i][my, mx, 0]) >> 1
+            diff = dc - preds[i]
+            preds[i] = dc
+            s = abs(diff).bit_length()
+            bw.write(*_DC_TABS[tab(i)][s])
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.buf
+    # scans 2..: AC first in two spectral bands, Al=1
+    for ss, se in [(1, 20), (21, 63)]:
+        for i in range(nc):
+            out += sos([(i + 1, 0, tab(i))], ss, se, 0, 1)
+            bw = J._BitWriter()
+            for blk in coefs[i].reshape(-1, 64):
+                _emit_ac_first(bw, blk[ss:se + 1], coefs, 1,
+                               _AC_TABS[tab(i)])
+            bw.flush()
+            out += bw.buf
+    # DC refinement: one raw bit per block, interleaved
+    out += sos([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0)
+    bw = J._BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for i in range(nc):
+            bw.write(int(coefs[i][my, mx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+    # AC refinement over the same two bands, Ah=1 Al=0
+    for ss, se in [(1, 20), (21, 63)]:
+        for i in range(nc):
+            out += sos([(i + 1, 0, tab(i))], ss, se, 1, 0)
+            bw = J._BitWriter()
+            for blk in coefs[i].reshape(-1, 64):
+                _emit_ac_refine(bw, blk[ss:se + 1], 0,
+                                _AC_TABS[tab(i)])
+            bw.flush()
+            out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape", [(24, 40), (17, 25), (16, 24, 3)])
+def test_progressive_equals_sequential(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    base, bmeta = decode_jpeg(encode_jpeg(img, qtable=_Q50))
+    prog, pmeta = decode_jpeg(_encode_progressive(img, _Q50))
+    assert not bmeta["progressive"] and pmeta["progressive"]
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_stream_is_conformant(jpeg_dump):
+    # libjpeg must agree with our decoder on our progressive stream
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    _ab(jpeg_dump, _encode_progressive(img, _Q50))
+
+
+# ---------------------------------------------------------------------------
+# 4. error taxonomy
+
+
+def test_error_taxonomy():
+    img = np.zeros((8, 8), np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:len(good) // 2])  # truncated mid-stream
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(good[:2] + b"\xff\xd9")
+    # flip SOF0 component count to 4 -> CMYK -> NotImplementedError
+    sof = good.index(b"\xff\xc0")
+    cmyk = bytearray(good)
+    cmyk[sof + 9] = 4
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        decode_jpeg(bytes(cmyk))
+    prec12 = bytearray(good)
+    prec12[sof + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(prec12))
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bytes(lossless))
+    # drop the DQT segment -> scan references a missing quant table
+    dqt = good.index(b"\xff\xdb")
+    with pytest.raises(ValueError, match="quant"):
+        decode_jpeg(good[:dqt] + good[dqt + 69:])
+
+
+def test_dispatch_from_decode_image():
+    from swishray.ops.codecs import decode_image, sniff_image
+    img = np.full((8, 16), 200, np.uint8)
+    blob = encode_jpeg(img)
+    assert sniff_image(blob) == "jpeg"
+    arr, meta = decode_image(blob)
+    assert np.array_equal(arr, img)
