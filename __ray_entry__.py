@@ -1268,6 +1268,40 @@ def q_decode_gif(sf_dir: str):
         ["media_id", "n_frames", "n_sampled", "y_sum"])
 
 
+def q_decode_jpeg(sf_dir: str):
+    """REAL JPEG decode: per document, build a 24x16 grayscale image
+    of flat 8x8 blocks (block b of the 2x3 grid = (doc_id*31 + b*17)
+    % 256), encode it with the from-scratch baseline encoder (the
+    default all-8 quantizer makes a flat block's roundtrip EXACT:
+    DC = v-128, all AC = 0 — ops/jpeg.py module docstring), and
+    decode through the same actor-pool stage as decode_images. The
+    oracle recomputes pixel_sum = 64 * sum of block values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.jpeg import encode_jpeg
+    from swishray.ops.multimodal import decode_images
+    from swishray.util import default_concurrency
+
+    b = np.arange(6, dtype=np.int64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = [
+            encode_jpeg(np.repeat(np.repeat(
+                ((int(i) * 31 + b * 17) % 256).astype(
+                    np.uint8).reshape(2, 3), 8, 0), 8, 1))
+            for i in t.column("doc_id").to_pylist()]
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = decode_images(media, concurrency=default_concurrency(cap=2))
+    return out.select_columns(
+        ["media_id", "width", "height", "channels", "pixel_sum"])
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4420,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_audio": q_decode_audio,
         "decode_video": q_decode_video,
         "decode_gif": q_decode_gif,
+        "decode_jpeg": q_decode_jpeg,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4618,6 +4653,12 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) FROM generate_series(0, 4, 2) f(f), "
             " generate_series(0, 47) p(p)) AS y_sum "
             "FROM documents d"),
+        "decode_jpeg": (
+            "SELECT d.doc_id AS media_id, 24 AS width, 16 AS height, "
+            "1 AS channels, "
+            "(SELECT CAST(SUM(64*((d.doc_id*31 + b*17) % 256)) "
+            " AS BIGINT) FROM generate_series(0, 5) t(b)) "
+            "AS pixel_sum FROM documents d"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "
             "'Doc ' || doc_id || chr(3) || text AS text, "
