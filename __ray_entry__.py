@@ -1302,6 +1302,39 @@ def q_decode_jpeg(sf_dir: str):
         ["media_id", "width", "height", "channels", "pixel_sum"])
 
 
+def q_decode_tiff(sf_dir: str):
+    """REAL TIFF decode: per document, LZW+predictor-compress a 16x10
+    grayscale image (pixel j = (doc_id*23 + j*13) % 256) with the
+    from-scratch encoder and decode through the decode_images actor
+    stage (every supported TIFF compression is lossless, so the
+    roundtrip is exact for arbitrary content). The oracle recomputes
+    pixel_sum from the formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.tiff import encode_tiff
+    from swishray.ops.multimodal import decode_images
+    from swishray.util import default_concurrency
+
+    j = np.arange(160, dtype=np.int64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = [
+            encode_tiff(((int(i) * 23 + j * 13) % 256).astype(
+                np.uint8).reshape(10, 16),
+                compression="lzw", predictor=True)
+            for i in t.column("doc_id").to_pylist()]
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = decode_images(media, concurrency=default_concurrency(cap=2))
+    return out.select_columns(
+        ["media_id", "width", "height", "channels", "pixel_sum"])
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4455,6 +4488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_video": q_decode_video,
         "decode_gif": q_decode_gif,
         "decode_jpeg": q_decode_jpeg,
+        "decode_tiff": q_decode_tiff,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4658,6 +4692,12 @@ def oracle_sql() -> dict[str, str]:
             "1 AS channels, "
             "(SELECT CAST(SUM(64*((d.doc_id*31 + b*17) % 256)) "
             " AS BIGINT) FROM generate_series(0, 5) t(b)) "
+            "AS pixel_sum FROM documents d"),
+        "decode_tiff": (
+            "SELECT d.doc_id AS media_id, 16 AS width, 10 AS height, "
+            "1 AS channels, "
+            "(SELECT CAST(SUM((d.doc_id*23 + j*13) % 256) AS BIGINT) "
+            " FROM generate_series(0, 159) t(j)) "
             "AS pixel_sum FROM documents d"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "

@@ -775,8 +775,7 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 # dispatch
 
 _MAGIC_UNSUPPORTED = (
-    (b"RIFF", "RIFF image (WebP?)"), (b"II*\x00", "TIFF"),
-    (b"MM\x00*", "TIFF"),
+    (b"RIFF", "RIFF image (WebP?)"),
 )
 
 
@@ -792,17 +791,20 @@ def sniff_image(blob: bytes) -> str | None:
         return "gif"
     if blob[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
 def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     """Decode any supported image container (PNG/BMP/PPM/PGM/GIF/
-    JPEG — baseline AND progressive) to an (h, w, channels) sample
-    array (a multi-frame GIF contributes its FIRST composited frame;
-    frame-sample animations through SampleVideoFrames instead).
-    NotImplementedError for known-but-uncoded formats (TIFF/WebP,
-    CMYK/lossless/arithmetic JPEG) and unknown magics; ValueError for
-    corrupt files of a supported format."""
+    JPEG — baseline AND progressive — /TIFF) to an (h, w, channels)
+    sample array (a multi-frame GIF contributes its FIRST composited
+    frame; frame-sample animations through SampleVideoFrames
+    instead). NotImplementedError for known-but-uncoded formats
+    (WebP, CMYK/lossless/arithmetic JPEG, tiled/CCITT/16-bit TIFF)
+    and unknown magics; ValueError for corrupt files of a supported
+    format."""
     fmt = sniff_image(blob)
     if fmt == "png":
         arr, meta = decode_png(blob)
@@ -816,6 +818,9 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     elif fmt == "jpeg":
         from .jpeg import decode_jpeg
         arr, meta = decode_jpeg(blob)
+    elif fmt == "tiff":
+        from .tiff import decode_tiff
+        arr, meta = decode_tiff(blob)
     else:
         for magic, name in _MAGIC_UNSUPPORTED:
             if blob[:len(magic)] == magic:

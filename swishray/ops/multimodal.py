@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary columns
 with typed metadata, decoded by REAL from-scratch codecs
-(ops/codecs.py, ops/jpeg.py): PNG (zlib inflate + scanline
-un-filtering + Adam7), JPEG (baseline + progressive DCT), GIF (LZW +
-frame compositing), BMP, PPM/PGM, WAV (RIFF/PCM + IEEE float) and
-Y4M video. Formats that would need a codec we haven't built
-(TIFF/WebP, compressed video) raise NotImplementedError into the
-per-row error column — distinguishable from ValueError, which marks
-a CORRUPT file of a supported format.
+(ops/codecs.py, ops/jpeg.py, ops/tiff.py): PNG (zlib inflate +
+scanline un-filtering + Adam7), JPEG (baseline + progressive DCT),
+GIF (LZW + frame compositing), TIFF (strips: none/LZW/PackBits),
+BMP, PPM/PGM, WAV (RIFF/PCM + IEEE float) and Y4M video. Formats
+that would need a codec we haven't built (WebP, compressed video)
+raise NotImplementedError into the per-row error column —
+distinguishable from ValueError, which marks a CORRUPT file of a
+supported format.
 
 The deterministic synthetic containers ("SWIM"/"SWAU"/"SWVI" headers)
 are kept for tests/demos — they exercise the same plumbing with

@@ -155,10 +155,11 @@ def test_multimodal_decode(ray_session):
     o = decode_images(jp, concurrency=1).take_all()[0]
     assert o["error"] is None and (o["width"], o["height"]) == (16, 8)
     assert o["pixel_sum"] == int(flat.astype(np.int64).sum())
-    # uncoded format (TIFF) -> NotImplementedError in the error column
+    # uncoded format (WebP) -> NotImplementedError in the error column
     bad = rd.from_arrow(pa.table({
         "media_id": pa.array([1], type=pa.int64()),
-        "payload": pa.array([b"II*\x00 tiff"], type=pa.binary())}))
+        "payload": pa.array([b"RIFF\x00\x00\x00\x00WEBP"],
+                            type=pa.binary())}))
     o = decode_images(bad, concurrency=1).take_all()[0]
     assert "NotImplementedError" in o["error"]
     # corrupt file of a SUPPORTED format -> ValueError in the column
