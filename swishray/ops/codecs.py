@@ -774,9 +774,7 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 # ---------------------------------------------------------------------------
 # dispatch
 
-_MAGIC_UNSUPPORTED = (
-    (b"RIFF", "RIFF image (WebP?)"),
-)
+_MAGIC_UNSUPPORTED = ()
 
 
 def sniff_image(blob: bytes) -> str | None:
@@ -793,18 +791,20 @@ def sniff_image(blob: bytes) -> str | None:
         return "jpeg"
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
 def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     """Decode any supported image container (PNG/BMP/PPM/PGM/GIF/
-    JPEG — baseline AND progressive — /TIFF) to an (h, w, channels)
-    sample array (a multi-frame GIF contributes its FIRST composited
-    frame; frame-sample animations through SampleVideoFrames
-    instead). NotImplementedError for known-but-uncoded formats
-    (WebP, CMYK/lossless/arithmetic JPEG, tiled/CCITT/16-bit TIFF)
-    and unknown magics; ValueError for corrupt files of a supported
-    format."""
+    JPEG — baseline AND progressive — /TIFF/WebP-lossless) to an
+    (h, w, channels) sample array (a multi-frame GIF contributes its
+    FIRST composited frame; frame-sample animations through
+    SampleVideoFrames instead). NotImplementedError for
+    known-but-uncoded flavors (lossy VP8 WebP, CMYK/lossless/
+    arithmetic JPEG, tiled/CCITT/16-bit TIFF) and unknown magics;
+    ValueError for corrupt files of a supported format."""
     fmt = sniff_image(blob)
     if fmt == "png":
         arr, meta = decode_png(blob)
@@ -821,6 +821,9 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     elif fmt == "tiff":
         from .tiff import decode_tiff
         arr, meta = decode_tiff(blob)
+    elif fmt == "webp":
+        from .webp import decode_webp
+        arr, meta = decode_webp(blob)
     else:
         for magic, name in _MAGIC_UNSUPPORTED:
             if blob[:len(magic)] == magic:

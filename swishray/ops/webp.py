@@ -1,0 +1,454 @@
+"""From-scratch WebP-lossless (VP8L) decoder, per the public "WebP
+Lossless Bitstream Specification" (RFC-style spec shipped with
+libwebp; all constants below are from that spec).
+
+Supported: the full VP8L feature set — canonical prefix codes (simple
+and code-length-coded, with repeat codes 16/17/18 and the max-symbol
+cut-off), color cache, meta prefix-code groups (spatial Huffman
+selection), LZ77 copies with the 120-entry two-dimensional distance
+mapping, and all four transforms (predictor with its 14 modes, color
+transform, subtract-green, color-indexing with sub-byte pixel
+packing), in any stream order, inverted in reverse read order.
+
+Lossy WebP (VP8 chunks, including VP8X containers whose image payload
+is lossy) raises NotImplementedError — VP8 is a video intra frame,
+a different codec family; corrupt VP8L streams of supported shape
+raise ValueError (same error taxonomy as ops/codecs.py, ops/jpeg.py
+and ops/tiff.py: the two classes stay distinguishable in the
+multimodal stages' per-row error column).
+
+The decode loop is per-pixel Python over numpy state — correct and
+deterministic, sized for the multimodal stages' media thumbnails (the
+A/B oracle in tests/test_webp.py pins it bit-exact against the
+container's libwebp.so.7). Scale shape matches the other codecs:
+zero driver state, embarrassingly parallel under map_batches actor
+pools.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# LZ77 distance mapping: plane codes 1..120 -> 2-D offsets. The
+# spec's table is exactly the (dx, dy) pairs with dy in 0..7,
+# dx in -7..8 (dx > 0 when dy == 0), sorted by squared distance with
+# ties broken by larger dy then larger dx (verified byte-identical
+# to libwebp's kCodeToPlane in tests/test_webp.py).
+_DIST_MAP: list[tuple[int, int]] = [
+    (dx, dy)
+    for _, _, _, dx, dy in sorted(
+        (dx * dx + dy * dy, -dy, -dx, dx, dy)
+        for dy in range(8) for dx in range(-7, 9)
+        if dy > 0 or dx > 0)
+][:120]
+
+# code-length-code symbol order (spec section 6.2.2)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+              13, 14, 15)
+
+
+class _Bits:
+    """LSB-first bit reader (VP8L convention)."""
+
+    __slots__ = ("data", "bitpos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+        self.nbits = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        p = self.bitpos
+        if p + n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        self.bitpos = p + n
+        v = int.from_bytes(
+            self.data[p >> 3:(p + n + 7) >> 3], "little")
+        return (v >> (p & 7)) & ((1 << n) - 1)
+
+
+class _Huff:
+    """Canonical prefix decoder. Codes are written MSB-of-code first
+    into the LSB-first stream (DEFLATE convention), so the lookup
+    table is filled at bit-reversed indices."""
+
+    __slots__ = ("lut", "maxlen", "single")
+
+    def __init__(self, lengths):
+        nz = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("empty VP8L prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][0]  # zero-bit code
+            self.lut = None
+            self.maxlen = 0
+            return
+        self.single = None
+        maxlen = max(ln for _, ln in nz)
+        if maxlen > 15:
+            raise ValueError("VP8L code length > 15")
+        # Kraft completeness (libwebp rejects over/under-subscribed)
+        if sum(1 << (maxlen - ln) for _, ln in nz) != 1 << maxlen:
+            raise ValueError("invalid VP8L prefix code")
+        self.maxlen = maxlen
+        bl_count = [0] * (maxlen + 1)
+        for _, ln in nz:
+            bl_count[ln] += 1
+        next_code = [0] * (maxlen + 2)
+        code = 0
+        for ln in range(1, maxlen + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        lut = np.zeros(1 << maxlen, np.uint32)
+        for sym, ln in nz:
+            code = next_code[ln]
+            next_code[ln] += 1
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            step = 1 << ln
+            lut[rev::step] = (sym << 4) | ln
+        self.lut = lut
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        p = br.bitpos
+        n = min(self.maxlen, br.nbits - p)
+        if n <= 0:
+            raise ValueError("truncated VP8L stream")
+        v = int.from_bytes(
+            br.data[p >> 3:(p + self.maxlen + 7) >> 3], "little")
+        window = (v >> (p & 7)) & ((1 << self.maxlen) - 1)
+        entry = int(self.lut[window])
+        ln = entry & 15
+        if ln == 0 or ln > n:
+            raise ValueError("corrupt VP8L prefix code")
+        br.bitpos = p + ln
+        return entry >> 4
+
+
+def _read_code(br: _Bits, alphabet: int) -> _Huff:
+    """One prefix code (spec 6.2.1/6.2.2)."""
+    if br.read(1):  # simple
+        nsym = br.read(1) + 1
+        lengths = [0] * alphabet
+        s0 = br.read(8 if br.read(1) else 1)
+        if s0 >= alphabet:
+            raise ValueError("VP8L simple-code symbol out of range")
+        lengths[s0] = 1
+        if nsym == 2:
+            s1 = br.read(8)
+            if s1 >= alphabet or s1 == s0:
+                raise ValueError("VP8L simple-code symbol invalid")
+            lengths[s1] = 1
+        return _Huff(lengths)
+    ncodes = br.read(4) + 4
+    clc_len = [0] * 19
+    for i in range(ncodes):
+        clc_len[_CLC_ORDER[i]] = br.read(3)
+    clc = _Huff(clc_len)
+    if br.read(1):  # explicit max symbol
+        nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    sym = 0
+    prev = 8  # spec default
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = clc.decode(br)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            if sym + rep > alphabet:
+                raise ValueError("VP8L repeat overruns alphabet")
+            lengths[sym:sym + rep] = [prev] * rep
+            sym += rep
+        else:
+            rep = (3 + br.read(3)) if s == 17 else (11 + br.read(7))
+            if sym + rep > alphabet:
+                raise ValueError("VP8L repeat overruns alphabet")
+            sym += rep  # zeros
+    return _Huff(lengths)
+
+
+def _prefix_value(br: _Bits, sym: int) -> int:
+    """LZ77 length / distance prefix coding (spec 6.2.3)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _decode_entropy(br: _Bits, w: int, h: int,
+                    allow_meta: bool) -> np.ndarray:
+    """One entropy-coded ARGB image (spec 6.2.4) -> uint32 (h, w)."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError("VP8L color-cache bits out of range")
+    meta = None
+    prec = 0
+    ngroups = 1
+    if allow_meta and br.read(1):
+        prec = br.read(3) + 2
+        mw = -(-w >> prec) or 1
+        mh = -(-h >> prec) or 1
+        meta_img = _decode_entropy(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        ngroups = int(meta.max()) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(ngroups):
+        green = _read_code(br, 256 + 24 + cache_size)
+        red = _read_code(br, 256)
+        blue = _read_code(br, 256)
+        alpha = _read_code(br, 256)
+        dist = _read_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    cache = np.zeros(cache_size, np.uint32) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    out = np.zeros(w * h, np.uint32)
+    n = w * h
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            g = groups[int(meta[y >> prec, x >> prec])]
+        s = g[0].decode(br)
+        if s < 256:
+            # read order is green, red, blue, alpha (spec 6.2.4)
+            r = g[1].decode(br)
+            b = g[2].decode(br)
+            a = g[3].decode(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+        elif s < 280:
+            length = _prefix_value(br, s - 256)
+            dsym = g[4].decode(br)
+            dcode = _prefix_value(br, dsym)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L copy out of range")
+            if cache_bits:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    pos += 1
+                    cache[((0x1E35A7BD * int(px)) & 0xFFFFFFFF)
+                          >> shift] = px
+            elif dist >= length:
+                out[pos:pos + length] = out[pos - dist:
+                                            pos - dist + length]
+                pos += length
+            else:
+                for _ in range(length):
+                    out[pos] = out[pos - dist]
+                    pos += 1
+        else:
+            if not cache_bits or s - 280 >= cache_size:
+                raise ValueError("VP8L cache reference without cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.uint16) + b) >> 1).astype(np.uint8)
+
+
+def _inv_predictor(img: np.ndarray, modes: np.ndarray,
+                   bits: int) -> None:
+    """In-place inverse predictor transform (spec 4.2.2) over an
+    (h, w, 4) uint8 view in ARGB channel order."""
+    h, w = img.shape[:2]
+    black = np.array([255, 0, 0, 0], np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = img[0, x - 1]
+            elif x == 0:
+                pred = img[y - 1, 0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                L = img[y, x - 1]
+                T = img[y - 1, x]
+                TL = img[y - 1, x - 1]
+                # TR wraps to this row's first pixel in the last col
+                TR = img[y - 1, x + 1] if x + 1 < w else img[y, 0]
+                if mode == 0:
+                    pred = black
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    dl = np.abs(L.astype(np.int32) - TL).sum()
+                    dt = np.abs(T.astype(np.int32) - TL).sum()
+                    pred = T if dl <= dt else L
+                elif mode == 12:
+                    pred = np.clip(
+                        L.astype(np.int32) + T - TL, 0,
+                        255).astype(np.uint8)
+                elif mode == 13:
+                    ave = _avg2(L, T).astype(np.int32)
+                    d = ave - TL
+                    half = np.where(d >= 0, d // 2, -((-d) // 2))
+                    pred = np.clip(ave + half, 0, 255).astype(np.uint8)
+                else:
+                    raise ValueError(f"VP8L predictor mode {mode}")
+            img[y, x] += pred  # uint8 wraparound = mod-256 add
+
+
+def _inv_color(img: np.ndarray, ctes: np.ndarray, bits: int) -> None:
+    """In-place inverse color transform (spec 4.2.3); img is
+    (h, w, 4) ARGB uint8, ctes is the uint32 block image."""
+    h, w = img.shape[:2]
+    bw = ctes.shape[1]
+    as_i8 = lambda v: v - 256 if v >= 128 else v  # noqa: E731
+    for y in range(h):
+        crow = ctes[y >> bits]
+        for x in range(w):
+            cte = int(crow[min(x >> bits, bw - 1)])
+            g2r = as_i8(cte & 0xFF)
+            g2b = as_i8((cte >> 8) & 0xFF)
+            r2b = as_i8((cte >> 16) & 0xFF)
+            green = as_i8(int(img[y, x, 2]))
+            red = (int(img[y, x, 1]) + ((g2r * green) >> 5)) & 0xFF
+            blue = (int(img[y, x, 3]) + ((g2b * green) >> 5)
+                    + ((r2b * as_i8(red)) >> 5)) & 0xFF
+            img[y, x, 1] = red
+            img[y, x, 3] = blue
+
+
+def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a VP8L chunk payload to RGBA uint8 (h, w, 4)."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Bits(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms = []
+    xsize = w
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color
+            bits = br.read(3) + 2
+            bw = -(-xsize >> bits) or 1
+            bh = -(-h >> bits) or 1
+            sub = _decode_entropy(br, bw, bh, False)
+            transforms.append((ttype, bits, sub))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, 0, None))
+        else:  # color indexing
+            ncol = br.read(8) + 1
+            pal = _decode_entropy(br, ncol, 1, False)[0]
+            # palette entries are stored as component deltas
+            p8 = pal.view(np.uint8).reshape(ncol, 4)
+            np.cumsum(p8, axis=0, dtype=np.uint8, out=p8)
+            wb = 3 if ncol <= 2 else 2 if ncol <= 4 else \
+                1 if ncol <= 16 else 0
+            transforms.append((3, wb, (pal, xsize)))
+            if wb:
+                xsize = -(-xsize >> wb)
+
+    def to_argb8(words: np.ndarray) -> np.ndarray:
+        """uint32 ARGB words -> (.., 4) uint8 in A,R,G,B order."""
+        u8 = np.ascontiguousarray(words).view(np.uint8)
+        return u8.reshape(words.shape + (4,))[..., [3, 2, 1, 0]].copy()
+
+    px = to_argb8(_decode_entropy(br, xsize, h, True))
+    for ttype, bits, data in reversed(transforms):
+        if ttype == 3:
+            pal, full_w = data
+            pal8 = to_argb8(pal)  # (ncol, 4) ARGB
+            idx = px[:, :, 2].astype(np.int64)  # green channel
+            if bits:
+                per = 1 << bits          # packed indices per byte
+                ib = 8 >> bits           # bits per index
+                cols = np.arange(full_w)
+                sub = idx[:, cols >> bits]
+                shifts = (cols & (per - 1)) * ib
+                idx = (sub >> shifts[None, :]) & ((1 << ib) - 1)
+            oob = idx >= len(pal8)
+            px = pal8[np.where(oob, 0, idx)]
+            px[oob] = 0
+            xsize = px.shape[1]
+        elif ttype == 2:
+            g = px[:, :, 2].copy()
+            px[:, :, 1] += g  # uint8 wraparound = mod-256 add
+            px[:, :, 3] += g
+        elif ttype == 1:
+            _inv_color(px, data, bits)
+        else:
+            _inv_predictor(px, (data >> 8) & 0xFF, bits)
+    return px[:, :, [1, 2, 3, 0]], {
+        "width": w, "height": h, "n_transforms": len(transforms)}
+
+
+def decode_webp(blob: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a WebP file: RIFF walk to the VP8L chunk (lossless);
+    VP8 (lossy) raises NotImplementedError."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        payload = blob[pos + 8:pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8L":
+            arr, meta = decode_vp8l(payload)
+            meta["format"] = "webp"
+            return arr, meta
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) not supported — VP8L lossless only")
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP with no image chunk")

@@ -192,15 +192,19 @@ def test_png_corruption_taxonomy():
     blob = _hand_png((2, 1, 8, 0, 0, 0, 0), [], bytes([9, 1, 2]))
     with pytest.raises(ValueError, match="filter"):
         decode_png(blob)
-    # JPEG, GIF and TIFF are SUPPORTED: corrupt file -> ValueError
+    # JPEG/GIF/TIFF/WebP are SUPPORTED: corrupt file -> ValueError
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a fake")
     with pytest.raises(ValueError):
         decode_image(b"II*\x00 fake tiff")
-    with pytest.raises(NotImplementedError, match="WebP"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")  # no image chunk
+    # ...but a lossy (VP8) WebP is recognized-and-uncoded
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBP"
+                     b"VP8 \x04\x00\x00\x00abcd")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01unknown")
 

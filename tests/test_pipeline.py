@@ -155,10 +155,11 @@ def test_multimodal_decode(ray_session):
     o = decode_images(jp, concurrency=1).take_all()[0]
     assert o["error"] is None and (o["width"], o["height"]) == (16, 8)
     assert o["pixel_sum"] == int(flat.astype(np.int64).sum())
-    # uncoded format (WebP) -> NotImplementedError in the error column
+    # uncoded flavor (lossy VP8) -> NotImplementedError in the column
     bad = rd.from_arrow(pa.table({
         "media_id": pa.array([1], type=pa.int64()),
-        "payload": pa.array([b"RIFF\x00\x00\x00\x00WEBP"],
+        "payload": pa.array([b"RIFF\x10\x00\x00\x00WEBP"
+                             b"VP8 \x04\x00\x00\x00abcd"],
                             type=pa.binary())}))
     o = decode_images(bad, concurrency=1).take_all()[0]
     assert "NotImplementedError" in o["error"]
