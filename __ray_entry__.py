@@ -1335,6 +1335,52 @@ def q_decode_tiff(sf_dir: str):
         ["media_id", "width", "height", "channels", "pixel_sum"])
 
 
+def q_decode_webp(sf_dir: str):
+    """REAL WebP-lossless decode: per document, encode a 16x8 RGB
+    image (sample j = (doc_id*41 + j*7) % 256, alpha 255 — opaque, so
+    the encoder cannot legally alter RGB) with the container's
+    libwebp via ctypes (an INDEPENDENT writer, like stdlib ``wave``
+    for decode_audio), then decode through the from-scratch VP8L
+    decoder (ops/webp.py) in the decode_images actor stage. The
+    oracle recomputes pixel_sum = analytic RGB sum + 255*128 (the
+    returned RGBA alpha plane)."""
+    import ctypes
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.multimodal import decode_images
+    from swishray.util import default_concurrency
+
+    j = np.arange(16 * 8 * 3, dtype=np.int64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        lw = ctypes.CDLL("libwebp.so.7")
+        lw.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+        lw.WebPEncodeLosslessRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p)]
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            rgb = ((int(i) * 41 + j * 7) % 256).astype(
+                np.uint8).reshape(8, 16, 3)
+            rgba = np.concatenate(
+                [rgb, np.full((8, 16, 1), 255, np.uint8)], axis=2)
+            out = ctypes.c_void_p()
+            size = lw.WebPEncodeLosslessRGBA(
+                rgba.tobytes(), 16, 8, 64, ctypes.byref(out))
+            blobs.append(ctypes.string_at(out, size))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = decode_images(media, concurrency=default_concurrency(cap=2))
+    return out.select_columns(
+        ["media_id", "width", "height", "channels", "pixel_sum"])
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4489,6 +4535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_gif": q_decode_gif,
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
+        "decode_webp": q_decode_webp,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4698,6 +4745,12 @@ def oracle_sql() -> dict[str, str]:
             "1 AS channels, "
             "(SELECT CAST(SUM((d.doc_id*23 + j*13) % 256) AS BIGINT) "
             " FROM generate_series(0, 159) t(j)) "
+            "AS pixel_sum FROM documents d"),
+        "decode_webp": (
+            "SELECT d.doc_id AS media_id, 16 AS width, 8 AS height, "
+            "4 AS channels, "
+            "(SELECT CAST(SUM((d.doc_id*41 + j*7) % 256) AS BIGINT) "
+            " FROM generate_series(0, 383) t(j)) + 255*128 "
             "AS pixel_sum FROM documents d"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "
