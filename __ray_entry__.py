@@ -1381,6 +1381,59 @@ def q_decode_webp(sf_dir: str):
         ["media_id", "width", "height", "channels", "pixel_sum"])
 
 
+def q_image_dedup(sf_dir: str):
+    """Image near-dup pairs via dHash banding: per document, build a
+    32x36 grayscale whose 9x8 dHash cells realize 64 designed
+    gradient-sign bits of splitmix64(doc_id % 40) — all docs sharing
+    a base get the SAME dHash (a per-doc brightness shift, which
+    dHash is invariant to, makes the payload bytes differ), and
+    distinct bases are >= 18 bits apart (pinned in
+    tests/test_imagehash.py), so the exact near-dup ground truth is
+    (doc_id % 40 equal) — which is what the oracle computes. Decode +
+    hash run in the actor stage; the pairing is the generic banded
+    Hamming blocking (slim hash-only shuffle, no media bytes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_png
+    from swishray.ops.imagehash import imagehash_near_dups
+    from swishray.util import default_concurrency
+
+    def mixbits(b: int) -> int:
+        x = (b + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    def base_img(b: int) -> np.ndarray:
+        bits = mixbits(b)
+        cells = np.empty((8, 9), np.int32)
+        cells[:, 0] = 128
+        for i in range(8):
+            for j in range(8):
+                bit = (bits >> (i * 8 + j)) & 1
+                cells[i, j + 1] = cells[i, j] + (10 if bit else -10)
+        return cells.repeat(4, 0).repeat(4, 1).astype(np.uint8)
+
+    bases = {b: base_img(b) for b in range(40)}
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            img = (bases[int(i) % 40]
+                   + (int(i) // 40) % 8).astype(np.uint8)
+            blobs.append(encode_png(img))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return imagehash_near_dups(
+        media, max_hamming=2,
+        concurrency=default_concurrency(cap=2))
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4536,6 +4589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
         "decode_webp": q_decode_webp,
+        "image_dedup": q_image_dedup,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4752,6 +4806,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM((d.doc_id*41 + j*7) % 256) AS BIGINT) "
             " FROM generate_series(0, 383) t(j)) + 255*128 "
             "AS pixel_sum FROM documents d"),
+        # ground truth by construction: same doc_id%40 base -> same
+        # designed dHash (brightness variants hash identically),
+        # distinct bases >= 18 bits apart >> max_hamming=2
+        "image_dedup": (
+            "SELECT d1.doc_id AS a, d2.doc_id AS b, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents d1 "
+            "JOIN documents d2 ON (d1.doc_id % 40) = (d2.doc_id % 40) "
+            "AND d1.doc_id < d2.doc_id"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "
             "'Doc ' || doc_id || chr(3) || text AS text, "

@@ -642,37 +642,54 @@ def add_simhash(ds: Any, col: str = "text", out: str = "simhash") -> Any:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
-                      key: str = "doc_id",
+def hamming_near_dups(ds: Any, hash_col: str, key: str,
+                      max_hamming: int = 3,
                       bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
-    """Band the 64-bit simhash into 4 x 16-bit keys (any pair within
-    Hamming distance 3 shares at least one band), bucket-shuffle, then
+    """Near-duplicate pairs over ANY int64 64-bit hash column
+    (SimHash text fingerprints, dHash/aHash image fingerprints, ...):
+    band the hash into equal-width keys — 4x16 / 8x8 / 16x4 bits,
+    the smallest band count exceeding ``max_hamming``, so any pair
+    within the threshold shares at least one band by pigeonhole —
+    bucket-shuffle the slim (key, band, hash) rows, then
     Hamming-verify within buckets. Buckets above ``bucket_cap``
-    members emit star pairs against the bucket minimum (Hamming still
-    verified) instead of all-pairs — see module docstring."""
+    members emit star pairs against the bucket minimum (Hamming
+    still verified) instead of all-pairs — see module docstring.
+    Returns (a, b, hamming) with a < b, deduplicated."""
     import pandas as pd
 
-    signed = add_simhash(ds, col).select_columns([key, "simhash"])
+    if max_hamming <= 3:
+        nbands = 4
+    elif max_hamming <= 7:
+        nbands = 8
+    elif max_hamming <= 15:
+        nbands = 16
+    else:
+        raise ValueError("max_hamming > 15 needs a different blocking")
+    width = 64 // nbands
+    signed = ds.select_columns([key, hash_col])
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        sh = np.asarray(batch.column("simhash").to_pylist(),
+        sh = np.asarray(batch.column(hash_col).to_pylist(),
                         dtype=np.int64)
         u = sh.view(np.uint64)
-        bvals = np.empty((n, 4), dtype=np.int32)
-        for b in range(4):
-            bvals[:, b] = ((u >> np.uint64(16 * b))
-                           & np.uint64(0xFFFF)).astype(np.int32)
-        ks = np.repeat(np.asarray(batch.column(key).to_pylist()), 4)
+        bvals = np.empty((n, nbands), dtype=np.int32)
+        for b in range(nbands):
+            bvals[:, b] = ((u >> np.uint64(width * b))
+                           & np.uint64((1 << width) - 1)).astype(
+                               np.int32)
+        ks = np.repeat(np.asarray(batch.column(key).to_pylist()),
+                       nbands)
         return pa.table({
             key: pa.array(ks, type=batch.schema.field(key).type),
-            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "band_id": pa.array(
+                np.tile(np.arange(nbands, dtype=np.int32), n)),
             "band_val": pa.array(bvals.ravel()),
-            "simhash": pa.array(np.repeat(sh, 4)),
+            hash_col: pa.array(np.repeat(sh, nbands)),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(g[[key, "simhash"]].drop_duplicates()
+        rows = sorted(g[[key, hash_col]].drop_duplicates()
                        .itertuples(index=False), key=lambda r: r[0])
         a, b, d = [], [], []
 
@@ -701,6 +718,16 @@ def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
         .groupby(["band_id", "band_val"]).map_groups(pairs,
                                                      batch_format="pandas")
     return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+def simhash_near_dups(ds: Any, max_hamming: int = 3, col: str = "text",
+                      key: str = "doc_id",
+                      bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
+    """SimHash near-dup pairs: sign the text column, then the generic
+    banded-Hamming blocking (:func:`hamming_near_dups`)."""
+    return hamming_near_dups(add_simhash(ds, col), "simhash", key,
+                             max_hamming=max_hamming,
+                             bucket_cap=bucket_cap)
 
 
 def dedup_against_corpus(new: Any, ref: Any, threshold: float = 0.8,
