@@ -1381,6 +1381,46 @@ def q_decode_webp(sf_dir: str):
         ["media_id", "width", "height", "channels", "pixel_sum"])
 
 
+def q_decode_mjpeg(sf_dir: str):
+    """COMPRESSED video decode: per document, build a 4-frame MJPEG
+    AVI (from-scratch RIFF-AVI container, one baseline JPEG per
+    frame; frame f = flat 8x8 blocks with block b =
+    (doc_id*11 + f*5 + b*29) % 256 — the flat-block + default-
+    quantizer contract makes each frame's roundtrip EXACT), then
+    frame-sample every 2nd frame through SampleVideoFrames. The
+    oracle recomputes the sampled luma checksum analytically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_avi_mjpeg
+    from swishray.ops.multimodal import SampleVideoFrames
+    from swishray.util import default_concurrency, map_batches_stateful
+
+    f = np.arange(4, dtype=np.int64)[:, None]
+    b = np.arange(6, dtype=np.int64)[None, :]
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            vals = ((int(i) * 11 + f * 5 + b * 29) % 256).astype(
+                np.uint8).reshape(4, 2, 3)
+            blobs.append(encode_avi_mjpeg(
+                vals.repeat(8, 1).repeat(8, 2)))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = map_batches_stateful(
+        media, SampleVideoFrames,
+        fn_constructor_kwargs=dict(every_n=2),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(cap=2), num_cpus=1)
+    return out.select_columns(
+        ["media_id", "n_frames", "n_sampled", "y_sum"])
+
+
 def q_image_dedup(sf_dir: str):
     """Image near-dup pairs via dHash banding: per document, build a
     32x36 grayscale whose 9x8 dHash cells realize 64 designed
@@ -4589,6 +4629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
         "decode_webp": q_decode_webp,
+        "decode_mjpeg": q_decode_mjpeg,
         "image_dedup": q_image_dedup,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
@@ -4806,6 +4847,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM((d.doc_id*41 + j*7) % 256) AS BIGINT) "
             " FROM generate_series(0, 383) t(j)) + 255*128 "
             "AS pixel_sum FROM documents d"),
+        "decode_mjpeg": (
+            "SELECT d.doc_id AS media_id, 4 AS n_frames, "
+            "2 AS n_sampled, "
+            "(SELECT CAST(SUM(64*((d.doc_id*11 + f.f*5 + b.b*29) "
+            " % 256)) AS BIGINT) FROM generate_series(0, 2, 2) f(f), "
+            " generate_series(0, 5) b(b)) AS y_sum "
+            "FROM documents d"),
         # ground truth by construction: same doc_id%40 base -> same
         # designed dHash (brightness variants hash identically),
         # distinct bases >= 18 bits apart >> max_hamming=2

@@ -772,6 +772,120 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI / MJPEG: COMPRESSED video via the from-scratch JPEG codec
+# (ops/jpeg.py) inside a from-scratch RIFF-AVI container walker —
+# Motion-JPEG is just a JPEG per '00dc' chunk (Microsoft AVI RIFF
+# spec, public). Codecs other than MJPG raise NotImplementedError.
+
+
+def _riff_chunks(blob: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) within a RIFF
+    region; LIST chunks yield ('LIST:' + list_type, ...) spanning
+    their contents."""
+    pos = start
+    while pos + 8 <= end:
+        fcc = blob[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("truncated AVI chunk")
+        if fcc == b"LIST":
+            yield (b"LIST:" + blob[pos + 8:pos + 12], pos + 12,
+                   size - 4)
+        else:
+            yield (fcc, pos + 8, size)
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an MJPEG AVI to stacked frames — (n, h, w) grayscale or
+    (n, h, w, 3) RGB uint8 (all frames must share geometry, which the
+    AVI header guarantees). Non-MJPG video codecs raise
+    NotImplementedError."""
+    from .jpeg import decode_jpeg
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+    handler = None
+    frames: list[np.ndarray] = []
+    fps_num = fps_den = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal handler, fps_num, fps_den
+        for fcc, off, size in _riff_chunks(blob, start, end):
+            if fcc.startswith(b"LIST:"):
+                walk(off, off + size)
+            elif fcc == b"strh" and size >= 32:
+                if blob[off:off + 4] == b"vids":
+                    handler = blob[off + 4:off + 8]
+                    scale, rate = struct.unpack_from(
+                        "<II", blob, off + 20)
+                    fps_num, fps_den = rate, scale
+            elif fcc == b"strf" and size >= 40 and handler is None:
+                handler = blob[off + 16:off + 20]  # biCompression
+            elif fcc[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(blob[off:off + size])
+
+    walk(12, len(blob))
+    if handler is None:
+        raise ValueError("AVI with no video stream header")
+    if handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI codec {handler!r} not supported (MJPG only)")
+    if not frames:
+        raise ValueError("MJPEG AVI with no frame chunks")
+    decoded = [decode_jpeg(f)[0] for f in frames]
+    if any(d.shape != decoded[0].shape for d in decoded):
+        raise ValueError("MJPEG AVI frames disagree on geometry")
+    return np.stack(decoded), {
+        "n_frames": len(decoded), "height": decoded[0].shape[0],
+        "width": decoded[0].shape[1], "fps_num": fps_num,
+        "fps_den": fps_den}
+
+
+def encode_avi_mjpeg(frames, fps: tuple[int, int] = (30, 1),
+                     **jpeg_kwargs) -> bytes:
+    """Encode a list/stack of (h, w) or (h, w, 3) uint8 frames as an
+    MJPEG AVI (one baseline JPEG per '00dc' chunk + idx1 index).
+    With flat 8x8 blocks and the default quantizer the per-frame
+    roundtrip is EXACT (ops/jpeg.py contract)."""
+    from .jpeg import encode_jpeg
+    fr = [np.asarray(f, np.uint8) for f in frames]
+    if not fr:
+        raise ValueError("encode_avi_mjpeg wants >= 1 frame")
+    h, w = fr[0].shape[:2]
+    blobs = [encode_jpeg(f, **jpeg_kwargs) for f in fr]
+    n = len(blobs)
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    usec = 10**6 * fps[1] // fps[0]
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIi", 0, 0, 0, 0, fps[1], fps[0], 0, n, 0, 0, -1) \
+        + struct.pack("<4h", 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_payload = bytearray()
+    idx = bytearray()
+    for b in blobs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10,
+                                     4 + len(movi_payload), len(b))
+        movi_payload += chunk(b"00dc", b)
+    movi = lst(b"movi", bytes(movi_payload))
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 
 _MAGIC_UNSUPPORTED = ()

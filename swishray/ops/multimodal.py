@@ -190,11 +190,13 @@ def synth_video_blob(seed: int, width: int = 16, height: int = 12,
 
 class SampleVideoFrames:
     """Frame-sample stage for video blobs (real uncompressed Y4M via
-    the YUV4MPEG2 decoder, plus the SWVI test container): decode
-    every Nth frame, emit per-sampled-frame mean luminance, a total
-    luma checksum (``y_sum`` — oracle-recomputable), and the error
-    column. Compressed video (MP4/MPEG/AVI...) has no codec here and
-    raises NotImplementedError into the error column."""
+    the YUV4MPEG2 decoder, COMPRESSED Motion-JPEG AVI via the
+    from-scratch JPEG codec, animated GIF, plus the SWVI test
+    container): decode every Nth frame, emit per-sampled-frame mean
+    luminance, a total luma checksum (``y_sum`` —
+    oracle-recomputable), and the error column. Inter-frame-coded
+    video (MP4/H.26x/VP9...) has no codec here and raises
+    NotImplementedError into the error column."""
 
     def __init__(self, every_n: int = 2, key: str = "media_id",
                  col: str = "payload"):
@@ -221,9 +223,16 @@ class SampleVideoFrames:
             # oracle-recomputable)
             gray = (rgb.sum(axis=3) // 3).astype(np.uint8)
             return meta["n_frames"], gray.reshape(frames.shape[0], -1)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            frames, meta = self.codecs.decode_avi_mjpeg(blob)
+            if frames.ndim == 4:  # RGB: same integer-mean luma rule
+                frames = (frames.astype(np.uint16).sum(axis=3)
+                          // 3).astype(np.uint8)
+            return meta["n_frames"], frames.reshape(
+                frames.shape[0], -1)
         raise NotImplementedError(
             f"unknown video container (header={blob[:9]!r}); "
-            "compressed video has no codec here")
+            "inter-frame-coded video has no codec here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key).to_pylist()

@@ -459,3 +459,55 @@ def test_gif_video_frame_sampling(ray_session):
     want = int((pal[idx[::2]].astype(np.uint16).sum(axis=3) // 3)
                .astype(np.int64).sum())
     assert r["y_sum"] == want
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (compressed video through the from-scratch JPEG
+# codec inside a from-scratch RIFF-AVI walker)
+
+
+def test_avi_mjpeg_roundtrip_exact():
+    from swishray.ops.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+    rng = np.random.default_rng(2)
+    # flat 8x8 blocks + default quantizer -> per-frame EXACT roundtrip
+    vals = rng.integers(0, 256, (5, 2, 3)).astype(np.uint8)
+    frames = vals.repeat(8, 1).repeat(8, 2)  # (5, 16, 24)
+    out, meta = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=(25, 1)))
+    assert np.array_equal(out, frames)
+    assert meta == {"n_frames": 5, "height": 16, "width": 24,
+                    "fps_num": 25, "fps_den": 1}
+
+
+def test_avi_mjpeg_errors():
+    from swishray.ops.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"nope")
+    with pytest.raises(ValueError, match="stream header"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+    good = encode_avi_mjpeg([np.zeros((8, 8), np.uint8)])
+    bad = bytearray(good)
+    i = bad.find(b"MJPG")
+    bad[i:i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_mjpeg(bytes(bad))
+    # truncated chunk inside movi
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(good[:len(good) - 9])
+
+
+def test_avi_video_frame_sampling(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_avi_mjpeg
+    from swishray.ops.multimodal import sample_video_frames
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, (6, 2, 2)).astype(np.uint8)
+    frames = vals.repeat(8, 1).repeat(8, 2)  # (6, 16, 16) exact
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_avi_mjpeg(frames)], pa.binary())}))
+    r = sample_video_frames(ds, every_n=2).take_all()[0]
+    assert r["error"] is None and r["n_frames"] == 6
+    assert r["n_sampled"] == 3
+    assert r["y_sum"] == int(frames[::2].astype(np.int64).sum())
