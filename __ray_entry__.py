@@ -1474,6 +1474,78 @@ def q_image_dedup(sf_dir: str):
         concurrency=default_concurrency(cap=2))
 
 
+def q_audio_dedup(sf_dir: str):
+    """Audio near-dup pairs via spectral-fingerprint banding: per
+    document, synthesize an 8-window tone-ladder WAV whose per-band
+    energy gradient signs realize the designed bits of
+    splitmix64(doc_id % 30) (stdlib ``wave`` as the independent
+    writer), with a per-doc GAIN variant (0.5/0.8/1.0/1.5 — the
+    fingerprint is gain-invariant, so payload bytes differ but hashes
+    match; pinned in tests/test_audiohash.py along with >= 11-bit
+    cross-base separation). Ground truth = same doc_id % 30, which is
+    the oracle."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.audiohash import _band_edges, audiohash_near_dups
+    from swishray.util import default_concurrency
+
+    RATE, WIN = 8000, 1000
+
+    def mixbits(b: int) -> int:
+        x = (b + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    edges = _band_edges(RATE, WIN)
+    tones = [((edges[j] + min(edges[j + 1], WIN // 2)) // 2)
+             * RATE / WIN for j in range(9)]
+
+    def base_signal(b: int) -> np.ndarray:
+        bits = mixbits(b)
+        t = np.arange(WIN) / RATE
+        sig = np.empty(8 * WIN)
+        for i in range(8):
+            amps = [1.0]
+            for j in range(8):
+                bit = (bits >> (i * 8 + j)) & 1
+                amps.append(amps[-1] * (1.6 if bit else 1 / 1.6))
+            w = sum(a * np.sin(2 * np.pi * f * t + 0.7 * j)
+                    for j, (a, f) in enumerate(zip(amps, tones)))
+            sig[i * WIN:(i + 1) * WIN] = w
+        return sig / np.abs(sig).max() * 12000
+
+    bases = {b: base_signal(b) for b in range(30)}
+    gains = (0.5, 0.8, 1.0, 1.5)
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            pcm = np.clip(bases[int(i) % 30]
+                          * gains[(int(i) // 30) % 4],
+                          -32768, 32767).astype(np.int16)
+            bio = io.BytesIO()
+            with wave.open(bio, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(RATE)
+                wv.writeframes(pcm.tobytes())
+            blobs.append(bio.getvalue())
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return audiohash_near_dups(
+        media, max_hamming=2,
+        concurrency=default_concurrency(cap=2))
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4631,6 +4703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_webp": q_decode_webp,
         "decode_mjpeg": q_decode_mjpeg,
         "image_dedup": q_image_dedup,
+        "audio_dedup": q_audio_dedup,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4861,6 +4934,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d1.doc_id AS a, d2.doc_id AS b, "
             "CAST(0 AS BIGINT) AS hamming FROM documents d1 "
             "JOIN documents d2 ON (d1.doc_id % 40) = (d2.doc_id % 40) "
+            "AND d1.doc_id < d2.doc_id"),
+        # same construction, audio: gain variants fingerprint
+        # identically, bases separated >> max_hamming=2
+        "audio_dedup": (
+            "SELECT d1.doc_id AS a, d2.doc_id AS b, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents d1 "
+            "JOIN documents d2 ON (d1.doc_id % 30) = (d2.doc_id % 30) "
             "AND d1.doc_id < d2.doc_id"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "

@@ -1,9 +1,16 @@
 """Frozen-row goldens for the rows-only queries (no SQL-expressible
 oracle): simhash_pairs, cosine_pairs_ivf, ivf_topk. The sf0.01
 expected rows are committed fixtures (tests/goldens/
-query_rows_sf0.01.json, regenerated via the script in its header) so
-regressions are caught even without a DuckDB oracle. Determinism was
-verified by back-to-back regeneration in fresh Ray sessions."""
+query_rows_sf0.01.json) so regressions are caught even without a
+DuckDB oracle. Determinism was verified by back-to-back regeneration
+in fresh Ray sessions (md5-identical row dumps).
+
+simhash_pairs golden history: regenerated when simhash_near_dups
+moved to the generic hamming_near_dups banding — the old fixed
+4x16-bit blocking was only complete for distance <= 3, so at the
+query's max_hamming=8 it missed 268 of 500 true pairs; the new
+16x4-bit blocking is complete for <= 15 and the old row set is a
+strict subset of the new one (recall-only change)."""
 
 import json
 import os
