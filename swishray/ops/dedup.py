@@ -654,7 +654,10 @@ def hamming_near_dups(ds: Any, hash_col: str, key: str,
     Hamming-verify within buckets. Buckets above ``bucket_cap``
     members emit star pairs against the bucket minimum (Hamming
     still verified) instead of all-pairs — see module docstring.
-    Returns (a, b, hamming) with a < b, deduplicated."""
+    Returns (a, b, hamming) with a < b, deduplicated. Keys may be
+    any orderable type (the key column's Arrow type is carried
+    through the exchange); ``hash_col`` must be non-null — filter
+    error rows upstream (image/audio callers do)."""
     import pandas as pd
 
     if max_hamming <= 3:

@@ -116,6 +116,19 @@ def test_imagehash_pipeline_end_to_end(ray_session):
     assert all(r["hamming"] == 0 for r in pairs)
 
 
+def test_generic_hamming_string_keys(ray_session):
+    import ray.data as rd
+    from swishray.ops.dedup import hamming_near_dups
+    h = _mixbits(3) and 12345  # any fixed hash
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["https://b", "https://a", "https://c"],
+                        type=pa.string()),
+        "h": pa.array([12345, 12345, -99], type=pa.int64())}))
+    out = hamming_near_dups(ds, "h", "url", max_hamming=2).take_all()
+    assert [(r["a"], r["b"], r["hamming"]) for r in out] == [
+        ("https://a", "https://b", 0)]
+
+
 def test_empty_input(ray_session):
     import ray.data as rd
     ds = rd.from_arrow(pa.table({
