@@ -1546,6 +1546,60 @@ def q_audio_dedup(sf_dir: str):
         concurrency=default_concurrency(cap=2))
 
 
+def q_video_dedup(sf_dir: str):
+    """Video near-dup pairs via majority-dHash banding: per document,
+    a Y4M clip of 4-5 designed-bits frames (base = doc_id % 25; the
+    same image_dedup cell-ladder construction, plus per-frame and
+    per-doc brightness wiggles and a frame-count variant — all of
+    which the majority dHash fingerprint is invariant to, pinned in
+    tests/test_imagehash.py). Ground truth = same doc_id % 25."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_y4m
+    from swishray.ops.imagehash import videohash_near_dups
+    from swishray.util import default_concurrency
+
+    def mixbits(b: int) -> int:
+        x = (b + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    def designed(b: int) -> np.ndarray:
+        bits = mixbits(b)
+        cells = np.empty((8, 9), np.int32)
+        cells[:, 0] = 128
+        for i in range(8):
+            for j in range(8):
+                bit = (bits >> (i * 8 + j)) & 1
+                cells[i, j + 1] = cells[i, j] + (10 if bit else -10)
+        return cells.repeat(4, 0).repeat(4, 1).astype(np.uint8)
+
+    bases = {b: designed(b) for b in range(25)}
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            i = int(i)
+            base = bases[i % 25]
+            n = 4 + (i // 25) % 2
+            c = (i // 50) % 5
+            frames = np.stack([
+                (base + c + (f % 3)).astype(np.uint8)
+                for f in range(n)])
+            blobs.append(encode_y4m(frames))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return videohash_near_dups(
+        media, max_hamming=2,
+        concurrency=default_concurrency(cap=2))
+
+
 def q_extract_fixture_corpus(sf_dir: str):
     """Flagship over the reference fixture corpus (conformance shapes:
     metanames/properties maps + token columns)."""
@@ -4704,6 +4758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_mjpeg": q_decode_mjpeg,
         "image_dedup": q_image_dedup,
         "audio_dedup": q_audio_dedup,
+        "video_dedup": q_video_dedup,
         "extract_fixture_corpus": q_extract_fixture_corpus,
         "pagerank": q_pagerank,
         "compression_stats": q_compression_stats,
@@ -4941,6 +4996,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d1.doc_id AS a, d2.doc_id AS b, "
             "CAST(0 AS BIGINT) AS hamming FROM documents d1 "
             "JOIN documents d2 ON (d1.doc_id % 30) = (d2.doc_id % 30) "
+            "AND d1.doc_id < d2.doc_id"),
+        # same construction, video: frame-count/brightness variants
+        # fingerprint identically under the majority dHash
+        "video_dedup": (
+            "SELECT d1.doc_id AS a, d2.doc_id AS b, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents d1 "
+            "JOIN documents d2 ON (d1.doc_id % 25) = (d2.doc_id % 25) "
             "AND d1.doc_id < d2.doc_id"),
         "extract_cascade": (
             f"SELECT {_URL_SQL} AS url, "

@@ -127,6 +127,97 @@ def image_hashes(ds: Any, key: str = "media_id",
         concurrency=concurrency, num_cpus=1)
 
 
+def vhash64(frames: np.ndarray) -> int:
+    """64-bit video fingerprint: per-frame dHash bits, then a
+    MAJORITY vote across frames (ties -> 0). Robust to dropped /
+    resampled frames and to anything per-frame dHash is robust to
+    (global brightness, container/codec); two clips sharing most
+    frames land within a small Hamming distance."""
+    f = np.asarray(frames)
+    if f.ndim == 2:
+        f = f[None, ...]
+    if f.ndim == 4:  # RGB(A) frames -> luma per frame
+        f = np.stack([_luma(fr) for fr in f])
+    n = f.shape[0]
+    if n == 0:
+        return 0
+    votes = np.zeros(64, np.int64)
+    for i in range(n):
+        h = dhash64(f[i]) & 0xFFFFFFFFFFFFFFFF
+        votes += np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), np.uint8))
+    bits = (votes * 2) > n  # strict majority; ties -> 0
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class VideoHashes:
+    """Actor stage: decode each video blob (Y4M / MJPEG-AVI / GIF /
+    SWVI via the SampleVideoFrames luma rules) and emit the majority
+    dHash fingerprint over every ``every_n``-th frame."""
+
+    def __init__(self, every_n: int = 2, key: str = "media_id",
+                 col: str = "payload"):
+        from . import codecs
+        self.codecs = codecs
+        self.every_n = every_n
+        self.key = key
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, errs = [], []
+        for blob in batch.column(self.col).to_pylist():
+            try:
+                hs.append(self._hash(blob or b""))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001
+                hs.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            self.key: batch.column(self.key),
+            "vhash": pa.array(hs, type=pa.int64()),
+            "error": pa.array(errs, type=pa.string()),
+        })
+
+    def _hash(self, blob: bytes) -> int:
+        c = self.codecs
+        if blob[:9] == b"YUV4MPEG2":
+            y, _ = c.decode_y4m(blob)
+            return vhash64(y[::self.every_n])
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            frames, _ = c.decode_avi_mjpeg(blob)
+            return vhash64(frames[::self.every_n])
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            frames, _ = c.decode_gif(blob)
+            return vhash64(frames[::self.every_n])
+        raise NotImplementedError(
+            f"unknown video container (header={blob[:9]!r})")
+
+
+def videohash_near_dups(ds: Any, max_hamming: int = 2,
+                        every_n: int = 2, key: str = "media_id",
+                        col: str = "payload", concurrency=None,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> Any:
+    """Video near-duplicate pairs by banded majority-dHash Hamming
+    distance. Returns (a, b, hamming), a < b."""
+    import pyarrow.compute as pc
+
+    from ..util import map_batches_stateful
+    hashed = map_batches_stateful(
+        ds, VideoHashes,
+        fn_constructor_kwargs=dict(every_n=every_n, key=key, col=col),
+        batch_format="pyarrow", batch_size=16,
+        concurrency=concurrency, num_cpus=1)
+
+    def drop_errors(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("error")))
+
+    ok = hashed.map_batches(drop_errors, batch_format="pyarrow")
+    return hamming_near_dups(ok, "vhash", key,
+                             max_hamming=max_hamming,
+                             bucket_cap=bucket_cap)
+
+
 def imagehash_near_dups(ds: Any, max_hamming: int = 2,
                         key: str = "media_id", col: str = "payload",
                         concurrency=None,

@@ -135,3 +135,51 @@ def test_empty_input(ray_session):
         "media_id": pa.array([], type=pa.int64()),
         "payload": pa.array([], type=pa.binary())}))
     assert imagehash_near_dups(ds, concurrency=1).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# video fingerprint (majority dHash over sampled frames)
+
+
+def _base_video(b: int, n: int = 6, c: int = 0) -> np.ndarray:
+    return np.stack([(_designed(b) + c + (f % 3)).astype(np.uint8)
+                     for f in range(n)])
+
+
+def test_vhash_separation_and_container_agnostic():
+    from swishray.ops.codecs import encode_avi_mjpeg, encode_y4m
+    from swishray.ops.imagehash import VideoHashes, vhash64
+    hs = [vhash64(_base_video(b)) for b in range(30)]
+    mind = min(_ham(hs[i], hs[j])
+               for i in range(30) for j in range(i + 1, 30))
+    assert mind > 10
+    # same frames via Y4M (lossless) and MJPEG-AVI (lossy: the +-10
+    # designed gradients survive quantization) hash identically
+    vh = VideoHashes(every_n=1)
+    v = _base_video(3)
+    assert vh._hash(encode_y4m(v)) == hs[3]
+    assert vh._hash(encode_avi_mjpeg(v)) == hs[3]
+    # frame-count and brightness variants hash identically too
+    assert vhash64(_base_video(3, n=4, c=5)) == hs[3]
+
+
+def test_videohash_pipeline(ray_session):
+    import ray.data as rd
+    from swishray.ops.codecs import encode_y4m
+    from swishray.ops.imagehash import videohash_near_dups
+    ks, ps = [], []
+    for i in range(9):
+        ks.append(i)
+        ps.append(encode_y4m(_base_video(i % 3, n=4 + i % 2, c=i % 4)))
+    ks.append(99)
+    ps.append(b"RIFF\x08\x00\x00\x00AVI massacred")
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(ks, type=pa.int64()),
+        "payload": pa.array(ps, type=pa.binary())}))
+    pairs = videohash_near_dups(ds, max_hamming=2,
+                                concurrency=1).take_all()
+    got = {(r["a"], r["b"]) for r in pairs}
+    want = {(a, b) for a in range(9) for b in range(a + 1, 9)
+            if a % 3 == b % 3}
+    assert got == want
+    assert all(r["hamming"] == 0 for r in pairs)
