@@ -108,6 +108,7 @@ def _tiff_lzw(data: bytes, expected: int) -> bytes:
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded
         if code == 256:  # clear
             table = [bytes([i]) for i in range(256)] + [b"", b""]
             width = 9

@@ -318,3 +318,17 @@ def test_dispatch_from_decode_image():
     arr, meta = decode_image(blob)
     assert meta["format"] == "tiff"
     assert np.array_equal(arr, img)
+
+
+def test_lzw_decode_is_linear_time():
+    """Regression: the decode bit-accumulator must stay bounded — an
+    unmasked accumulator makes decode QUADRATIC (a 0.26 MP noise
+    image took 250+ s before the fix, ~0.5 s after)."""
+    import time
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (512, 512, 3)).astype(np.uint8)
+    blob = encode_tiff(img, compression="lzw")
+    t0 = time.time()
+    out, _ = decode_tiff(blob)
+    assert np.array_equal(out, img)
+    assert time.time() - t0 < 15  # generous; quadratic took >250 s
