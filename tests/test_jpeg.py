@@ -362,3 +362,38 @@ def test_dispatch_from_decode_image():
     assert sniff_image(blob) == "jpeg"
     arr, meta = decode_image(blob)
     assert np.array_equal(arr, img)
+
+
+def test_native_and_pure_paths_agree_on_progressive():
+    """The C entropy kernel's import selftest covers sequential
+    streams; pin the PROGRESSIVE modes (DC/AC first + refinement)
+    against the pure-Python path explicitly."""
+    if J._native_jpeg is None:
+        pytest.skip("native kernel unavailable")
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    blobs = [_encode_progressive(img, _Q50)]
+    blobs += [p.read_bytes() for p in _SYSTEM_JPEGS[:1]]
+    native = J._native_jpeg
+    try:
+        for blob in blobs:
+            got, _ = decode_jpeg(blob)
+            J._native_jpeg = None
+            want, _ = decode_jpeg(blob)
+            J._native_jpeg = native
+            assert np.array_equal(got, want)
+    finally:
+        J._native_jpeg = native
+
+
+def test_collector_vectorized_matches_reference_fuzz():
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        n = int(rng.integers(0, 300))
+        blob = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        blob = blob.replace(b"\x01", b"\xff") \
+                   .replace(b"\x02", b"\xff\x00") \
+                   .replace(b"\x03", b"\xff\xd3")
+        for pos in (0, min(5, len(blob))):
+            assert J._collect_scan_data(blob, pos) == \
+                J._collect_scan_data_py(blob, pos)
