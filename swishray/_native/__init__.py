@@ -27,6 +27,7 @@ swishtok = None
 swishsax = None
 swishpng = None
 swishjpeg = None
+swishwebp = None
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -78,13 +79,14 @@ def _load_one(name: str, cflags: list[str], libs: list[str]):
 
 
 def _load() -> None:
-    global swishtok, swishsax, swishpng, swishjpeg
+    global swishtok, swishsax, swishpng, swishjpeg, swishwebp
     if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
         return
     swishtok = _load_one("swishtok", [], [])
     swishsax = _load_one("swishsax", _LIBXML2_CFLAGS, _LIBXML2_LIBS)
     swishpng = _load_one("swishpng", [], [])
     swishjpeg = _load_one("swishjpeg", [], [])
+    swishwebp = _load_one("swishwebp", [], [])
 
 
 _load()

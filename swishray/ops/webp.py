@@ -17,12 +17,13 @@ raise ValueError (same error taxonomy as ops/codecs.py, ops/jpeg.py
 and ops/tiff.py: the two classes stay distinguishable in the
 multimodal stages' per-row error column).
 
-The decode loop is per-pixel Python over numpy state — correct and
-deterministic, sized for the multimodal stages' media thumbnails (the
-A/B oracle in tests/test_webp.py pins it bit-exact against the
-container's libwebp.so.7). Scale shape matches the other codecs:
-zero driver state, embarrassingly parallel under map_batches actor
-pools.
+The hot paths (entropy pixel loop, inverse predictor, inverse color
+transform) run in an optional C kernel (_native/swishwebp.c, ~7-18
+MP/s per core) that is A/B-gated at import against the pure-Python
+reference path; tests/test_webp.py pins BOTH paths bit-exact against
+the container's libwebp.so.7 across a feature matrix. Scale shape
+matches the other codecs: zero driver state, embarrassingly parallel
+under map_batches actor pools.
 """
 
 from __future__ import annotations
@@ -47,6 +48,13 @@ _DIST_MAP: list[tuple[int, int]] = [
 # code-length-code symbol order (spec section 6.2.2)
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
               13, 14, 15)
+
+_DIST_MAP_ARR = np.asarray(_DIST_MAP, np.int32).reshape(-1)
+
+try:  # optional C pixel-loop kernel (A/B-gated at module end)
+    from .._native import swishwebp as _native_webp
+except Exception:  # pragma: no cover - import-time environment
+    _native_webp = None
 
 
 class _Bits:
@@ -214,6 +222,30 @@ def _decode_entropy(br: _Bits, w: int, h: int,
         alpha = _read_code(br, 256)
         dist = _read_code(br, 40)
         groups.append((green, red, blue, alpha, dist))
+    if _native_webp is not None:
+        luts = []
+        offs = [0]
+        prm = []
+        for g in groups:
+            for code in g:
+                if code.single is not None:
+                    prm += [0, code.single]
+                    offs.append(offs[-1])
+                else:
+                    luts.append(code.lut)
+                    prm += [code.maxlen, -1]
+                    offs.append(offs[-1] + len(code.lut))
+        flat = np.concatenate(luts) if luts else np.zeros(0, np.uint32)
+        out = np.zeros(w * h, np.uint32)
+        br.bitpos = _native_webp.decode_pixels(
+            br.data, br.bitpos, w, h, cache_bits, prec,
+            np.ascontiguousarray(meta).reshape(-1)
+            if meta is not None else None,
+            meta.shape[1] if meta is not None else 0,
+            flat, np.asarray(offs, np.int64),
+            np.asarray(prm, np.int32), _DIST_MAP_ARR, out)
+        return out.reshape(h, w)
+
     cache = np.zeros(cache_size, np.uint32) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
 
@@ -276,11 +308,30 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((a.astype(np.uint16) + b) >> 1).astype(np.uint8)
 
 
+def _pack_words(img: np.ndarray) -> np.ndarray:
+    """(h, w, 4) ARGB uint8 -> (h*w,) LE uint32 words (B,G,R,A)."""
+    h, w = img.shape[:2]
+    return np.ascontiguousarray(
+        img[:, :, [3, 2, 1, 0]]).view(np.uint32).reshape(-1)
+
+
+def _unpack_words(words: np.ndarray, img: np.ndarray) -> None:
+    h, w = img.shape[:2]
+    img[:] = words.view(np.uint8).reshape(h, w, 4)[:, :, [3, 2, 1, 0]]
+
+
 def _inv_predictor(img: np.ndarray, modes: np.ndarray,
                    bits: int) -> None:
     """In-place inverse predictor transform (spec 4.2.2) over an
     (h, w, 4) uint8 view in ARGB channel order."""
     h, w = img.shape[:2]
+    if _native_webp is not None:
+        m = np.ascontiguousarray(modes, dtype=np.int32)
+        words = _pack_words(img)
+        _native_webp.inv_predictor(words, m.reshape(-1), w, h, bits,
+                                   m.shape[1])
+        _unpack_words(words, img)
+        return
     black = np.array([255, 0, 0, 0], np.uint8)
     for y in range(h):
         for x in range(w):
@@ -341,6 +392,13 @@ def _inv_color(img: np.ndarray, ctes: np.ndarray, bits: int) -> None:
     """In-place inverse color transform (spec 4.2.3); img is
     (h, w, 4) ARGB uint8, ctes is the uint32 block image."""
     h, w = img.shape[:2]
+    if _native_webp is not None:
+        c = np.ascontiguousarray(ctes, dtype=np.uint32)
+        words = _pack_words(img)
+        _native_webp.inv_color(words, c.reshape(-1), w, h, bits,
+                               c.shape[1])
+        _unpack_words(words, img)
+        return
     bw = ctes.shape[1]
     as_i8 = lambda v: v - 256 if v >= 128 else v  # noqa: E731
     for y in range(h):
@@ -452,3 +510,55 @@ def decode_webp(blob: bytes) -> tuple[np.ndarray, dict]:
                 "lossy WebP (VP8) not supported — VP8L lossless only")
         pos += 8 + size + (size & 1)
     raise ValueError("WebP with no image chunk")
+
+
+# ---------------------------------------------------------------------------
+# native kernel gating: the C pixel loop must reproduce the pure path
+# bit-exactly on a libwebp-encoded feature sample (transforms + cache
+# + copies), else it is disabled for the process lifetime. When
+# libwebp is not present to generate the sample, the kernel stays
+# DISABLED (conservative: the pure path is always correct).
+
+
+def _native_selftest() -> bool:
+    global _native_webp
+    import ctypes
+    lw = ctypes.CDLL("libwebp.so.7")
+    lw.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lw.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p)]
+    rng = np.random.default_rng(7)
+    smooth = (np.add.outer(np.arange(40), np.arange(50))[..., None]
+              * np.array([1, 2, 3]) // 3 % 256)
+    cases = [rng.integers(0, 256, (20, 30, 4)), smooth,
+             rng.integers(0, 4, (30, 40, 3)) * 80]
+    native = _native_webp
+    try:
+        for img in cases:
+            rgba = np.ascontiguousarray(img.astype(np.uint8))
+            h, w = rgba.shape[:2]
+            if rgba.shape[2] == 3:
+                rgba = np.concatenate(
+                    [rgba, np.full((h, w, 1), 255, np.uint8)], 2)
+            buf = ctypes.c_void_p()
+            size = lw.WebPEncodeLosslessRGBA(
+                rgba.tobytes(), w, h, w * 4, ctypes.byref(buf))
+            blob = ctypes.string_at(buf, size)
+            _native_webp = native
+            got, _ = decode_webp(blob)
+            _native_webp = None
+            want, _ = decode_webp(blob)
+            if not np.array_equal(want, got):
+                return False
+        return True
+    finally:
+        _native_webp = native
+
+
+if _native_webp is not None:
+    try:
+        if not _native_selftest():  # pragma: no cover
+            _native_webp = None
+    except Exception:  # pragma: no cover
+        _native_webp = None

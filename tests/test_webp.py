@@ -137,3 +137,20 @@ def test_dispatch_from_decode_image(libwebp):
     arr, meta = decode_image(blob)
     assert meta["format"] == "webp"
     assert np.array_equal(arr, _ref_decode(libwebp, blob))
+
+
+def test_native_and_pure_paths_agree(libwebp):
+    import swishray.ops.webp as W
+    if W._native_webp is None:
+        pytest.skip("native kernel unavailable")
+    native = W._native_webp
+    try:
+        for name, img in _cases().items():
+            blob = _encode(libwebp, img.astype(np.uint8))
+            got, _ = decode_webp(blob)
+            W._native_webp = None
+            want, _ = decode_webp(blob)
+            W._native_webp = native
+            assert np.array_equal(got, want), name
+    finally:
+        W._native_webp = native
