@@ -28,6 +28,7 @@ swishsax = None
 swishpng = None
 swishjpeg = None
 swishwebp = None
+swishlzw = None
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -80,6 +81,7 @@ def _load_one(name: str, cflags: list[str], libs: list[str]):
 
 def _load() -> None:
     global swishtok, swishsax, swishpng, swishjpeg, swishwebp
+    global swishlzw
     if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
         return
     swishtok = _load_one("swishtok", [], [])
@@ -87,6 +89,7 @@ def _load() -> None:
     swishpng = _load_one("swishpng", [], [])
     swishjpeg = _load_one("swishjpeg", [], [])
     swishwebp = _load_one("swishwebp", [], [])
+    swishlzw = _load_one("swishlzw", [], [])
 
 
 _load()

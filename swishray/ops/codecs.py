@@ -442,7 +442,22 @@ def decode_ppm(blob: bytes) -> tuple[np.ndarray, dict]:
 # GIF (87a/89a): LZW decode, palettes, interlace, frame compositing
 
 
+try:  # optional C LZW kernel (A/B-gated at module end)
+    from .._native import swishlzw as _native_lzw
+except Exception:  # pragma: no cover - import-time environment
+    _native_lzw = None
+
+
 def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    if _native_lzw is not None:
+        return np.frombuffer(
+            _native_lzw.gif_decode(data, min_code, n_pixels),
+            np.uint8).copy()
+    return _gif_lzw_py(data, min_code, n_pixels)
+
+
+def _gif_lzw_py(data: bytes, min_code: int,
+                n_pixels: int) -> np.ndarray:
     """Decode a GIF LZW stream (variable-width codes, LSB-first bit
     packing, CLEAR/EOI per the GIF89a spec appendix) into palette
     indices."""
@@ -947,3 +962,32 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
             f"unknown image container (header={blob[:8]!r})")
     meta["format"] = fmt
     return arr, meta
+
+
+def _lzw_selftest() -> bool:
+    """Native GIF-LZW kernel must match the pure path on an
+    encode_gif stream (clear-heavy) — tests/test_codecs.py adds A/B
+    fuzz over table-growth streams from an independent encoder."""
+    idx = (np.arange(64, dtype=np.uint8) % 7).reshape(8, 8)
+    pal = np.stack([np.arange(8, dtype=np.uint8) * 30] * 3, axis=1)
+    blob = encode_gif(idx, pal)
+    # extract the first frame's LZW payload
+    frames, _ = decode_gif(blob)  # exercises whichever path is live
+    global _native_lzw
+    native = _native_lzw
+    try:
+        _native_lzw = None
+        a = decode_gif(blob)[0]
+        _native_lzw = native
+        b = decode_gif(blob)[0]
+        return bool(np.array_equal(a, b))
+    finally:
+        _native_lzw = native
+
+
+if _native_lzw is not None:
+    try:
+        if not _lzw_selftest():  # pragma: no cover
+            _native_lzw = None
+    except Exception:  # pragma: no cover
+        _native_lzw = None

@@ -88,7 +88,19 @@ def _tag(entries: dict, tag: int, default=None):
     return entries[tag][2]
 
 
+try:  # optional C LZW kernel (A/B-gated at module end)
+    from .._native import swishlzw as _native_lzw
+except Exception:  # pragma: no cover - import-time environment
+    _native_lzw = None
+
+
 def _tiff_lzw(data: bytes, expected: int) -> bytes:
+    if _native_lzw is not None:
+        return _native_lzw.tiff_decode(data, expected)
+    return _tiff_lzw_py(data, expected)
+
+
+def _tiff_lzw_py(data: bytes, expected: int) -> bytes:
     """TIFF-variant LZW: MSB-first variable-width codes, clear=256,
     EOI=257, EARLY code-width change (at table size 2^w - 1, spec
     section 13 / the libtiff convention)."""
@@ -446,3 +458,22 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     for s in strips:
         body += s
     return bytes(body)
+
+
+def _native_selftest() -> bool:
+    import numpy as _np
+    rng = _np.random.default_rng(7)
+    for n in (0, 1, 500, 20000):
+        data = bytes(rng.integers(0, 8, n).astype(_np.uint8) * 31)
+        enc = _tiff_lzw_encode(data)
+        if _native_lzw.tiff_decode(enc, n) != _tiff_lzw_py(enc, n):
+            return False
+    return True
+
+
+if _native_lzw is not None:
+    try:
+        if not _native_selftest():  # pragma: no cover
+            _native_lzw = None
+    except Exception:  # pragma: no cover
+        _native_lzw = None

@@ -511,3 +511,86 @@ def test_avi_video_frame_sampling(ray_session):
     assert r["error"] is None and r["n_frames"] == 6
     assert r["n_sampled"] == 3
     assert r["y_sum"] == int(frames[::2].astype(np.int64).sum())
+
+
+# ---------------------------------------------------------------------------
+# native LZW kernel A/B (GIF variant with real table growth)
+
+
+def _gif_lzw_encode_growth(data: bytes, min_code: int) -> bytes:
+    """Independent GIF-LZW encoder WITH table growth (encode_gif
+    deliberately avoids growth via clear-per-literal, so this is the
+    only generator that exercises the width-change and
+    code==len(table) decoder paths)."""
+    clear = 1 << min_code
+    out = bytearray()
+    bits = 0
+    nbits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = clear + 2
+    emit(clear)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = clear + 2
+            width = min_code + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(clear + 1)  # EOI
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_native_matches_pure_on_growth_streams():
+    from swishray.ops.codecs import _gif_lzw_py, _native_lzw
+    rng = np.random.RandomState(3)
+    for trial in range(12):
+        mc = int(rng.choice([2, 4, 8]))
+        n = int(rng.randint(1, 30000))
+        # mixed runs + noise to drive real compression
+        data = rng.randint(0, 1 << mc, n, dtype=np.uint8)
+        data[::3] = data[0]
+        enc = _gif_lzw_encode_growth(data.tobytes(), mc)
+        pure = _gif_lzw_py(enc, mc, n)
+        assert np.array_equal(pure, data), "test encoder is wrong"
+        if _native_lzw is not None:
+            nat = np.frombuffer(
+                _native_lzw.gif_decode(enc, mc, n), np.uint8)
+            assert np.array_equal(nat, data), f"trial {trial}"
+
+
+def test_tiff_lzw_native_matches_pure_fuzz():
+    from swishray.ops.tiff import (_native_lzw, _tiff_lzw_encode,
+                                   _tiff_lzw_py)
+    if _native_lzw is None:
+        pytest.skip("native kernel unavailable")
+    rng = np.random.RandomState(5)
+    for n in (0, 1, 7, 4096, 60000):
+        data = bytes(rng.randint(0, 17, n, dtype=np.uint8) * 15)
+        enc = _tiff_lzw_encode(data)
+        assert _native_lzw.tiff_decode(enc, n) == \
+            _tiff_lzw_py(enc, n) == data
