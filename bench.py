@@ -271,6 +271,48 @@ def run_benchmarks() -> dict:
         with timed("lineitem_agg"):
             li_agg.take_all()
 
+        # media decode headline: one 128x96 image per document
+        # (JPEG for even doc_ids, PNG for odd — both from-scratch
+        # codecs), synthesized and MATERIALIZED outside the timer so
+        # the window measures pure decode through the actor pool
+        import numpy as _np
+
+        from swishray.ops.jpeg import encode_jpeg
+        from swishray.ops.codecs import encode_png
+
+        def synth_media(t):
+            import pyarrow as pa
+            j = _np.arange(128 * 96, dtype=_np.int64)
+            blobs = []
+            for i in t.column("doc_id").to_pylist():
+                px = ((int(i) * 37 + j * 11) % 251).astype(
+                    _np.uint8).reshape(96, 128)
+                blobs.append(encode_jpeg(px) if int(i) % 2 == 0
+                             else encode_png(px))
+            return pa.table({"media_id": t.column("doc_id"),
+                             "payload": pa.array(blobs, pa.binary())})
+
+        def decode_media(batch):
+            # cached-task mode like extract_links: the decode work at
+            # bench scale is <1 s, so a dedicated actor pool would
+            # measure its own spin-up, not decoding (the production
+            # stage, ops.multimodal.decode_images, is an actor pool —
+            # right for stages that hold real state)
+            from swishray.ops.multimodal import DecodeImages
+            return DecodeImages()(batch)
+
+        media = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id"]) \
+            .repartition(2 * NUM_CPUS) \
+            .map_batches(synth_media, batch_format="pyarrow") \
+            .materialize()
+        dec = media.map_batches(decode_media, batch_format="pyarrow",
+                                batch_size=32)
+        with timed("media_decode"):
+            dec.aggregate(_Sum("pixel_sum", alias_name="ps"))
+        del media
+        _gc.collect()
+
     def calibrate() -> float:
         """Host-speed probe: single-process extraction of a fixed
         deterministic 60-page corpus, best of 3. The shared-host VM's
