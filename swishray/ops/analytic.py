@@ -429,6 +429,12 @@ def running_sum_salted(ds: Any, key: str, ts_col: str, val_col: str,
 
     pieces = ds.map_batches(add_salt, batch_format="pyarrow") \
         .groupby("__ks").map_groups(within, batch_format="pandas")
+    # pieces is a DIAMOND dependency (feeds both the totals exchange
+    # and the join's left side); without a materialize the phase-1
+    # all-to-all executes TWICE — Ray Data has no common-subexpression
+    # reuse across consumers. Blocks are object-store-resident and
+    # spillable, so this holds at corpus scale.
+    pieces = pieces.materialize()
 
     # per-(key, salt) totals ride a second, far smaller exchange
     # (rows = distinct (key, salt) pairs, not events)
