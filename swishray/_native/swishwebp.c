@@ -158,8 +158,20 @@ static PyObject *decode_pixels(PyObject *self, PyObject *args)
             codes[i].single = prm[2 * i + 1];
             if (codes[i].maxlen < 0 || codes[i].maxlen > 15 ||
                 offs[i] < 0 || offs[i] > offs[i + 1] ||
-                (Py_ssize_t)offs[i + 1] * 4 > luts.len) {
+                (Py_ssize_t)offs[i + 1] * 4 > luts.len ||
+                (codes[i].single < 0 &&
+                 offs[i + 1] - offs[i] < (1 << codes[i].maxlen))) {
                 PyErr_SetString(PyExc_ValueError, "bad vp8l luts");
+                goto done;
+            }
+        }
+        if (meta_p) {
+            Py_ssize_t need =
+                ((Py_ssize_t)((h - 1) >> prec) * mw
+                 + ((w - 1) >> prec) + 1) * (Py_ssize_t)sizeof(int64_t);
+            if (mw < 1 || meta.len < need) {
+                PyErr_SetString(PyExc_ValueError,
+                                "vp8l meta buffer too small");
                 goto done;
             }
         }
@@ -359,6 +371,14 @@ static PyObject *inv_predictor(PyObject *self, PyObject *args)
     const int32_t *M = (const int32_t *)modes.buf;
     int x, y;
     int bad_mode = -1;
+    if (mw < 1 || (Py_ssize_t)modes.len <
+        (((Py_ssize_t)((h - 1) >> bits) * mw + ((w - 1) >> bits) + 1)
+         * (Py_ssize_t)sizeof(int32_t))) {
+        PyErr_SetString(PyExc_ValueError, "modes buffer too small");
+        PyBuffer_Release(&px);
+        PyBuffer_Release(&modes);
+        return NULL;
+    }
     for (y = 0; y < h; y++) {
         for (x = 0; x < w; x++) {
             long i = (long)y * w + x;
@@ -425,6 +445,14 @@ static PyObject *inv_color(PyObject *self, PyObject *args)
     uint32_t *P = (uint32_t *)px.buf;
     const uint32_t *C = (const uint32_t *)ctes.buf;
     int x, y;
+    if (mw < 1 || (Py_ssize_t)ctes.len <
+        (((Py_ssize_t)((h - 1) >> bits) * mw + ((w - 1) >> bits) + 1)
+         * (Py_ssize_t)sizeof(uint32_t))) {
+        PyErr_SetString(PyExc_ValueError, "ctes buffer too small");
+        PyBuffer_Release(&px);
+        PyBuffer_Release(&ctes);
+        return NULL;
+    }
     for (y = 0; y < h; y++) {
         const uint32_t *crow = C + (long)(y >> bits) * mw;
         for (x = 0; x < w; x++) {
