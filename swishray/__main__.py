@@ -628,6 +628,46 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_media(args) -> int:
+    """Media-column pipeline driver over the from-scratch codecs:
+    ``--file`` inspects one local image (format, geometry, checksum,
+    JSON to stdout); ``--table`` runs the Ray stage over a parquet
+    binary column — decode metadata, perceptual hashes, or near-dup
+    pairs — and writes partitioned parquet."""
+    if args.file:
+        import json as _json
+
+        import numpy as np
+
+        from .ops.codecs import decode_image
+        blob = open(args.file, "rb").read()
+        arr, meta = decode_image(blob)
+        meta["pixel_sum"] = int(arr.astype(np.int64).sum())
+        meta["channels"] = 1 if arr.ndim == 2 else arr.shape[2]
+        print(_json.dumps(meta, sort_keys=True))
+        return 0
+    import ray
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+    ds = rd.read_parquet(args.table, columns=[args.key, args.col])
+    if args.mode == "decode":
+        from .ops.multimodal import decode_images
+        out = decode_images(ds, key=args.key, col=args.col,
+                            concurrency=args.num_cpus - 1)
+    elif args.mode == "hash":
+        from .ops.imagehash import image_hashes
+        out = image_hashes(ds, key=args.key, col=args.col,
+                           concurrency=args.num_cpus - 1)
+    else:  # dedup
+        from .ops.imagehash import imagehash_near_dups
+        out = imagehash_near_dups(
+            ds, max_hamming=args.max_hamming, key=args.key,
+            col=args.col, concurrency=args.num_cpus - 1)
+    out.write_parquet(args.out)
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="swishray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -829,6 +869,18 @@ def main(argv=None) -> int:
     pp.add_argument("--columns", action="append")
     pp.add_argument("--num-cpus", type=int, default=8)
     pp.set_defaults(fn=cmd_profile)
+
+    pm = sub.add_parser("media")
+    pm.add_argument("--file", help="inspect one local image")
+    pm.add_argument("--table", help="parquet with a binary column")
+    pm.add_argument("--out", help="output parquet dir (table mode)")
+    pm.add_argument("--mode", default="decode",
+                    choices=["decode", "hash", "dedup"])
+    pm.add_argument("--key", default="media_id")
+    pm.add_argument("--col", default="payload")
+    pm.add_argument("--max-hamming", type=int, default=2)
+    pm.add_argument("--num-cpus", type=int, default=8)
+    pm.set_defaults(fn=cmd_media)
 
     args = p.parse_args(argv)
     return args.fn(args)

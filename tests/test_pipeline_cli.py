@@ -83,3 +83,50 @@ def test_ray_init_honors_cluster_address(monkeypatch):
     monkeypatch.setenv("RAY_ADDRESS", "local")
     m._ray_init(4)
     assert calls["address"] == "local" and calls["num_cpus"] == 4
+
+
+def test_media_cli_file_and_dedup(tmp_path):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swishray.ops.codecs import encode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    f = tmp_path / "one.png"
+    f.write_bytes(encode_png(img))
+    res = subprocess.run(
+        [sys.executable, "-m", "swishray", "media", "--file", str(f)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr
+    meta = json.loads(res.stdout)
+    assert (meta["format"], meta["width"], meta["height"]) == \
+        ("png", 8, 8)
+    assert meta["pixel_sum"] == int(img.astype(np.int64).sum())
+
+    # table mode: 6 images in 2 dhash groups (mirroring flips the
+    # gradient-sign bits, Hamming 56; brightness variants within a
+    # group hash identically) -> 6 pairs
+    mirrored = np.ascontiguousarray(img[:, ::-1])
+    blobs = [encode_png(((img if i % 2 == 0 else mirrored)
+                         + i // 2).astype(np.uint8))
+             for i in range(6)]
+    tbl = tmp_path / "media.parquet"
+    pq.write_table(pa.table({
+        "media_id": pa.array(range(6), pa.int64()),
+        "payload": pa.array(blobs, pa.binary())}), tbl)
+    out = tmp_path / "pairs"
+    res = subprocess.run(
+        [sys.executable, "-m", "swishray", "media", "--table",
+         str(tbl), "--out", str(out), "--mode", "dedup",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr[-2000:]
+    pairs = pq.read_table(out)
+    got = sorted(zip(pairs.column("a").to_pylist(),
+                     pairs.column("b").to_pylist()))
+    want = sorted((a, b) for a in range(6) for b in range(a + 1, 6)
+                  if a % 2 == b % 2)
+    assert got == want
