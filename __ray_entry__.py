@@ -1271,26 +1271,30 @@ def q_decode_gif(sf_dir: str):
 def q_decode_jpeg(sf_dir: str):
     """REAL JPEG decode: per document, build a 24x16 grayscale image
     of flat 8x8 blocks (block b of the 2x3 grid = (doc_id*31 + b*17)
-    % 256), encode it with the from-scratch baseline encoder (the
-    default all-8 quantizer makes a flat block's roundtrip EXACT:
-    DC = v-128, all AC = 0 — ops/jpeg.py module docstring), and
-    decode through the same actor-pool stage as decode_images. The
-    oracle recomputes pixel_sum = 64 * sum of block values."""
+    % 256), encode it with the from-scratch encoder — BASELINE for
+    even doc_ids, PROGRESSIVE (SOF2, spectral selection + successive
+    approximation) for odd ones; the default all-8 quantizer makes a
+    flat block's roundtrip EXACT under both (DC = v-128, all AC = 0
+    — ops/jpeg.py module docstring) — and decode through the same
+    actor-pool stage as decode_images. The oracle recomputes
+    pixel_sum = 64 * sum of block values."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
-    from swishray.ops.jpeg import encode_jpeg
+    from swishray.ops.jpeg import encode_jpeg, encode_jpeg_progressive
     from swishray.ops.multimodal import decode_images
     from swishray.util import default_concurrency
 
     b = np.arange(6, dtype=np.int64)
 
     def synth(t: pa.Table) -> pa.Table:
-        blobs = [
-            encode_jpeg(np.repeat(np.repeat(
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            img = np.repeat(np.repeat(
                 ((int(i) * 31 + b * 17) % 256).astype(
-                    np.uint8).reshape(2, 3), 8, 0), 8, 1))
-            for i in t.column("doc_id").to_pylist()]
+                    np.uint8).reshape(2, 3), 8, 0), 8, 1)
+            blobs.append(encode_jpeg(img) if int(i) % 2 == 0
+                         else encode_jpeg_progressive(img))
         return pa.table({"media_id": t.column("doc_id"),
                          "payload": pa.array(blobs, pa.binary())})
 

@@ -10,10 +10,11 @@ NotImplementedError; corrupt streams of supported flavors raise
 ValueError (the two failure classes stay distinguishable in the
 multimodal stages' error column, see ops/codecs.py).
 
-Encoder: minimal baseline (SOF0) for tests and analytic oracles —
-grayscale or RGB with 4:4:4 / 4:2:0 subsampling, caller-supplied
-quantization tables, the spec's Annex K "typical" Huffman tables, and
-optional restart intervals. With a flat (constant) 8x8 block and a DC
+Encoders: baseline (SOF0 — grayscale or RGB with 4:4:4 / 4:2:0
+subsampling, caller-supplied quantization tables, the spec's Annex K
+"typical" Huffman tables, optional restart intervals) and PROGRESSIVE
+(SOF2, encode_jpeg_progressive — spectral selection + successive
+approximation over the same quantized coefficients). With a flat (constant) 8x8 block and a DC
 quantizer of 8 the round trip is EXACT (DC = 8*(v-128), all AC = 0),
 which is what the decode_jpeg oracle query exploits.
 
@@ -858,3 +859,172 @@ if _native_jpeg is not None:
             _native_jpeg = None
     except Exception:  # pragma: no cover
         _native_jpeg = None
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2): spectral selection + successive
+# approximation, re-coding the same quantized coefficients the
+# baseline encoder produces — so every encode_jpeg contract (the
+# flat-block exact roundtrip included) holds for progressive output
+# too. Scan script: DC first (Al=1) -> AC 1..20 / 21..63 first (Al=1)
+# -> DC refine -> AC refines (T.81 Annex G).
+
+
+def _emit_ac_first(bw_: _BitWriter, band, al: int, ac: dict) -> None:
+    """One block's AC-first scan segment (G.1.2.2, Ah=0)."""
+    run = 0
+    for v in (int(x) for x in band):
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw_.write(*ac[0xF0])
+            run -= 16
+        s = a.bit_length()
+        bw_.write(*ac[(run << 4) | s])
+        bw_.write(a if v > 0 else (1 << s) - 1 - a, s)
+        run = 0
+    if run:
+        bw_.write(*ac[0x00])  # EOB (eobrun = 1)
+
+
+def _emit_ac_refine(bw_: _BitWriter, band, al: int, ac: dict) -> None:
+    """One block's AC-refinement segment (G.1.2.3, Ah=Al+1)."""
+    run = 0
+    pend: list[int] = []
+    for v in (int(x) for x in band):
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        if a > 1:  # already significant: buffered correction bit
+            pend.append(a & 1)
+            continue
+        while run > 15:
+            bw_.write(*ac[0xF0])
+            for b in pend:
+                bw_.write(b, 1)
+            pend = []
+            run -= 16
+        bw_.write(*ac[(run << 4) | 1])
+        bw_.write(1 if v > 0 else 0, 1)
+        for b in pend:
+            bw_.write(b, 1)
+        pend = []
+        run = 0
+    if run or pend:
+        bw_.write(*ac[0x00])
+        for b in pend:
+            bw_.write(b, 1)
+
+
+def encode_jpeg_progressive(arr: np.ndarray,
+                            qtable: np.ndarray | None = None) -> bytes:
+    """Encode a grayscale (h, w) or RGB (h, w, 3) uint8 array as a
+    PROGRESSIVE (SOF2) JFIF JPEG — 4:4:4 only; ``qtable`` as in
+    :func:`encode_jpeg` (default all-8: flat blocks roundtrip
+    EXACTLY, same contract as baseline)."""
+    a = np.asarray(arr, np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(
+            "encode_jpeg_progressive wants (h,w) or (h,w,3) uint8")
+    h, w = a.shape[:2]
+    q = (np.full(64, 8, np.int32) if qtable is None
+         else np.asarray(qtable, np.int32))
+    if gray:
+        planes = [a]
+    else:
+        f = a.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = (128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
+              + 0.5 * f[..., 2])
+        cr = (128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
+              - 0.081312 * f[..., 2])
+        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                  for p in (y, cb, cr)]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    coefs = [_fdct_quant(np.pad(
+        p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"), q)
+        for p in planes]
+    nc = len(planes)
+    dc_tabs = [_build_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+               _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)]
+    ac_tabs = [_build_codes(_AC_LUM_BITS, _AC_LUM_VALS),
+               _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)]
+    tab = (lambda i: 0 if i == 0 else 1)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) \
+        + q.astype(np.uint8).tobytes()
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) \
+            + q.astype(np.uint8).tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i in range(nc):
+        out += struct.pack(">BBB", i + 1, 0x11, tab(i))
+    for tc, th, bits, vals in [
+            (0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
+            (1, 0, _AC_LUM_BITS, _AC_LUM_VALS),
+            (0, 1, _DC_CHR_BITS, _DC_CHR_VALS),
+            (1, 1, _AC_CHR_BITS, _AC_CHR_VALS)][:2 * nc:]:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (tc << 4) | th) \
+            + bytes(bits) + bytes(vals)
+
+    def sos(comp_specs, ss, se, ah, al):
+        seg = bytearray(b"\xff\xda")
+        seg += struct.pack(">HB", 6 + 2 * len(comp_specs),
+                           len(comp_specs))
+        for cid, td, ta in comp_specs:
+            seg += struct.pack(">BB", cid, (td << 4) | ta)
+        seg += bytes([ss, se, (ah << 4) | al])
+        return seg
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift)
+    out += sos([(i + 1, tab(i), 0) for i in range(nc)], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for i in range(nc):
+            dc = int(coefs[i][my, mx, 0]) >> 1
+            diff = dc - preds[i]
+            preds[i] = dc
+            s = abs(diff).bit_length()
+            bw_.write(*dc_tabs[tab(i)][s])
+            if s:
+                bw_.write(diff if diff >= 0 else diff + (1 << s) - 1,
+                          s)
+    bw_.flush()
+    out += bw_.buf
+    # AC first in two spectral bands, Al=1
+    for ss, se in [(1, 20), (21, 63)]:
+        for i in range(nc):
+            out += sos([(i + 1, 0, tab(i))], ss, se, 0, 1)
+            bw_ = _BitWriter()
+            for blk in coefs[i].reshape(-1, 64):
+                _emit_ac_first(bw_, blk[ss:se + 1], 1, ac_tabs[tab(i)])
+            bw_.flush()
+            out += bw_.buf
+    # DC refinement: one raw bit per block, interleaved
+    out += sos([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for i in range(nc):
+            bw_.write(int(coefs[i][my, mx, 0]) & 1, 1)
+    bw_.flush()
+    out += bw_.buf
+    # AC refinement over the same two bands, Ah=1 Al=0
+    for ss, se in [(1, 20), (21, 63)]:
+        for i in range(nc):
+            out += sos([(i + 1, 0, tab(i))], ss, se, 1, 0)
+            bw_ = _BitWriter()
+            for blk in coefs[i].reshape(-1, 64):
+                _emit_ac_refine(bw_, blk[ss:se + 1], 0,
+                                ac_tabs[tab(i)])
+            bw_.flush()
+            out += bw_.buf
+    out += b"\xff\xd9"
+    return bytes(out)

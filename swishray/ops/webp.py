@@ -508,6 +508,10 @@ def decode_webp(blob: bytes) -> tuple[np.ndarray, dict]:
         if tag == b"VP8 ":
             raise NotImplementedError(
                 "lossy WebP (VP8) not supported — VP8L lossless only")
+        if tag == b"ANIM" or tag == b"ANMF":
+            raise NotImplementedError(
+                "animated WebP not supported (frame-sample stills "
+                "through SampleVideoFrames' containers instead)")
         pos += 8 + size + (size & 1)
     raise ValueError("WebP with no image chunk")
 

@@ -29,7 +29,8 @@ import numpy as np
 import pytest
 
 from swishray.ops import jpeg as J
-from swishray.ops.jpeg import ZIGZAG, decode_jpeg, encode_jpeg
+from swishray.ops.jpeg import (ZIGZAG, decode_jpeg, encode_jpeg,
+                               encode_jpeg_progressive)
 
 # real-world JPEGs shipped with the container's system packages
 # (novel inputs in the same spirit as the /usr/share/doc HTML corpus
@@ -147,162 +148,9 @@ def test_restart_markers_do_not_change_pixels():
 
 
 # ---------------------------------------------------------------------------
-# 3. progressive == sequential on identical coefficients
-
-_DC_TABS = [J._build_codes(J._DC_LUM_BITS, J._DC_LUM_VALS),
-            J._build_codes(J._DC_CHR_BITS, J._DC_CHR_VALS)]
-_AC_TABS = [J._build_codes(J._AC_LUM_BITS, J._AC_LUM_VALS),
-            J._build_codes(J._AC_CHR_BITS, J._AC_CHR_VALS)]
-
-
-def _emit_ac_first(bw, band, coefs, al, ac):
-    """One block's AC-first scan segment (T.81 G.1.2.2, Ah=0)."""
-    run = 0
-    for v in (int(x) for x in band):
-        a = abs(v) >> al
-        if a == 0:
-            run += 1
-            continue
-        while run > 15:
-            bw.write(*ac[0xF0])
-            run -= 16
-        s = a.bit_length()
-        bw.write(*ac[(run << 4) | s])
-        bw.write(a if v > 0 else (1 << s) - 1 - a, s)
-        run = 0
-    if run:
-        bw.write(*ac[0x00])  # EOB (eobrun = 1)
-
-
-def _emit_ac_refine(bw, band, al, ac):
-    """One block's AC-refinement segment (T.81 G.1.2.3, Ah=Al+1)."""
-    run = 0
-    pend = []
-    for v in (int(x) for x in band):
-        a = abs(v) >> al
-        if a == 0:
-            run += 1
-            continue
-        if a > 1:  # already significant: buffered correction bit
-            pend.append(a & 1)
-            continue
-        while run > 15:
-            bw.write(*ac[0xF0])
-            for b in pend:
-                bw.write(b, 1)
-            pend = []
-            run -= 16
-        bw.write(*ac[(run << 4) | 1])
-        bw.write(1 if v > 0 else 0, 1)
-        for b in pend:
-            bw.write(b, 1)
-        pend = []
-        run = 0
-    if run or pend:
-        bw.write(*ac[0x00])
-        for b in pend:
-            bw.write(b, 1)
-
-
-def _encode_progressive(arr: np.ndarray, qtable: np.ndarray) -> bytes:
-    """Test-only progressive (SOF2) encoder re-coding encode_jpeg's
-    exact quantized coefficients: DC first (Al=1) -> AC 1..20 first
-    (Al=1) -> AC 21..63 first (Al=1) -> DC refine -> AC refines.
-    4:4:4 or grayscale only."""
-    import struct
-    a = np.asarray(arr, np.uint8)
-    gray = a.ndim == 2
-    h, w = a.shape[:2]
-    q = np.asarray(qtable, np.int32)
-    if gray:
-        planes = [a]
-    else:
-        f = a.astype(np.float64)
-        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
-        cb = (128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
-              + 0.5 * f[..., 2])
-        cr = (128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
-              - 0.081312 * f[..., 2])
-        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
-                  for p in (y, cb, cr)]
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    coefs = [J._fdct_quant(np.pad(
-        p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"), q)
-        for p in planes]
-    nc = len(planes)
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) \
-        + q.astype(np.uint8).tobytes()
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
-    for i in range(nc):
-        out += struct.pack(">BBB", i + 1, 0x11, 0)
-    for tc, th, bits, vals in [
-            (0, 0, J._DC_LUM_BITS, J._DC_LUM_VALS),
-            (1, 0, J._AC_LUM_BITS, J._AC_LUM_VALS),
-            (0, 1, J._DC_CHR_BITS, J._DC_CHR_VALS),
-            (1, 1, J._AC_CHR_BITS, J._AC_CHR_VALS)][:2 * nc:]:
-        out += b"\xff\xc4" + struct.pack(
-            ">HB", 19 + len(vals), (tc << 4) | th) \
-            + bytes(bits) + bytes(vals)
-
-    def sos(comp_specs, ss, se, ah, al):
-        seg = bytearray(b"\xff\xda")
-        seg += struct.pack(">HB", 6 + 2 * len(comp_specs),
-                           len(comp_specs))
-        for cid, td, ta in comp_specs:
-            seg += struct.pack(">BB", cid, (td << 4) | ta)
-        seg += bytes([ss, se, (ah << 4) | al])
-        return seg
-
-    tab = lambda i: 0 if i == 0 else 1  # noqa: E731
-
-    # scan 1: DC first, interleaved, Al=1 (arithmetic shift)
-    out += sos([(i + 1, tab(i), 0) for i in range(nc)], 0, 0, 0, 1)
-    bw = J._BitWriter()
-    preds = [0] * nc
-    for m in range(mcux * mcuy):
-        my, mx = divmod(m, mcux)
-        for i in range(nc):
-            dc = int(coefs[i][my, mx, 0]) >> 1
-            diff = dc - preds[i]
-            preds[i] = dc
-            s = abs(diff).bit_length()
-            bw.write(*_DC_TABS[tab(i)][s])
-            if s:
-                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    bw.flush()
-    out += bw.buf
-    # scans 2..: AC first in two spectral bands, Al=1
-    for ss, se in [(1, 20), (21, 63)]:
-        for i in range(nc):
-            out += sos([(i + 1, 0, tab(i))], ss, se, 0, 1)
-            bw = J._BitWriter()
-            for blk in coefs[i].reshape(-1, 64):
-                _emit_ac_first(bw, blk[ss:se + 1], coefs, 1,
-                               _AC_TABS[tab(i)])
-            bw.flush()
-            out += bw.buf
-    # DC refinement: one raw bit per block, interleaved
-    out += sos([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0)
-    bw = J._BitWriter()
-    for m in range(mcux * mcuy):
-        my, mx = divmod(m, mcux)
-        for i in range(nc):
-            bw.write(int(coefs[i][my, mx, 0]) & 1, 1)
-    bw.flush()
-    out += bw.buf
-    # AC refinement over the same two bands, Ah=1 Al=0
-    for ss, se in [(1, 20), (21, 63)]:
-        for i in range(nc):
-            out += sos([(i + 1, 0, tab(i))], ss, se, 1, 0)
-            bw = J._BitWriter()
-            for blk in coefs[i].reshape(-1, 64):
-                _emit_ac_refine(bw, blk[ss:se + 1], 0,
-                                _AC_TABS[tab(i)])
-            bw.flush()
-            out += bw.buf
-    out += b"\xff\xd9"
-    return bytes(out)
+# 3. progressive == sequential on identical coefficients (the library
+# progressive encoder re-codes the baseline encoder's exact quantized
+# coefficients, so both decodes must be byte-identical)
 
 
 @pytest.mark.parametrize("shape", [(24, 40), (17, 25), (16, 24, 3)])
@@ -310,7 +158,7 @@ def test_progressive_equals_sequential(shape):
     rng = np.random.default_rng(sum(shape))
     img = rng.integers(0, 256, shape).astype(np.uint8)
     base, bmeta = decode_jpeg(encode_jpeg(img, qtable=_Q50))
-    prog, pmeta = decode_jpeg(_encode_progressive(img, _Q50))
+    prog, pmeta = decode_jpeg(encode_jpeg_progressive(img, _Q50))
     assert not bmeta["progressive"] and pmeta["progressive"]
     assert np.array_equal(base, prog)
 
@@ -319,7 +167,7 @@ def test_progressive_stream_is_conformant(jpeg_dump):
     # libjpeg must agree with our decoder on our progressive stream
     rng = np.random.default_rng(42)
     img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
-    _ab(jpeg_dump, _encode_progressive(img, _Q50))
+    _ab(jpeg_dump, encode_jpeg_progressive(img, _Q50))
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +220,7 @@ def test_native_and_pure_paths_agree_on_progressive():
         pytest.skip("native kernel unavailable")
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
-    blobs = [_encode_progressive(img, _Q50)]
+    blobs = [encode_jpeg_progressive(img, _Q50)]
     blobs += [p.read_bytes() for p in _SYSTEM_JPEGS[:1]]
     native = J._native_jpeg
     try:
