@@ -1,6 +1,8 @@
-"""From-scratch WebP-lossless (VP8L) decoder, per the public "WebP
+"""From-scratch WebP-lossless (VP8L) codec, per the public "WebP
 Lossless Bitstream Specification" (RFC-style spec shipped with
-libwebp; all constants below are from that spec).
+libwebp; all constants below are from that spec). Decoder: the full
+feature set. Encoder: minimal literal-only streams (encode_webp)
+whose conformance libwebp verifies in tests.
 
 Supported: the full VP8L feature set — canonical prefix codes (simple
 and code-length-coded, with repeat codes 16/17/18 and the max-symbol
@@ -566,3 +568,185 @@ if _native_webp is not None:
             _native_webp = None
     except Exception:  # pragma: no cover
         _native_webp = None
+
+
+
+# ---------------------------------------------------------------------------
+# minimal VP8L encoder (tests / oracles / demos): literal-only — no
+# transforms, no LZ77, no color cache, one prefix group — with FIXED
+# complete canonical codes, so the roundtrip is exact for arbitrary
+# content and every decoder code path it feeds (code-length-coded
+# prefix codes with repeat-16 runs, simple codes, literal loop) gets
+# exercised by a second independent writer besides libwebp.
+
+
+class _BitWriterLSB:
+    """LSB-first bit writer (VP8L convention); prefix codes go in
+    MSB-of-code first (DEFLATE convention)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), same canonical rule _Huff decodes."""
+    maxlen = max(lengths)
+    bl_count = [0] * (maxlen + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (maxlen + 2)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+def _emit_lengths(bw: _BitWriterLSB, lengths: list[int]) -> None:
+    """Emit one code-length-coded prefix code whose EVERY symbol has
+    a nonzero length (so no zero-run codes are needed): the CLC
+    covers the distinct lengths plus repeat-16, all at equal depth."""
+    used = sorted(set(lengths))
+    clc_syms = used + [16]
+    depth = max(1, (len(clc_syms) - 1).bit_length())
+    # complete the CLC: pad with more distinct unused symbols at the
+    # same depth until 2^depth symbols carry codes
+    pad = [s for s in range(16) if s not in used]
+    while len(clc_syms) < (1 << depth):
+        clc_syms.append(pad.pop())
+    clc_syms.sort()
+    clc = {s: (i, depth) for i, s in enumerate(clc_syms)}
+    bw.write(0, 1)  # not simple
+    npos = 1 + max(_CLC_ORDER.index(s) for s in clc_syms)
+    bw.write(npos - 4, 4)
+    for pos in range(npos):
+        bw.write(depth if _CLC_ORDER[pos] in clc_syms else 0, 3)
+    bw.write(0, 1)  # no explicit max_symbol
+
+    i = 0
+    n = len(lengths)
+    while i < n:
+        ln = lengths[i]
+        j = i + 1
+        while j < n and lengths[j] == ln:
+            j += 1
+        count = j - i
+        code, d = clc[ln]
+        bw.write_code(code, d)
+        count -= 1
+        while count:
+            if count < 3:
+                bw.write_code(code, d)
+                count -= 1
+            else:
+                take = min(6, count)
+                if count - take in (1, 2):
+                    take = count - 3
+                rc, rd = clc[16]
+                bw.write_code(rc, rd)
+                bw.write(take - 3, 2)
+                count -= take
+        i = j
+
+
+def _emit_simple1(bw: _BitWriterLSB, sym: int) -> None:
+    """Single-symbol "simple" code (0 bits per decoded symbol)."""
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # 1 symbol
+    bw.write(1, 1)  # 8-bit first symbol
+    bw.write(sym, 8)
+
+
+# green: literals 0..255 at 9 bits, 16 pad symbols at 6, 8 at 5
+# (Kraft: 256/512 + 16/64 + 8/32 = 1); red/blue/alpha: flat 8-bit
+_GREEN_LENGTHS = [9] * 256 + [6] * 16 + [5] * 8
+_FLAT_LENGTHS = [8] * 256
+
+
+def encode_webp(arr: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale, (h, w, 3) RGB or (h, w, 4) RGBA uint8
+    as a lossless WebP (VP8L, literal-only — see section comment).
+    Roundtrips exactly through decode_webp and libwebp."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_webp wants (h,w)[,1|3|4] uint8")
+    h, w = a.shape[:2]
+    if not (0 < w <= 16384 and 0 < h <= 16384):
+        raise ValueError("encode_webp dimensions out of VP8L range")
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    alpha = a[:, :, 3] if a.shape[2] == 4 else None
+    bw = _BitWriterLSB()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if alpha is not None else 0, 1)
+    bw.write(0, 3)   # version
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(0, 1)   # no meta prefix codes
+    green = _canonical_codes(_GREEN_LENGTHS)
+    flat = _canonical_codes(_FLAT_LENGTHS)
+    _emit_lengths(bw, _GREEN_LENGTHS)         # green
+    _emit_lengths(bw, _FLAT_LENGTHS)          # red
+    _emit_lengths(bw, _FLAT_LENGTHS)          # blue
+    const_alpha = alpha is None or \
+        bool((alpha == alpha.flat[0]).all())
+    if const_alpha:
+        _emit_simple1(bw, 255 if alpha is None
+                      else int(alpha.flat[0]))
+    else:
+        _emit_lengths(bw, _FLAT_LENGTHS)      # alpha
+    _emit_simple1(bw, 0)                      # distance (unused)
+    r_ch = a[:, :, 0].ravel()
+    g_ch = a[:, :, 1].ravel()
+    b_ch = a[:, :, 2].ravel()
+    a_ch = alpha.ravel() if (alpha is not None
+                             and not const_alpha) else None
+    for i in range(w * h):
+        c, ln = green[int(g_ch[i])]
+        bw.write_code(c, ln)
+        c, ln = flat[int(r_ch[i])]
+        bw.write_code(c, ln)
+        c, ln = flat[int(b_ch[i])]
+        bw.write_code(c, ln)
+        if a_ch is not None:
+            c, ln = flat[int(a_ch[i])]
+            bw.write_code(c, ln)
+    payload = bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" \
+        + chunk

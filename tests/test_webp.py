@@ -154,3 +154,29 @@ def test_native_and_pure_paths_agree(libwebp):
             assert np.array_equal(got, want), name
     finally:
         W._native_webp = native
+
+
+def test_own_encoder_roundtrip_and_conformance(libwebp):
+    """encode_webp (literal-only VP8L) must roundtrip exactly through
+    OUR decoder and through libwebp — a second independent writer for
+    the code-length-coded prefix path, alongside libwebp's output."""
+    from swishray.ops.webp import encode_webp
+    rng = np.random.default_rng(9)
+    cases = [rng.integers(0, 256, (13, 17)),
+             rng.integers(0, 256, (40, 33, 3)),
+             rng.integers(0, 256, (18, 28, 4)),
+             np.dstack([rng.integers(0, 256, (5, 5, 3)),
+                        np.full((5, 5), 200)]),
+             np.array([[[1, 2, 3, 4]]])]
+    for img in (c.astype(np.uint8) for c in cases):
+        blob = encode_webp(img)
+        got, _ = decode_webp(blob)
+        if img.ndim == 2:
+            want = np.dstack([img] * 3 + [np.full_like(img, 255)])
+        elif img.shape[2] == 3:
+            want = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], 2)
+        else:
+            want = img
+        assert np.array_equal(got, want)
+        assert np.array_equal(_ref_decode(libwebp, blob), want)
