@@ -93,8 +93,12 @@ static PyObject *gif_decode(PyObject *self, PyObject *args)
             prev = -1;
             continue;
         }
-        if (code == eoi)
-            break;
+        if (code == eoi) {
+            /* premature EOI: n_out < n_pixels here (loop condition),
+               so returning would leak an uninitialized tail */
+            err = "short GIF LZW stream";
+            goto fail;
+        }
         if (prev < 0) {
             if (code >= t.size || code >= clear) {
                 /* table[code] for clear/eoi slots is b"" in Python:

@@ -488,7 +488,9 @@ def _gif_lzw_py(data: bytes, min_code: int,
             prev = None
             continue
         if code == eoi:
-            break
+            # premature EOI: loop condition guarantees n_out < n_pixels
+            # here, so the remaining tail would be uninitialized memory
+            raise ValueError("short GIF LZW stream")
         if prev is None:
             entry = table[code]
         elif code < len(table):
@@ -819,27 +821,39 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, dict]:
     from .jpeg import decode_jpeg
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF header)")
-    handler = None
+    handler = None       # fccHandler from the video strh
+    strf_comp = None     # biCompression from the video stream's strf
+    cur_stream = None    # stream type of the most recent strh
     frames: list[np.ndarray] = []
     fps_num = fps_den = 0
 
     def walk(start: int, end: int) -> None:
-        nonlocal handler, fps_num, fps_den
+        nonlocal handler, strf_comp, cur_stream, fps_num, fps_den
         for fcc, off, size in _riff_chunks(blob, start, end):
             if fcc.startswith(b"LIST:"):
                 walk(off, off + size)
             elif fcc == b"strh" and size >= 32:
-                if blob[off:off + 4] == b"vids":
+                cur_stream = blob[off:off + 4]
+                if cur_stream == b"vids":
                     handler = blob[off + 4:off + 8]
                     scale, rate = struct.unpack_from(
                         "<II", blob, off + 20)
                     fps_num, fps_den = rate, scale
-            elif fcc == b"strf" and size >= 40 and handler is None:
-                handler = blob[off + 16:off + 20]  # biCompression
+            elif fcc == b"strf" and size >= 40:
+                # BITMAPINFOHEADER: biCompression at payload offset 16.
+                # Keep the first video stream's value; also accept a
+                # degenerate AVI with strf but no strh at all.
+                if (cur_stream == b"vids" or cur_stream is None) \
+                        and strf_comp is None:
+                    strf_comp = blob[off + 16:off + 20]
             elif fcc[2:4] in (b"dc", b"db") and size > 0:
                 frames.append(blob[off:off + size])
 
     walk(12, len(blob))
+    # Many real-world MJPEG AVIs carry a blank/zero fccHandler in strh
+    # with MJPG only in strf biCompression — fall back in that case.
+    if handler is None or handler in (b"\x00\x00\x00\x00", b"    "):
+        handler = strf_comp if strf_comp is not None else handler
     if handler is None:
         raise ValueError("AVI with no video stream header")
     if handler not in (b"MJPG", b"mjpg"):

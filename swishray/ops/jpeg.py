@@ -899,6 +899,17 @@ def _emit_ac_refine(bw_: _BitWriter, band, al: int, ac: dict) -> None:
             run += 1
             continue
         if a > 1:  # already significant: buffered correction bit
+            # Drain pending ZRLs FIRST (mirroring libjpeg's
+            # encode_mcu_AC_refine): every buffered correction bit must
+            # belong to a coefficient with <=15 preceding zero-history
+            # positions, or the decoder's ZRL span won't consume it and
+            # the stray bit corrupts the next Huffman code.
+            while run > 15:
+                bw_.write(*ac[0xF0])
+                for b in pend:
+                    bw_.write(b, 1)
+                pend = []
+                run -= 16
             pend.append(a & 1)
             continue
         while run > 15:

@@ -466,6 +466,56 @@ def test_gif_video_frame_sampling(ray_session):
 # codec inside a from-scratch RIFF-AVI walker)
 
 
+def test_gif_lzw_premature_eoi_raises():
+    """EOI before n_pixels are produced must raise (not return an
+    uninitialized tail) in both the pure and native paths."""
+    from swishray.ops.codecs import _gif_lzw, _gif_lzw_py, _native_lzw
+    # min_code=2: CLEAR=4, EOI=5; codes CLEAR,0,1,EOI -> 2 of 10 pixels
+    codes, width = [4, 0, 1, 5], 3
+    bits = nbits = 0
+    payload = bytearray()
+    for c in codes:
+        bits |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            payload.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(bits & 0xFF)
+    enc = bytes(payload)
+    with pytest.raises(ValueError, match="short GIF LZW"):
+        _gif_lzw_py(enc, 2, 10)
+    with pytest.raises(ValueError, match="short GIF LZW"):
+        _gif_lzw(enc, 2, 10)
+    if _native_lzw is not None:
+        with pytest.raises(ValueError, match="short GIF LZW"):
+            _native_lzw.gif_decode(enc, 2, 10)
+    # exactly-complete stream still decodes
+    assert _gif_lzw(enc, 2, 2).tolist() == [0, 1]
+
+
+def test_avi_mjpeg_blank_strh_handler_uses_strf():
+    """Real-world MJPEG AVIs often carry a zero/blank fccHandler in
+    strh with MJPG only in strf biCompression — must decode."""
+    from swishray.ops.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+    good = encode_avi_mjpeg(frames)
+    want, _ = decode_avi_mjpeg(good)
+    for repl in (b"\x00\x00\x00\x00", b"    "):
+        patched = good.replace(b"vidsMJPG", b"vids" + repl, 1)
+        assert patched != good
+        got, meta = decode_avi_mjpeg(patched)
+        assert np.array_equal(got, want)
+        assert meta["n_frames"] == 3
+    # unsupported codec in BOTH strh and strf still raises
+    bad = good.replace(b"vidsMJPG", b"vidsXVID", 1) \
+              .replace(b"MJPG", b"XVID")
+    with pytest.raises(NotImplementedError, match="XVID"):
+        decode_avi_mjpeg(bad)
+
+
 def test_avi_mjpeg_roundtrip_exact():
     from swishray.ops.codecs import decode_avi_mjpeg, encode_avi_mjpeg
     rng = np.random.default_rng(2)

@@ -170,6 +170,67 @@ def test_progressive_stream_is_conformant(jpeg_dump):
     _ab(jpeg_dump, encode_jpeg_progressive(img, _Q50))
 
 
+def _img_from_zigzag(zzvals) -> np.ndarray:
+    """8x8 uint8 image whose flat-qtable (all-8) quantized zigzag
+    coefficients are exactly ``zzvals`` (list of (zigzag_idx, coef))
+    — inverse DCT of the dequantized spectrum, mid-gray DC."""
+    zz = np.zeros(64, np.int32)
+    for k, v in zzvals:
+        zz[k] = v
+    nat = np.empty(64, np.float64)
+    nat[ZIGZAG] = zz * 8.0
+    block = J._DCT_M.T @ nat.reshape(8, 8) @ J._DCT_M + 128.0
+    img = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    got = J._fdct_quant(img, np.full(64, 8, np.int32))[0, 0]
+    assert np.array_equal(got, zz), "crafted spectrum did not roundtrip"
+    return img
+
+
+def test_ac_refine_zrl_before_buffered_correction():
+    """Regression: a correction bit for an already-significant coef
+    (abs>=2) buffered while >15 zero-history positions are pending
+    must be emitted AFTER draining the ZRLs (libjpeg
+    encode_mcu_AC_refine order), or the decoder's ZRL span won't
+    consume it and the stray bit corrupts the next Huffman code.
+    zz[21..36] = 16 zeros, zz[37] = +-3, zz[38] = +-1 inside the
+    AC 21..63 band is the minimal trigger."""
+    cases = [
+        [(37, 3), (38, 1)],
+        [(37, -3), (38, -1)],
+        [(22, 5), (40, 2), (41, 1)],          # multiple pend bits
+        [(2, 3), (19, 1)],                    # band 1..20 variant
+        [(21, 2), (39, 3), (56, 1)],
+        [(37, 3)],                            # no later newly-sig: folds to EOB
+        [(1, 2), (18, 1), (37, 3), (55, 1)],
+    ]
+    for c in cases:
+        img = _img_from_zigzag(c)
+        prog, _ = decode_jpeg(encode_jpeg_progressive(img))
+        base, _ = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(prog, base), c
+
+
+def test_ac_refine_sparse_spectrum_fuzz():
+    # random sparse zigzag spectra -- the shape that exercises long
+    # zero-history runs around significant coefficients in refinement
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        n = int(rng.integers(1, 7))
+        ks = rng.choice(np.arange(1, 64), n, replace=False)
+        vals = rng.integers(-6, 7, n)
+        zzvals = [(int(k), int(v)) for k, v in zip(ks, vals) if v]
+        img = _img_from_zigzag(zzvals)
+        prog, _ = decode_jpeg(encode_jpeg_progressive(img))
+        base, _ = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(prog, base), zzvals
+
+
+def test_ac_refine_trigger_stream_vs_libjpeg(jpeg_dump):
+    # the crafted trigger stream must also decode in libjpeg itself
+    img = _img_from_zigzag([(37, 3), (38, 1)])
+    _ab(jpeg_dump, encode_jpeg_progressive(img))
+
+
 # ---------------------------------------------------------------------------
 # 4. error taxonomy
 
