@@ -1307,12 +1307,13 @@ def q_decode_jpeg(sf_dir: str):
 
 
 def q_decode_tiff(sf_dir: str):
-    """REAL TIFF decode: per document, LZW+predictor-compress a 16x10
-    grayscale image (pixel j = (doc_id*23 + j*13) % 256) with the
-    from-scratch encoder and decode through the decode_images actor
-    stage (every supported TIFF compression is lossless, so the
-    roundtrip is exact for arbitrary content). The oracle recomputes
-    pixel_sum from the formula."""
+    """REAL TIFF decode: per document, compress a 16x10 grayscale
+    image (pixel j = (doc_id*23 + j*13) % 256) with the from-scratch
+    encoder — LZW+predictor on even doc_ids, Deflate+predictor
+    (compression 8, per-strip zlib) on odd ones — and decode through
+    the decode_images actor stage (every supported TIFF compression
+    is lossless, so the roundtrip is exact for arbitrary content).
+    The oracle recomputes pixel_sum from the formula."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -1326,7 +1327,8 @@ def q_decode_tiff(sf_dir: str):
         blobs = [
             encode_tiff(((int(i) * 23 + j * 13) % 256).astype(
                 np.uint8).reshape(10, 16),
-                compression="lzw", predictor=True)
+                compression="lzw" if int(i) % 2 == 0 else "deflate",
+                predictor=True)
             for i in t.column("doc_id").to_pylist()]
         return pa.table({"media_id": t.column("doc_id"),
                          "payload": pa.array(blobs, pa.binary())})

@@ -2,16 +2,18 @@
 
 Decoder: both byte orders, strip-based baseline images — compression
 none (1), LZW (5, MSB-first variable-width codes with the early-change
-rule and the horizontal-differencing predictor), and PackBits (32773)
-— over bilevel (1-bit), 8-bit grayscale (MinIsWhite and MinIsBlack),
-RGB/RGBA, and palette-color photometrics, chunky planar layout, first
-IFD (page 0) of a multi-page file. Tiled layout, separate planes,
-16-bit samples and the CCITT/JPEG/Deflate compressions raise
-NotImplementedError; structurally corrupt files of supported flavors
-raise ValueError (same two-class error taxonomy as ops/codecs.py and
-ops/jpeg.py, surfaced in the multimodal stages' error column).
+rule and the horizontal-differencing predictor), Deflate (8 "Adobe"
+and the legacy 32946, per-strip zlib streams via the stdlib, same
+predictor path as LZW), and PackBits (32773) — over bilevel (1-bit),
+8-bit grayscale (MinIsWhite and MinIsBlack), RGB/RGBA, and
+palette-color photometrics, chunky planar layout, first IFD (page 0)
+of a multi-page file. Tiled layout, separate planes, 16-bit samples
+and the CCITT/JPEG compressions raise NotImplementedError;
+structurally corrupt files of supported flavors raise ValueError
+(same two-class error taxonomy as ops/codecs.py and ops/jpeg.py,
+surfaced in the multimodal stages' error column).
 
-Encoder: minimal chunky writer (none/PackBits/LZW + optional
+Encoder: minimal chunky writer (none/PackBits/LZW/Deflate + optional
 predictor 2) for tests and analytic oracles; round trips are exact
 (all supported compressions are lossless).
 
@@ -27,6 +29,7 @@ module; this module's output read back via TIFFReadRGBAImage).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -214,9 +217,7 @@ def decode_tiff(blob: bytes) -> tuple[np.ndarray, dict]:
         raise NotImplementedError("CCITT-compressed TIFF")
     if comp in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF")
-    if comp in (8, 32946):
-        raise NotImplementedError("Deflate-compressed TIFF")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp}")
     bilevel = tuple(bps) == (1,) and spp == 1 and photo in (0, 1)
     if not bilevel and set(bps) != {8}:
@@ -252,6 +253,14 @@ def decode_tiff(blob: bytes) -> tuple[np.ndarray, dict]:
             strip = raw[:expected]
         elif comp == 5:
             strip = _tiff_lzw(raw, expected)
+        elif comp in (8, 32946):
+            try:
+                strip = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF deflate strip: {exc}")
+            if len(strip) < expected:
+                raise ValueError("short TIFF deflate strip")
+            strip = strip[:expected]
         else:
             strip = _packbits(raw, expected)
         if predictor == 2:
@@ -371,17 +380,18 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
                 rows_per_strip: int | None = None) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3|4) RGB(A) uint8 as a
     little-endian chunky strip TIFF. ``compression``: "none",
-    "packbits" or "lzw"; ``predictor`` applies horizontal
-    differencing (LZW only, tag 317=2)."""
+    "packbits", "lzw" or "deflate"; ``predictor`` applies horizontal
+    differencing (LZW/Deflate, tag 317=2)."""
     a = np.asarray(arr, np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] not in (3, 4)):
         raise ValueError("encode_tiff wants (h,w) or (h,w,3|4) uint8")
-    comp = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
+    comp = {"none": 1, "packbits": 32773, "lzw": 5,
+            "deflate": 8}.get(compression)
     if comp is None:
         raise ValueError(f"unknown compression {compression!r}")
-    if predictor and comp != 5:
-        raise ValueError("predictor is an LZW option")
+    if predictor and comp not in (5, 8):
+        raise ValueError("predictor is an LZW/Deflate option")
     h, w = a.shape[:2]
     spp = 1 if gray else a.shape[2]
     rps = rows_per_strip or h
@@ -402,6 +412,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
             strips.append(b"".join(
                 _packbits_encode(raw[i:i + rb])
                 for i in range(0, len(raw), rb)))
+        elif comp == 8:
+            strips.append(zlib.compress(raw, 6))
         else:
             strips.append(_tiff_lzw_encode(raw))
 

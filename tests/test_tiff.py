@@ -116,6 +116,8 @@ def _as_rgba(img: np.ndarray) -> np.ndarray:
     dict(compression="lzw", predictor=True),
     dict(compression="lzw", predictor=True, rows_per_strip=3),
     dict(compression="packbits", rows_per_strip=2),
+    dict(compression="deflate"),
+    dict(compression="deflate", predictor=True, rows_per_strip=3),
 ])
 def test_roundtrip_param(kw):
     rng = np.random.default_rng(13)
@@ -242,6 +244,10 @@ def test_ab_libtiff_writes_we_decode(libtiff, tmp_path):
          32773, False, 4),
         ((np.add.outer(np.arange(64), np.arange(96)) % 256)
          .astype(np.uint8), 5, True, None),
+        (rng.integers(0, 256, (33, 27)).astype(np.uint8), 8, False,
+         None),
+        (rng.integers(0, 256, (40, 52, 3)).astype(np.uint8), 8, True,
+         5),
     ]
     for i, (img, comp, pred, rps) in enumerate(cases):
         p = tmp_path / f"ref{i}.tif"
@@ -263,6 +269,11 @@ def test_ab_we_encode_libtiff_reads(libtiff, tmp_path):
         (rng.integers(0, 256, (100, 120, 3)).astype(np.uint8),
          dict(compression="lzw")),
         (rng.integers(0, 256, (7, 11)).astype(np.uint8), dict()),
+        (rng.integers(0, 256, (25, 33)).astype(np.uint8),
+         dict(compression="deflate")),
+        (rng.integers(0, 256, (18, 22, 3)).astype(np.uint8),
+         dict(compression="deflate", predictor=True,
+              rows_per_strip=4)),
     ]
     for i, (img, kw) in enumerate(cases):
         p = tmp_path / f"own{i}.tif"
@@ -302,8 +313,10 @@ def test_error_taxonomy():
         decode_tiff(variant({258: (3, 1, [16])}))
     with pytest.raises(NotImplementedError, match="CCITT"):
         decode_tiff(variant({259: (3, 1, [4])}))
-    with pytest.raises(NotImplementedError, match="Deflate"):
-        decode_tiff(variant({259: (3, 1, [8])}))
+    with pytest.raises(ValueError, match="deflate"):
+        decode_tiff(variant({259: (3, 1, [8])}))  # garbage zlib strip
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_tiff(variant({259: (3, 1, [7])}))
     with pytest.raises(NotImplementedError, match="photometric 6"):
         decode_tiff(variant({262: (3, 1, [6])}))
     with pytest.raises(NotImplementedError, match="separate-plane"):
