@@ -1387,6 +1387,91 @@ def q_decode_webp(sf_dir: str):
         ["media_id", "width", "height", "channels", "pixel_sum"])
 
 
+def q_decode_webp_lossy(sf_dir: str):
+    """REAL lossy-WebP (VP8 intra-frame) decode: per document, encode
+    a 16x8 image with the container's libwebp LOSSY encoder (quality
+    varies with doc_id; odd doc_ids get a non-opaque alpha plane, so
+    the VP8X+ALPH path is exercised), decode with the from-scratch
+    RFC 6386 decoder (ops/vp8.py via ops/webp.py), decode AGAIN with
+    libwebp itself, and report per-row BIT-EXACT agreement plus the
+    frame geometry. Lossy decode is deterministic, so the oracle
+    predicts bitexact=TRUE for every row — a hash-compared per-row
+    conformance gate (same design as the test suite's A/B, but
+    driver-checkable). Stateful ctypes handles live per actor
+    (warm-state pattern, pipeline.py:84)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.util import default_concurrency
+
+    class LossyRoundtrip:
+        def __init__(self):
+            import ctypes
+            self.ct = ctypes
+            lw = ctypes.CDLL("libwebp.so.7")
+            lw.WebPEncodeRGBA.restype = ctypes.c_size_t
+            lw.WebPEncodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_void_p)]
+            lw.WebPDecodeRGBA.restype = ctypes.c_void_p
+            lw.WebPDecodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lw.WebPFree.argtypes = [ctypes.c_void_p]
+            self.lw = lw
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+            from swishray.ops.webp import decode_webp
+            ct, lw = self.ct, self.lw
+            j = np.arange(16 * 8 * 3, dtype=np.int64)
+            ids, ws, hs, chs, bits, alphas = [], [], [], [], [], []
+            for i in t.column("doc_id").to_pylist():
+                i = int(i)
+                rgb = ((i * 41 + j * 7) % 256).astype(np.uint8) \
+                    .reshape(8, 16, 3)
+                a = (np.full((8, 16, 1), 255, np.uint8) if i % 2 == 0
+                     else ((i * 13 + np.arange(128) * 5) % 256)
+                     .astype(np.uint8).reshape(8, 16, 1))
+                rgba = np.concatenate([rgb, a], axis=2)
+                out = ct.c_void_p()
+                q = float(20 + (i % 8) * 10)  # 20..90
+                n = lw.WebPEncodeRGBA(rgba.tobytes(), 16, 8, 64, q,
+                                      ct.byref(out))
+                blob = ct.string_at(out, n)
+                lw.WebPFree(out)
+                arr, meta = decode_webp(blob)
+                w2 = ct.c_int()
+                h2 = ct.c_int()
+                p = lw.WebPDecodeRGBA(blob, len(blob),
+                                      ct.byref(w2), ct.byref(h2))
+                ref = np.frombuffer(
+                    ct.string_at(p, w2.value * h2.value * 4),
+                    np.uint8).reshape(h2.value, w2.value, 4)
+                eq = bool(np.array_equal(arr, ref))
+                lw.WebPFree(ct.c_void_p(p))
+                ids.append(i)
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                chs.append(arr.shape[2])
+                bits.append(eq)
+                alphas.append(bool(meta.get("has_alpha", False)))
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "channels": pa.array(chs, pa.int64()),
+                "has_alpha": pa.array(alphas, pa.bool_()),
+                "bitexact": pa.array(bits, pa.bool_())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
+        .map_batches(LossyRoundtrip,
+                     concurrency=default_concurrency(cap=2),
+                     batch_size=256, batch_format="pyarrow")
+
+
 def q_decode_mjpeg(sf_dir: str):
     """COMPRESSED video decode: per document, build a 4-frame MJPEG
     AVI (from-scratch RIFF-AVI container, one baseline JPEG per
@@ -4620,8 +4705,8 @@ _DRIVER_LEAD = [
     "sessionize_salted", "events_hopping",
     # aggregates / analytic
     "quantiles_per_group", "window_rank",
-    # sources, packing, similarity
-    "stream_source", "pack_sequences", "ann_topk",
+    # lossy VP8 conformance, packing, similarity
+    "decode_webp_lossy", "pack_sequences", "ann_topk",
 ]
 
 
@@ -4808,6 +4893,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
         "decode_webp": q_decode_webp,
+        "decode_webp_lossy": q_decode_webp_lossy,
         "decode_mjpeg": q_decode_mjpeg,
         "image_dedup": q_image_dedup,
         "audio_dedup": q_audio_dedup,
@@ -5028,6 +5114,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM((d.doc_id*41 + j*7) % 256) AS BIGINT) "
             " FROM generate_series(0, 383) t(j)) + 255*128 "
             "AS pixel_sum FROM documents d"),
+        # lossy decode is deterministic: per-row bit-exactness vs
+        # libwebp is the oracle-checkable invariant
+        "decode_webp_lossy": (
+            "SELECT doc_id AS media_id, 16 AS width, 8 AS height, "
+            "4 AS channels, (doc_id % 2 = 1) AS has_alpha, "
+            "TRUE AS bitexact FROM documents"),
         "decode_mjpeg": (
             "SELECT d.doc_id AS media_id, 4 AS n_frames, "
             "2 AS n_sampled, "

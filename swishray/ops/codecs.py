@@ -941,11 +941,11 @@ def sniff_image(blob: bytes) -> str | None:
 
 def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     """Decode any supported image container (PNG/BMP/PPM/PGM/GIF/
-    JPEG — baseline AND progressive — /TIFF/WebP-lossless) to an
-    (h, w, channels) sample array (a multi-frame GIF contributes its
-    FIRST composited frame; frame-sample animations through
-    SampleVideoFrames instead). NotImplementedError for
-    known-but-uncoded flavors (lossy VP8 WebP, CMYK/lossless/
+    JPEG — baseline AND progressive — /TIFF/WebP lossless AND lossy)
+    to an (h, w, channels) sample array (a multi-frame GIF
+    contributes its FIRST composited frame; frame-sample animations
+    through SampleVideoFrames instead). NotImplementedError for
+    known-but-uncoded flavors (animated WebP, CMYK/lossless/
     arithmetic JPEG, tiled/CCITT/16-bit TIFF) and unknown magics;
     ValueError for corrupt files of a supported format."""
     fmt = sniff_image(blob)

@@ -3,13 +3,14 @@ with typed metadata, decoded by REAL from-scratch codecs
 (ops/codecs.py, ops/jpeg.py, ops/tiff.py, ops/webp.py): PNG (zlib
 inflate + scanline un-filtering + Adam7), JPEG (baseline +
 progressive DCT), GIF (LZW + frame compositing), TIFF (strips:
-none/LZW/PackBits), WebP lossless (full VP8L: prefix codes, color
-cache, meta groups, LZ77 2-D distances, all four transforms), BMP,
-PPM/PGM, WAV (RIFF/PCM + IEEE float) and Y4M video. Flavors that
-would need a codec we haven't built (lossy VP8 WebP, compressed
-video) raise NotImplementedError into the per-row error column —
-distinguishable from ValueError, which marks a CORRUPT file of a
-supported format.
+none/LZW/PackBits/Deflate), WebP lossless (full VP8L: prefix codes,
+color cache, meta groups, LZ77 2-D distances, all four transforms),
+WebP lossy (full VP8 intra-frame decode per RFC 6386, with ALPH
+alpha planes — ops/vp8.py), BMP, PPM/PGM, WAV (RIFF/PCM + IEEE
+float) and Y4M video. Flavors that would need a codec we haven't
+built (animated WebP, compressed video) raise NotImplementedError
+into the per-row error column — distinguishable from ValueError,
+which marks a CORRUPT file of a supported format.
 
 The deterministic synthetic containers ("SWIM"/"SWAU"/"SWVI" headers)
 are kept for tests/demos — they exercise the same plumbing with

@@ -12,9 +12,13 @@ mapping, and all four transforms (predictor with its 14 modes, color
 transform, subtract-green, color-indexing with sub-byte pixel
 packing), in any stream order, inverted in reverse read order.
 
-Lossy WebP (VP8 chunks, including VP8X containers whose image payload
-is lossy) raises NotImplementedError — VP8 is a video intra frame,
-a different codec family; corrupt VP8L streams of supported shape
+Lossy WebP (VP8 chunks, including VP8X containers with an ALPH alpha
+plane) decodes through the from-scratch RFC 6386 keyframe decoder in
+ops/vp8.py — bit-exact vs libwebp at both the YUV-plane and RGBA
+levels (tests/test_vp8.py). The ALPH chunk (raw or headerless-VP8L
+compressed, all four prediction filters) is handled here, reusing
+this module's VP8L entropy machinery. Only animation (ANIM/ANMF)
+remains NotImplementedError; corrupt streams of supported shape
 raise ValueError (same error taxonomy as ops/codecs.py, ops/jpeg.py
 and ops/tiff.py: the two classes stay distinguishable in the
 multimodal stages' per-row error column).
@@ -428,7 +432,16 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
     br.read(1)  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    px, n_tr = _decode_vp8l_body(br, w, h)
+    return px, {"width": w, "height": h, "n_transforms": n_tr}
 
+
+def _decode_vp8l_body(br: _Bits, w: int,
+                      h: int) -> tuple[np.ndarray, int]:
+    """Transform loop + entropy image of a VP8L stream (everything
+    after the 5-byte header). Shared by decode_vp8l and the ALPH
+    chunk of lossy-with-alpha files, whose payload is a headerless
+    VP8L stream with the alpha values in the green channel."""
     transforms = []
     xsize = w
     seen = set()
@@ -487,16 +500,72 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
             _inv_color(px, data, bits)
         else:
             _inv_predictor(px, (data >> 8) & 0xFF, bits)
-    return px[:, :, [1, 2, 3, 0]], {
-        "width": w, "height": h, "n_transforms": len(transforms)}
+    return px[:, :, [1, 2, 3, 0]], len(transforms)
+
+
+def _decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane (WebP container spec:
+    1 header byte — 2 bits each of reserved/preprocessing/filtering/
+    compression — then raw bytes or a headerless VP8L stream)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    b0 = payload[0]
+    comp = b0 & 3
+    filt = (b0 >> 2) & 3
+    if comp == 0:
+        if len(payload) - 1 < w * h:
+            raise ValueError("short raw ALPH payload")
+        a = np.frombuffer(payload, np.uint8, w * h, 1) \
+            .reshape(h, w).copy()
+    elif comp == 1:
+        px, _ = _decode_vp8l_body(_Bits(payload[1:]), w, h)
+        a = px[:, :, 1].copy()  # alpha rides the green channel
+    else:
+        raise ValueError(f"reserved ALPH compression {comp}")
+    if filt == 0:
+        return a
+    if filt == 1:  # horizontal: left pred, row-leading pixel chains
+        firsts = np.cumsum(a[:, 0], dtype=np.uint8)
+        out = np.cumsum(a, axis=1, dtype=np.uint8)
+        out += (firsts - a[:, 0]).reshape(h, 1)
+        return out
+    if filt == 2:  # vertical: row 0 horizontal, then column sums
+        row0 = np.cumsum(a[0], dtype=np.uint8)
+        out = np.cumsum(a, axis=0, dtype=np.uint8)
+        out += (row0 - a[0]).reshape(1, w)
+        return out
+    # gradient: clamp(left + top - top_left), row 0 horizontal
+    out = np.empty_like(a)
+    out[0] = np.cumsum(a[0], dtype=np.uint8)
+    for r in range(1, h):
+        prev = out[r - 1]
+        src = a[r]
+        left = int(prev[0])
+        top_left = left
+        row = out[r]
+        for i in range(w):
+            top = int(prev[i])
+            g = left + top - top_left
+            if g < 0:
+                g = 0
+            elif g > 255:
+                g = 255
+            left = (int(src[i]) + g) & 0xFF
+            top_left = top
+            row[i] = left
+    return out
 
 
 def decode_webp(blob: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a WebP file: RIFF walk to the VP8L chunk (lossless);
-    VP8 (lossy) raises NotImplementedError."""
+    """Decode a WebP file to RGBA uint8 (h, w, 4): RIFF walk to the
+    image chunk — VP8L (lossless, decode_vp8l) or VP8 (lossy
+    keyframe, ops/vp8.py), with an optional ALPH alpha plane on the
+    lossy path (VP8X containers). Only animation remains
+    NotImplementedError."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
+    alph: bytes | None = None
     while pos + 8 <= len(blob):
         tag = blob[pos:pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
@@ -507,10 +576,19 @@ def decode_webp(blob: bytes) -> tuple[np.ndarray, dict]:
             arr, meta = decode_vp8l(payload)
             meta["format"] = "webp"
             return arr, meta
-        if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) not supported — VP8L lossless only")
-        if tag == b"ANIM" or tag == b"ANMF":
+        if tag == b"ALPH":
+            alph = payload
+        elif tag == b"VP8 ":
+            from .vp8 import decode_vp8, yuv_to_rgba
+            y, u, v, meta = decode_vp8(payload)
+            arr = yuv_to_rgba(y, u, v)
+            if alph is not None:
+                arr[:, :, 3] = _decode_alph(alph, meta["width"],
+                                            meta["height"])
+            meta["format"] = "webp"
+            meta["has_alpha"] = alph is not None
+            return arr, meta
+        elif tag == b"ANIM" or tag == b"ANMF":
             raise NotImplementedError(
                 "animated WebP not supported (frame-sample stills "
                 "through SampleVideoFrames' containers instead)")

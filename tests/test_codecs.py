@@ -201,10 +201,14 @@ def test_png_corruption_taxonomy():
         decode_image(b"II*\x00 fake tiff")
     with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")  # no image chunk
-    # ...but a lossy (VP8) WebP is recognized-and-uncoded
-    with pytest.raises(NotImplementedError, match="VP8"):
+    # ...lossy (VP8) WebP is SUPPORTED now: corrupt -> ValueError
+    with pytest.raises(ValueError, match="truncated VP8"):
         decode_image(b"RIFF\x10\x00\x00\x00WEBP"
                      b"VP8 \x04\x00\x00\x00abcd")
+    # animated WebP stays recognized-and-uncoded
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBP"
+                     b"ANIM\x04\x00\x00\x00abcd")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01unknown")
 

@@ -117,9 +117,14 @@ def test_error_taxonomy():
         decode_webp(b"NOPE")
     with pytest.raises(ValueError, match="image chunk"):
         decode_webp(b"RIFF\x00\x00\x00\x00WEBP")
-    with pytest.raises(NotImplementedError, match="VP8"):
+    with pytest.raises(ValueError, match="truncated VP8"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBP"
                     b"VP8 \x04\x00\x00\x00abcd")
+    with pytest.raises(NotImplementedError, match="interframe"):
+        # odd tag byte = inter frame; stills are always keyframes
+        decode_webp(b"RIFF\x16\x00\x00\x00WEBP"
+                    b"VP8 \x0a\x00\x00\x00\x01\x00\x00"
+                    b"\x9d\x01\x2a\x10\x00\x10\x00")
     with pytest.raises(ValueError, match="signature"):
         decode_webp(b"RIFF\x0c\x00\x00\x00WEBP"
                     b"VP8L\x04\x00\x00\x00zzzz")
