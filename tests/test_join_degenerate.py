@@ -50,3 +50,33 @@ def test_empty_blocks_never_reach_downstream_udfs(ray_session):
 
     out = joined.map_batches(needs_suffix, batch_format="pyarrow")
     assert out.count() == 0
+
+
+def test_schemaless_probe_invariant(ray_session):
+    # The fetch_if_missing=False probe is load-bearing in joins.py:
+    # it must return None (not a fabricated schema) for an
+    # all-empty-through-map lineage, both before and after execution.
+    ds = _schemaless_empty()
+    assert ds.schema(fetch_if_missing=False) is None
+    mat = ds.materialize()
+    sch = mat.schema(fetch_if_missing=False)
+    # executed: Ray may report None or a field-less schema; either
+    # way there must be NO fabricated columns
+    assert sch is None or len(sch.names) == 0
+
+
+def test_empty_blocks_dropped_among_nonempty(ray_session):
+    # Ray must drop empty blocks before downstream UDFs even when
+    # OTHER blocks are non-empty (filter leaves empty remainders).
+    ds = rd.range(64, override_num_blocks=8) \
+        .filter(lambda r: r["id"] < 8)  # 7 of 8 blocks become empty
+
+    seen = []
+
+    def udf(t: pa.Table) -> pa.Table:
+        assert t.num_rows > 0, "UDF saw an empty block"
+        seen.append(t.num_rows)
+        return t
+
+    out = ds.map_batches(udf, batch_format="pyarrow")
+    assert out.count() == 8
