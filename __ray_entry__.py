@@ -1148,17 +1148,21 @@ def q_decode_images(sf_dir: str):
 
 
 def q_decode_audio(sf_dir: str):
-    """REAL WAV decode: per document, write a 16-bit PCM mono WAV
-    with stdlib ``wave`` (an INDEPENDENT writer) whose sample j is
-    ((doc_id*13 + j*7) % 65536) - 32768, then frame-sample it through
-    the RIFF/PCM decoder stage. The oracle recomputes the sampled
-    mean-|amplitude| analytically (exact: integer sums in float64)."""
+    """REAL audio decode: per document, sample j is
+    ((doc_id*13 + j*7) % 65536) - 32768; even doc_ids write a 16-bit
+    PCM mono WAV with stdlib ``wave`` (an INDEPENDENT writer), odd
+    doc_ids a FLAC stream (from-scratch encoder, ops/flac.py — FLAC
+    is lossless so the decoded samples are identical). Frame-sample
+    through the audio decoder stage; the oracle recomputes the
+    sampled mean-|amplitude| analytically (exact: integer sums in
+    float64)."""
     import io
     import wave
 
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
+    from swishray.ops.flac import encode_flac
     from swishray.ops.multimodal import SampleAudioFrames
     from swishray.util import default_concurrency, map_batches_stateful
 
@@ -1167,6 +1171,9 @@ def q_decode_audio(sf_dir: str):
         blobs = []
         for i in t.column("doc_id").to_pylist():
             s = (((int(i) * 13 + j * 7) % 65536) - 32768).astype("<i2")
+            if int(i) % 2:
+                blobs.append(encode_flac(s, sample_rate=_AUD_RATE))
+                continue
             buf = io.BytesIO()
             w = wave.open(buf, "wb")
             w.setnchannels(1)

@@ -89,6 +89,10 @@ class AudioHashes:
         if blob[:4] == b"RIFF":
             arr, meta = self.codecs.decode_wav(blob)
             return arr[:, 0].astype(np.float64), meta["sample_rate"]
+        if blob[:4] == b"fLaC":
+            from .flac import decode_flac
+            arr, meta = decode_flac(blob)
+            return arr[:, 0].astype(np.float64), meta["sample_rate"]
         raise NotImplementedError(
             f"unknown audio container (header={blob[:4]!r})")
 

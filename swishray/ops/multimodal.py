@@ -148,6 +148,10 @@ class SampleAudioFrames:
         if blob[:4] == b"RIFF":
             arr, meta = self.codecs.decode_wav(blob)
             return arr[:, 0], meta["sample_rate"]
+        if blob[:4] == b"fLaC":
+            from .flac import decode_flac
+            arr, meta = decode_flac(blob)
+            return arr[:, 0], meta["sample_rate"]
         raise NotImplementedError(
             f"unknown audio container (header={blob[:4]!r})")
 
