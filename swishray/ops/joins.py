@@ -486,6 +486,24 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
     r = right.map_batches(tag("r", rcols, rcols_out, lcols),
                           batch_format="pyarrow")
     both = l.union(r)
+    # Bound the pull-based shuffle's M x R sub-object fan. Ray's
+    # groupby shuffle emits one sub-block per (map task, reduce
+    # partition) pair, ALL OWNED BY THE DRIVER, and sub-blocks under
+    # the ~100 KB inline threshold live in the driver's in-process
+    # store rather than plasma: with M ~ R ~ input blocks, a many-
+    # block union drove driver PRIVATE RSS to ~1.9 GB at soak x20
+    # (traced: Python heap was 26 MB — all native core-worker
+    # memory). Coalescing to O(num_buckets v CPUs) blocks keeps
+    # M x R quadratic-free and every sub-block plasma-sized, so
+    # driver memory stays flat in corpus size (measured: 1.6 GB ->
+    # ~0.3 GB at x20, flat to x100; tools/soak.py reports the
+    # private/shared split).
+    try:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    both = both.repartition(max(num_buckets, 2 * cpus))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # polars join, zero-copy from/to Arrow: several times the

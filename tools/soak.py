@@ -119,7 +119,7 @@ def build_corpus(scale: int) -> None:
 
 
 _CHILD = r"""
-import json, os, resource, sys, time
+import json, os, resource, sys, threading, time
 import ray
 ray.init(address="local", num_cpus=int(os.environ.get("SOAK_CPUS", "32")),
          include_dashboard=False, logging_level="ERROR")
@@ -129,11 +129,35 @@ sys.path.insert(0, os.environ["SOAK_REPO"])
 import __ray_entry__ as e
 name = sys.argv[1]
 data = sys.argv[2]
+
+# sample /proc/self/smaps_rollup: ru_maxrss counts SHARED plasma
+# pages the driver merely mmaps (zero-copy block reads); the 100-TB
+# "driver holds O(small) state" claim is about PRIVATE memory, so
+# attribute the peak to private vs shared.
+peak = {"private_mb": 0.0, "shared_mb": 0.0}
+def _sample():
+    while not peak.get("stop"):
+        try:
+            priv = shared = 0
+            for line in open("/proc/self/smaps_rollup"):
+                if line.startswith(("Private_Clean", "Private_Dirty")):
+                    priv += int(line.split()[1])
+                elif line.startswith(("Shared_Clean", "Shared_Dirty")):
+                    shared += int(line.split()[1])
+            peak["private_mb"] = max(peak["private_mb"], priv / 1024)
+            peak["shared_mb"] = max(peak["shared_mb"], shared / 1024)
+        except OSError:
+            pass
+        time.sleep(0.2)
+sampler = threading.Thread(target=_sample, daemon=True)
+sampler.start()
+
 t0 = time.perf_counter()
 res = e.queries()[name](data)
 import ray.data as _rd
 n = res.count() if isinstance(res, _rd.Dataset) else len(res)
 wall = time.perf_counter() - t0
+peak["stop"] = True
 rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 # object-store spill: raylet logs its cumulative spilled bytes
 spilled_mb = 0.0
@@ -149,13 +173,18 @@ for logname in ("raylet.out", "raylet.err"):
 ray.shutdown()
 print(json.dumps({"rows": int(n), "wall_s": round(wall, 2),
                   "driver_peak_rss_mb": round(rss_mb, 1),
+                  "driver_peak_private_mb": round(peak["private_mb"], 1),
+                  "driver_peak_shared_mb": round(peak["shared_mb"], 1),
                   "spilled_mb": spilled_mb}))
 """
 
 
 def run_soak() -> dict:
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     results = {}
-    for name in PIPELINES:
+    for name in (only or PIPELINES):
         env = dict(os.environ, SOAK_REPO=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
         t0 = time.time()
