@@ -24,6 +24,14 @@
 
 #define MAXWORD 256
 
+/* ASCII fast-path tables, filled at module init AFTER setlocale:
+ * lower_tab[c] = towlower(c); word_tab[c] = is_word_cp(towlower(c)).
+ * The main scan previously paid a u8_decode + glibc towlower call
+ * per character even for pure-ASCII buffers (the common case after
+ * extraction); the table loop removes both. */
+static unsigned char ascii_lower_tab[128];
+static unsigned char ascii_word_tab[128];
+
 static int
 is_word_cp(unsigned int cp)
 {
@@ -152,7 +160,9 @@ utf8_start_advance(const unsigned char *tb, Py_ssize_t n)
 typedef struct {
     PyObject *values;     /* list[bytes] */
     PyObject *positions;  /* list[int] */
+    PyObject *offsets;    /* list[int]: running byte offsets */
     long pos;
+    long long offset;     /* next token's byte offset */
 } Out;
 
 static int
@@ -170,6 +180,15 @@ emit(Out *o, const unsigned char *v, Py_ssize_t len)
         return -1;
     if (PyList_Append(o->positions, p) < 0) { Py_DECREF(p); return -1; }
     Py_DECREF(p);
+    /* offsets[i] = byte offset of token i in the joined value
+       stream (len+1 separators) — was a per-call Python
+       accumulate() over every token, visible at extraction scale */
+    p = PyLong_FromLongLong(o->offset);
+    if (!p)
+        return -1;
+    if (PyList_Append(o->offsets, p) < 0) { Py_DECREF(p); return -1; }
+    Py_DECREF(p);
+    o->offset += (long long)len + 1;
     return 0;
 }
 
@@ -311,6 +330,7 @@ tokenize(PyObject *self, PyObject *args)
     const unsigned char *data;
     Py_ssize_t dlen;
     long start_pos;
+    long long start_offset = 0;
     int ascii_mode = 1;
     Py_ssize_t i;
     Out o;
@@ -320,13 +340,16 @@ tokenize(PyObject *self, PyObject *args)
     Py_ssize_t run_cap = 0, bounds_cap = 0;
     Py_ssize_t run_len = 0, nchars = 0;
 
-    if (!PyArg_ParseTuple(args, "y#l", &data, &dlen, &start_pos))
+    if (!PyArg_ParseTuple(args, "y#l|L", &data, &dlen, &start_pos,
+                          &start_offset))
         return NULL;
 
     o.values = PyList_New(0);
     o.positions = PyList_New(0);
+    o.offsets = PyList_New(0);
     o.pos = start_pos;
-    if (!o.values || !o.positions)
+    o.offset = start_offset;
+    if (!o.values || !o.positions || !o.offsets)
         goto fail;
 
     for (i = 0; i < dlen; i++)
@@ -339,12 +362,55 @@ tokenize(PyObject *self, PyObject *args)
     if (!run || !bounds)
         goto fail;
 
+    if (ascii_mode) {
+        /* table-driven scan: no per-char u8_decode/towlower calls */
+        i = 0;
+        while (i < dlen) {
+            unsigned char c = data[i];
+            if (ascii_word_tab[c]) {
+                Py_ssize_t s = i, len, k;
+                do {
+                    i++;
+                } while (i < dlen && ascii_word_tab[data[i]]);
+                len = i - s;
+                if (len > run_cap) {
+                    while (len > run_cap)
+                        run_cap *= 2;
+                    run = PyMem_Realloc(run, run_cap);
+                    if (!run)
+                        goto fail;
+                }
+                for (k = 0; k < len; k++)
+                    run[k] = ascii_lower_tab[data[s + k]];
+                if (process_run(&o, 1, run, len, NULL, len,
+                                i == dlen) < 0)
+                    goto fail;
+            }
+            else {
+                if (c == 0x03)
+                    o.pos += 1;
+                i++;
+            }
+        }
+        result = Py_BuildValue("(OOOlL)", o.values, o.positions,
+                               o.offsets, o.pos, o.offset);
+        goto fail; /* shared cleanup */
+    }
+
     i = 0;
     while (i < dlen) {
         int clen;
         unsigned int cp = u8_decode(data + i, dlen - i, &clen);
-        unsigned int lcp = (unsigned int)towlower((wint_t)cp);
-        int word = is_word_cp(lcp);
+        unsigned int lcp;
+        int word;
+        if (cp < 0x80) {
+            lcp = ascii_lower_tab[cp];
+            word = ascii_word_tab[cp];
+        }
+        else {
+            lcp = (unsigned int)towlower((wint_t)cp);
+            word = is_word_cp(lcp);
+        }
         i += clen;
         if (word) {
             unsigned char enc[4];
@@ -387,19 +453,21 @@ tokenize(PyObject *self, PyObject *args)
             goto fail;
     }
 
-    result = Py_BuildValue("(OOl)", o.values, o.positions, o.pos);
+    result = Py_BuildValue("(OOOlL)", o.values, o.positions,
+                           o.offsets, o.pos, o.offset);
     /* fallthrough for cleanup */
 fail:
     PyMem_Free(run);
     PyMem_Free(bounds);
     Py_XDECREF(o.values);
     Py_XDECREF(o.positions);
+    Py_XDECREF(o.offsets);
     return result;
 }
 
 static PyMethodDef methods[] = {
     {"tokenize", tokenize, METH_VARARGS,
-     "tokenize(data, start_pos) -> (values, positions, end_pos)"},
+     "tokenize(data, start_pos, start_offset=0) -> (values, positions, offsets, end_pos, end_offset)"},
     {NULL, NULL, 0, NULL},
 };
 
@@ -422,6 +490,14 @@ PyInit_swishtok(void)
                         "swishtok requires the C.utf8 locale "
                         "(unavailable on this host)");
         return NULL;
+    }
+    {
+        unsigned int c;
+        for (c = 0; c < 128; c++) {
+            unsigned int lc = (unsigned int)towlower((wint_t)c);
+            ascii_lower_tab[c] = (unsigned char)lc;
+            ascii_word_tab[c] = (unsigned char)is_word_cp(lc);
+        }
     }
     return PyModule_Create(&moduledef);
 }

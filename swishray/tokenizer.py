@@ -257,19 +257,17 @@ except Exception:  # pragma: no cover
 
 def tokenize_into(tl: TokenList, data: bytes, meta: str, context: str) -> int:
     if _native is not None:
-        vals, poss, newpos = _native.tokenize(data, tl.pos)
+        # offsets are accumulated inside the C scan (the per-call
+        # Python accumulate() over every token was a visible slice
+        # of single-core extraction time)
+        vals, poss, offs, newpos, newoff = _native.tokenize(
+            data, tl.pos, tl._offset)
         n = len(vals)
         if n:
             tl.values.extend(vals)
             tl.positions.extend(poss)
-            # offsets[i] = _offset + sum(len(v)+1 for previous v) —
-            # all in C via accumulate (the per-token Python loop was a
-            # visible slice of single-core extraction time)
-            from itertools import accumulate
-            lens = [len(v) + 1 for v in vals]
-            run = list(accumulate(lens, initial=tl._offset))
-            tl.offsets.extend(run[:-1])
-            tl._offset = run[-1]
+            tl.offsets.extend(offs)
+            tl._offset = newoff
             tl.metas.extend([meta] * n)
             tl.contexts.extend([context] * n)
         tl.pos = newpos
@@ -398,9 +396,10 @@ def _native_selftest() -> bool:
     for s in samples:
         tl = TokenList()
         _tokenize_into_py(tl, s, "m", "c")
-        vals, poss, newpos = _native.tokenize(s, 0)
+        vals, poss, offs, newpos, newoff = _native.tokenize(s, 0, 0)
         if (list(vals) != tl.values or list(poss) != tl.positions
-                or newpos != tl.pos):
+                or list(offs) != tl.offsets or newpos != tl.pos
+                or newoff != tl._offset):
             return False
     return True
 

@@ -155,11 +155,12 @@ def test_multimodal_decode(ray_session):
     o = decode_images(jp, concurrency=1).take_all()[0]
     assert o["error"] is None and (o["width"], o["height"]) == (16, 8)
     assert o["pixel_sum"] == int(flat.astype(np.int64).sum())
-    # uncoded flavor (lossy VP8) -> NotImplementedError in the column
+    # uncoded flavor (animated WebP; lossy VP8 decodes now) ->
+    # NotImplementedError in the column
     bad = rd.from_arrow(pa.table({
         "media_id": pa.array([1], type=pa.int64()),
         "payload": pa.array([b"RIFF\x10\x00\x00\x00WEBP"
-                             b"VP8 \x04\x00\x00\x00abcd"],
+                             b"ANIM\x04\x00\x00\x00abcd"],
                             type=pa.binary())}))
     o = decode_images(bad, concurrency=1).take_all()[0]
     assert "NotImplementedError" in o["error"]
