@@ -965,8 +965,16 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
         from .tiff import decode_tiff
         arr, meta = decode_tiff(blob)
     elif fmt == "webp":
-        from .webp import decode_webp
-        arr, meta = decode_webp(blob)
+        from .webp import decode_webp, decode_webp_frames
+        try:
+            arr, meta = decode_webp(blob)
+        except NotImplementedError as e:
+            if "animated" not in str(e):
+                raise
+            # animation: first composited frame (GIF parity);
+            # frame-sample through SampleVideoFrames instead
+            frames, meta = decode_webp_frames(blob)
+            arr = frames[0]
     else:
         for magic, name in _MAGIC_UNSUPPORTED:
             if blob[:len(magic)] == magic:

@@ -7,10 +7,11 @@ none/LZW/PackBits/Deflate), WebP lossless (full VP8L: prefix codes,
 color cache, meta groups, LZ77 2-D distances, all four transforms),
 WebP lossy (full VP8 intra-frame decode per RFC 6386, with ALPH
 alpha planes — ops/vp8.py), BMP, PPM/PGM, WAV (RIFF/PCM + IEEE
-float) and Y4M video. Flavors that would need a codec we haven't
-built (animated WebP, compressed video) raise NotImplementedError
-into the per-row error column — distinguishable from ValueError,
-which marks a CORRUPT file of a supported format.
+float) and Y4M video; animated GIF/WebP frame-sample through
+SampleVideoFrames. Flavors that would need a codec we haven't built
+(MP4/H.26x inter-frame video) raise NotImplementedError into the
+per-row error column — distinguishable from ValueError, which marks
+a CORRUPT file of a supported format.
 
 The deterministic synthetic containers ("SWIM"/"SWAU"/"SWVI" headers)
 are kept for tests/demos — they exercise the same plumbing with
@@ -196,7 +197,8 @@ def synth_video_blob(seed: int, width: int = 16, height: int = 12,
 class SampleVideoFrames:
     """Frame-sample stage for video blobs (real uncompressed Y4M via
     the YUV4MPEG2 decoder, COMPRESSED Motion-JPEG AVI via the
-    from-scratch JPEG codec, animated GIF, plus the SWVI test
+    from-scratch JPEG codec, animated GIF, animated WebP (VP8/VP8L
+    frames composited per the container spec), plus the SWVI test
     container): decode every Nth frame, emit per-sampled-frame mean
     luminance, a total luma checksum (``y_sum`` —
     oracle-recomputable), and the error column. Inter-frame-coded
@@ -234,6 +236,13 @@ class SampleVideoFrames:
                 frames = (frames.astype(np.uint16).sum(axis=3)
                           // 3).astype(np.uint8)
             return meta["n_frames"], frames.reshape(
+                frames.shape[0], -1)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+            from .webp import decode_webp_frames
+            frames, meta = decode_webp_frames(blob)  # (n, h, w, 4)
+            rgb = frames[..., :3].astype(np.uint16)
+            gray = (rgb.sum(axis=3) // 3).astype(np.uint8)
+            return meta["n_frames"], gray.reshape(
                 frames.shape[0], -1)
         raise NotImplementedError(
             f"unknown video container (header={blob[:9]!r}); "

@@ -596,6 +596,121 @@ def decode_webp(blob: bytes) -> tuple[np.ndarray, dict]:
     raise ValueError("WebP with no image chunk")
 
 
+def _decode_webp_still(payload_chunks: list) -> tuple[np.ndarray,
+                                                      dict]:
+    """Decode one still image from its (tag, payload) chunks
+    (a whole-file chunk list or one ANMF frame's sub-chunks)."""
+    alph = None
+    for tag, payload in payload_chunks:
+        if tag == b"ALPH":
+            alph = payload
+        elif tag == b"VP8L":
+            return decode_vp8l(payload)
+        elif tag == b"VP8 ":
+            from .vp8 import decode_vp8, yuv_to_rgba
+            y, u, v, meta = decode_vp8(payload)
+            arr = yuv_to_rgba(y, u, v)
+            if alph is not None:
+                arr[:, :, 3] = _decode_alph(alph, meta["width"],
+                                            meta["height"])
+            meta["has_alpha"] = alph is not None
+            return arr, meta
+    raise ValueError("WebP frame with no image chunk")
+
+
+def _chunks(blob: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        tag = blob[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        payload = blob[pos + 8:pos + 8 + size]
+        if len(payload) != size or pos + 8 + size > end:
+            raise ValueError("truncated WebP chunk")
+        yield tag, payload
+        pos += 8 + size + (size & 1)
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def decode_webp_frames(blob: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a WebP file to stacked RGBA frames (n, h, w, 4).
+
+    Stills yield one frame. Animations (VP8X + ANIM/ANMF, WebP
+    container spec) composite per the spec's state machine onto an
+    initially-transparent canvas: each ANMF places its sub-image
+    (VP8/VP8L, optional ALPH) at (2*frame_x, 2*frame_y); flag bit 1
+    set = overwrite, clear = alpha-blend (straight-alpha integer
+    blend: a_out = a_s + a_d*(255-a_s)//255, c_out = (c_s*a_s +
+    c_d*a_d*(255-a_s)//255)//a_out); flag bit 0 set = dispose the
+    frame rectangle to transparent afterward. Frame PAYLOAD decode is
+    bit-exact vs libwebp (tests); the compositing semantics are
+    spec-derived (no demuxer library exists in this container to A/B
+    against) and pinned by designed-overlap tests."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    chunks = list(_chunks(blob, 12, len(blob)))
+    tags = [t for t, _ in chunks]
+    if b"ANMF" not in tags:
+        arr, meta = decode_webp(blob)
+        meta["n_frames"] = 1
+        return arr[None, ...], meta
+    canvas_w = canvas_h = None
+    loop_count = 0
+    for tag, payload in chunks:
+        if tag == b"VP8X" and len(payload) >= 10:
+            canvas_w = _u24(payload, 4) + 1
+            canvas_h = _u24(payload, 7) + 1
+        elif tag == b"ANIM" and len(payload) >= 6:
+            loop_count = payload[4] | (payload[5] << 8)
+    if canvas_w is None:
+        raise ValueError("animated WebP without VP8X canvas")
+    canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+    frames = []
+    durations = []
+    for tag, payload in chunks:
+        if tag != b"ANMF":
+            continue
+        if len(payload) < 16:
+            raise ValueError("short ANMF header")
+        fx = _u24(payload, 0) * 2
+        fy = _u24(payload, 3) * 2
+        fw = _u24(payload, 6) + 1
+        fh = _u24(payload, 9) + 1
+        durations.append(_u24(payload, 12))
+        flags = payload[15]
+        sub = list(_chunks(payload, 16, len(payload)))
+        img, _ = _decode_webp_still(sub)
+        if img.shape[:2] != (fh, fw) or fx + fw > canvas_w \
+                or fy + fh > canvas_h:
+            raise ValueError("ANMF frame geometry mismatch")
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if flags & 0x02:  # no blending: overwrite
+            region[:] = img
+        else:  # straight-alpha blend, integer math as documented
+            sa = img[:, :, 3].astype(np.int64)
+            da = region[:, :, 3].astype(np.int64)
+            sda = da * (255 - sa) // 255
+            oa = sa + sda
+            oc = (img[:, :, :3].astype(np.int64) * sa[..., None]
+                  + region[:, :, :3].astype(np.int64)
+                  * sda[..., None])
+            safe = np.maximum(oa, 1)
+            region[:, :, :3] = (oc // safe[..., None]).astype(
+                np.uint8)
+            region[:, :, 3] = oa.astype(np.uint8)
+        frames.append(canvas.copy())
+        if flags & 0x01:  # dispose to background (transparent)
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return np.stack(frames), {
+        "format": "webp", "animated": True, "width": canvas_w,
+        "height": canvas_h, "n_frames": len(frames),
+        "loop_count": loop_count, "durations_ms": durations}
+
+
 # ---------------------------------------------------------------------------
 # native kernel gating: the C pixel loop must reproduce the pure path
 # bit-exactly on a libwebp-encoded feature sample (transforms + cache

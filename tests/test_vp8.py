@@ -393,3 +393,139 @@ def test_dispatch_from_decode_image(lw):
     assert sniff_image(blob) == "webp"
     arr, meta = decode_image(blob)
     assert arr.shape == (16, 24, 4) and meta["lossy"]
+
+
+# ---------------------------------------------------------------------------
+# 5. animated WebP (ANIM/ANMF compositing; decode_webp_frames)
+
+
+def _anmf(x2, y2, img_chunks, duration=40, blend=True,
+          dispose=False):
+    """Assemble one ANMF chunk; x2/y2 in 2-pixel units."""
+    h = (x2.to_bytes(3, "little") + y2.to_bytes(3, "little"))
+    return h, duration, blend, dispose, img_chunks
+
+
+def _build_anim(lw, canvas_wh, frames):
+    """frames: list of (x, y, rgba_img, blend, dispose) — each image
+    encoded as a lossless still via libwebp, its image chunks spliced
+    into ANMF frames."""
+    w, h = canvas_wh
+
+    def chunk(tag, payload):
+        return tag + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def still_chunks(img):
+        blob = _enc_adv(lw, img, 75.0, lossless=1, exact=1)
+        out = b""
+        pos = 12
+        while pos + 8 <= len(blob):
+            tag = blob[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            if tag in (b"VP8 ", b"VP8L", b"ALPH"):
+                out += chunk(tag, blob[pos + 8:pos + 8 + size])
+            pos += 8 + size + (size & 1)
+        return out
+
+    body = b"WEBP"
+    vp8x = struct.pack("<I", 0x12)  # ANIM | ALPHA flags
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(
+        3, "little")
+    body += chunk(b"VP8X", vp8x)
+    body += chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    for (x, y, img, blend, dispose) in frames:
+        fh, fw = img.shape[:2]
+        hdr = (x // 2).to_bytes(3, "little") \
+            + (y // 2).to_bytes(3, "little") \
+            + (fw - 1).to_bytes(3, "little") \
+            + (fh - 1).to_bytes(3, "little") \
+            + (40).to_bytes(3, "little") \
+            + bytes([(0 if blend else 2) | (1 if dispose else 0)])
+        body += chunk(b"ANMF", hdr + still_chunks(img))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_animated_webp_composites(lw):
+    from swishray.ops.webp import decode_webp_frames
+    rng = np.random.default_rng(41)
+    a = np.dstack([rng.integers(0, 256, (16, 24, 3), dtype=np.uint8),
+                   np.full((16, 24), 255, np.uint8)])
+    b = np.dstack([rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+                   np.full((8, 8), 255, np.uint8)])
+    blob = _build_anim(lw, (24, 16), [
+        (0, 0, a, False, False),       # full-canvas base, overwrite
+        (8, 4, b, False, False),       # opaque overwrite patch
+    ])
+    frames, meta = decode_webp_frames(blob)
+    assert meta["animated"] and meta["n_frames"] == 2
+    assert np.array_equal(frames[0], a)       # frame payloads exact
+    want = a.copy()
+    want[4:12, 8:16] = b
+    assert np.array_equal(frames[1], want)
+
+
+def test_animated_webp_blend_and_dispose(lw):
+    from swishray.ops.webp import decode_webp_frames
+    base = np.dstack([np.full((8, 8, 3), 100, np.uint8),
+                      np.full((8, 8), 255, np.uint8)])
+    # semi-transparent overlay: alpha 128 over opaque 100s
+    over = np.dstack([np.full((4, 4, 3), 200, np.uint8),
+                      np.full((4, 4), 128, np.uint8)])
+    blob = _build_anim(lw, (8, 8), [
+        (0, 0, base, False, False),
+        (0, 0, over, True, True),      # BLEND then dispose rect
+        (4, 4, over, False, False),    # after disposal: overwrite
+    ])
+    frames, meta = decode_webp_frames(blob)
+    assert meta["n_frames"] == 3
+    # documented integer blend: sa=128, da=255 ->
+    # sda = 255*127//255 = 127, oa = 255,
+    # c = (200*128 + 100*127)//255 = (25600+12700)//255 = 150
+    assert frames[1][0, 0].tolist() == [150, 150, 150, 255]
+    assert frames[1][7, 7].tolist() == [100, 100, 100, 255]
+    # disposal cleared the 4x4 rect to transparent before frame 3
+    assert frames[2][0, 0].tolist() == [0, 0, 0, 0]
+    assert frames[2][4, 4].tolist() == [200, 200, 200, 128]
+    assert frames[2][7, 0].tolist() == [100, 100, 100, 255]
+
+
+def test_animated_webp_video_sampling(lw, ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from swishray.ops.multimodal import SampleVideoFrames
+    from swishray.util import map_batches_stateful
+
+    rng = np.random.default_rng(43)
+    frames = []
+    for k in range(4):
+        img = np.dstack([rng.integers(0, 256, (8, 8, 3),
+                                      dtype=np.uint8),
+                         np.full((8, 8), 255, np.uint8)])
+        frames.append((0, 0, img, False, False))
+    blob = _build_anim(lw, (8, 8), frames)
+    ds = rd.from_arrow(pa.table({
+        "media_id": [1], "payload": pa.array([blob], pa.binary())}))
+    out = map_batches_stateful(
+        ds, SampleVideoFrames, fn_constructor_kwargs=dict(every_n=2),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+        num_cpus=1).take_all()[0]
+    assert out["error"] is None
+    assert out["n_frames"] == 4 and out["n_sampled"] == 2
+    # luma rule matches the GIF path: integer mean of R,G,B
+    from swishray.ops.webp import decode_webp_frames
+    fr, _ = decode_webp_frames(blob)
+    gray = (fr[..., :3].astype(np.uint16).sum(axis=3) // 3)
+    want = int(gray[::2].sum(dtype=np.int64))
+    assert out["y_sum"] == want
+
+
+def test_animated_webp_first_frame_via_decode_image(lw):
+    from swishray.ops.codecs import decode_image
+    rng = np.random.default_rng(47)
+    img = np.dstack([rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+                     np.full((8, 8), 255, np.uint8)])
+    blob = _build_anim(lw, (8, 8), [(0, 0, img, False, False)])
+    arr, meta = decode_image(blob)
+    assert meta["animated"] and np.array_equal(arr, img)
