@@ -944,8 +944,9 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     JPEG — baseline AND progressive — /TIFF/WebP lossless AND lossy)
     to an (h, w, channels) sample array (a multi-frame GIF
     contributes its FIRST composited frame; frame-sample animations
-    through SampleVideoFrames instead). NotImplementedError for
-    known-but-uncoded flavors (animated WebP, CMYK/lossless/
+    through SampleVideoFrames instead; a CMYK JPEG is converted to
+    RGB with the documented Adobe-inverted rule r = c*k//255).
+    NotImplementedError for known-but-uncoded flavors (lossless/
     arithmetic JPEG, tiled/CCITT/16-bit TIFF) and unknown magics;
     ValueError for corrupt files of a supported format."""
     fmt = sniff_image(blob)
@@ -961,6 +962,11 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     elif fmt == "jpeg":
         from .jpeg import decode_jpeg
         arr, meta = decode_jpeg(blob)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            # raw Adobe CMYK (stored inverted): r = c * k // 255 —
+            # keeps 4-channel output away from RGBA-assuming stages
+            c = arr.astype(np.uint16)
+            arr = ((c[..., :3] * c[..., 3:4]) // 255).astype(np.uint8)
     elif fmt == "tiff":
         from .tiff import decode_tiff
         arr, meta = decode_tiff(blob)

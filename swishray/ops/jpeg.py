@@ -2,10 +2,11 @@
 
 Decoder: baseline and extended sequential DCT (SOF0/SOF1) plus
 PROGRESSIVE DCT (SOF2 — spectral selection + successive approximation,
-the dominant JPEG flavor on the web), grayscale and 3-component
-YCbCr/JFIF color, restart markers, per-frame quantization and Huffman
-tables read from the stream. Arithmetic coding, hierarchical and
-lossless modes and 4-component (CMYK/YCCK) color raise
+the dominant JPEG flavor on the web), grayscale, 3-component
+YCbCr/JFIF color AND 4-component Adobe CMYK/YCCK (APP14 transform
+dispatch, raw-CMYK output per libjpeg's JCS_CMYK convention),
+restart markers, per-frame quantization and Huffman tables read from
+the stream. Arithmetic coding, hierarchical and lossless modes raise
 NotImplementedError; corrupt streams of supported flavors raise
 ValueError (the two failure classes stay distinguishable in the
 multimodal stages' error column, see ops/codecs.py).
@@ -283,9 +284,13 @@ def _collect_scan_data(blob: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
     """Decode a baseline/extended-sequential/progressive JPEG to an
-    (h, w) grayscale or (h, w, 3) RGB uint8 array. Chroma upsampling
-    is sample replication; YCbCr->RGB per the JFIF/CCIR 601 matrix
-    with round-half-up and clamp."""
+    (h, w) grayscale, (h, w, 3) RGB or (h, w, 4) CMYK uint8 array.
+    Chroma upsampling is sample replication; YCbCr->RGB per the
+    JFIF/CCIR 601 matrix with round-half-up and clamp. 4-component
+    files follow libjpeg's JCS_CMYK convention: raw stored samples
+    for Adobe transform 0 (most Adobe CMYK files store INVERTED ink
+    values — consumers apply r = c*k/255); YCCK (Adobe transform 2)
+    is converted back to the same raw-CMYK representation."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -293,6 +298,7 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
     comps: list[_Comp] = []
     w = h = 0
     progressive = False
+    adobe_transform = None
     dri = 0
     hmax = vmax = 1
     mcux = mcuy = 0
@@ -348,10 +354,10 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
             if prec != 8:
                 raise NotImplementedError(
                     f"{prec}-bit JPEG (only 8-bit supported)")
-            if nc == 4:
-                raise NotImplementedError("4-component (CMYK) JPEG")
-            if nc not in (1, 3) or w == 0 or h == 0:
+            if nc not in (1, 3, 4) or w == 0 or h == 0:
                 raise ValueError("bad JPEG frame header")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG frame header")
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append(_Comp(cid, hv >> 4, hv & 15, tq))
@@ -376,6 +382,8 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
                 "arithmetic) not supported")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # 0=CMYK/RGB raw, 1=YCC, 2=YCCK
         elif marker == 0xDA:  # SOS
             if not saw_frame:
                 raise ValueError("JPEG scan before frame header")
@@ -421,15 +429,24 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
         planes.append(plane[:h, :w])
     meta = {"width": w, "height": h, "n_components": len(comps),
             "progressive": progressive}
+    if len(comps) == 4:
+        meta["adobe_transform"] = adobe_transform
     if len(planes) == 1:
         return planes[0], meta
+    if len(planes) == 4 and adobe_transform != 2:
+        # plain CMYK: raw stored samples (libjpeg JCS_CMYK)
+        return np.stack(planes, axis=2), meta
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
-    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8), meta
+    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    if len(planes) == 4:  # YCCK -> raw CMYK: C=255-R, M=255-G, Y=255-B
+        return np.concatenate([255 - rgb, planes[3][..., None]],
+                              axis=2), meta
+    return rgb, meta
 
 
 def _run_scan(segments: list[bytes], scan_comps: list[_Comp],
@@ -705,16 +722,22 @@ def _encode_block(bw_: _BitWriter, blk: np.ndarray, pred: int,
 
 def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None,
                 qtable_chroma: np.ndarray | None = None,
-                subsampling: str = "444", dri: int = 0) -> bytes:
-    """Encode a grayscale (h, w) or RGB (h, w, 3) uint8 array as a
-    baseline JFIF JPEG. ``qtable``/``qtable_chroma`` are 64-entry
-    zigzag-ordered quantizers (default: all 8 — DC-exact for flat
-    blocks, see module docstring). ``subsampling`` is "444" or "420";
+                subsampling: str = "444", dri: int = 0,
+                ycck: bool = False) -> bytes:
+    """Encode a grayscale (h, w), RGB (h, w, 3) or CMYK (h, w, 4)
+    uint8 array as a baseline JPEG (JFIF for 1/3 components; Adobe
+    APP14 for 4 — raw CMYK by default, YCCK with ``ycck=True``).
+    ``qtable``/``qtable_chroma`` are 64-entry zigzag-ordered
+    quantizers (default: all 8 — DC-exact for flat blocks, see
+    module docstring). ``subsampling`` is "444" or "420" (RGB only);
     ``dri`` > 0 emits a DRI segment and restart markers."""
     a = np.asarray(arr, np.uint8)
     gray = a.ndim == 2
-    if not gray and (a.ndim != 3 or a.shape[2] != 3):
-        raise ValueError("encode_jpeg wants (h,w) or (h,w,3) uint8")
+    cmyk = not gray and a.ndim == 3 and a.shape[2] == 4
+    if not gray and (a.ndim != 3 or a.shape[2] not in (3, 4)):
+        raise ValueError("encode_jpeg wants (h,w) or (h,w,3|4) uint8")
+    if ycck and not cmyk:
+        raise ValueError("ycck is a 4-component option")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, w = a.shape[:2]
@@ -727,6 +750,22 @@ def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None,
         planes = [a]
         samp = [(1, 1)]
         qsel = [0]
+    elif cmyk:
+        if ycck:
+            f = 255.0 - a[..., :3].astype(np.float64)  # inverted ink
+            y = 0.299 * f[..., 0] + 0.587 * f[..., 1] \
+                + 0.114 * f[..., 2]
+            cb = 128.0 - 0.168736 * f[..., 0] \
+                - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+            cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] \
+                - 0.081312 * f[..., 2]
+            planes = [np.clip(np.floor(p + 0.5), 0,
+                              255).astype(np.uint8)
+                      for p in (y, cb, cr)] + [a[..., 3]]
+        else:
+            planes = [a[..., 0], a[..., 1], a[..., 2], a[..., 3]]
+        samp = [(1, 1)] * 4
+        qsel = [0] * 4
     else:
         f = a.astype(np.float64)
         y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
@@ -757,20 +796,27 @@ def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None,
         padded = np.pad(p, ((0, mcuy * sv * 8 - p.shape[0]),
                             (0, mcux * sh * 8 - p.shape[1])),
                         mode="edge")
-        coefs.append(_fdct_quant(padded, q_l if len(coefs) == 0
-                                 else q_c))
+        coefs.append(_fdct_quant(padded, q_l if (len(coefs) == 0
+                                 or cmyk) else q_c))
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
-        + b"\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    if cmyk:
+        # JFIF is defined only for 1/3 components; 4-component files
+        # carry the Adobe APP14 marker (transform 0=CMYK, 2=YCCK)
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" \
+            + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0)
+    else:
+        out += b"\xff\xe0" + struct.pack(">H", 16) \
+            + b"JFIF\x00\x01\x01" \
+            + b"\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
 
     def dqt(tid: int, q: np.ndarray) -> bytes:
         return b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + q.astype(np.uint8).tobytes()
 
     out += dqt(0, q_l)
-    if not gray:
+    if not gray and not cmyk:
         out += dqt(1, q_c)
-    nc = 1 if gray else 3
+    nc = 1 if gray else (4 if cmyk else 3)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for i, (sh, sv) in enumerate(samp):
         out += struct.pack(">BBB", i + 1, (sh << 4) | sv, qsel[i])
@@ -782,14 +828,14 @@ def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None,
 
     out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
     out += dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
-    if not gray:
+    if not gray and not cmyk:
         out += dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
         out += dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
     if dri:
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for i in range(nc):
-        tsel = 0 if i == 0 else 1
+        tsel = 0 if (i == 0 or cmyk) else 1
         out += struct.pack(">BB", i + 1, (tsel << 4) | tsel)
     out += bytes([0, 63, 0])  # Ss, Se, AhAl
     dc_tabs = [_build_codes(_DC_LUM_BITS, _DC_LUM_VALS),
@@ -809,7 +855,7 @@ def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None,
             preds = [0] * nc
         my, mx = divmod(m, mcux)
         for i, (sh, sv) in enumerate(samp):
-            tsel = 0 if i == 0 else 1
+            tsel = 0 if (i == 0 or cmyk) else 1
             for v in range(sv):
                 for u in range(sh):
                     blk = coefs[i][my * sv + v, mx * sh + u]

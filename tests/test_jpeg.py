@@ -16,8 +16,9 @@ Three independent angles:
    DC-refine / AC-first / AC-refine decode paths deterministically
    with no dependency on system files.
 3. **Error taxonomy** — corrupt streams of supported flavors raise
-   ValueError; recognized-but-uncoded flavors (CMYK, 12-bit,
-   lossless, arithmetic) raise NotImplementedError.
+   ValueError; recognized-but-uncoded flavors (12-bit, lossless,
+   arithmetic) raise NotImplementedError. CMYK/YCCK decodes (§5),
+   A/B'd against libjpeg's raw JCS_CMYK output via the P7-4 dump.
 """
 
 import shutil
@@ -244,11 +245,12 @@ def test_error_taxonomy():
         decode_jpeg(good[:len(good) // 2])  # truncated mid-stream
     with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(good[:2] + b"\xff\xd9")
-    # flip SOF0 component count to 4 -> CMYK -> NotImplementedError
+    # component count 4 with a 3-component body -> corrupt, not
+    # NotImplementedError (CMYK decodes now)
     sof = good.index(b"\xff\xc0")
     cmyk = bytearray(good)
     cmyk[sof + 9] = 4
-    with pytest.raises(NotImplementedError, match="CMYK"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(cmyk))
     prec12 = bytearray(good)
     prec12[sof + 4] = 12
@@ -306,3 +308,63 @@ def test_collector_vectorized_matches_reference_fuzz():
         for pos in (0, min(5, len(blob))):
             assert J._collect_scan_data(blob, pos) == \
                 J._collect_scan_data_py(blob, pos)
+
+
+# ---------------------------------------------------------------------------
+# 5. CMYK / YCCK (Adobe APP14)
+
+
+def _ref_decode_any(exe: str, blob: bytes):
+    """Like _ref_decode but also parses the P7-4 CMYK output."""
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+        f.write(blob)
+        f.flush()
+        out = subprocess.run([exe, f.name], capture_output=True,
+                             check=True).stdout
+    magic, dims, _maxv, data = out.split(b"\n", 3)
+    w, h = map(int, dims.split())
+    nc = {b"P5": 1, b"P6": 3, b"P7 4": 4}[magic]
+    return np.frombuffer(data, np.uint8, h * w * nc) \
+        .reshape(h, w, nc).squeeze()
+
+
+def test_cmyk_flat_roundtrip_exact():
+    rng = np.random.default_rng(13)
+    flat = rng.integers(0, 256, (2, 3, 4)).astype(np.uint8) \
+        .repeat(8, 0).repeat(8, 1)
+    out, meta = decode_jpeg(encode_jpeg(flat))
+    assert meta["n_components"] == 4
+    assert meta["adobe_transform"] == 0
+    assert np.array_equal(out, flat)
+
+
+def test_ycck_roundtrip_near_exact():
+    rng = np.random.default_rng(14)
+    flat = rng.integers(0, 256, (2, 3, 4)).astype(np.uint8) \
+        .repeat(8, 0).repeat(8, 1)
+    out, meta = decode_jpeg(encode_jpeg(flat, ycck=True))
+    assert meta["adobe_transform"] == 2
+    d = np.abs(out.astype(np.int32) - flat.astype(np.int32))
+    assert d.max() <= 1  # color-transform rounding only
+
+
+@pytest.mark.parametrize("ycck", [False, True])
+def test_cmyk_ab_vs_libjpeg(jpeg_dump, ycck):
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (24, 33, 4)).astype(np.uint8)
+    blob = encode_jpeg(img, ycck=ycck)
+    ref = _ref_decode_any(jpeg_dump, blob)
+    mine, meta = decode_jpeg(blob)
+    assert ref.shape == mine.shape == (24, 33, 4)
+    d = np.abs(ref.astype(np.int32) - mine.astype(np.int32))
+    assert d.max() <= 1, f"max diff {d.max()} vs libjpeg (ycck={ycck})"
+
+
+def test_cmyk_via_decode_image():
+    from swishray.ops.codecs import decode_image
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+    arr, meta = decode_image(encode_jpeg(img))
+    # documented Adobe-inverted conversion to RGB
+    assert arr.shape == (16, 16, 3)
+    assert meta["n_components"] == 4

@@ -2,7 +2,9 @@
  * from-scratch JPEG codec (swishray/ops/jpeg.py) against libjpeg-turbo.
  *
  * Usage: jpeg_dump FILE > out.pnm
- * Emits P5 (grayscale) or P6 (RGB) binary PNM on stdout.
+ * Emits P5 (grayscale), P6 (RGB) or — for 4-component CMYK/YCCK
+ * files — a "P7 4" header followed by raw 4-channel samples
+ * (libjpeg's JCS_CMYK output, no inversion applied).
  *
  * Fancy (interpolating) chroma upsampling is disabled so libjpeg uses
  * the same sample-replication upsampling the Python decoder
@@ -57,7 +59,10 @@ int main(int argc, char **argv)
     jpeg_start_decompress(&cinfo);
     int w = cinfo.output_width, h = cinfo.output_height;
     int nc = cinfo.output_components;
-    printf("P%d\n%d %d\n255\n", nc == 1 ? 5 : 6, w, h);
+    if (nc == 4)
+        printf("P7 4\n%d %d\n255\n", w, h);
+    else
+        printf("P%d\n%d %d\n255\n", nc == 1 ? 5 : 6, w, h);
     JSAMPROW row = malloc((size_t)w * nc);
     while ((int)cinfo.output_scanline < h) {
         jpeg_read_scanlines(&cinfo, &row, 1);
