@@ -1235,6 +1235,48 @@ def q_decode_video(sf_dir: str):
         ["media_id", "n_frames", "n_sampled", "y_sum"])
 
 
+def q_decode_apng(sf_dir: str):
+    """REAL APNG decode: per document, build a 6-frame 8x6 RGB
+    animated PNG (acTL/fcTL/fdAT through the from-scratch encoder)
+    whose frame-f pixel-p channel-c sample is
+    (doc_id*29 + f*7 + p*3) % 253 + c, then frame-sample every 2nd
+    frame through the APNG compositor + the documented integer luma
+    rule ((R+G+B)//3 = base + 1 here). The oracle recomputes the
+    sampled luma checksum from the formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.codecs import encode_apng
+    from swishray.ops.multimodal import SampleVideoFrames
+    from swishray.util import default_concurrency, map_batches_stateful
+
+    w, h, n = 8, 6, 6
+    fsz = w * h
+
+    def synth(t: pa.Table) -> pa.Table:
+        f = np.arange(n, dtype=np.int64)[:, None]
+        p = np.arange(fsz, dtype=np.int64)[None, :]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            base = (int(i) * 29 + f * 7 + p * 3) % 253
+            rgb = (base[..., None] + c).astype(np.uint8)
+            blobs.append(encode_apng(rgb.reshape(n, h, w, 3)))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = map_batches_stateful(
+        media, SampleVideoFrames,
+        fn_constructor_kwargs=dict(every_n=2),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=default_concurrency(cap=2), num_cpus=1)
+    return out.select_columns(
+        ["media_id", "n_frames", "n_sampled", "y_sum"])
+
+
 def q_decode_gif(sf_dir: str):
     """REAL GIF decode: per document, build a 6-frame gray-palette
     GIF89a (palette i -> (16i,16i,16i); frame-f pixel p indexes
@@ -4689,6 +4731,7 @@ _DRIVER_LEAD = [
     # from-scratch media codecs (round 4)
     "decode_images", "decode_audio", "decode_video", "decode_gif",
     "decode_jpeg", "decode_tiff", "decode_webp", "decode_mjpeg",
+    "decode_apng",
     # perceptual near-dup (round 4)
     "image_dedup", "audio_dedup", "video_dedup",
     # index consumer surface beyond the legacy five
@@ -4896,6 +4939,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "decode_images": q_decode_images,
         "decode_audio": q_decode_audio,
         "decode_video": q_decode_video,
+        "decode_apng": q_decode_apng,
         "decode_gif": q_decode_gif,
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
@@ -5095,6 +5139,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM((d.doc_id*19 + f.f*5 + p.p*3) % 256) "
             " AS BIGINT) FROM generate_series(0, 6, 2) f(f), "
             " generate_series(0, 191) p(p)) AS y_sum "
+            "FROM documents d"),
+        "decode_apng": (
+            "SELECT d.doc_id AS media_id, 6 AS n_frames, "
+            "3 AS n_sampled, "
+            "(SELECT CAST(SUM((d.doc_id*29 + f.f*7 + p.p*3) % 253 "
+            " + 1) AS BIGINT) FROM generate_series(0, 4, 2) f(f), "
+            " generate_series(0, 47) p(p)) AS y_sum "
             "FROM documents d"),
         "decode_gif": (
             "SELECT d.doc_id AS media_id, 6 AS n_frames, "

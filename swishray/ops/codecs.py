@@ -322,6 +322,238 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# APNG (animated PNG: acTL/fcTL/fdAT chunks per the APNG spec, now
+# folded into the W3C PNG 3rd-edition draft). The per-frame pixel
+# data is ordinary PNG-compressed scanlines with the main IHDR's
+# bitdepth/colortype, so each frame round-trips through decode_png on
+# a synthesized single-image stream — frame payload decode therefore
+# inherits the PNG decoder's conformance; the compositing state
+# machine (blend_op SOURCE/OVER, dispose_op NONE/BACKGROUND/PREVIOUS)
+# is spec-derived and pinned by designed-overlap tests (no APNG
+# library exists in this container to A/B against).
+
+
+def _rgba_u8(arr: np.ndarray) -> np.ndarray:
+    """decode_png output (h, w[, c]) -> (h, w, 4) RGBA uint8
+    (16-bit samples take their high byte)."""
+    a = arr
+    if a.dtype == np.uint16:
+        a = (a >> 8).astype(np.uint8)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, c = a.shape
+    if c == 1:
+        return np.dstack([a, a, a, np.full((h, w), 255, np.uint8)])
+    if c == 2:
+        g = a[..., :1]
+        return np.dstack([g, g, g, a[..., 1:]])
+    if c == 3:
+        return np.dstack([a, np.full((h, w), 255, np.uint8)])
+    return np.ascontiguousarray(a)
+
+
+def png_is_animated(blob: bytes) -> bool:
+    """True when a PNG carries an acTL chunk before IDAT (the APNG
+    marker). Walks chunk headers only — no CRC/payload work."""
+    if blob[:8] != PNG_SIG:
+        return False
+    pos = 8
+    n = len(blob)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4:pos + 8]
+        if typ == b"acTL":
+            return True
+        if typ in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + ln
+    return False
+
+
+def decode_apng(blob: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an animated PNG to stacked RGBA frames (n, h, w, 4).
+
+    Compositing per the APNG spec onto an initially-transparent
+    canvas: each frame's sub-image is placed at (x_offset, y_offset);
+    blend_op 0 (SOURCE) overwrites the region, 1 (OVER) is the same
+    straight-alpha integer blend the animated-WebP path documents
+    (a_out = a_s + a_d*(255-a_s)//255, c_out = (c_s*a_s +
+    c_d*a_d*(255-a_s)//255)//a_out). dispose_op afterward: 0 NONE,
+    1 BACKGROUND (region -> transparent), 2 PREVIOUS (region reverts
+    to its pre-frame pixels; on the first frame treated as BACKGROUND
+    per the spec). When an fcTL precedes IDAT the default image is
+    frame 0 (spec requires it full-canvas at offset 0); otherwise the
+    default image is not part of the animation and only fdAT frames
+    are returned. Sequence numbers across fcTL/fdAT must be 0..k
+    contiguous; acTL num_frames must match — ValueError otherwise."""
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte_raw = None
+    trns_raw = None
+    actl = None
+    seq_records: list[tuple[int, str, object]] = []
+    idat: list[bytes] = []
+    fctl_before_idat = False
+    saw_idat = False
+    for typ, data in _png_chunks(blob):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte_raw = data
+        elif typ == b"tRNS":
+            trns_raw = data
+        elif typ == b"acTL":
+            if len(data) != 8:
+                raise ValueError("bad acTL length")
+            actl = struct.unpack(">II", data)
+        elif typ == b"fcTL":
+            if len(data) != 26:
+                raise ValueError("bad fcTL length")
+            seq = struct.unpack_from(">I", data)[0]
+            seq_records.append((seq, "fctl",
+                                struct.unpack(">IIIIHHBB", data[4:])))
+            if not saw_idat:
+                fctl_before_idat = True
+        elif typ == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("bad fdAT length")
+            seq = struct.unpack_from(">I", data)[0]
+            seq_records.append((seq, "fdat", data[4:]))
+        elif typ == b"IDAT":
+            idat.append(data)
+            saw_idat = True
+    if actl is None:
+        raise ValueError("PNG without acTL is not an APNG")
+    if ihdr is None or not idat:
+        raise ValueError("APNG missing IHDR/IDAT")
+    w, h = struct.unpack_from(">II", ihdr)
+    # one shared, contiguous sequence across fcTL and fdAT chunks
+    if [s for s, _, _ in seq_records] != list(range(len(seq_records))):
+        raise ValueError("APNG sequence numbers not contiguous")
+
+    # group into frames: fcTL then its data chunks (IDAT for the
+    # first frame when fcTL precedes IDAT, fdAT otherwise)
+    frames_in: list[tuple[tuple, list[bytes]]] = []
+    for _, kind, payload in seq_records:
+        if kind == "fctl":
+            frames_in.append((payload, []))
+        else:
+            if not frames_in:
+                raise ValueError("APNG fdAT before any fcTL")
+            frames_in[-1][1].append(payload)
+    if fctl_before_idat:
+        if frames_in[0][1]:
+            raise ValueError("APNG first fcTL followed by fdAT, "
+                             "expected the default-image IDAT")
+        fw0, fh0, fx0, fy0 = frames_in[0][0][:4]
+        if (fw0, fh0, fx0, fy0) != (w, h, 0, 0):
+            raise ValueError("APNG IDAT frame must be full-canvas")
+        frames_in[0] = (frames_in[0][0], idat)
+    num_frames, num_plays = actl
+    if num_frames != len(frames_in):
+        raise ValueError(
+            f"acTL num_frames {num_frames} != {len(frames_in)} fcTL")
+    if not frames_in:
+        raise ValueError("APNG with no frames")
+
+    ihdr_tail = ihdr[8:]  # bitdepth/colortype/comp/filter/interlace
+    canvas = np.zeros((h, w, 4), np.uint8)
+    out: list[np.ndarray] = []
+    durations: list[int] = []
+    for i, (fields, data_chunks) in enumerate(frames_in):
+        fw, fh, fx, fy, dnum, dden, dispose, blend = fields
+        if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+            raise ValueError("APNG frame exceeds canvas")
+        if dispose > 2 or blend > 1:
+            raise ValueError("bad APNG dispose/blend op")
+        if not data_chunks:
+            raise ValueError("APNG frame with no data chunks")
+        sub = (PNG_SIG
+               + _png_chunk(b"IHDR",
+                            struct.pack(">II", fw, fh) + ihdr_tail))
+        if plte_raw is not None:
+            sub += _png_chunk(b"PLTE", plte_raw)
+        if trns_raw is not None:
+            sub += _png_chunk(b"tRNS", trns_raw)
+        sub += (_png_chunk(b"IDAT", b"".join(data_chunks))
+                + _png_chunk(b"IEND", b""))
+        img = _rgba_u8(decode_png(sub)[0])
+        durations.append(1000 * dnum // (dden or 100))
+        if i == 0 and dispose == 2:
+            dispose = 1  # spec: first-frame PREVIOUS acts as BACKGROUND
+        prev = (canvas[fy:fy + fh, fx:fx + fw].copy()
+                if dispose == 2 else None)
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if blend == 0:  # SOURCE: overwrite
+            region[:] = img
+        else:  # OVER: straight-alpha integer blend as documented
+            sa = img[:, :, 3].astype(np.int64)
+            da = region[:, :, 3].astype(np.int64)
+            sda = da * (255 - sa) // 255
+            oa = sa + sda
+            oc = (img[:, :, :3].astype(np.int64) * sa[..., None]
+                  + region[:, :, :3].astype(np.int64) * sda[..., None])
+            safe = np.maximum(oa, 1)
+            region[:, :, :3] = (oc // safe[..., None]).astype(np.uint8)
+            region[:, :, 3] = oa.astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose == 1:
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+        elif dispose == 2:
+            canvas[fy:fy + fh, fx:fx + fw] = prev
+    return np.stack(out), {
+        "format": "png", "animated": True, "width": w, "height": h,
+        "n_frames": len(out), "loop_count": num_plays,
+        "durations_ms": durations}
+
+
+def encode_apng(frames: np.ndarray,
+                delay: tuple[int, int] = (1, 10),
+                level: int = 6) -> bytes:
+    """Encode (n, h, w, 3|4) uint8 frames as an APNG (full-canvas
+    frames, blend SOURCE, dispose NONE, filter 0 — the encoder
+    sibling of decode_apng; frame 0 rides the default-image IDAT)."""
+    f = np.ascontiguousarray(frames, np.uint8)
+    if f.ndim != 4 or f.shape[3] not in (3, 4):
+        raise ValueError("encode_apng wants (n, h, w, 3|4) uint8")
+    n, h, w, c = f.shape
+    ct = 2 if c == 3 else 6
+    dnum, dden = delay
+    seq = 0
+
+    def fctl() -> bytes:
+        nonlocal seq
+        data = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                           dnum, dden, 0, 0)
+        seq += 1
+        return _png_chunk(b"fcTL", data)
+
+    def scanlines(img: np.ndarray) -> bytes:
+        body = img.tobytes()
+        stride = w * c
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)
+            rows += body[y * stride:(y + 1) * stride]
+        return zlib.compress(bytes(rows), level)
+
+    out = bytearray(PNG_SIG)
+    out += _png_chunk(b"IHDR",
+                      struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", n, 0))
+    out += fctl()
+    out += _png_chunk(b"IDAT", scanlines(f[0]))
+    for i in range(1, n):
+        out += fctl()
+        out += _png_chunk(b"fdAT",
+                          struct.pack(">I", seq) + scanlines(f[i]))
+        seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # BMP (Windows DIB, BITMAPINFOHEADER and later; BI_RGB only)
 
 
@@ -951,7 +1183,13 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     ValueError for corrupt files of a supported format."""
     fmt = sniff_image(blob)
     if fmt == "png":
-        arr, meta = decode_png(blob)
+        if png_is_animated(blob):
+            # APNG: first composited frame (GIF/WebP parity);
+            # frame-sample through SampleVideoFrames instead
+            frames, meta = decode_apng(blob)
+            arr = frames[0]
+        else:
+            arr, meta = decode_png(blob)
     elif fmt == "bmp":
         arr, meta = decode_bmp(blob)
     elif fmt == "ppm":

@@ -198,7 +198,8 @@ class SampleVideoFrames:
     """Frame-sample stage for video blobs (real uncompressed Y4M via
     the YUV4MPEG2 decoder, COMPRESSED Motion-JPEG AVI via the
     from-scratch JPEG codec, animated GIF, animated WebP (VP8/VP8L
-    frames composited per the container spec), plus the SWVI test
+    frames composited per the container spec), animated PNG
+    (acTL/fcTL/fdAT composited likewise), plus the SWVI test
     container): decode every Nth frame, emit per-sampled-frame mean
     luminance, a total luma checksum (``y_sum`` —
     oracle-recomputable), and the error column. Inter-frame-coded
@@ -240,6 +241,13 @@ class SampleVideoFrames:
         if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
             from .webp import decode_webp_frames
             frames, meta = decode_webp_frames(blob)  # (n, h, w, 4)
+            rgb = frames[..., :3].astype(np.uint16)
+            gray = (rgb.sum(axis=3) // 3).astype(np.uint8)
+            return meta["n_frames"], gray.reshape(
+                frames.shape[0], -1)
+        if blob[:8] == self.codecs.PNG_SIG \
+                and self.codecs.png_is_animated(blob):
+            frames, meta = self.codecs.decode_apng(blob)  # (n,h,w,4)
             rgb = frames[..., :3].astype(np.uint16)
             gray = (rgb.sum(axis=3) // 3).astype(np.uint8)
             return meta["n_frames"], gray.reshape(

@@ -26,7 +26,7 @@ QUERIES = [
     "dedup_canonical", "cap_domains", "link_graph",
     "running_sum_salted", "rank_salted", "training_pipeline",
     "warc_roundtrip", "decode_images", "decode_audio", "decode_video",
-    "decode_gif", "decode_webp_lossy",
+    "decode_gif", "decode_webp_lossy", "decode_apng",
 ]
 
 
