@@ -384,7 +384,23 @@ def lsh_candidate_pairs(sigs: Any, bands: int = 16,
         return pa.table({"a": pa.array(m["a"]).cast(kt),
                          "b": pa.array(m["b"]).cast(kt)})
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    from .joins import default_join_partitions
+    # Coalesce the exploded table before the superbucket shuffle: the
+    # groupby emits one sub-block per (map block, reduce partition)
+    # pair, all driver-owned, and sub-blocks under Ray's ~100 KB
+    # inline threshold live in the driver's in-process store rather
+    # than plasma (joins.coalesce_before_shuffle doc). The exploded
+    # table is bands x the corpus keys (~300 MB at soak x100), so at
+    # M ~ 64 map blocks its sub-blocks sit UNDER the threshold and
+    # the whole table transits the driver: measured driver private
+    # RSS +395 MB at x100, persisting after materialize. Coalescing
+    # to ~CPU-count blocks makes every sub-block plasma-sized:
+    # measured 509 -> 155 MB (M=32) at identical wall time; block
+    # bytes grow with corpus size, so sub-blocks only get safer at
+    # scale (Ray's dynamic block splitting re-caps map outputs at
+    # target_max_block_size if they outgrow worker heaps).
+    exploded = sigs.map_batches(explode, batch_format="pyarrow") \
+        .repartition(default_join_partitions())
     return exploded.groupby("__sb").map_groups(
         pairs_super, batch_format="pandas")
 
@@ -469,9 +485,14 @@ def attach_pair_sets(cand: Any, sets: Any, key: str, ktype) -> Any:
             "__sha": pa.array(m["__sh"].tolist(),
                               type=pa.large_binary())})
 
+    # coalesce both unions to B blocks before the bucket shuffle:
+    # same driver-resident sub-block pathology and fix as
+    # lsh_candidate_pairs above (the gram-set blobs are the bulk of
+    # the union bytes; measured at soak x100 in BASELINE.md)
     stage_a = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
         .union(sets.map_batches(tag_sets("a"),
                                      batch_format="pyarrow")) \
+        .repartition(B) \
         .groupby("__bk").map_groups(merge_a, batch_format="pandas")
 
     def tag_pairs_b(batch: pa.Table) -> pa.Table:
@@ -501,6 +522,7 @@ def attach_pair_sets(cand: Any, sets: Any, key: str, ktype) -> Any:
     return stage_a.map_batches(tag_pairs_b, batch_format="pyarrow") \
         .union(sets.map_batches(tag_sets("b"),
                                      batch_format="pyarrow")) \
+        .repartition(B) \
         .groupby("__bk").map_groups(merge_b, batch_format="pandas")
 
 

@@ -217,6 +217,29 @@ def default_join_partitions(cap: int = 64) -> int:
     return max(2, min(cap, _session_cpus()))
 
 
+def coalesce_before_shuffle(ds: Any, num_buckets: int) -> Any:
+    """Bound a pull-based shuffle's M x R sub-object fan by coalescing
+    the map side to O(num_buckets v CPUs) blocks first.
+
+    Ray's groupby shuffle emits one sub-block per (map task, reduce
+    partition) pair, ALL OWNED BY THE DRIVER, and sub-blocks under the
+    ~100 KB inline threshold live in the driver's in-process store
+    rather than plasma: with M ~ R ~ input blocks, a many-block map
+    side drove driver PRIVATE RSS to ~1.9 GB at soak x20 in hash_join
+    (traced: Python heap was 26 MB — all native core-worker memory).
+    Coalescing keeps M x R quadratic-free and every sub-block
+    plasma-sized, so driver memory stays flat in corpus size
+    (measured: 1.6 GB -> ~0.3 GB at x20, flat to x100; tools/soak.py
+    reports the private/shared split). repartition() here is Ray's
+    metadata-level block coalesce, not an extra all-to-all."""
+    try:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return ds.repartition(max(num_buckets, 2 * cpus))
+
+
 def native_join(left: Any, right: Any, key: str,
                 num_partitions: int | None = None,
                 how: str = "inner") -> Any:
@@ -485,25 +508,7 @@ def hash_join(left: Any, right: Any, key: str, num_buckets: int = 32,
                          batch_format="pyarrow")
     r = right.map_batches(tag("r", rcols, rcols_out, lcols),
                           batch_format="pyarrow")
-    both = l.union(r)
-    # Bound the pull-based shuffle's M x R sub-object fan. Ray's
-    # groupby shuffle emits one sub-block per (map task, reduce
-    # partition) pair, ALL OWNED BY THE DRIVER, and sub-blocks under
-    # the ~100 KB inline threshold live in the driver's in-process
-    # store rather than plasma: with M ~ R ~ input blocks, a many-
-    # block union drove driver PRIVATE RSS to ~1.9 GB at soak x20
-    # (traced: Python heap was 26 MB — all native core-worker
-    # memory). Coalescing to O(num_buckets v CPUs) blocks keeps
-    # M x R quadratic-free and every sub-block plasma-sized, so
-    # driver memory stays flat in corpus size (measured: 1.6 GB ->
-    # ~0.3 GB at x20, flat to x100; tools/soak.py reports the
-    # private/shared split).
-    try:
-        import ray as _ray
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    both = both.repartition(max(num_buckets, 2 * cpus))
+    both = coalesce_before_shuffle(l.union(r), num_buckets)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # polars join, zero-copy from/to Arrow: several times the
