@@ -1356,13 +1356,15 @@ def q_decode_jpeg(sf_dir: str):
 
 
 def q_decode_tiff(sf_dir: str):
-    """REAL TIFF decode: per document, compress a 16x10 grayscale
-    image (pixel j = (doc_id*23 + j*13) % 256) with the from-scratch
-    encoder — LZW+predictor on even doc_ids, Deflate+predictor
-    (compression 8, per-strip zlib) on odd ones — and decode through
-    the decode_images actor stage (every supported TIFF compression
-    is lossless, so the roundtrip is exact for arbitrary content).
-    The oracle recomputes pixel_sum from the formula."""
+    """REAL TIFF decode across four layout/compression flavors by
+    doc_id % 4: LZW+predictor strips (0), Deflate+predictor strips
+    (1), PackBits TILED layout (2), and CCITT Group 4 fax over a
+    bilevel pattern (3) — all through the decode_images actor stage
+    (every flavor here is lossless, so the roundtrip is exact).
+    Content: pixel j = (doc_id*23 + j*13) % 256 for the gray flavors,
+    255*((doc_id*23 + j*13) % 2) for the fax flavor (G4 wants {0,255}
+    MinIsWhite samples). The oracle recomputes pixel_sum from the
+    formula with the same mod-4 CASE."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -1373,12 +1375,23 @@ def q_decode_tiff(sf_dir: str):
     j = np.arange(160, dtype=np.int64)
 
     def synth(t: pa.Table) -> pa.Table:
-        blobs = [
-            encode_tiff(((int(i) * 23 + j * 13) % 256).astype(
-                np.uint8).reshape(10, 16),
-                compression="lzw" if int(i) % 2 == 0 else "deflate",
-                predictor=True)
-            for i in t.column("doc_id").to_pylist()]
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            base = ((int(i) * 23 + j * 13) % 256).astype(np.uint8)
+            flavor = int(i) % 4
+            if flavor == 0:
+                b = encode_tiff(base.reshape(10, 16),
+                                compression="lzw", predictor=True)
+            elif flavor == 1:
+                b = encode_tiff(base.reshape(10, 16),
+                                compression="deflate", predictor=True)
+            elif flavor == 2:
+                b = encode_tiff(base.reshape(10, 16),
+                                compression="packbits", tile=16)
+            else:
+                bil = ((base % 2) * 255).astype(np.uint8)
+                b = encode_tiff(bil.reshape(10, 16), compression="g4")
+            blobs.append(b)
         return pa.table({"media_id": t.column("doc_id"),
                          "payload": pa.array(blobs, pa.binary())})
 
@@ -1388,6 +1401,51 @@ def q_decode_tiff(sf_dir: str):
     out = decode_images(media, concurrency=default_concurrency(cap=2))
     return out.select_columns(
         ["media_id", "width", "height", "channels", "pixel_sum"])
+
+
+def q_decode_tiff_jpeg(sf_dir: str):
+    """New-style JPEG-in-TIFF (compression 7) through the Ray decode
+    stage: per document, a 2-strip JPEG-compressed TIFF written by
+    the from-scratch writer (per-strip self-contained streams) must
+    decode EXACTLY equal to vstacking the direct JPEG decodes of the
+    same per-strip streams — the lossy-but-deterministic invariant
+    (same pattern as decode_webp_lossy). The oracle asserts the
+    invariant columns as constants."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.jpeg import decode_jpeg, encode_jpeg
+    from swishray.ops.tiff import decode_tiff, encode_tiff
+    from swishray.util import default_concurrency
+
+    j = np.arange(16 * 24, dtype=np.int64)
+
+    class DecodeCheck:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, bitexact = [], []
+            for i in t.column("doc_id").to_pylist():
+                img = (((int(i) * 7 + j // 24 * 31 + j % 24) // 3)
+                       % 256).astype(np.uint8).reshape(16, 24)
+                blob = encode_tiff(img, compression="jpeg",
+                                   rows_per_strip=8)
+                out, meta = decode_tiff(blob)
+                want = np.vstack([
+                    decode_jpeg(encode_jpeg(img[y0:y0 + 8]))[0]
+                    for y0 in (0, 8)])
+                ids.append(int(i))
+                bitexact.append(bool(np.array_equal(out, want)))
+            return pa.table({"media_id": pa.array(ids, pa.int64()),
+                             "width": pa.array([24] * len(ids),
+                                               pa.int64()),
+                             "height": pa.array([16] * len(ids),
+                                                pa.int64()),
+                             "bitexact": pa.array(bitexact)})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
+        .map_batches(DecodeCheck, batch_size=64,
+                     batch_format="pyarrow",
+                     concurrency=default_concurrency(cap=2))
 
 
 def q_decode_webp(sf_dir: str):
@@ -4730,8 +4788,8 @@ _DRIVER_LEAD = [
     "extract_cascade", "extract_txt", "extract_xml",
     # from-scratch media codecs (round 4)
     "decode_images", "decode_audio", "decode_video", "decode_gif",
-    "decode_jpeg", "decode_tiff", "decode_webp", "decode_mjpeg",
-    "decode_apng",
+    "decode_jpeg", "decode_tiff", "decode_tiff_jpeg", "decode_webp",
+    "decode_mjpeg", "decode_apng",
     # perceptual near-dup (round 4)
     "image_dedup", "audio_dedup", "video_dedup",
     # index consumer surface beyond the legacy five
@@ -4943,6 +5001,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "decode_gif": q_decode_gif,
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
+        "decode_tiff_jpeg": q_decode_tiff_jpeg,
         "decode_webp": q_decode_webp,
         "decode_webp_lossy": q_decode_webp_lossy,
         "decode_mjpeg": q_decode_mjpeg,
@@ -5163,9 +5222,15 @@ def oracle_sql() -> dict[str, str]:
         "decode_tiff": (
             "SELECT d.doc_id AS media_id, 16 AS width, 10 AS height, "
             "1 AS channels, "
+            "CASE WHEN d.doc_id % 4 = 3 THEN "
+            "(SELECT CAST(SUM(255*(((d.doc_id*23 + j*13) % 256) % 2)) "
+            " AS BIGINT) FROM generate_series(0, 159) t(j)) ELSE "
             "(SELECT CAST(SUM((d.doc_id*23 + j*13) % 256) AS BIGINT) "
-            " FROM generate_series(0, 159) t(j)) "
+            " FROM generate_series(0, 159) t(j)) END "
             "AS pixel_sum FROM documents d"),
+        "decode_tiff_jpeg": (
+            "SELECT doc_id AS media_id, 24 AS width, 16 AS height, "
+            "TRUE AS bitexact FROM documents"),
         "decode_webp": (
             "SELECT d.doc_id AS media_id, 16 AS width, 8 AS height, "
             "4 AS channels, "

@@ -1178,8 +1178,10 @@ def decode_image(blob: bytes) -> tuple[np.ndarray, dict]:
     contributes its FIRST composited frame; frame-sample animations
     through SampleVideoFrames instead; a CMYK JPEG is converted to
     RGB with the documented Adobe-inverted rule r = c*k//255).
+    TIFF covers strip+tile layouts, chunky+separate planes, 8/16-bit
+    samples, CCITT G3/G4 fax, JPEG-in-TIFF, CMYK and YCbCr.
     NotImplementedError for known-but-uncoded flavors (lossless/
-    arithmetic JPEG, tiled/CCITT/16-bit TIFF) and unknown magics;
+    arithmetic JPEG, old-style-JPEG TIFF) and unknown magics;
     ValueError for corrupt files of a supported format."""
     fmt = sniff_image(blob)
     if fmt == "png":

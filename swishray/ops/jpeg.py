@@ -436,6 +436,13 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
     if len(planes) == 4 and adobe_transform != 2:
         # plain CMYK: raw stored samples (libjpeg JCS_CMYK)
         return np.stack(planes, axis=2), meta
+    if len(planes) == 3 and (adobe_transform == 0 or (
+            adobe_transform is None
+            and tuple(c.cid for c in comps) == (82, 71, 66))):
+        # RGB JPEG (libjpeg JCS_RGB: component ids 'R','G','B', or an
+        # Adobe marker with transform 0): stored samples are already
+        # RGB — no YCbCr matrix (libjpeg jdmaster.c color defaults)
+        return np.stack(planes, axis=2), meta
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
