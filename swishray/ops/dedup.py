@@ -935,10 +935,19 @@ def setsim_join(ds: Any, threshold: float = 0.8, shingle_k: int = 3,
                       .astype(np.int32))
         return batch.append_column("__bk", bk)
 
+    p_num, q_den = t_frac.numerator, t_frac.denominator
+
     def pair_up(g: pd.DataFrame) -> pa.Table:
-        df = g[[key, "w"]]
+        df = g[[key, "w", "size"]]
         m = df.merge(df, on="w", suffixes=("_a", "_b"))
         m = m[m[f"{key}_a"] < m[f"{key}_b"]]
+        # length filter (Arasu et al. 2006): J(x,y) <= min/max of the
+        # set sizes, so J >= t needs q*min >= p*max — exact integers,
+        # drops size-incompatible candidates before the verify join
+        sa = m["size_a"].to_numpy()
+        sb = m["size_b"].to_numpy()
+        m = m.loc[q_den * np.minimum(sa, sb)
+                  >= p_num * np.maximum(sa, sb)]
         m = m.drop_duplicates(subset=[f"{key}_a", f"{key}_b"])
         return pa.table({
             "a": pa.array(m[f"{key}_a"], type=ktype),
@@ -1072,7 +1081,7 @@ def containment_join(ds: Any, threshold: float = 0.9,
         plen = {s: s - int(math.ceil(t_frac * s)) + 1
                 for s in np.unique(sizes)}
         keep = pos < np.array([plen[s] for s in sizes])
-        return g.loc[keep, [key, "w"]]
+        return g.loc[keep, [key, "w", "size"]]
 
     pref = ranked.map_batches(bucket_by_key, batch_format="pyarrow") \
         .groupby("__bk").map_groups(prefix, batch_format="pandas")
@@ -1085,6 +1094,7 @@ def containment_join(ds: Any, threshold: float = 0.9,
             return pa.table({
                 key: pc.cast(batch.column(key), ktype),
                 "w": batch.column("w"),
+                "size": batch.column("size"),
                 "__p": pa.array(
                     np.full(batch.num_rows, side, dtype=np.int8)),
                 "__bk": bk})
@@ -1092,13 +1102,18 @@ def containment_join(ds: Any, threshold: float = 0.9,
 
     probe = tag(0, pref)
     index = tag(1, rows.map_batches(
-        lambda t: t.select([key, "w"]), batch_format="pyarrow"))
+        lambda t: t.select([key, "w", "size"]), batch_format="pyarrow"))
+    p_num, q_den = t_frac.numerator, t_frac.denominator
 
     def pair_up(g: pd.DataFrame) -> pa.Table:
-        p = g.loc[g["__p"] == 0, [key, "w"]]
-        ix = g.loc[g["__p"] == 1, [key, "w"]]
+        p = g.loc[g["__p"] == 0, [key, "w", "size"]]
+        ix = g.loc[g["__p"] == 1, [key, "w", "size"]]
         m = p.merge(ix, on="w", suffixes=("_a", "_b"))
         m = m[m[f"{key}_a"] != m[f"{key}_b"]]
+        # length filter: containment = o/|a| with o <= |b|, so
+        # >= t needs q*|b| >= p*|a| (exact integers)
+        m = m.loc[q_den * m["size_b"].to_numpy()
+                  >= p_num * m["size_a"].to_numpy()]
         m = m.drop_duplicates(subset=[f"{key}_a", f"{key}_b"])
         return pa.table({
             "a": pa.array(m[f"{key}_a"], type=ktype),
