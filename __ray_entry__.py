@@ -1448,6 +1448,62 @@ def q_decode_tiff_jpeg(sf_dir: str):
                      concurrency=default_concurrency(cap=2))
 
 
+def q_media_inspect(sf_dir: str):
+    """Header-only media inspection (ops/mediainfo.py inspect_media):
+    per document a deterministic blob rotating the inspect-only MP4
+    container (doc_id % 3 == 0), an MPEG-1 Layer III stream (== 1)
+    and a decodable PNG (== 2) through the InspectMedia actor stage —
+    container/codec/dims/duration/frame metadata WITHOUT decoding
+    sample data (the triage tier for codecs whose decode is out of
+    scope: H.264, MP3 synthesis). The oracle recomputes every column
+    from the synthesis formulas; missing fields are -1 on both sides
+    (keeps the int columns null-free for the value-hash compare)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.codecs import encode_png
+    from swishray.ops.mediainfo import (inspect_media, synth_mp3_blob,
+                                        synth_mp4_blob)
+    from swishray.util import default_concurrency
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                blobs.append(synth_mp4_blob(
+                    duration_ms=1000 + i % 997,
+                    width=320 + 16 * (i % 7),
+                    height=200 + 8 * (i % 5),
+                    n_samples=10 + i % 13))
+            elif m == 1:
+                blobs.append(synth_mp3_blob(5 + i % 11))
+            else:
+                img = np.zeros((6 + i % 4, 7 + i % 5), np.uint8)
+                blobs.append(encode_png(img))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = inspect_media(media,
+                        concurrency=default_concurrency(cap=2))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"media_id": t.column("media_id"),
+                "container": t.column("container"),
+                "codec": t.column("codec")}
+        for c in ("width", "height", "duration_ms", "n_frames",
+                  "sample_rate"):
+            cols[c] = pc.fill_null(t.column(c), -1)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_decode_webp(sf_dir: str):
     """REAL WebP-lossless decode: per document, encode a 16x8 RGB
     image (sample j = (doc_id*41 + j*7) % 256, alpha 255 — opaque, so
@@ -4789,7 +4845,7 @@ _DRIVER_LEAD = [
     # from-scratch media codecs (round 4)
     "decode_images", "decode_audio", "decode_video", "decode_gif",
     "decode_jpeg", "decode_tiff", "decode_tiff_jpeg", "decode_webp",
-    "decode_mjpeg", "decode_apng",
+    "decode_mjpeg", "decode_apng", "media_inspect",
     # perceptual near-dup (round 4)
     "image_dedup", "audio_dedup", "video_dedup",
     # index consumer surface beyond the legacy five
@@ -5002,6 +5058,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "decode_jpeg": q_decode_jpeg,
         "decode_tiff": q_decode_tiff,
         "decode_tiff_jpeg": q_decode_tiff_jpeg,
+        "media_inspect": q_media_inspect,
         "decode_webp": q_decode_webp,
         "decode_webp_lossy": q_decode_webp_lossy,
         "decode_mjpeg": q_decode_mjpeg,
@@ -5231,6 +5288,24 @@ def oracle_sql() -> dict[str, str]:
         "decode_tiff_jpeg": (
             "SELECT doc_id AS media_id, 24 AS width, 16 AS height, "
             "TRUE AS bitexact FROM documents"),
+        "media_inspect": (
+            "SELECT d.doc_id AS media_id, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN "
+            "'mpeg-audio' ELSE 'png' END AS container, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp3' "
+            "ELSE 'png' END AS codec, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 320 + 16*(d.doc_id % 7) "
+            "WHEN 2 THEN 7 + d.doc_id % 5 ELSE -1 END AS width, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 200 + 8*(d.doc_id % 5) "
+            "WHEN 2 THEN 6 + d.doc_id % 4 ELSE -1 END AS height, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 1000 + d.doc_id % 997 "
+            "WHEN 1 THEN CAST(FLOOR((5 + d.doc_id % 11) * 1152 "
+            "* 1000.0 / 44100) AS BIGINT) ELSE -1 END "
+            "AS duration_ms, "
+            "CASE d.doc_id % 3 WHEN 0 THEN 10 + d.doc_id % 13 "
+            "WHEN 1 THEN 5 + d.doc_id % 11 ELSE -1 END AS n_frames, "
+            "CASE WHEN d.doc_id % 3 = 1 THEN 44100 ELSE -1 END "
+            "AS sample_rate FROM documents d"),
         "decode_webp": (
             "SELECT d.doc_id AS media_id, 16 AS width, 8 AS height, "
             "4 AS channels, "
