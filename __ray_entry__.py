@@ -1451,27 +1451,31 @@ def q_decode_tiff_jpeg(sf_dir: str):
 def q_media_inspect(sf_dir: str):
     """Header-only media inspection (ops/mediainfo.py inspect_media):
     per document a deterministic blob rotating the inspect-only MP4
-    container (doc_id % 3 == 0), an MPEG-1 Layer III stream (== 1)
-    and a decodable PNG (== 2) through the InspectMedia actor stage —
+    container (doc_id % 5 == 0), an MPEG-1 Layer III stream (== 1),
+    a decodable PNG (== 2), an Ogg-Vorbis stream (== 3) and a WebM
+    segment (== 4) through the InspectMedia actor stage —
     container/codec/dims/duration/frame metadata WITHOUT decoding
     sample data (the triage tier for codecs whose decode is out of
-    scope: H.264, MP3 synthesis). The oracle recomputes every column
-    from the synthesis formulas; missing fields are -1 on both sides
-    (keeps the int columns null-free for the value-hash compare)."""
+    scope: H.264/VP9, MP3/Vorbis synthesis). The oracle recomputes
+    every column from the synthesis formulas; missing fields are -1
+    on both sides (keeps the int columns null-free for the
+    value-hash compare)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
     from swishray.ops.codecs import encode_png
     from swishray.ops.mediainfo import (inspect_media, synth_mp3_blob,
-                                        synth_mp4_blob)
+                                        synth_mp4_blob,
+                                        synth_ogg_vorbis_blob,
+                                        synth_webm_blob)
     from swishray.util import default_concurrency
 
     def synth(t: pa.Table) -> pa.Table:
         blobs = []
         for i in t.column("doc_id").to_pylist():
             i = int(i)
-            m = i % 3
+            m = i % 5
             if m == 0:
                 blobs.append(synth_mp4_blob(
                     duration_ms=1000 + i % 997,
@@ -1480,9 +1484,17 @@ def q_media_inspect(sf_dir: str):
                     n_samples=10 + i % 13))
             elif m == 1:
                 blobs.append(synth_mp3_blob(5 + i % 11))
-            else:
+            elif m == 2:
                 img = np.zeros((6 + i % 4, 7 + i % 5), np.uint8)
                 blobs.append(encode_png(img))
+            elif m == 3:
+                blobs.append(synth_ogg_vorbis_blob(
+                    44100, 2, 44100 * (1 + i % 5)))
+            else:
+                blobs.append(synth_webm_blob(
+                    duration_ms=1500 + i % 499,
+                    width=320 + 16 * (i % 6),
+                    height=180 + 8 * (i % 4)))
         return pa.table({"media_id": t.column("doc_id"),
                          "payload": pa.array(blobs, pa.binary())})
 
@@ -5290,21 +5302,30 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS bitexact FROM documents"),
         "media_inspect": (
             "SELECT d.doc_id AS media_id, "
-            "CASE d.doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN "
-            "'mpeg-audio' ELSE 'png' END AS container, "
-            "CASE d.doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp3' "
-            "ELSE 'png' END AS codec, "
-            "CASE d.doc_id % 3 WHEN 0 THEN 320 + 16*(d.doc_id % 7) "
-            "WHEN 2 THEN 7 + d.doc_id % 5 ELSE -1 END AS width, "
-            "CASE d.doc_id % 3 WHEN 0 THEN 200 + 8*(d.doc_id % 5) "
-            "WHEN 2 THEN 6 + d.doc_id % 4 ELSE -1 END AS height, "
-            "CASE d.doc_id % 3 WHEN 0 THEN 1000 + d.doc_id % 997 "
+            "CASE d.doc_id % 5 WHEN 0 THEN 'mp4' WHEN 1 THEN "
+            "'mpeg-audio' WHEN 2 THEN 'png' WHEN 3 THEN 'ogg' "
+            "ELSE 'webm' END AS container, "
+            "CASE d.doc_id % 5 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp3' "
+            "WHEN 2 THEN 'png' WHEN 3 THEN 'vorbis' ELSE 'V_VP9' "
+            "END AS codec, "
+            "CASE d.doc_id % 5 WHEN 0 THEN 320 + 16*(d.doc_id % 7) "
+            "WHEN 2 THEN 7 + d.doc_id % 5 "
+            "WHEN 4 THEN 320 + 16*(d.doc_id % 6) "
+            "ELSE -1 END AS width, "
+            "CASE d.doc_id % 5 WHEN 0 THEN 200 + 8*(d.doc_id % 5) "
+            "WHEN 2 THEN 6 + d.doc_id % 4 "
+            "WHEN 4 THEN 180 + 8*(d.doc_id % 4) "
+            "ELSE -1 END AS height, "
+            "CASE d.doc_id % 5 WHEN 0 THEN 1000 + d.doc_id % 997 "
             "WHEN 1 THEN CAST(FLOOR((5 + d.doc_id % 11) * 1152 "
-            "* 1000.0 / 44100) AS BIGINT) ELSE -1 END "
+            "* 1000.0 / 44100) AS BIGINT) "
+            "WHEN 3 THEN 1000 * (1 + d.doc_id % 5) "
+            "WHEN 4 THEN 1500 + d.doc_id % 499 ELSE -1 END "
             "AS duration_ms, "
-            "CASE d.doc_id % 3 WHEN 0 THEN 10 + d.doc_id % 13 "
+            "CASE d.doc_id % 5 WHEN 0 THEN 10 + d.doc_id % 13 "
             "WHEN 1 THEN 5 + d.doc_id % 11 ELSE -1 END AS n_frames, "
-            "CASE WHEN d.doc_id % 3 = 1 THEN 44100 ELSE -1 END "
+            "CASE d.doc_id % 5 WHEN 1 THEN 44100 WHEN 3 THEN 44100 "
+            "WHEN 4 THEN 48000 ELSE -1 END "
             "AS sample_rate FROM documents d"),
         "decode_webp": (
             "SELECT d.doc_id AS media_id, 16 AS width, 8 AS height, "

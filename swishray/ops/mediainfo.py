@@ -319,6 +319,198 @@ def parse_mpeg_audio(blob: bytes, max_frames: int = 2_000_000) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Ogg (Vorbis / Opus / Theora identification headers, RFC 3533)
+
+
+def parse_ogg(blob: bytes) -> dict:
+    """Walk Ogg page headers (never page bodies beyond the BOS
+    identification packets): codec identity per logical stream,
+    sample rate/channels (Vorbis/Opus), video dims (Theora), and
+    duration from the final granule position of the leading stream.
+    Raises ValueError when the page chain is corrupt."""
+    if blob[:4] != b"OggS":
+        raise ValueError("not an Ogg stream (bad capture pattern)")
+    streams: dict[int, dict] = {}
+    last_granule: dict[int, int] = {}
+    pos = 0
+    n = len(blob)
+    while pos + 27 <= n:
+        if blob[pos:pos + 4] != b"OggS":
+            raise ValueError("Ogg page sync lost")
+        htype = blob[pos + 5]
+        (granule,) = struct.unpack_from("<q", blob, pos + 6)
+        (serial,) = struct.unpack_from("<I", blob, pos + 14)
+        nsegs = blob[pos + 26]
+        lacing = blob[pos + 27:pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            break  # truncated head is fine for inspection
+        body = pos + 27 + nsegs
+        body_len = sum(lacing)
+        if htype & 2:  # beginning-of-stream: identification packet
+            pkt = blob[body:body + body_len]
+            info: dict = {"codec": None}
+            if pkt[:7] == b"\x01vorbis" and len(pkt) >= 28:
+                info["codec"] = "vorbis"
+                info["kind"] = "audio"
+                info["channels"] = pkt[11]
+                (info["sample_rate"],) = struct.unpack_from(
+                    "<I", pkt, 12)
+            elif pkt[:8] == b"OpusHead" and len(pkt) >= 18:
+                info["codec"] = "opus"
+                info["kind"] = "audio"
+                info["channels"] = pkt[9]
+                (info["pre_skip"],) = struct.unpack_from("<H", pkt,
+                                                         10)
+                # Opus granules tick at 48 kHz regardless of input
+                info["sample_rate"] = 48000
+            elif pkt[:7] == b"\x80theora" and len(pkt) >= 26:
+                info["codec"] = "theora"
+                info["kind"] = "video"
+                # frame width/height: 16-bit macroblock counts x16
+                fmbw, fmbh = struct.unpack_from(">HH", pkt, 10)
+                info["width"] = fmbw * 16
+                info["height"] = fmbh * 16
+            else:
+                info["codec"] = "unknown"
+                info["kind"] = "other"
+            streams[serial] = info
+        if granule >= 0:
+            last_granule[serial] = granule
+        pos = body + body_len
+    if not streams:
+        raise ValueError("Ogg with no beginning-of-stream page")
+    out = {"container": "ogg", "tracks": list(streams.values()),
+           "duration_ms": None}
+    for serial, info in streams.items():
+        g = last_granule.get(serial)
+        sr = info.get("sample_rate")
+        if g is not None and sr:
+            samples = g - info.get("pre_skip", 0)
+            info["duration_ms"] = max(samples, 0) * 1000 // sr
+            if out["duration_ms"] is None:
+                out["duration_ms"] = info["duration_ms"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML)
+
+
+def _ebml_vint(blob: bytes, pos: int,
+               keep_marker: bool) -> tuple[int, int]:
+    """One EBML variable-length integer at ``pos`` -> (value,
+    next_pos). Element IDs keep the marker bit; sizes strip it."""
+    if pos >= len(blob):
+        raise ValueError("truncated EBML varint")
+    first = blob[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint")
+    length = 9 - first.bit_length()
+    if pos + length > len(blob):
+        raise ValueError("truncated EBML varint")
+    raw = int.from_bytes(blob[pos:pos + length], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * length)) - 1
+    return raw, pos + length
+
+
+def _ebml_walk(blob: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end); an
+    unknown-size element (all-ones size) extends to ``end``."""
+    pos = start
+    while pos < end:
+        eid, p = _ebml_vint(blob, pos, keep_marker=True)
+        size, p2 = _ebml_vint(blob, p, keep_marker=False)
+        slen = p2 - p
+        if size == (1 << (7 * slen)) - 1:  # unknown size
+            yield eid, p2, end
+            return
+        yield eid, p2, min(p2 + size, end)
+        pos = p2 + size
+
+
+def _ebml_uint(blob: bytes, s: int, e: int) -> int:
+    return int.from_bytes(blob[s:e], "big")
+
+
+def _ebml_float(blob: bytes, s: int, e: int) -> float:
+    if e - s == 4:
+        return struct.unpack(">f", blob[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", blob[s:e])[0]
+    raise ValueError("bad EBML float width")
+
+
+def parse_matroska(blob: bytes) -> dict:
+    """Matroska/WebM header walk: doctype, duration (Info
+    TimecodeScale x Duration), per-track codec id / type / video
+    dims / audio rate+channels. Cluster payloads are never touched.
+    Raises ValueError for non-EBML input."""
+    if blob[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML stream")
+    doctype = "matroska"
+    out: dict = {"container": doctype, "duration_ms": None,
+                 "tracks": []}
+    for eid, s, e in _ebml_walk(blob, 0, len(blob)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for e2, s2, e2e in _ebml_walk(blob, s, e):
+                if e2 == 0x4282:  # DocType
+                    doctype = blob[s2:e2e].decode("ascii", "replace")
+                    out["container"] = doctype
+        elif eid == 0x18538067:  # Segment
+            scale = 1_000_000  # ns per tick (default)
+            dur_ticks: float | None = None
+            for e2, s2, e2e in _ebml_walk(blob, s, e):
+                if e2 == 0x1549A966:  # Info
+                    for e3, s3, e3e in _ebml_walk(blob, s2, e2e):
+                        if e3 == 0x2AD7B1:
+                            scale = _ebml_uint(blob, s3, e3e)
+                        elif e3 == 0x4489:
+                            dur_ticks = _ebml_float(blob, s3, e3e)
+                elif e2 == 0x1654AE6B:  # Tracks
+                    for e3, s3, e3e in _ebml_walk(blob, s2, e2e):
+                        if e3 != 0xAE:  # TrackEntry
+                            continue
+                        tr: dict = {"kind": "other", "codec": None}
+                        for e4, s4, e4e in _ebml_walk(blob, s3, e3e):
+                            if e4 == 0x83:
+                                tr["kind"] = {1: "video",
+                                              2: "audio",
+                                              17: "text"}.get(
+                                    _ebml_uint(blob, s4, e4e),
+                                    "other")
+                            elif e4 == 0x86:
+                                tr["codec"] = blob[s4:e4e].decode(
+                                    "ascii", "replace")
+                            elif e4 == 0xE0:  # Video
+                                for e5, s5, e5e in _ebml_walk(
+                                        blob, s4, e4e):
+                                    if e5 == 0xB0:
+                                        tr["width"] = _ebml_uint(
+                                            blob, s5, e5e)
+                                    elif e5 == 0xBA:
+                                        tr["height"] = _ebml_uint(
+                                            blob, s5, e5e)
+                            elif e4 == 0xE1:  # Audio
+                                for e5, s5, e5e in _ebml_walk(
+                                        blob, s4, e4e):
+                                    if e5 == 0xB5:
+                                        tr["sample_rate"] = int(
+                                            _ebml_float(blob, s5,
+                                                        e5e))
+                                    elif e5 == 0x9F:
+                                        tr["channels"] = _ebml_uint(
+                                            blob, s5, e5e)
+                        out["tracks"].append(tr)
+            if dur_ticks is not None:
+                out["duration_ms"] = int(dur_ticks * scale
+                                         // 1_000_000)
+    if not out["tracks"] and out["duration_ms"] is None:
+        raise ValueError("EBML stream with no Matroska segment data")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # header-only probes for the engine's decodable containers (the
 # decoders in ops/codecs.py/jpeg.py/tiff.py/flac.py parse pixels —
 # inspect must not)
@@ -517,6 +709,10 @@ def sniff_media(blob: bytes) -> str | None:
             return "flac"
         if blob[:9] == b"YUV4MPEG2":
             return "y4m"
+        if blob[:4] == b"OggS":
+            return "ogg"
+        if blob[:4] == b"\x1aE\xdf\xa3":
+            return "matroska"
     if blob[:3] == b"ID3":
         return "mpeg-audio"
     if len(blob) >= 4 and _frame_header(blob[0], blob[1], blob[2],
@@ -575,6 +771,26 @@ class InspectMedia:
                 out["width"] = lead.get("width")
                 out["height"] = lead.get("height")
                 out["n_frames"] = lead.get("n_samples")
+            if aud:
+                out["sample_rate"] = aud.get("sample_rate")
+                out["channels"] = aud.get("channels")
+            return out
+        if kind in ("ogg", "matroska"):
+            info = parse_ogg(blob) if kind == "ogg" \
+                else parse_matroska(blob)
+            out["container"] = info["container"]
+            out["duration_ms"] = info.get("duration_ms")
+            out["n_tracks"] = len(info["tracks"])
+            vid = next((t for t in info["tracks"]
+                        if t.get("kind") == "video"), None)
+            aud = next((t for t in info["tracks"]
+                        if t.get("kind") == "audio"), None)
+            lead = vid or aud or (info["tracks"][0]
+                                  if info["tracks"] else None)
+            if lead:
+                out["codec"] = lead.get("codec")
+                out["width"] = lead.get("width")
+                out["height"] = lead.get("height")
             if aud:
                 out["sample_rate"] = aud.get("sample_rate")
                 out["channels"] = aud.get("channels")
@@ -696,6 +912,55 @@ def synth_mp3_blob(n_frames: int, br_idx: int = 9,
     br = _BR[(1, 3)][br_idx - 1]
     flen = 144000 * br // 44100
     return (hdr + bytes(flen - 4)) * n_frames
+
+
+def synth_ogg_vorbis_blob(sample_rate: int, channels: int,
+                          total_samples: int) -> bytes:
+    """Deterministic minimal Ogg-Vorbis fixture: BOS identification
+    page + an EOS page carrying the final granule position (CRC 0 —
+    the inspect tier does not checksum)."""
+    def page(seqno, granule, pkt, htype=0):
+        lacing = b""
+        n = len(pkt)
+        while n >= 255:
+            lacing += bytes([255])
+            n -= 255
+        lacing += bytes([n])
+        return (b"OggS\x00" + bytes([htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<I", 7) + struct.pack("<I", seqno)
+                + struct.pack("<I", 0)
+                + bytes([len(lacing)]) + lacing + pkt)
+
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+             + struct.pack("<I", sample_rate) + bytes(12) + b"\x01")
+    return (page(0, 0, ident, htype=2)
+            + page(1, total_samples, bytes(9), htype=4))
+
+
+def synth_webm_blob(duration_ms: int, width: int,
+                    height: int) -> bytes:
+    """Deterministic minimal WebM fixture: EBML header + Segment with
+    Info (TimecodeScale 1 ms so duration_ms is exact) and a VP9 video
+    track + Opus audio track."""
+    def el(eid, payload):
+        out = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        out += bytes([0x80 | len(payload)]) if len(payload) < 127 \
+            else bytes([0x01]) + len(payload).to_bytes(7, "big")
+        return out + payload
+
+    head = el(0x1A45DFA3, el(0x4282, b"webm"))
+    info = el(0x1549A966,
+              el(0x2AD7B1, (1_000_000).to_bytes(4, "big"))
+              + el(0x4489, struct.pack(">d", float(duration_ms))))
+    video = el(0xE0, el(0xB0, width.to_bytes(2, "big"))
+               + el(0xBA, height.to_bytes(2, "big")))
+    trk_v = el(0xAE, el(0x83, b"\x01") + el(0x86, b"V_VP9") + video)
+    audio = el(0xE1, el(0xB5, struct.pack(">f", 48000.0))
+               + el(0x9F, b"\x02"))
+    trk_a = el(0xAE, el(0x83, b"\x02") + el(0x86, b"A_OPUS") + audio)
+    return head + el(0x18538067,
+                     info + el(0x1654AE6B, trk_v + trk_a))
 
 
 def inspect_media(ds: Any, key: str = "media_id",

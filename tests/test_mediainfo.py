@@ -293,3 +293,148 @@ def test_inspect_handles_unbounded_box_and_truncation():
     # truncate after moov: parse must still succeed (header-only)
     info = parse_mp4(blob + _box(b"mdat", bytes(32))[:12])
     assert info["duration_s"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) and Matroska/WebM (EBML) — hand-assembled fixtures
+
+
+def _ogg_page(serial, seqno, granule, packets, htype=0):
+    lacing = b""
+    body = b""
+    for pkt in packets:
+        n = len(pkt)
+        while n >= 255:
+            lacing += bytes([255])
+            n -= 255
+        lacing += bytes([n])
+        body += pkt
+    return (b"OggS\x00" + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial) + struct.pack("<I", seqno)
+            + struct.pack("<I", 0)  # CRC unchecked by inspect
+            + bytes([len(lacing)]) + lacing + body)
+
+
+def make_ogg_vorbis(sr=44100, ch=2, total_samples=44100 * 2):
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
+             + struct.pack("<I", sr) + bytes(12) + b"\x01")
+    return (_ogg_page(7, 0, 0, [ident], htype=2)
+            + _ogg_page(7, 1, total_samples // 2, [bytes(11)])
+            + _ogg_page(7, 2, total_samples, [bytes(9)], htype=4))
+
+
+def make_ogg_opus(ch=1, pre_skip=312, granule=48000 * 3 + 312):
+    ident = (b"OpusHead\x01" + bytes([ch])
+             + struct.pack("<H", pre_skip)
+             + struct.pack("<I", 48000) + bytes(3))
+    return (_ogg_page(9, 0, 0, [ident], htype=2)
+            + _ogg_page(9, 1, granule, [bytes(20)], htype=4))
+
+
+def test_ogg_vorbis():
+    from swishray.ops.mediainfo import parse_ogg
+    info = parse_ogg(make_ogg_vorbis())
+    (t,) = info["tracks"]
+    assert t["codec"] == "vorbis" and t["kind"] == "audio"
+    assert t["sample_rate"] == 44100 and t["channels"] == 2
+    assert info["duration_ms"] == 2000
+
+
+def test_ogg_opus_preskip():
+    from swishray.ops.mediainfo import parse_ogg
+    info = parse_ogg(make_ogg_opus())
+    (t,) = info["tracks"]
+    assert t["codec"] == "opus" and t["sample_rate"] == 48000
+    assert info["duration_ms"] == 3000  # granule minus pre-skip
+
+
+def test_ogg_errors():
+    from swishray.ops.mediainfo import parse_ogg
+    with pytest.raises(ValueError, match="capture"):
+        parse_ogg(b"\x00" * 40)
+    with pytest.raises(ValueError, match="sync"):
+        parse_ogg(make_ogg_vorbis()[:58] + b"XXXX" + bytes(60))
+
+
+def _ebml(eid, payload):
+    out = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    # 1-byte size when it fits, else 8-byte form
+    if n < 127:
+        out += bytes([0x80 | n])
+    else:
+        out += bytes([0x01]) + n.to_bytes(7, "big")
+    return out + payload
+
+
+def make_webm(dur_ms=2500.0, w=640, h=360, scale=1_000_000):
+    head = _ebml(0x1A45DFA3, _ebml(0x4282, b"webm"))
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, scale.to_bytes(4, "big"))
+                 + _ebml(0x4489, struct.pack(">d", dur_ms)))
+    video = _ebml(0xE0, _ebml(0xB0, w.to_bytes(2, "big"))
+                  + _ebml(0xBA, h.to_bytes(2, "big")))
+    trk_v = _ebml(0xAE, _ebml(0x83, b"\x01")
+                  + _ebml(0x86, b"V_VP9") + video)
+    audio = _ebml(0xE1, _ebml(0xB5, struct.pack(">f", 48000.0))
+                  + _ebml(0x9F, b"\x02"))
+    trk_a = _ebml(0xAE, _ebml(0x83, b"\x02")
+                  + _ebml(0x86, b"A_OPUS") + audio)
+    tracks = _ebml(0x1654AE6B, trk_v + trk_a)
+    return head + _ebml(0x18538067, info + tracks)
+
+
+def test_webm_parse():
+    from swishray.ops.mediainfo import parse_matroska
+    info = parse_matroska(make_webm())
+    assert info["container"] == "webm"
+    assert info["duration_ms"] == 2500
+    v, a = info["tracks"]
+    assert v["kind"] == "video" and v["codec"] == "V_VP9"
+    assert (v["width"], v["height"]) == (640, 360)
+    assert a["kind"] == "audio" and a["codec"] == "A_OPUS"
+    assert a["sample_rate"] == 48000 and a["channels"] == 2
+
+
+def test_webm_unknown_size_segment():
+    from swishray.ops.mediainfo import parse_matroska
+    blob = make_webm()
+    # rewrite the segment size as the 1-byte unknown-size form (0xFF):
+    # streamed matroska commonly does this
+    head_len = len(_ebml(0x1A45DFA3, _ebml(0x4282, b"webm")))
+    seg_id = blob[head_len:head_len + 4]
+    assert seg_id == b"\x18\x53\x80\x67"
+    payload = blob[head_len + 5:]  # skip 1-byte size
+    mutated = blob[:head_len + 4] + b"\xff" + payload
+    info = parse_matroska(mutated)
+    assert info["duration_ms"] == 2500 and len(info["tracks"]) == 2
+
+
+def test_matroska_errors():
+    from swishray.ops.mediainfo import parse_matroska
+    with pytest.raises(ValueError, match="EBML"):
+        parse_matroska(b"\x00" * 10)
+    with pytest.raises(ValueError, match="no Matroska"):
+        parse_matroska(_ebml(0x1A45DFA3, _ebml(0x4282, b"webm")))
+
+
+def test_inspect_ogg_and_webm(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.mediainfo import inspect_media
+    blobs = [make_webm(), make_ogg_vorbis(), make_ogg_opus()]
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "payload": pa.array(blobs, pa.binary())}))
+    out = inspect_media(ds, concurrency=1).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert out.loc[0, "container"] == "webm"
+    assert out.loc[0, "codec"] == "V_VP9"
+    assert out.loc[0, "width"] == 640
+    assert out.loc[0, "sample_rate"] == 48000  # the audio track
+    assert out.loc[1, "container"] == "ogg"
+    assert out.loc[1, "codec"] == "vorbis"
+    assert out.loc[1, "duration_ms"] == 2000
+    assert out.loc[2, "codec"] == "opus"
+    assert out.loc[2, "duration_ms"] == 3000
