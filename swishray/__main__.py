@@ -630,17 +630,27 @@ def cmd_profile(args) -> int:
 
 def cmd_media(args) -> int:
     """Media-column pipeline driver over the from-scratch codecs:
-    ``--file`` inspects one local image (format, geometry, checksum,
-    JSON to stdout); ``--table`` runs the Ray stage over a parquet
-    binary column — decode metadata, perceptual hashes, or near-dup
-    pairs — and writes partitioned parquet."""
+    ``--file`` inspects one local file (decodable images get full
+    decode metadata; everything else goes through the header-only
+    inspect tier — MP4/MP3/Ogg/WebM and friends; JSON to stdout);
+    ``--table`` runs the Ray stage over a parquet binary column —
+    decode metadata, header-only inspect, perceptual hashes, or
+    near-dup pairs — and writes partitioned parquet."""
     if args.file:
         import json as _json
 
         import numpy as np
 
-        from .ops.codecs import decode_image
+        from .ops.codecs import decode_image, sniff_image
+        from .ops.mediainfo import InspectMedia
         blob = open(args.file, "rb").read()
+        if args.mode == "inspect" or sniff_image(blob) is None:
+            # header-only triage across every known container
+            # (incl. the inspect-only MP4/MP3/Ogg/WebM tier)
+            meta = InspectMedia()._inspect(blob)
+            meta["size_bytes"] = len(blob)
+            print(_json.dumps(meta, sort_keys=True))
+            return 0
         arr, meta = decode_image(blob)
         meta["pixel_sum"] = int(arr.astype(np.int64).sum())
         meta["channels"] = 1 if arr.ndim == 2 else arr.shape[2]
@@ -650,7 +660,11 @@ def cmd_media(args) -> int:
     _ray_init(args.num_cpus)
     import ray.data as rd
     ds = rd.read_parquet(args.table, columns=[args.key, args.col])
-    if args.mode == "decode":
+    if args.mode == "inspect":
+        from .ops.mediainfo import inspect_media
+        out = inspect_media(ds, key=args.key, col=args.col,
+                            concurrency=args.num_cpus - 1)
+    elif args.mode == "decode":
         from .ops.multimodal import decode_images
         out = decode_images(ds, key=args.key, col=args.col,
                             concurrency=args.num_cpus - 1)
@@ -875,7 +889,7 @@ def main(argv=None) -> int:
     pm.add_argument("--table", help="parquet with a binary column")
     pm.add_argument("--out", help="output parquet dir (table mode)")
     pm.add_argument("--mode", default="decode",
-                    choices=["decode", "hash", "dedup"])
+                    choices=["decode", "hash", "dedup", "inspect"])
     pm.add_argument("--key", default="media_id")
     pm.add_argument("--col", default="payload")
     pm.add_argument("--max-hamming", type=int, default=2)
