@@ -36,11 +36,28 @@ for multimodal crawl corpora.
 
 from __future__ import annotations
 
+import functools
 import struct
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
+
+
+def _corrupt_guard(fn):
+    """Parsers promise ValueError for structurally corrupt input;
+    adversarial bytes can otherwise surface as struct.error /
+    IndexError / OverflowError from offset arithmetic, which would
+    escape the inspect stage's error-column catch and kill the
+    actor (fuzz-verified in tests/test_mediainfo.py)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError, OverflowError) as exc:
+            raise ValueError(
+                f"corrupt {fn.__name__} input: {exc}") from exc
+    return wrapper
 
 # ---------------------------------------------------------------------------
 # MP4 / MOV (ISO base media file format)
@@ -155,6 +172,7 @@ def _parse_track(blob: bytes, s: int, e: int) -> dict:
     return track
 
 
+@_corrupt_guard
 def parse_mp4(blob: bytes) -> dict:
     """Parse an ISO base-media container (MP4/MOV/M4A/3GP) header:
     {"container": "mp4", "brand", "duration_s", "tracks": [...]}.
@@ -254,6 +272,7 @@ def _skip_id3v2(blob: bytes) -> tuple[int, bool]:
     return 10 + size + (10 if flags & 0x10 else 0), True
 
 
+@_corrupt_guard
 def parse_mpeg_audio(blob: bytes, max_frames: int = 2_000_000) -> dict:
     """Parse an MPEG audio (MP3/MP2/MP1) stream's frame headers:
     {"container": "mpeg-audio", "layer", "version", "sample_rate",
@@ -322,6 +341,7 @@ def parse_mpeg_audio(blob: bytes, max_frames: int = 2_000_000) -> dict:
 # Ogg (Vorbis / Opus / Theora identification headers, RFC 3533)
 
 
+@_corrupt_guard
 def parse_ogg(blob: bytes) -> dict:
     """Walk Ogg page headers (never page bodies beyond the BOS
     identification packets): codec identity per logical stream,
@@ -441,6 +461,7 @@ def _ebml_float(blob: bytes, s: int, e: int) -> float:
     raise ValueError("bad EBML float width")
 
 
+@_corrupt_guard
 def parse_matroska(blob: bytes) -> dict:
     """Matroska/WebM header walk: doctype, duration (Info
     TimecodeScale x Duration), per-track codec id / type / video
@@ -516,6 +537,7 @@ def parse_matroska(blob: bytes) -> dict:
 # inspect must not)
 
 
+@_corrupt_guard
 def _flac_info(blob: bytes) -> dict:
     """STREAMINFO fields without decoding frames (FLAC spec: first
     metadata block is always STREAMINFO, 34 bytes)."""
@@ -531,6 +553,7 @@ def _flac_info(blob: bytes) -> dict:
             "total_samples": total}
 
 
+@_corrupt_guard
 def _y4m_info(blob: bytes) -> dict:
     from .codecs import _Y4M_CHROMA_FACTOR
     eol = blob.find(b"\n")
@@ -565,6 +588,7 @@ def _y4m_info(blob: bytes) -> dict:
             "fps": fps_num / fps_den if fps_den and fps_num else None}
 
 
+@_corrupt_guard
 def _avi_info(blob: bytes) -> dict:
     from .codecs import _riff_chunks
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
@@ -604,6 +628,7 @@ def _avi_info(blob: bytes) -> dict:
     return out
 
 
+@_corrupt_guard
 def image_header_info(blob: bytes, kind: str) -> dict:
     """Width/height (and frame count where the container header
     carries one) from format headers alone."""

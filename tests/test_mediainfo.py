@@ -438,3 +438,31 @@ def test_inspect_ogg_and_webm(ray_session):
     assert out.loc[1, "duration_ms"] == 2000
     assert out.loc[2, "codec"] == "opus"
     assert out.loc[2, "duration_ms"] == 3000
+
+
+def test_fuzz_inspect_never_escapes_error_taxonomy():
+    """Adversarial robustness: random mutations + truncations of
+    valid fixtures must land in the two documented error classes
+    (or parse), never in struct.error / IndexError — those would
+    kill the inspect actor instead of filling the error column."""
+    import random
+    from swishray.ops.mediainfo import (synth_mp3_blob,
+                                        synth_mp4_blob,
+                                        synth_ogg_vorbis_blob,
+                                        synth_webm_blob)
+    im = InspectMedia()
+    rng = random.Random(7)
+    fixtures = [synth_mp4_blob(2500, 320, 200, 42),
+                synth_mp3_blob(7),
+                synth_webm_blob(2500, 640, 360),
+                synth_ogg_vorbis_blob(44100, 2, 88200)]
+    for fix in fixtures:
+        for _ in range(200):
+            b = bytearray(fix)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            b = bytes(b)[:rng.randrange(4, len(b) + 1)]
+            try:
+                im._inspect(b)
+            except (NotImplementedError, ValueError):
+                pass  # the error-column classes
