@@ -32,6 +32,33 @@ import zlib
 
 import numpy as np
 
+# Safety cap for attacker-controlled dimensions: decoders allocate
+# output buffers from header fields BEFORE touching sample data, so a
+# 100-byte blob could otherwise claim a multi-GB canvas and OOM the
+# decode actor. 2^28 px (268 MP — ~1 GB as RGBA) exceeds any sane web
+# image; beyond it raise ValueError, the error-column class.
+MAX_PIXELS = 1 << 28
+
+
+def check_dims(w: int, h: int, what: str = "image") -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} outside the safety cap")
+
+
+def bounded_inflate(data: bytes, expected: int, what: str) -> bytes:
+    """zlib inflate capped at ``expected`` output bytes — a plain
+    zlib.decompress() inflates the WHOLE stream first, so a small
+    deflate bomb could allocate gigabytes regardless of the declared
+    image dimensions."""
+    d = zlib.decompressobj()
+    try:
+        # short streams fall through to the callers' length checks
+        return d.decompress(data, expected)
+    except zlib.error as e:
+        raise ValueError(f"{what} inflate failed: {e}") from None
+
+
 # ---------------------------------------------------------------------------
 # PNG
 
@@ -215,15 +242,27 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError(f"illegal PNG bitdepth/colortype {bd}/{ct}")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
+    check_dims(w, h, "PNG")
     if not idat:
         raise ValueError("PNG missing IDAT")
     channels = _PNG_CHANNELS[ct]
     bpp_bits = channels * bd
     fbpp = max(1, bpp_bits // 8)
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    if inter == 0:
+        max_raw = h * ((w * bpp_bits + 7) // 8 + 1)
+    else:  # Adam7: per-pass rows, each with a filter byte
+        max_raw = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                max_raw += ph * ((pw * bpp_bits + 7) // 8 + 1)
+    # +1: detect over-long streams (kept corrupt, as before) while
+    # still never inflating more than the declared image needs
+    raw = bounded_inflate(b"".join(idat), max_raw + 1, "PNG IDAT")
+    if len(raw) > max_raw:
+        raise ValueError("PNG pixel data length mismatch "
+                         f"(got >{max_raw}, want {max_raw})")
 
     dtype = np.uint16 if bd == 16 else np.uint8
     if inter == 0:
@@ -428,6 +467,7 @@ def decode_apng(blob: bytes) -> tuple[np.ndarray, dict]:
     if ihdr is None or not idat:
         raise ValueError("APNG missing IHDR/IDAT")
     w, h = struct.unpack_from(">II", ihdr)
+    check_dims(w, h, "APNG")
     # one shared, contiguous sequence across fcTL and fdAT chunks
     if [s for s, _, _ in seq_records] != list(range(len(seq_records))):
         raise ValueError("APNG sequence numbers not contiguous")
@@ -567,6 +607,7 @@ def decode_bmp(blob: bytes) -> tuple[np.ndarray, dict]:
     if hdr_size < 40:
         raise ValueError("unsupported BMP header (OS/2 BITMAPCOREHEADER)")
     w, h_raw = struct.unpack_from("<ii", blob, 18)
+    check_dims(abs(w) or 1, abs(h_raw) or 1, "BMP")
     planes, bpp = struct.unpack_from("<HH", blob, 26)
     (comp,) = struct.unpack_from("<I", blob, 30)
     (clr_used,) = struct.unpack_from("<I", blob, 46)
@@ -652,6 +693,7 @@ def decode_ppm(blob: bytes) -> tuple[np.ndarray, dict]:
     (w, h, maxval), off = _pnm_header(blob, 3)
     if w <= 0 or h <= 0 or not (0 < maxval < 65536):
         raise ValueError("bad PNM dimensions/maxval")
+    check_dims(w, h, "PNM")
     n = w * h * channels
     if magic in (b"P5", b"P6"):
         if maxval > 255:  # 2-byte big-endian samples per the spec
@@ -753,6 +795,7 @@ def decode_gif(blob: bytes) -> tuple[np.ndarray, dict]:
     if len(blob) < 14:
         raise ValueError("truncated GIF header")
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    check_dims(w, h, "GIF")
     pos = 13
     gct = None
     if packed & 0x80:

@@ -356,6 +356,8 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, dict]:
                     f"{prec}-bit JPEG (only 8-bit supported)")
             if nc not in (1, 3, 4) or w == 0 or h == 0:
                 raise ValueError("bad JPEG frame header")
+            from .codecs import check_dims
+            check_dims(w, h, "JPEG")
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG frame header")
             for i in range(nc):

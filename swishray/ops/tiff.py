@@ -233,6 +233,8 @@ def decode_tiff(blob: bytes) -> tuple[np.ndarray, dict]:
     h = _tag(entries, _T_LENGTH, (0,))[0]
     if not w or not h:
         raise ValueError("bad TIFF dimensions")
+    from .codecs import check_dims
+    check_dims(w, h, "TIFF")
     spp = _tag(entries, _T_SPP, (1,))[0]
     bps = _tag(entries, _T_BPS, (1,) * spp)
     comp = _tag(entries, _T_COMPRESSION, (1,))[0]
@@ -357,13 +359,11 @@ def decode_tiff(blob: bytes) -> tuple[np.ndarray, dict]:
             elif comp == 5:
                 strip = _tiff_lzw(raw, expected)
             elif comp in (8, 32946):
-                try:
-                    strip = zlib.decompress(raw)
-                except zlib.error as exc:
-                    raise ValueError(f"corrupt TIFF deflate strip: {exc}")
+                from .codecs import bounded_inflate
+                strip = bounded_inflate(raw, expected,
+                                        "TIFF deflate strip")
                 if len(strip) < expected:
                     raise ValueError("short TIFF deflate strip")
-                strip = strip[:expected]
             else:
                 strip = _packbits(raw, expected)
             if bilevel:

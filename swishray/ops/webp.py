@@ -666,6 +666,8 @@ def decode_webp_frames(blob: bytes) -> tuple[np.ndarray, dict]:
             loop_count = payload[4] | (payload[5] << 8)
     if canvas_w is None:
         raise ValueError("animated WebP without VP8X canvas")
+    from .codecs import check_dims
+    check_dims(canvas_w, canvas_h, "animated WebP canvas")
     canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
     frames = []
     durations = []

@@ -648,3 +648,76 @@ def test_tiff_lzw_native_matches_pure_fuzz():
         enc = _tiff_lzw_encode(data)
         assert _native_lzw.tiff_decode(enc, n) == \
             _tiff_lzw_py(enc, n) == data
+
+
+# ---------------------------------------------------------------------------
+# resource-bomb guards (round 5): attacker-controlled headers must
+# raise ValueError cheaply, never allocate from unverified dims
+
+
+def test_dimension_bombs_raise_cheaply():
+    import struct
+    import time
+    from swishray.ops.codecs import decode_image
+    from swishray.ops.jpeg import encode_jpeg
+    t0 = time.time()
+    # JPEG SOF claiming 65000x65000
+    j = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = bytes(j).find(b"\xff\xc0")
+    struct.pack_into(">HH", j, i + 5, 65000, 65000)
+    with pytest.raises(ValueError, match="safety cap"):
+        decode_image(bytes(j))
+    # GIF logical screen 65535x65535
+    g = (b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+         + b"\x3b")
+    with pytest.raises(ValueError, match="safety cap"):
+        decode_image(g)
+    # BMP 200000x200000
+    b = bytearray(b"BM" + bytes(52))
+    struct.pack_into("<I", b, 10, 54)
+    struct.pack_into("<I", b, 14, 40)
+    struct.pack_into("<ii", b, 18, 200000, 200000)
+    struct.pack_into("<HH", b, 26, 1, 24)
+    with pytest.raises(ValueError, match="safety cap"):
+        decode_image(bytes(b))
+    assert time.time() - t0 < 5  # all header-stage rejections
+
+
+def test_png_deflate_bomb_is_bounded():
+    """A 4x4 PNG whose IDAT inflates to 200 MB must fail the length
+    check WITHOUT inflating the whole stream (bounded_inflate)."""
+    import struct
+    import zlib as _z
+    from swishray.ops.codecs import PNG_SIG, decode_image
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", _z.crc32(t + d)))
+
+    ihdr = chunk(b"IHDR",
+                 struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    bomb = _z.compress(bytes(200_000_000), 9)
+    png = PNG_SIG + ihdr + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_image(png)
+
+
+def test_tiff_deflate_bomb_is_bounded():
+    import zlib as _z
+    from swishray.ops.tiff import decode_tiff, encode_tiff
+    img = np.zeros((4, 4), np.uint8)
+    good = encode_tiff(img, compression="deflate")
+    bomb = _z.compress(bytes(200_000_000), 9)
+    # splice the bomb in as the strip payload (counts updated)
+    strip_off = good.rfind(_z.compress(img.tobytes(), 6))
+    blob = bytearray(good[:strip_off] + bomb)
+    import struct
+    n = struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        tag = struct.unpack_from("<H", blob, off)[0]
+        if tag == 279:  # StripByteCounts
+            struct.pack_into("<I", blob, off + 8, len(bomb))
+    # decodes the 16 expected bytes only — lossless prefix semantics
+    out, _ = decode_tiff(bytes(blob))
+    assert np.array_equal(out, img)
