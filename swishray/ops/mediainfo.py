@@ -711,6 +711,42 @@ def image_header_info(blob: bytes, kind: str) -> dict:
     raise NotImplementedError(f"no header probe for {kind}")
 
 
+@_corrupt_guard
+def zip_info(blob: bytes) -> dict:
+    """ZIP-family triage via the stdlib: entry count plus a doctype
+    classification for the common ZIP-container documents (OOXML
+    docx/xlsx/pptx, EPUB, JAR, ODF) — crawl corpora are full of
+    them and they should route to document extraction, not media
+    decode."""
+    import io
+    import zipfile
+    try:
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            names = zf.namelist()
+            doctype = "zip"
+            if "mimetype" in names:
+                try:
+                    mt = zf.read("mimetype")[:100].decode(
+                        "ascii", "replace")
+                    if "epub" in mt:
+                        doctype = "epub"
+                    elif "opendocument" in mt:
+                        doctype = "odf"
+                except Exception:
+                    pass
+            elif "[Content_Types].xml" in names:
+                roots = {n.split("/", 1)[0] for n in names}
+                doctype = ("docx" if "word" in roots else
+                           "xlsx" if "xl" in roots else
+                           "pptx" if "ppt" in roots else "ooxml")
+            elif "META-INF/MANIFEST.MF" in names:
+                doctype = "jar"
+            return {"container": "zip", "doctype": doctype,
+                    "n_entries": len(names)}
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"corrupt ZIP: {exc}") from exc
+
+
 # ---------------------------------------------------------------------------
 # unified inspect stage
 
@@ -738,6 +774,12 @@ def sniff_media(blob: bytes) -> str | None:
             return "ogg"
         if blob[:4] == b"\x1aE\xdf\xa3":
             return "matroska"
+        if blob[:4] == b"PK\x03\x04":
+            return "zip"
+        if blob[:5] == b"%PDF-":
+            return "pdf"
+    if blob[:2] == b"\x1f\x8b":
+        return "gzip"
     if blob[:3] == b"ID3":
         return "mpeg-audio"
     if len(blob) >= 4 and _frame_header(blob[0], blob[1], blob[2],
@@ -799,6 +841,17 @@ class InspectMedia:
             if aud:
                 out["sample_rate"] = aud.get("sample_rate")
                 out["channels"] = aud.get("channels")
+            return out
+        if kind == "zip":
+            info = zip_info(blob)
+            out["codec"] = info["doctype"]
+            out["n_tracks"] = info["n_entries"]
+            return out
+        if kind == "gzip":
+            out["codec"] = "deflate"
+            return out
+        if kind == "pdf":
+            out["codec"] = blob[1:8].decode("latin-1")  # PDF-1.x
             return out
         if kind in ("ogg", "matroska"):
             info = parse_ogg(blob) if kind == "ogg" \

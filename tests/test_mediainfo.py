@@ -466,3 +466,41 @@ def test_fuzz_inspect_never_escapes_error_taxonomy():
                 im._inspect(b)
             except (NotImplementedError, ValueError):
                 pass  # the error-column classes
+
+
+def test_zip_gzip_pdf_triage():
+    import gzip
+    import io
+    import zipfile
+    from swishray.ops.mediainfo import zip_info
+    im = InspectMedia()
+
+    def mkzip(entries):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, data in entries:
+                zf.writestr(name, data)
+        return buf.getvalue()
+
+    docx = mkzip([("[Content_Types].xml", b"<Types/>"),
+                  ("word/document.xml", b"<w:document/>")])
+    epub = mkzip([("mimetype", b"application/epub+zip"),
+                  ("OEBPS/content.opf", b"<package/>")])
+    jar = mkzip([("META-INF/MANIFEST.MF", b"Manifest-Version: 1.0"),
+                 ("a/B.class", b"\xca\xfe\xba\xbe")])
+    plain = mkzip([("readme.txt", b"hi")])
+    assert zip_info(docx)["doctype"] == "docx"
+    assert zip_info(epub)["doctype"] == "epub"
+    assert zip_info(jar)["doctype"] == "jar"
+    assert zip_info(plain) == {"container": "zip", "doctype": "zip",
+                               "n_entries": 1}
+    out = im._inspect(docx)
+    assert out["container"] == "zip" and out["codec"] == "docx"
+    assert out["n_tracks"] == 2
+    gz = gzip.compress(b"hello world")
+    out = im._inspect(gz)
+    assert out["container"] == "gzip" and out["codec"] == "deflate"
+    out = im._inspect(b"%PDF-1.7\n...")
+    assert out["container"] == "pdf" and out["codec"] == "PDF-1.7"
+    with pytest.raises(ValueError, match="ZIP"):
+        zip_info(b"PK\x03\x04" + b"\x00" * 40)
