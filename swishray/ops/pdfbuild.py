@@ -1,0 +1,357 @@
+"""Deterministic PDF writer — the synthesis counterpart of the
+structured reader (pdfcos/pdfpage), exercising every feature the
+reader claims: classic xref tables AND cross-reference streams,
+compressed object streams (/ObjStm), simple fonts with /Differences
+encodings, Type0/Identity-H composite fonts with ToUnicode CMaps,
+filter chains (Flate, LZW, ASCIIHex, ASCII85, RunLength), positioned
+text (Tm / TJ kerning / two-column layout), form XObjects, and the
+standard security handler flavors (RC4-40/128, AES-128, AES-256) with
+an empty user password.
+
+No external PDF library exists in this container, so round-tripping
+through this writer IS the oracle strategy (the same pattern as the
+repo's FLAC / WARC / TIFF writer counterparts): ground truth is the
+text we put in, and tests assert the reader recovers it byte-for-byte
+per url across the full feature matrix.
+"""
+from __future__ import annotations
+
+import base64
+import zlib
+
+from .pdfcrypt import StandardEncryptor
+
+__all__ = ["build_pdf", "FILTER_NAMES"]
+
+FILTER_NAMES = ("FlateDecode", "LZWDecode", "ASCIIHexDecode",
+                "ASCII85Decode", "RunLengthDecode", None)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (§7.4.5)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal run up to the next 3-byte repeat
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _encode_filters(data: bytes, filters: list[str]) -> bytes:
+    """Apply encodes in REVERSE of the /Filter decode order."""
+    for f in reversed(filters):
+        if f == "FlateDecode":
+            data = zlib.compress(data, 6)
+        elif f == "LZWDecode":
+            from .tiff import _tiff_lzw_encode  # same coder family
+            data = _tiff_lzw_encode(data)
+        elif f == "ASCIIHexDecode":
+            data = data.hex().encode("ascii") + b">"
+        elif f == "ASCII85Decode":
+            data = base64.a85encode(data) + b"~>"
+        elif f == "RunLengthDecode":
+            data = _rl_encode(data)
+        else:
+            raise ValueError(f"unknown filter {f}")
+    return data
+
+
+def _esc(s: str) -> bytes:
+    return (s.replace("\\", "\\\\").replace("(", "\\(")
+            .replace(")", "\\)").encode("latin-1", "replace"))
+
+
+def _content_simple(lines: list[str], use_tj: bool,
+                    two_column: bool) -> bytes:
+    """One page's content operators for a one-byte /F1 font."""
+    parts = [b"BT /F1 11 Tf"]
+    if two_column:
+        half = (len(lines) + 1) // 2
+        cols = [(72, lines[:half]), (320, lines[half:])]
+        for x, col in cols:
+            parts.append(b"1 0 0 1 %d 720 Tm 13 TL" % x)
+            for ln in col:
+                parts.append(b"(" + _esc(ln) + b") Tj T*")
+        parts.append(b"ET")
+        return b"\n".join(parts)
+    parts.append(b"72 720 Td 13 TL")
+    for i, ln in enumerate(lines):
+        if use_tj and " " in ln:
+            # split on spaces, re-join with -278 kerns (the Helvetica
+            # space width) so the reader's kern-to-space path runs
+            words = ln.split(" ")
+            arr = b" ".join(b"(" + _esc(w) + b") -278"
+                            for w in words[:-1])
+            arr += b" (" + _esc(words[-1]) + b")"
+            nl = b"" if i == 0 else b"T* "
+            parts.append(nl + b"[" + arr + b"] TJ")
+        else:
+            op = b"Tj" if i == 0 else b"'"
+            parts.append(b"(" + _esc(ln) + b") " + op)
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def _tounicode_cmap(chars: list[str]) -> bytes:
+    """A minimal ToUnicode CMap mapping 2-byte codes to the page's
+    characters (code = BMP codepoint, i.e. Identity for this set)."""
+    body = [b"/CIDInit /ProcSet findresource begin",
+            b"12 dict begin begincmap",
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange"]
+    for i in range(0, len(chars), 90):
+        grp = chars[i:i + 90]
+        body.append(b"%d beginbfchar" % len(grp))
+        for ch in grp:
+            cp = ord(ch)
+            body.append(b"<%04X> <%04X>" % (cp, cp))
+        body.append(b"endbfchar")
+    body.append(b"endcmap end end")
+    return b"\n".join(body)
+
+
+def _content_type0(lines: list[str]) -> bytes:
+    parts = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
+    for i, ln in enumerate(lines):
+        hexcodes = "".join("%04X" % ord(c) for c in ln)
+        op = b"Tj" if i == 0 else b"'"
+        parts.append(b"<" + hexcodes.encode() + b"> " + op)
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def build_pdf(pages: list[list[str]], *,
+              font: str = "simple",
+              differences: bool = False,
+              filters: list[str] | None = None,
+              xref_stream: bool = False,
+              object_streams: bool = False,
+              encrypt: str | None = None,
+              use_tj: bool = False,
+              two_column: bool = False,
+              form_xobject: bool = False,
+              seed: bytes = b"swishray-pdf") -> bytes:
+    """Build a deterministic PDF showing ``pages`` (a list of pages,
+    each a list of text lines).  Feature knobs mirror the reader's
+    claims; every combination yields a valid file."""
+    import hashlib
+
+    filters = list(filters or ["FlateDecode"])
+    id0 = hashlib.md5(seed + repr(
+        (len(pages), font, differences, tuple(filters), xref_stream,
+         object_streams, encrypt, use_tj, two_column,
+         form_xobject)).encode()).digest()
+    enc = StandardEncryptor(encrypt, id0, seed) if encrypt else None
+
+    objs: dict[int, bytes | tuple] = {}  # num -> body | (dict, raw)
+    next_num = 1
+
+    def alloc() -> int:
+        nonlocal next_num
+        n = next_num
+        next_num += 1
+        return n
+
+    cat = alloc()
+    pages_num = alloc()
+    font_num = alloc()
+    tounicode_num = descendant_num = 0
+    all_chars: list[str] = sorted(
+        {c for pg in pages for ln in pg for c in ln})
+    if font == "type0":
+        descendant_num = alloc()
+        tounicode_num = alloc()
+
+    page_nums, content_nums, form_nums = [], [], []
+    for pg in pages:
+        page_nums.append(alloc())
+        content_nums.append(alloc())
+        form_nums.append(alloc() if form_xobject else 0)
+
+    # -- font objects ---------------------------------------------------
+    if font == "type0":
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+            b" /Encoding /Identity-H"
+            b" /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R >>" % (descendant_num,
+                                        tounicode_num))
+        objs[descendant_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering"
+            b" (Identity) /Supplement 0 >> /DW 500 >>")
+        objs[tounicode_num] = ("stream", _tounicode_cmap(all_chars),
+                               b"")
+    elif differences:
+        # encode 'e' and 'o' at odd codes via /Differences so the
+        # glyph-name path runs; content is rewritten to match below
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ 1 /e 2 /o ] >> >>")
+    else:
+        objs[font_num] = (b"<< /Type /Font /Subtype /Type1"
+                          b" /BaseFont /Helvetica >>")
+
+    # -- pages ------------------------------------------------------
+    for i, pg in enumerate(pages):
+        res = b"<< /Font << /F1 %d 0 R >>" % font_num
+        if form_xobject:
+            res += b" /XObject << /Fm0 %d 0 R >>" % form_nums[i]
+        res += b" >>"
+        objs[page_nums[i]] = (
+            b"<< /Type /Page /Parent %d 0 R"
+            b" /MediaBox [0 0 612 792] /Contents %d 0 R"
+            b" /Resources %s >>" % (pages_num, content_nums[i], res))
+        if font == "type0":
+            content = _content_type0(pg)
+        else:
+            body_lines = pg
+            if differences:
+                # map e->\x01 o->\x02 in the shown bytes
+                def remap(s: str) -> str:
+                    return s.replace("e", "\x01").replace("o", "\x02")
+                body_lines = [remap(ln) for ln in pg]
+            content = _content_simple(body_lines, use_tj, two_column)
+        if form_xobject:
+            # move the page body into a form; the page just invokes it
+            objs[form_nums[i]] = ("stream", content,
+                                  b" /Type /XObject /Subtype /Form"
+                                  b" /BBox [0 0 612 792]"
+                                  b" /Resources " + res)
+            content = b"q 1 0 0 1 0 0 cm /Fm0 Do Q"
+        objs[content_nums[i]] = ("stream", content, b"")
+
+    objs[pages_num] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+                       % (b" ".join(b"%d 0 R" % n for n in page_nums),
+                          len(pages)))
+    objs[cat] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+
+    encrypt_num = alloc() if enc else 0
+
+    # -- serialize --------------------------------------------------
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    in_objstm: dict[int, int] = {}  # objnum -> index within ObjStm
+
+    def emit_stream(num: int, payload: bytes, extra: bytes,
+                    *, apply_filt: bool = True,
+                    encrypt_it: bool = True) -> None:
+        body = payload
+        fl = filters if apply_filt else ["FlateDecode"]
+        body = _encode_filters(body, fl)
+        if enc and encrypt_it:
+            body = enc.encrypt(body, num, 0)
+        fnames = b" ".join(b"/" + f.encode() for f in fl)
+        ftag = (b"/Filter " + (b"[" + fnames + b"]"
+                               if len(fl) > 1 else fnames)
+                if fl else b"")
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n<< /Length %d %s%s >>\nstream\n"
+                   % (num, len(body), ftag, extra))
+        out.extend(body)
+        out.extend(b"\nendstream\nendobj\n")
+
+    def emit_plain(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    plain_objs = {n: b for n, b in objs.items()
+                  if not isinstance(b, tuple)}
+    stream_objs = {n: b for n, b in objs.items()
+                   if isinstance(b, tuple)}
+
+    objstm_num = 0
+    if object_streams:
+        # pack the non-stream objects into one /ObjStm
+        objstm_num = alloc()
+        members = sorted(plain_objs)
+        bodies = [plain_objs[n] for n in members]
+        offs = []
+        at = 0
+        for b in bodies:
+            offs.append(at)
+            at += len(b) + 1
+        hdr = b" ".join(b"%d %d" % (n, o)
+                        for n, o in zip(members, offs))
+        payload = hdr + b"\n" + b"\n".join(bodies) + b"\n"
+        first = len(hdr) + 1
+        emit_stream(objstm_num, payload,
+                    b" /Type /ObjStm /N %d /First %d"
+                    % (len(members), first),
+                    apply_filt=False)
+        for i, n in enumerate(members):
+            in_objstm[n] = i
+    else:
+        for n in sorted(plain_objs):
+            emit_plain(n, plain_objs[n])
+
+    for n in sorted(stream_objs):
+        _, payload, extra = stream_objs[n]
+        emit_stream(n, payload, extra)
+
+    if enc:
+        emit_plain(encrypt_num, enc.encrypt_dict_body())
+
+    idhex = id0.hex().encode()
+    trailer_extra = b" /ID [<%s> <%s>]" % (idhex, idhex)
+    if enc:
+        trailer_extra += b" /Encrypt %d 0 R" % encrypt_num
+
+    if xref_stream or object_streams:
+        xref_num = alloc()
+        size = next_num
+        rows = bytearray()
+        for n in range(size):
+            if n == 0:
+                rows += b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff"
+            elif n in in_objstm:
+                rows += (b"\x02" + objstm_num.to_bytes(4, "big")
+                         + in_objstm[n].to_bytes(2, "big"))
+            elif n in offsets:
+                rows += (b"\x01" + offsets[n].to_bytes(4, "big")
+                         + b"\x00\x00")
+            elif n == xref_num:
+                rows += b"\x01" + len(out).to_bytes(4, "big") \
+                    + b"\x00\x00"
+            else:
+                rows += b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff"
+        body = zlib.compress(bytes(rows), 6)
+        xref_at = len(out)
+        out.extend(
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2]"
+            b" /Root %d 0 R%s /Filter /FlateDecode /Length %d"
+            b" >>\nstream\n"
+            % (xref_num, size, cat, trailer_extra, len(body)))
+        out.extend(body)
+        out.extend(b"\nendstream\nendobj\n")
+        out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    else:
+        xref_at = len(out)
+        size = next_num
+        out.extend(b"xref\n0 %d\n" % size)
+        out.extend(b"0000000000 65535 f \n")
+        for n in range(1, size):
+            out.extend(b"%010d 00000 n \n" % offsets.get(n, 0))
+        out.extend(b"trailer\n<< /Size %d /Root %d 0 R%s >>\n"
+                   b"startxref\n%d\n%%%%EOF\n"
+                   % (size, cat, trailer_extra, xref_at))
+    return bytes(out)

@@ -1,10 +1,19 @@
-"""Minimal PDF text extraction (the north-star "PDF/layout parse"
-tier) — from-scratch over the public PDF 1.x spec (ISO 32000).
+"""PDF text extraction (the north-star "PDF/layout parse" tier) —
+from-scratch over the public PDF 1.x spec (ISO 32000).
 
 The reference pipes non-HTML formats through external filter programs
 (Swish-e's ``FileFilter`` convention); this engine gives PDFs a
-first-class map-side operator instead.  Scope is the honest subset a
-filter-free container can do:
+first-class map-side operator instead.  Two tiers:
+
+* the STRUCTURED reader (:func:`pdf_extract`, ``mode="auto"``):
+  real xref tables/streams, object streams, the full filter set,
+  font encodings + /Differences + ToUnicode CMaps (so Type0/CID text
+  decodes instead of mojibake), RC4/AES encryption with an empty
+  user password, and a positioned-text layout pass — see pdfcos.py /
+  pdfpage.py / pdfcrypt.py;
+* the syntactic SCAN below (``mode="scan"``, the round-4 tier),
+  kept as the resilient fallback for files with no parseable
+  structure.  Its original scope:
 
 * content streams stored raw or ``/FlateDecode`` (zlib is in the
   stdlib) — other filters (DCT, LZW, crypt) are skipped and counted;
@@ -158,53 +167,92 @@ def pdf_text_from_bytes(data: bytes) -> tuple[str, int, int, str | None]:
     return txt, used, skipped, None
 
 
+def pdf_extract(data: bytes) -> tuple[str, str, int, int, str | None]:
+    """Tiered extraction: the STRUCTURED reader first (pdfcos /
+    pdfpage: real xref + object streams + fonts + ToUnicode +
+    encryption), falling back to the syntactic scan above when the
+    file has no parseable structure — the crawl-resilient cascade.
+
+    -> (text, mode, n_units, n_skipped, error) where mode is
+    "structured" (n_units = pages) or "scan" (n_units = streams).
+    """
+    from .pdfpage import document_text
+    try:
+        txt, n_pages, n_skip = document_text(data)
+        if txt.strip() or n_skip == 0:
+            return txt, "structured", n_pages, n_skip, None
+    except Exception:  # noqa: BLE001 — any structural failure
+        pass
+    txt, used, skipped, err = pdf_text_from_bytes(data)
+    return txt, "scan", used, skipped, err
+
+
 class PdfTextExtract:
     """Actor-pool stage: binary PDF column -> (text, n_streams,
-    n_skipped_streams, error).  Regexes are module-compiled; the
-    class exists for interface symmetry with the other extraction
-    stages (and a future font-cmap cache)."""
+    n_skipped_streams, error).  ``mode="scan"`` (default) is the
+    round-4 syntactic tier with its original schema; ``mode="auto"``
+    runs the structured-first cascade (:func:`pdf_extract`) and adds
+    a ``mode`` column.  Regexes are module-compiled; per-document
+    font caches live inside the structured reader."""
 
-    def __init__(self, pdf_col: str = "pdf", key: str = "url") -> None:
+    def __init__(self, pdf_col: str = "pdf", key: str = "url",
+                 mode: str = "scan") -> None:
         self.pdf_col = pdf_col
         self.key = key
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts, nus, nsk, errs = [], [], [], []
+        auto = self.mode == "auto"
+        texts, nus, nsk, errs, modes = [], [], [], [], []
         for body in batch.column(self.pdf_col).to_pylist():
             if body is None:
                 texts.append("")
                 nus.append(0)
                 nsk.append(0)
                 errs.append("null_body")
+                modes.append("none")
                 continue
             if isinstance(body, str):
                 body = body.encode("latin-1", "replace")
             try:
-                txt, used, skipped, err = pdf_text_from_bytes(body)
+                if auto:
+                    txt, mode, used, skipped, err = pdf_extract(body)
+                else:
+                    txt, used, skipped, err = pdf_text_from_bytes(
+                        body)
+                    mode = "scan"
             except Exception as ex:  # noqa: BLE001 — per-row discipline
                 txt, used, skipped, err = "", 0, 0, type(ex).__name__
+                mode = "error"
             texts.append(txt)
             nus.append(used)
             nsk.append(skipped)
             errs.append(err)
-        return pa.table({
+            modes.append(mode)
+        cols = {
             self.key: batch.column(self.key),
             "text": pa.array(texts, pa.large_string()),
             "n_streams": pa.array(nus, pa.int64()),
             "n_skipped_streams": pa.array(nsk, pa.int64()),
             "error": pa.array(errs, pa.string()),
-        })
+        }
+        if auto:
+            cols["mode"] = pa.array(modes, pa.string())
+        return pa.table(cols)
 
 
 def extract_pdf_text(ds: Any, pdf_col: str = "pdf", key: str = "url",
-                     concurrency=None, batch_size: int = 32) -> Any:
+                     concurrency=None, batch_size: int = 32,
+                     mode: str = "scan") -> Any:
     """Dataset-level PDF text extraction.  Small default batch size:
     PDFs are large binary payloads (brief: size batches to the blob,
-    not the row count)."""
+    not the row count).  ``mode="auto"`` runs the structured-first
+    cascade (real xref/fonts/encryption; scan fallback)."""
     from ..util import map_batches_stateful
     return map_batches_stateful(
         ds, PdfTextExtract,
-        fn_constructor_kwargs=dict(pdf_col=pdf_col, key=key),
+        fn_constructor_kwargs=dict(pdf_col=pdf_col, key=key,
+                                   mode=mode),
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
 

@@ -1,0 +1,304 @@
+"""Structured PDF tier (ops/pdfcos, pdfcrypt, pdfpage, pdfbuild):
+COS parser, filters, xref flavors, object streams, fonts/ToUnicode,
+encryption, layout — round-tripped through the deterministic builder
+(the container has no external PDF library; the builder is the
+oracle, same strategy as the FLAC/WARC/TIFF writer counterparts)."""
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from swishray.ops.pdfbuild import build_pdf
+from swishray.ops.pdfcos import (Name, PdfDocument, PdfError, Ref,
+                                 apply_filters, parse_object)
+from swishray.ops.pdfcrypt import AES, rc4
+from swishray.ops.pdfpage import document_text, parse_tounicode
+from swishray.ops.pdftext import pdf_extract, build_simple_pdf
+
+PAGES = [["Hello world one", "second line here"],
+         ["page two text", "more words"]]
+EXPECT = "Hello world one\nsecond line here\n\npage two text\nmore words"
+
+
+def _text(pdf: bytes) -> str:
+    return document_text(pdf)[0]
+
+
+# ---------------------------------------------------------------------
+# COS object parser
+
+class TestParser:
+    def test_scalars(self):
+        assert parse_object(b" true ")[0] is True
+        assert parse_object(b"false")[0] is False
+        assert parse_object(b"null")[0] is None
+        assert parse_object(b"42")[0] == 42
+        assert parse_object(b"-3.5")[0] == -3.5
+        assert parse_object(b".5")[0] == 0.5
+
+    def test_name_escapes(self):
+        obj, _ = parse_object(b"/A#20B#2FC")
+        assert obj == Name("A B/C")
+
+    def test_literal_string(self):
+        obj, _ = parse_object(rb"(a\(b\)c \\ \n \101 (nested))")
+        assert obj == b"a(b)c \\ \n A (nested)"
+
+    def test_string_line_continuation(self):
+        obj, _ = parse_object(b"(ab\\\ncd)")
+        assert obj == b"abcd"
+
+    def test_hex_string(self):
+        assert parse_object(b"<48656C6C6F>")[0] == b"Hello"
+        assert parse_object(b"<48 65 6>")[0] == b"He`"
+
+    def test_refs_vs_ints(self):
+        obj, _ = parse_object(b"[1 0 R 2 3 4 1 R]")
+        assert obj == [Ref(1, 0), 2, 3, Ref(4, 1)]
+        # 'R' must be a standalone token: "Random" is a keyword, so
+        # 1 and 0 stay plain ints (and the stray keyword is an error)
+        with pytest.raises(PdfError):
+            parse_object(b"[1 0 Random]")
+        assert parse_object(b"[1 0]")[0] == [1, 0]
+
+    def test_dict_nested(self):
+        obj, _ = parse_object(
+            b"<< /A << /B [1 2] >> /C (x) /D /N >>")
+        assert obj == {"A": {"B": [1, 2]}, "C": b"x", "D": Name("N")}
+
+    def test_comments_skipped(self):
+        assert parse_object(b"% comment\n 7")[0] == 7
+
+
+# ---------------------------------------------------------------------
+# filters
+
+class TestFilters:
+    def test_flate_roundtrip(self):
+        data = b"swishray" * 100
+        assert apply_filters(zlib.compress(data),
+                             Name("FlateDecode"), None) == data
+
+    def test_flate_png_predictor(self):
+        # two rows of four bytes, Up filter
+        raw = b"\x02\x01\x02\x03\x04" + b"\x02\x01\x01\x01\x01"
+        out = apply_filters(
+            zlib.compress(raw), Name("FlateDecode"),
+            {"Predictor": 12, "Columns": 4})
+        assert out == bytes([1, 2, 3, 4, 2, 3, 4, 5])
+
+    def test_ascii_hex(self):
+        assert apply_filters(b"48 65 6C 6C 6F>", Name("AHx"),
+                             None) == b"Hello"
+
+    def test_ascii85(self):
+        import base64
+        data = b"some pdf content bytes \x00\xff"
+        enc = base64.a85encode(data) + b"~>"
+        assert apply_filters(enc, Name("ASCII85Decode"),
+                             None) == data
+        # 'z' shorthand for four zero bytes
+        assert apply_filters(b"z~>", Name("A85"), None) == b"\0\0\0\0"
+
+    def test_runlength(self):
+        from swishray.ops.pdfbuild import _rl_encode
+        data = b"aaaaaabcdefff" * 20 + b"\x00" * 300
+        assert apply_filters(_rl_encode(data),
+                             Name("RunLengthDecode"), None) == data
+
+    def test_lzw(self):
+        from swishray.ops.tiff import _tiff_lzw_encode
+        data = b"the same coder family as TIFF" * 40
+        assert apply_filters(_tiff_lzw_encode(data),
+                             Name("LZWDecode"), None) == data
+
+    def test_chain(self):
+        data = b"chained"
+        enc = zlib.compress(data).hex().encode() + b">"
+        assert apply_filters(
+            enc, [Name("ASCIIHexDecode"), Name("FlateDecode")],
+            None) == data
+
+    def test_unknown_filter_raises(self):
+        with pytest.raises(PdfError):
+            apply_filters(b"x", Name("NoSuchFilter"), None)
+        with pytest.raises(PdfError, match="opaque"):
+            apply_filters(b"x", Name("DCTDecode"), None)
+
+
+# ---------------------------------------------------------------------
+# AES / RC4 (FIPS-197 + classic public vectors run at import; these
+# pin the CBC + PDF-layer behavior)
+
+class TestCrypto:
+    def test_aes_cbc_roundtrip_all_keylens(self):
+        for klen in (16, 24, 32):
+            a = AES(bytes(range(klen)))
+            iv = bytes(range(16, 32))
+            pt = b"sixteen byte blk" * 3
+            assert a.cbc_decrypt(a.cbc_encrypt(pt, iv), iv) == pt
+
+    def test_rc4_symmetry(self):
+        key = b"\x01\x02\x03\x04\x05"
+        data = b"pdf object bytes"
+        assert rc4(key, rc4(key, data)) == data
+
+
+# ---------------------------------------------------------------------
+# round-trip feature matrix
+
+MATRIX = [
+    dict(),
+    dict(xref_stream=True),
+    dict(object_streams=True),
+    dict(font="type0"),
+    dict(differences=True),
+    dict(use_tj=True),
+    dict(form_xobject=True),
+    dict(filters=["LZWDecode"]),
+    dict(filters=["ASCIIHexDecode", "FlateDecode"]),
+    dict(filters=["ASCII85Decode"]),
+    dict(filters=["RunLengthDecode"]),
+    dict(encrypt="rc4-40"),
+    dict(encrypt="rc4-128"),
+    dict(encrypt="aes-128"),
+    dict(encrypt="aes-256"),
+    dict(encrypt="aes-256", object_streams=True, font="type0"),
+    dict(encrypt="aes-128", xref_stream=True, use_tj=True),
+    dict(encrypt="rc4-128", filters=["LZWDecode"],
+         differences=True),
+]
+
+
+@pytest.mark.parametrize("kw", MATRIX,
+                         ids=[str(sorted(k.items())) for k in MATRIX])
+def test_roundtrip_matrix(kw):
+    pdf = build_pdf(PAGES, **kw)
+    assert _text(pdf) == EXPECT
+
+
+def test_unicode_through_type0():
+    pages = [["héllo wörld — ümlaut", "日本語テキスト"]]
+    pdf = build_pdf(pages, font="type0")
+    assert _text(pdf) == "héllo wörld — ümlaut\n日本語テキスト"
+
+
+def test_two_column_merges_by_visual_line():
+    pdf = build_pdf([["a1", "a2", "b1", "b2"]], two_column=True)
+    assert _text(pdf) == "a1 b1\na2 b2"
+
+
+def test_multipage_order_and_counts():
+    pdf = build_pdf(PAGES, xref_stream=True)
+    txt, n_pages, n_skip = document_text(pdf)
+    assert n_pages == 2 and n_skip == 0 and txt == EXPECT
+
+
+# ---------------------------------------------------------------------
+# crawl resilience
+
+class TestResilience:
+    def test_broken_xref_offsets_rebuild(self):
+        pdf = bytearray(build_pdf(PAGES))
+        at = pdf.rfind(b"startxref")
+        end = pdf.find(b"\n", at + 10)
+        pdf[at + 10:end] = b"9" * (end - at - 10)  # bogus offset
+        assert _text(bytes(pdf)) == EXPECT
+
+    def test_leading_junk_before_header(self):
+        pdf = b"HTTP/1.0 200 OK\r\n\r\n" + build_pdf(PAGES)
+        assert _text(pdf) == EXPECT
+
+    def test_wrong_stream_length_recovers(self):
+        pdf = build_simple_pdf(["recovered line"], compress=False)
+        pdf = pdf.replace(b"/Length", b"/Length 9999 %", 1)
+        txt, mode, _, _, err = pdf_extract(pdf)
+        assert "recovered line" in txt
+
+    def test_not_pdf(self):
+        with pytest.raises(PdfError):
+            PdfDocument(b"<html>not a pdf</html>")
+
+    def test_truncated_pdf_falls_back_to_scan(self):
+        pdf = build_pdf(PAGES)
+        cut = pdf[:len(pdf) * 2 // 3]
+        txt, mode, _, _, _ = pdf_extract(cut)
+        assert mode in ("structured", "scan")  # never raises
+
+    def test_fuzz_never_raises(self):
+        import hashlib
+        base = build_pdf(PAGES, xref_stream=True, font="type0")
+        for trial in range(60):
+            h = hashlib.sha256(b"pdfuzz%d" % trial).digest()
+            mut = bytearray(base)
+            for k in range(8):
+                pos = int.from_bytes(h[k * 3:k * 3 + 3],
+                                     "big") % len(mut)
+                mut[pos] = h[(k + 8) % 32]
+            pdf_extract(bytes(mut))  # must not raise
+
+    def test_cyclic_pages_guarded(self):
+        # a page tree whose kid points back at the root
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+               b"2 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >>"
+               b" endobj\n"
+               b"trailer << /Root 1 0 R >>\n")
+        doc = PdfDocument(pdf)
+        assert list(doc.pages()) == []
+
+
+# ---------------------------------------------------------------------
+# ToUnicode CMap parser
+
+class TestToUnicode:
+    def test_bfchar_and_bfrange(self):
+        cmap = (b"1 begincodespacerange <0000> <FFFF>"
+                b" endcodespacerange\n"
+                b"2 beginbfchar <0041> <0061> <0042> <00480069>"
+                b" endbfchar\n"
+                b"1 beginbfrange <0050> <0052> <0070> endbfrange\n")
+        m, lens = parse_tounicode(cmap)
+        assert m[0x41] == "a"
+        assert m[0x42] == "Hi"          # multi-char target
+        assert m[0x50] == "p" and m[0x52] == "r"
+        assert lens == [2]
+
+    def test_bfrange_array_form(self):
+        cmap = (b"1 beginbfrange <01> <03> [<0058> <0059> <005A>]"
+                b" endbfrange")
+        m, lens = parse_tounicode(cmap)
+        assert (m[1], m[2], m[3]) == ("X", "Y", "Z")
+        assert lens == [1]
+
+
+# ---------------------------------------------------------------------
+# the unified cascade + the Ray stage
+
+def test_pdf_extract_modes():
+    pdf = build_pdf(PAGES, encrypt="aes-128")
+    txt, mode, n_pages, n_skip, err = pdf_extract(pdf)
+    assert mode == "structured" and n_pages == 2 and err is None
+    assert txt == EXPECT
+    # scan tier can't see into encryption; structured is the win
+    from swishray.ops.pdftext import pdf_text_from_bytes
+    scan_txt, _, _, _ = pdf_text_from_bytes(pdf)
+    assert "Hello world" not in scan_txt
+
+
+def test_stage_auto_mode(ray_session):
+    import pyarrow as pa
+    import ray
+    from swishray.ops.pdftext import extract_pdf_text
+    pdfs = [build_pdf([["row %d text" % i]],
+                      encrypt="aes-256" if i % 2 else None)
+            for i in range(6)]
+    tbl = pa.table({"url": [f"u{i}" for i in range(6)],
+                    "pdf": pa.array(pdfs, pa.large_binary())})
+    ds = ray.data.from_arrow(tbl)
+    out = extract_pdf_text(ds, mode="auto").take_all()
+    got = {r["url"]: r for r in out}
+    for i in range(6):
+        assert got[f"u{i}"]["text"] == "row %d text" % i
+        assert got[f"u{i}"]["mode"] == "structured"
