@@ -1039,6 +1039,58 @@ def q_pdf_text(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def q_pdf_text_structured(sf_dir: str):
+    """Structured PDF tier (ops/pdfcos + pdfpage + pdfcrypt): every
+    document rendered through the deterministic writer with a
+    doc_id-keyed feature — classic xref vs xref stream vs compressed
+    object streams, simple vs Type0/ToUnicode fonts, RC4-128 /
+    AES-128 / AES-256 empty-user-password encryption, ASCII85 filter
+    + TJ kerning — then extracted with the mode="auto" cascade.  The
+    whitespace-normalized text must round-trip identically and every
+    row must come back mode='structured' with one page and zero
+    skipped streams."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from swishray.ops.pdfbuild import build_pdf
+    from swishray.ops.pdftext import extract_pdf_text
+
+    flavors = [
+        dict(), dict(xref_stream=True), dict(object_streams=True),
+        dict(font="type0"), dict(encrypt="rc4-128"),
+        dict(encrypt="aes-128"),
+        dict(encrypt="aes-256", xref_stream=True),
+        dict(filters=["ASCII85Decode"], use_tj=True),
+    ]
+
+    def synth(batch: pa.Table) -> pa.Table:
+        pdfs = []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            ws = (txt or "").split()
+            lines = [" ".join(ws[i:i + 10])
+                     for i in range(0, len(ws), 10)] or [""]
+            pdfs.append(build_pdf([lines], **flavors[did % 8]))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pdf": pa.array(pdfs, pa.large_binary())})
+
+    pdfs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = extract_pdf_text(pdfs, pdf_col="pdf", key="doc_id",
+                           concurrency=_conc(), mode="auto")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            batch.column("text"), r"\s+", " "))
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "pdf_text": pc.cast(norm, pa.string()),
+            "mode": batch.column("mode"),
+            "n_pages": batch.column("n_streams"),
+            "n_skipped_streams": batch.column("n_skipped_streams"),
+        })
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 # ---- rows-only (non-SQL-expressible) ---------------------------------
 
 def q_lang_id(sf_dir: str):
@@ -4863,7 +4915,8 @@ _DRIVER_LEAD = [
     # index consumer surface beyond the legacy five
     "index_phrase", "index_facets", "index_topdocs", "index_upsert",
     # main-content / document transforms
-    "main_content", "pdf_text", "tier_extract", "markdown_strip",
+    "main_content", "pdf_text", "pdf_text_structured",
+    "tier_extract", "markdown_strip",
     # training-data filters
     "c4_clean", "gopher_quality", "robots_filter_join",
     "decontaminate",
@@ -4971,6 +5024,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "main_content": q_main_content,
         "pdf_text": q_pdf_text,
+        "pdf_text_structured": q_pdf_text_structured,
         "tier_extract": q_tier_extract,
         "tier_metrics": q_tier_metrics,
         "dedup_clusters": q_dedup_clusters,
@@ -5828,6 +5882,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace(text, "
             "'[ \\t\\r\\n]+', ' ', 'g')) AS pdf_text, "
             "CAST(1 AS BIGINT) AS n_streams, "
+            "CAST(0 AS BIGINT) AS n_skipped_streams FROM documents"),
+        # the structured tier must recover the exact text whatever
+        # the container flavor (xref/objstm/Type0/encryption/filters
+        # — keyed by doc_id), always via the structured path
+        "pdf_text_structured": (
+            "SELECT doc_id, trim(regexp_replace(text, "
+            "'[ \\t\\r\\n]+', ' ', 'g')) AS pdf_text, "
+            "'structured' AS mode, "
+            "CAST(1 AS BIGINT) AS n_pages, "
             "CAST(0 AS BIGINT) AS n_skipped_streams FROM documents"),
         # the cascade recovers the same text whichever tier carried
         # it; tier + gzip flags are pure functions of doc_id

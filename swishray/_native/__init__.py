@@ -29,6 +29,7 @@ swishpng = None
 swishjpeg = None
 swishwebp = None
 swishlzw = None
+swishaes = None
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -81,7 +82,7 @@ def _load_one(name: str, cflags: list[str], libs: list[str]):
 
 def _load() -> None:
     global swishtok, swishsax, swishpng, swishjpeg, swishwebp
-    global swishlzw
+    global swishlzw, swishaes
     if os.environ.get("SWISHRAY_NO_NATIVE") == "1":
         return
     swishtok = _load_one("swishtok", [], [])
@@ -90,6 +91,7 @@ def _load() -> None:
     swishjpeg = _load_one("swishjpeg", [], [])
     swishwebp = _load_one("swishwebp", [], [])
     swishlzw = _load_one("swishlzw", [], [])
+    swishaes = _load_one("swishaes", [], [])
 
 
 _load()

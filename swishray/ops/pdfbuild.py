@@ -73,6 +73,23 @@ def _encode_filters(data: bytes, filters: list[str]) -> bytes:
     return data
 
 
+_ENC_CACHE: dict[tuple, StandardEncryptor] = {}
+
+
+def _encryptor(flavor: str, id0: bytes,
+               seed: bytes) -> StandardEncryptor:
+    """Key derivation (especially the AES-256 R6 iterated hash) costs
+    tens of ms and depends only on (flavor, id0, seed) — cache it so
+    per-document synthesis at corpus scale doesn't re-derive."""
+    key = (flavor, id0, seed)
+    enc = _ENC_CACHE.get(key)
+    if enc is None:
+        if len(_ENC_CACHE) > 256:
+            _ENC_CACHE.clear()
+        enc = _ENC_CACHE[key] = StandardEncryptor(flavor, id0, seed)
+    return enc
+
+
 def _esc(s: str) -> bytes:
     return (s.replace("\\", "\\\\").replace("(", "\\(")
             .replace(")", "\\)").encode("latin-1", "replace"))
@@ -157,7 +174,7 @@ def build_pdf(pages: list[list[str]], *,
         (len(pages), font, differences, tuple(filters), xref_stream,
          object_streams, encrypt, use_tj, two_column,
          form_xobject)).encode()).digest()
-    enc = StandardEncryptor(encrypt, id0, seed) if encrypt else None
+    enc = _encryptor(encrypt, id0, seed) if encrypt else None
 
     objs: dict[int, bytes | tuple] = {}  # num -> body | (dict, raw)
     next_num = 1

@@ -63,6 +63,12 @@ def rc4(key: bytes, data: bytes) -> bytes:
 # ---------------------------------------------------------------------
 # AES (FIPS-197), from scratch
 
+try:
+    from .._native import swishaes as _NATIVE
+except Exception:  # noqa: BLE001 — optional accelerator
+    _NATIVE = None
+
+
 def _aes_tables() -> tuple[bytes, bytes, list, list]:
     """Generate the S-box from the GF(2^8) multiplicative inverse +
     affine transform (FIPS-197 §5.1.1) — generated, not transcribed."""
@@ -106,11 +112,17 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80,
 
 
 class AES:
-    """AES-128/192/256, ECB block primitives + CBC helpers."""
+    """AES-128/192/256, ECB block primitives + CBC helpers.
+
+    When the swishaes C kernel is available (A/B-gated below against
+    the FIPS-197 vectors and random round-trips vs this pure path),
+    the block/CBC methods delegate to it — the R6 key-derivation
+    hash alone runs ~25k blocks per encrypted PDF."""
 
     def __init__(self, key: bytes) -> None:
         if len(key) not in (16, 24, 32):
             raise ValueError("bad AES key length")
+        self._crk = _NATIVE.expand(key) if _NATIVE else None
         nk = len(key) // 4
         self.nr = nk + 6
         w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
@@ -135,6 +147,8 @@ class AES:
         return bytearray(x ^ y for x, y in zip(a, b))
 
     def encrypt_block(self, block: bytes) -> bytes:
+        if self._crk is not None:
+            return _NATIVE.ecb(self._crk, block, 1)
         s = self._xor(block, self.rk[0])
         m2, m3 = _MUL[2], _MUL[3]
         for rnd in range(1, self.nr):
@@ -157,6 +171,8 @@ class AES:
         return bytes(self._xor(s, self.rk[self.nr]))
 
     def decrypt_block(self, block: bytes) -> bytes:
+        if self._crk is not None:
+            return _NATIVE.ecb(self._crk, block, 0)
         s = self._xor(block, self.rk[self.nr])
         m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
         for rnd in range(self.nr - 1, 0, -1):
@@ -180,6 +196,8 @@ class AES:
 
     # -- CBC ------------------------------------------------------
     def cbc_decrypt(self, data: bytes, iv: bytes) -> bytes:
+        if self._crk is not None:
+            return _NATIVE.cbc_decrypt(self._crk, iv, data)
         if len(data) % 16:
             data = data[:len(data) - len(data) % 16]
         out = bytearray()
@@ -193,6 +211,8 @@ class AES:
     def cbc_encrypt(self, data: bytes, iv: bytes) -> bytes:
         if len(data) % 16:
             raise ValueError("CBC input not block-aligned")
+        if self._crk is not None:
+            return _NATIVE.cbc_encrypt(self._crk, iv, data)
         out = bytearray()
         prev = iv
         for i in range(0, len(data), 16):
@@ -203,7 +223,13 @@ class AES:
 
 
 def _aes_selftest() -> None:
-    """FIPS-197 Appendix C known-answer vectors (public spec)."""
+    """FIPS-197 Appendix C known-answer vectors (public spec),
+    run against BOTH the pure path and (when present) the swishaes C
+    kernel, plus random pure-vs-native CBC cross-checks — the kernel
+    is disabled on any mismatch (repo-wide A/B gating discipline)."""
+    global _NATIVE
+    import hashlib as _h
+
     pt = bytes.fromhex("00112233445566778899aabbccddeeff")
     cases = [
         ("000102030405060708090a0b0c0d0e0f",
@@ -214,11 +240,32 @@ def _aes_selftest() -> None:
          "101112131415161718191a1b1c1d1e1f",
          "8ea2b7ca516745bfeafc49904b496089"),
     ]
+    native, _NATIVE = _NATIVE, None  # first prove the pure path
     for key_hex, ct_hex in cases:
         a = AES(bytes.fromhex(key_hex))
         ct = bytes.fromhex(ct_hex)
         assert a.encrypt_block(pt) == ct, "AES encrypt self-test"
         assert a.decrypt_block(ct) == pt, "AES decrypt self-test"
+    if native is not None:
+        try:
+            for key_hex, ct_hex in cases:
+                key = bytes.fromhex(key_hex)
+                rk = native.expand(key)
+                assert native.ecb(rk, pt, 1) == bytes.fromhex(ct_hex)
+                assert native.ecb(rk, bytes.fromhex(ct_hex), 0) == pt
+            for trial in range(8):
+                blob = _h.sha256(b"swishaes%d" % trial).digest() * 6
+                key = blob[:16 + 8 * (trial % 3)]
+                iv, data = blob[32:48], blob[48:48 + 32 * 2]
+                pure = AES(key)
+                rk = native.expand(key)
+                assert native.cbc_encrypt(rk, iv, data) == \
+                    pure.cbc_encrypt(data, iv)
+                assert native.cbc_decrypt(rk, iv, data) == \
+                    pure.cbc_decrypt(data, iv)
+            _NATIVE = native
+        except Exception:  # noqa: BLE001 — kernel stays disabled
+            _NATIVE = None
     # RC4 classic public vector
     assert rc4(b"Key", b"Plaintext") == bytes.fromhex(
         "bbf316e8d940af0ad3"), "RC4 self-test"
@@ -346,6 +393,11 @@ class StandardDecryptor:
                 if rc4(self.key, _PAD) != u and password == b"":
                     raise ValueError("password required (U mismatch)")
 
+    # R6 key derivation costs ~25k AES blocks; files sharing the
+    # same /Encrypt material (retries, mirrored crawl copies, the
+    # synthetic corpora) must not re-derive per document
+    _V5_CACHE: dict[tuple, bytes] = {}
+
     def _v5_key(self, enc: dict, pw: bytes) -> bytes:
         u = _as_bytes(enc.get("U", b""))
         ue = _as_bytes(enc.get("UE", b""))
@@ -353,6 +405,18 @@ class StandardDecryptor:
         oe = _as_bytes(enc.get("OE", b""))
         if len(u) < 48:
             raise ValueError("short /U for V5")
+        ck = (u, ue, o, oe, pw)
+        hit = self._V5_CACHE.get(ck)
+        if hit is not None:
+            return hit
+        key = self._v5_key_uncached(u, ue, o, oe, pw)
+        if len(self._V5_CACHE) > 4096:
+            self._V5_CACHE.clear()
+        self._V5_CACHE[ck] = key
+        return key
+
+    def _v5_key_uncached(self, u: bytes, ue: bytes, o: bytes,
+                         oe: bytes, pw: bytes) -> bytes:
         vsalt, ksalt = u[32:40], u[40:48]
         # try the USER password first (empty for the crawl case)
         if _alg2b_hash(pw, vsalt, b"") == u[:32]:
