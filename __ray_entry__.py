@@ -1568,6 +1568,49 @@ def q_media_inspect(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_pdf_inspect(sf_dir: str):
+    """Header-only PDF structural probe (ops/pdfcos.pdf_info via the
+    InspectMedia stage): per document a deterministic multi-page PDF
+    (1 + doc_id%3 pages) with a rotating encryption flavor; the
+    inspect tier must report version+flavor and the page count from
+    the xref/page-tree walk WITHOUT decrypting (the flavor probe
+    works even without the password)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from swishray.ops.mediainfo import inspect_media
+    from swishray.ops.pdfbuild import build_pdf
+    from swishray.util import default_concurrency
+
+    flavors = [None, "rc4-128", "aes-128", "aes-256"]
+
+    def synth(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t.column("doc_id").to_pylist():
+            i = int(i)
+            pages = [["page %d of doc %d" % (p, i)]
+                     for p in range(1 + i % 3)]
+            blobs.append(build_pdf(pages, encrypt=flavors[i % 4]))
+        return pa.table({"media_id": t.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
+
+    media = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = inspect_media(media,
+                        concurrency=default_concurrency(cap=2))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "container": t.column("container"),
+            "codec": t.column("codec"),
+            "n_pages": pc.fill_null(t.column("n_frames"), -1),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_decode_webp(sf_dir: str):
     """REAL WebP-lossless decode: per document, encode a 16x8 RGB
     image (sample j = (doc_id*41 + j*7) % 256, alpha 255 — opaque, so
@@ -4909,7 +4952,7 @@ _DRIVER_LEAD = [
     # from-scratch media codecs (round 4)
     "decode_images", "decode_audio", "decode_video", "decode_gif",
     "decode_jpeg", "decode_tiff", "decode_tiff_jpeg", "decode_webp",
-    "decode_mjpeg", "decode_apng", "media_inspect",
+    "decode_mjpeg", "decode_apng", "media_inspect", "pdf_inspect",
     # perceptual near-dup (round 4)
     "image_dedup", "audio_dedup", "video_dedup",
     # index consumer surface beyond the legacy five
@@ -5125,6 +5168,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "decode_tiff": q_decode_tiff,
         "decode_tiff_jpeg": q_decode_tiff_jpeg,
         "media_inspect": q_media_inspect,
+        "pdf_inspect": q_pdf_inspect,
         "decode_webp": q_decode_webp,
         "decode_webp_lossy": q_decode_webp_lossy,
         "decode_mjpeg": q_decode_mjpeg,
@@ -5381,6 +5425,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE d.doc_id % 5 WHEN 1 THEN 44100 WHEN 3 THEN 44100 "
             "WHEN 4 THEN 48000 ELSE -1 END "
             "AS sample_rate FROM documents d"),
+        # the probe reads version + encryption flavor + page count
+        # from structure alone; every field is a pure function of
+        # doc_id by construction
+        "pdf_inspect": (
+            "SELECT doc_id AS media_id, 'pdf' AS container, "
+            "'PDF-1.5' || (CASE doc_id % 4 WHEN 1 THEN '/rc4' "
+            "WHEN 2 THEN '/aes-128' WHEN 3 THEN '/aes-256' "
+            "ELSE '' END) AS codec, "
+            "CAST(1 + doc_id % 3 AS BIGINT) AS n_pages "
+            "FROM documents"),
         "decode_webp": (
             "SELECT d.doc_id AS media_id, 16 AS width, 8 AS height, "
             "4 AS channels, "

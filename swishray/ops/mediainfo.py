@@ -851,7 +851,20 @@ class InspectMedia:
             out["codec"] = "deflate"
             return out
         if kind == "pdf":
+            # structural probe (xref + page tree, no decryption):
+            # page count -> n_frames, object count -> n_tracks,
+            # encryption flavor folded into codec
             out["codec"] = blob[1:8].decode("latin-1")  # PDF-1.x
+            try:
+                from .pdfcos import pdf_info
+                info = pdf_info(blob)
+                out["codec"] = info["version"] + (
+                    "/" + info["encryption"] if info["encryption"]
+                    else "")
+                out["n_frames"] = info["n_pages"]
+                out["n_tracks"] = info["n_objects"]
+            except Exception:  # noqa: BLE001 — magic-only fallback
+                pass
             return out
         if kind in ("ogg", "matroska"):
             info = parse_ogg(blob) if kind == "ogg" \

@@ -43,7 +43,7 @@ from typing import Any, Iterator
 
 __all__ = [
     "Name", "Ref", "Stream", "PdfError", "PdfDocument",
-    "parse_object", "apply_filters",
+    "parse_object", "apply_filters", "pdf_info",
 ]
 
 # a structured stream larger than this is a bomb, not a page
@@ -583,7 +583,12 @@ class PdfDocument:
     """
 
     def __init__(self, data: bytes, strict: bool = False,
-                 password: bytes = b"") -> None:
+                 password: bytes = b"", decrypt: bool = True) -> None:
+        """``decrypt=False`` skips security-handler setup: object
+        STRUCTURE (xref, page tree, dict/array/number values) is
+        fully readable without the file key — only strings and
+        stream bodies are ciphered — so header-only inspection works
+        on files whose password we don't have."""
         if not data.startswith(b"%PDF-"):
             # some real files carry leading junk; honor an embedded
             # header within the first 1 KB (spec: viewers must)
@@ -609,7 +614,7 @@ class PdfDocument:
         if not self.xref or "Root" not in self.trailer:
             self._rebuild_xref()
         enc = self.trailer.get("Encrypt")
-        if enc is not None:
+        if enc is not None and decrypt:
             from .pdfcrypt import StandardDecryptor
             ids = self.trailer.get("ID") or [b"", b""]
             id0 = ids[0] if isinstance(ids, list) and ids else b""
@@ -986,3 +991,45 @@ class PdfDocument:
         if skipped is not None:
             skipped.append(n_skip)
         return b"\n".join(parts)
+
+
+def pdf_info(data: bytes) -> dict:
+    """Header-only structural probe (the media-inspect tier):
+    version, page count, object count, and the encryption flavor —
+    WITHOUT decrypting, so password-protected files still inspect.
+    Raises PdfError only when the bytes have no PDF structure."""
+    doc = PdfDocument(data, decrypt=False)
+    at = doc.data.find(b"%PDF-")
+    version = doc.data[at + 1:at + 8].decode("latin-1", "replace")
+    n_pages = 0
+    try:
+        for _ in doc.pages():
+            n_pages += 1
+            if n_pages >= 100_000:
+                break
+    except PdfError:
+        pass
+    flavor = None
+    enc = doc.trailer.get("Encrypt")
+    if enc is not None:
+        try:
+            enc_d = doc.get(enc) if isinstance(enc, Ref) else enc
+        except PdfError:
+            enc_d = None
+        if isinstance(enc_d, dict):
+            v = enc_d.get("V", 0)
+            if v == 5:
+                flavor = "aes-256"
+            elif v == 4:
+                cf = enc_d.get("CF") or {}
+                cfd = cf.get(str(enc_d.get("StmF", "StdCF"))) \
+                    if isinstance(cf, dict) else None
+                cfm = str(cfd.get("CFM", "")) if isinstance(
+                    cfd, dict) else ""
+                flavor = "aes-128" if cfm == "AESV2" else "rc4"
+            else:
+                flavor = "rc4"
+        else:
+            flavor = "unknown"
+    return {"version": version, "n_pages": n_pages,
+            "n_objects": len(doc.xref), "encryption": flavor}

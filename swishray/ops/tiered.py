@@ -8,8 +8,9 @@ extension lies, so this stage sniffs CONTENT (magic bytes) with the
 ext table as the tie-breaker, then dispatches each document to its
 tier kernel inside the same ``map_batches`` call:
 
-* ``pdf``  -> :func:`swishray.ops.pdftext.pdf_text_from_bytes`
-              (content-stream parse, layout lines)
+* ``pdf``  -> :func:`swishray.ops.pdftext.pdf_extract`
+              (structured xref/font/encryption parse with layout,
+              syntactic-scan fallback — the mode="auto" cascade)
 * ``html`` -> :class:`swishray.ops.maincontent.MainContentExtract`
               (DOM-heuristic boilerplate strip; also XML)
 * ``txt``  -> encoding-normalized plain text (UTF-8 strict, else
@@ -40,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from .maincontent import MainContentExtract
-from .pdftext import pdf_text_from_bytes
+from .pdftext import pdf_extract
 
 _WS_BOM = b" \t\r\n\x0c\x0b"
 # doctype / html-ish root in the first bytes => markup tier
@@ -116,7 +117,7 @@ class TieredExtract:
             t = sniff_tier(body)
             tiers[i] = t
             if t == TIER_PDF:
-                txt, _used, _skip, err = pdf_text_from_bytes(body)
+                txt, _mode, _used, _skip, err = pdf_extract(body)
                 texts[i] = txt
                 errors[i] = err
             elif t == TIER_HTML:
