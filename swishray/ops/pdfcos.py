@@ -338,10 +338,20 @@ def parse_object(data: bytes, pos: int = 0) -> tuple[Any, int]:
 # ---------------------------------------------------------------------
 # stream filters (ISO 32000-1 §7.4)
 
+# predictor post-processing and LZW expansion run per-byte in
+# Python; a deflate/LZW bomb claiming them could stall a decode
+# actor for minutes even under the 64 MB byte cap.  Real predictor
+# use is xref streams (KBs) and real LZW content streams are small.
+MAX_PREDICTOR_BYTES = 8 << 20
+MAX_LZW_BYTES = 16 << 20
+
+
 def _predictor(data: bytes, parms: dict) -> bytes:
     pred = parms.get("Predictor", 1)
     if not isinstance(pred, int) or pred <= 1:
         return data
+    if len(data) > MAX_PREDICTOR_BYTES:
+        raise PdfError("predictor stream exceeds the safety cap")
     colors = parms.get("Colors", 1)
     bpc = parms.get("BitsPerComponent", 8)
     columns = parms.get("Columns", 1)
@@ -454,7 +464,7 @@ def _lzw(data: bytes, parms: dict) -> bytes:
             else:
                 raise PdfError("LZW: code beyond table")
             out += entry
-            if len(out) > MAX_STREAM_BYTES:
+            if len(out) > MAX_LZW_BYTES:
                 raise PdfError("LZW output exceeds the safety cap")
             prev = entry
             if len(table) + early >= (1 << width) and width < 12:
