@@ -313,6 +313,56 @@ def run_benchmarks() -> dict:
         del media
         _gc.collect()
 
+        # structured-PDF headline: every document rendered as a PDF
+        # with a rotating container flavor (xref stream / object
+        # streams / Type0 / RC4 / AES-128 / AES-256 / ASCII85), also
+        # materialized outside the timer; the window measures the
+        # structured parse + font decode + layout (+ decryption for
+        # 3/8 of rows) through pdf_extract
+        def synth_pdf(t):
+            import pyarrow as pa
+            from swishray.ops.pdfbuild import build_pdf
+            flavors = [dict(), dict(xref_stream=True),
+                       dict(object_streams=True), dict(font="type0"),
+                       dict(encrypt="rc4-128"),
+                       dict(encrypt="aes-128"),
+                       dict(encrypt="aes-256", xref_stream=True),
+                       dict(filters=["ASCII85Decode"], use_tj=True)]
+            blobs = []
+            for i, txt in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist()):
+                ws = (txt or "").split()
+                lines = [" ".join(ws[k:k + 10])
+                         for k in range(0, len(ws), 10)] or [""]
+                blobs.append(build_pdf([lines],
+                                       **flavors[int(i) % 8]))
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "pdf": pa.array(blobs,
+                                             pa.large_binary())})
+
+        def extract_pdf(batch):
+            import pyarrow as pa
+            from swishray.ops.pdftext import pdf_extract
+            chars = []
+            for body in batch.column("pdf").to_pylist():
+                txt, _mode, _u, _s, _e = pdf_extract(body)
+                chars.append(len(txt))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "chars": pa.array(chars, pa.int64())})
+
+        pdfs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .repartition(2 * NUM_CPUS) \
+            .map_batches(synth_pdf, batch_format="pyarrow") \
+            .materialize()
+        pdf_dec = pdfs.map_batches(extract_pdf,
+                                   batch_format="pyarrow",
+                                   batch_size=64)
+        with timed("pdf_extract"):
+            pdf_dec.aggregate(_Sum("chars", alias_name="c"))
+        del pdfs
+        _gc.collect()
+
     def calibrate() -> float:
         """Host-speed probe: single-process extraction of a fixed
         deterministic 60-page corpus, best of 3. The shared-host VM's
