@@ -1611,6 +1611,85 @@ def q_pdf_inspect(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_pdf_docinfo(sf_dir: str):
+    """PDF /Info document properties (the PDF analog of the
+    reference's PropertyName capture): per document a PDF carrying
+    deterministic UTF-16BE Title/Author strings with a rotating
+    encryption flavor; the reader must recover the cleartext
+    properties — direct object strings decrypt per object, a
+    different cipher path than streams."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.pdfbuild import build_pdf
+    from swishray.ops.pdfcos import PdfDocument, document_info
+    from swishray.util import map_batches_stateful
+
+    flavors = [None, "rc4-128", "aes-128", "aes-256"]
+
+    class Extract:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            titles, authors = [], []
+            for i in t.column("doc_id").to_pylist():
+                i = int(i)
+                pdf = build_pdf(
+                    [["body %d" % i]],
+                    info={"Title": "Doc — %d ünïcode" % i,
+                          "Author": "author-%d" % (i % 7)},
+                    encrypt=flavors[i % 4])
+                got = document_info(PdfDocument(pdf))
+                titles.append(got.get("Title", ""))
+                authors.append(got.get("Author", ""))
+            return pa.table({
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "author": pa.array(authors, pa.string()),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return map_batches_stateful(ds, Extract, batch_format="pyarrow",
+                                force_tasks=True)
+
+
+def q_pdf_links(sf_dir: str):
+    """PDF URI link annotations -> the crawl link graph (the PDF
+    side of extract_links): per document 1 + doc_id%3 links with a
+    rotating encryption flavor, harvested via document_links and
+    exploded one row per (doc, rank)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.pdfbuild import build_pdf
+    from swishray.ops.pdfcos import PdfDocument, document_links
+    from swishray.util import map_batches_stateful
+
+    flavors = [None, "rc4-128", "aes-128", "aes-256"]
+
+    class Extract:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dids, ranks, uris = [], [], []
+            for i in t.column("doc_id").to_pylist():
+                i = int(i)
+                links = ["https://host%d.example/p/%d" % (i % 10, k)
+                         for k in range(1 + i % 3)]
+                pdf = build_pdf([["body %d" % i]], links=links,
+                                encrypt=flavors[i % 4])
+                got = document_links(PdfDocument(pdf))
+                for rank, (_pg, uri) in enumerate(got):
+                    dids.append(i)
+                    ranks.append(rank)
+                    uris.append(uri)
+            return pa.table({
+                "doc_id": pa.array(dids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "uri": pa.array(uris, pa.string()),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return map_batches_stateful(ds, Extract, batch_format="pyarrow",
+                                force_tasks=True)
+
+
 def q_decode_webp(sf_dir: str):
     """REAL WebP-lossless decode: per document, encode a 16x8 RGB
     image (sample j = (doc_id*41 + j*7) % 256, alpha 255 — opaque, so
@@ -4959,6 +5038,7 @@ _DRIVER_LEAD = [
     "index_phrase", "index_facets", "index_topdocs", "index_upsert",
     # main-content / document transforms
     "main_content", "pdf_text", "pdf_text_structured",
+    "pdf_docinfo", "pdf_links",
     "tier_extract", "markdown_strip",
     # training-data filters
     "c4_clean", "gopher_quality", "robots_filter_join",
@@ -5169,6 +5249,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "decode_tiff_jpeg": q_decode_tiff_jpeg,
         "media_inspect": q_media_inspect,
         "pdf_inspect": q_pdf_inspect,
+        "pdf_docinfo": q_pdf_docinfo,
+        "pdf_links": q_pdf_links,
         "decode_webp": q_decode_webp,
         "decode_webp_lossy": q_decode_webp_lossy,
         "decode_mjpeg": q_decode_mjpeg,
@@ -5428,6 +5510,17 @@ def oracle_sql() -> dict[str, str]:
         # the probe reads version + encryption flavor + page count
         # from structure alone; every field is a pure function of
         # doc_id by construction
+        # /Info strings decrypt per OBJECT (not per stream); both
+        # columns are pure functions of doc_id by construction
+        "pdf_docinfo": (
+            "SELECT doc_id, 'Doc ' || chr(8212) || ' ' || doc_id || "
+            "' ' || chr(252) || 'n' || chr(239) || 'code' AS title, "
+            "'author-' || (doc_id % 7) AS author FROM documents"),
+        "pdf_links": (
+            "SELECT d.doc_id, k.k AS rank, "
+            "'https://host' || (d.doc_id % 10) || '.example/p/' || "
+            "k.k AS uri FROM documents d, generate_series(0, 2) k(k) "
+            "WHERE k.k < 1 + d.doc_id % 3"),
         "pdf_inspect": (
             "SELECT doc_id AS media_id, 'pdf' AS container, "
             "'PDF-1.5' || (CASE doc_id % 4 WHEN 1 THEN '/rc4' "

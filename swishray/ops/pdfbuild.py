@@ -163,6 +163,8 @@ def build_pdf(pages: list[list[str]], *,
               use_tj: bool = False,
               two_column: bool = False,
               form_xobject: bool = False,
+              info: dict | None = None,
+              links: list[str] | None = None,
               seed: bytes = b"swishray-pdf") -> bytes:
     """Build a deterministic PDF showing ``pages`` (a list of pages,
     each a list of text lines).  Feature knobs mirror the reader's
@@ -226,16 +228,55 @@ def build_pdf(pages: list[list[str]], *,
         objs[font_num] = (b"<< /Type /Font /Subtype /Type1"
                           b" /BaseFont /Helvetica >>")
 
+    # -- document info (UTF-16BE text strings exercise the reader's
+    # text_string + string-decryption paths) ------------------------
+    def _strbytes(raw: bytes, objnum: int) -> bytes:
+        """A string literal, encrypted with the OBJECT's key when the
+        file is encrypted (direct strings cipher per object, unlike
+        strings inside streams).  In object-stream mode the whole
+        /ObjStm body ciphers at stream level instead (§7.5.7), so
+        member strings stay plain here."""
+        if enc and not object_streams:
+            raw = enc.encrypt(raw, objnum, 0)
+        return b"<" + raw.hex().encode() + b">"
+
+    info_num = 0
+    if info:
+        info_num = alloc()
+        body = b"<<"
+        for k, v in sorted(info.items()):
+            raw = b"\xfe\xff" + str(v).encode("utf-16-be")
+            body += (b" /" + k.encode("ascii") + b" "
+                     + _strbytes(raw, info_num))
+        objs[info_num] = body + b" >>"
+
+    # -- link annotations (page 1) ----------------------------------
+    annot_nums: list[int] = []
+    if links:
+        for uri in links:
+            n = alloc()
+            annot_nums.append(n)
+            objs[n] = (b"<< /Type /Annot /Subtype /Link"
+                       b" /Rect [72 60 540 80]"
+                       b" /A << /S /URI /URI " +
+                       _strbytes(uri.encode("utf-8"), n) + b" >> >>")
+
     # -- pages ------------------------------------------------------
     for i, pg in enumerate(pages):
         res = b"<< /Font << /F1 %d 0 R >>" % font_num
         if form_xobject:
             res += b" /XObject << /Fm0 %d 0 R >>" % form_nums[i]
         res += b" >>"
+        annots = b""
+        if annot_nums and i == 0:
+            annots = (b" /Annots ["
+                      + b" ".join(b"%d 0 R" % n for n in annot_nums)
+                      + b"]")
         objs[page_nums[i]] = (
             b"<< /Type /Page /Parent %d 0 R"
             b" /MediaBox [0 0 612 792] /Contents %d 0 R"
-            b" /Resources %s >>" % (pages_num, content_nums[i], res))
+            b" /Resources %s%s >>" % (pages_num, content_nums[i],
+                                      res, annots))
         if font == "type0":
             content = _content_type0(pg)
         else:
@@ -332,6 +373,8 @@ def build_pdf(pages: list[list[str]], *,
     trailer_extra = b" /ID [<%s> <%s>]" % (idhex, idhex)
     if enc:
         trailer_extra += b" /Encrypt %d 0 R" % encrypt_num
+    if info_num:
+        trailer_extra += b" /Info %d 0 R" % info_num
 
     if xref_stream or object_streams:
         xref_num = alloc()

@@ -43,7 +43,8 @@ from typing import Any, Iterator
 
 __all__ = [
     "Name", "Ref", "Stream", "PdfError", "PdfDocument",
-    "parse_object", "apply_filters", "pdf_info",
+    "parse_object", "apply_filters", "pdf_info", "text_string",
+    "document_info", "document_links",
 ]
 
 # a structured stream larger than this is a bomb, not a page
@@ -1043,3 +1044,88 @@ def pdf_info(data: bytes) -> dict:
             flavor = "unknown"
     return {"version": version, "n_pages": n_pages,
             "n_objects": len(doc.xref), "encryption": flavor}
+
+
+def text_string(b: bytes) -> str:
+    """Decode a PDF *text string* (§7.9.2.2): UTF-16BE with BOM,
+    UTF-8 with BOM (PDF 2.0), else PDFDocEncoding (latin-1 base)."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", "replace")
+    return b.decode("latin-1", "replace")
+
+
+_INFO_KEYS = ("Title", "Author", "Subject", "Keywords",
+              "Creator", "Producer", "CreationDate", "ModDate")
+
+
+def document_info(doc: PdfDocument) -> dict:
+    """The /Info dictionary (document properties — the analog of the
+    reference's PropertyName capture for HTML <meta>), decoded to
+    text.  Missing keys are absent; a missing /Info is an empty
+    dict.  Strings pass through the security handler, so encrypted
+    files yield cleartext properties."""
+    out: dict = {}
+    try:
+        info = doc.get(doc.trailer.get("Info"))
+    except PdfError:
+        return out
+    if not isinstance(info, dict):
+        return out
+    for k in _INFO_KEYS:
+        v = info.get(k)
+        if isinstance(v, Ref):
+            try:
+                v = doc.get(v)
+            except PdfError:
+                continue
+        if isinstance(v, bytes):
+            out[k] = text_string(v)
+        elif isinstance(v, str):
+            out[k] = str(v)
+    return out
+
+
+def document_links(doc: PdfDocument, max_links: int = 10_000) -> list:
+    """URI link annotations in page order (§12.5.6.5 + §12.6.4.7) —
+    the PDF contribution to the crawl link graph (ops/links.py does
+    the HTML side).  -> [(page_index, uri), ...]."""
+    out: list = []
+    for pageno, page in enumerate(doc.pages()):
+        try:
+            annots = doc.get(page.get("Annots"))
+        except PdfError:
+            continue
+        if not isinstance(annots, list):
+            continue
+        for a in annots:
+            try:
+                ad = doc.get(a)
+            except PdfError:
+                continue
+            if not isinstance(ad, dict) or \
+                    ad.get("Subtype") != "Link":
+                continue
+            try:
+                act = doc.get(ad.get("A"))
+            except PdfError:
+                continue
+            if isinstance(act, dict) and act.get("S") == "URI":
+                uri = act.get("URI")
+                if isinstance(uri, Ref):
+                    try:
+                        uri = doc.get(uri)
+                    except PdfError:
+                        continue
+                if isinstance(uri, bytes):
+                    # /URI is spec'd 7-bit ASCII but real files ship
+                    # UTF-8; same UTF-8-first fallback as HTML hrefs
+                    try:
+                        u = uri.decode("utf-8")
+                    except UnicodeDecodeError:
+                        u = uri.decode("latin-1")
+                    out.append((pageno, u))
+                    if len(out) >= max_links:
+                        return out
+    return out

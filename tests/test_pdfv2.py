@@ -302,3 +302,33 @@ def test_stage_auto_mode(ray_session):
     for i in range(6):
         assert got[f"u{i}"]["text"] == "row %d text" % i
         assert got[f"u{i}"]["mode"] == "structured"
+
+
+# ---------------------------------------------------------------------
+# document info + link annotations
+
+INFO = {"Title": "Héllo — Tïtle", "Author": "Ann Ouñor",
+        "Subject": "日本語"}
+LINKS = ["https://example.com/a?b=1", "mailto:x@y.z",
+         "https://ünicode.example/päth"]
+
+
+@pytest.mark.parametrize("kw", [
+    dict(), dict(encrypt="aes-256"), dict(encrypt="rc4-128"),
+    dict(object_streams=True),
+    dict(object_streams=True, encrypt="aes-128"),
+    dict(xref_stream=True, encrypt="aes-128"),
+], ids=lambda k: str(sorted(k.items())))
+def test_info_and_links_roundtrip(kw):
+    from swishray.ops.pdfcos import document_info, document_links
+    pdf = build_pdf([["body text"]], info=INFO, links=LINKS, **kw)
+    doc = PdfDocument(pdf)
+    assert document_info(doc) == INFO
+    assert [u for _, u in document_links(doc)] == LINKS
+
+
+def test_info_absent_and_broken():
+    from swishray.ops.pdfcos import document_info, document_links
+    doc = PdfDocument(build_pdf([["x"]]))
+    assert document_info(doc) == {}
+    assert document_links(doc) == []
