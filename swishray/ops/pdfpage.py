@@ -575,9 +575,41 @@ def _do_xobject(doc: PdfDocument, resources: Any, name: str,
 # ---------------------------------------------------------------------
 # layout assembly
 
+def _detect_column_split(lines: list[list[tuple]]) -> float | None:
+    """Find a vertical gutter: if most multi-chunk lines share their
+    largest inter-chunk gap over a common x-interval, the page is
+    two-column and reading order is column-major.  Returns the split
+    x, or None for single-column layout."""
+    gaps = []
+    for line in lines:
+        if len(line) < 2:
+            continue
+        best = None
+        for a, b in zip(line, line[1:]):
+            g0, g1 = max(a[2], a[1]), b[1]
+            width = g1 - g0
+            if width > 4.0 * max(a[5], 1.0) and (
+                    best is None or width > best[1] - best[0]):
+                best = (g0, g1)
+        if best:
+            gaps.append(best)
+    multi = sum(1 for line in lines if len(line) >= 2)
+    if len(gaps) < 3 or multi == 0 or len(gaps) < 0.6 * multi \
+            or len(gaps) < 0.4 * len(lines):
+        return None
+    lo = max(g[0] for g in gaps)
+    hi = min(g[1] for g in gaps)
+    if hi <= lo:  # gaps don't overlap: ragged, not a gutter
+        return None
+    return (lo + hi) / 2.0
+
+
 def assemble_text(chunks: list[_Chunk]) -> str:
     """Device-space reading order: cluster chunks into lines by y,
-    sort lines top-down, chunks left-to-right, gaps become spaces."""
+    sort lines top-down, chunks left-to-right, gaps become spaces.
+    A consistent vertical gutter across most lines triggers the
+    two-column path: left column fully, then right (column-major
+    reading order)."""
     if not chunks:
         return ""
     items = [(c.y0, c.x0, c.x1, "".join(c.text), c.size, c.space)
@@ -594,9 +626,19 @@ def assemble_text(chunks: list[_Chunk]) -> str:
             anchor = it[0]
         else:
             lines[-1].append(it)
-    out_lines = []
     for line in lines:
         line.sort(key=lambda t: t[1])
+    split = _detect_column_split(lines)
+    if split is not None:
+        left = [[c for c in line if c[1] < split] for line in lines]
+        right = [[c for c in line if c[1] >= split]
+                 for line in lines]
+        ordered = [ln for ln in left if ln] + \
+            [ln for ln in right if ln]
+    else:
+        ordered = lines
+    out_lines = []
+    for line in ordered:
         buf = []
         prev_x1 = None
         for y, x0, x1, text, size, space in line:

@@ -184,9 +184,19 @@ def test_unicode_through_type0():
     assert _text(pdf) == "héllo wörld — ümlaut\n日本語テキスト"
 
 
-def test_two_column_merges_by_visual_line():
-    pdf = build_pdf([["a1", "a2", "b1", "b2"]], two_column=True)
-    assert _text(pdf) == "a1 b1\na2 b2"
+def test_two_column_reads_column_major():
+    # the gutter detector restores column-major reading order: the
+    # original line list round-trips exactly
+    lines = ["left one", "left two", "left three",
+             "right A", "right B", "right C"]
+    pdf = build_pdf([lines], two_column=True)
+    assert _text(pdf) == "\n".join(lines)
+
+
+def test_sparse_gaps_do_not_split_columns():
+    # wide TJ kern gaps on a few lines are not a gutter
+    pdf = build_pdf([["a b c", "d e f", "g h i"]], use_tj=True)
+    assert _text(pdf) == "a b c\nd e f\ng h i"
 
 
 def test_multipage_order_and_counts():
