@@ -682,6 +682,49 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_pdf(args) -> int:
+    """PDF pipeline driver over the structured tier: ``--file``
+    handles one local PDF (text to stdout, or JSON for
+    info/links/inspect); ``--table`` runs the mode="auto" extraction
+    stage over a parquet binary column and writes partitioned
+    parquet."""
+    if args.file:
+        import json as _json
+        blob = open(args.file, "rb").read()
+        if args.mode == "text":
+            from .ops.pdftext import pdf_extract
+            txt, mode, units, skipped, err = pdf_extract(blob)
+            sys.stdout.write(txt + ("\n" if txt and
+                                    not txt.endswith("\n") else ""))
+            if err or skipped:
+                print(f"[{mode}: units={units} skipped={skipped} "
+                      f"err={err}]", file=sys.stderr)
+            return 0
+        from .ops.pdfcos import (PdfDocument, document_info,
+                                 document_links, pdf_info)
+        if args.mode == "inspect":
+            print(_json.dumps(pdf_info(blob), sort_keys=True))
+        elif args.mode == "info":
+            print(_json.dumps(document_info(PdfDocument(blob)),
+                              sort_keys=True, ensure_ascii=False))
+        else:  # links
+            doc = PdfDocument(blob)
+            for page, uri in document_links(doc):
+                print(f"{page}\t{uri}")
+        return 0
+    import ray
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+    ds = rd.read_parquet(args.table, columns=[args.key, args.col])
+    from .ops.pdftext import extract_pdf_text
+    out = extract_pdf_text(ds, pdf_col=args.col, key=args.key,
+                           concurrency=args.num_cpus - 1,
+                           mode="auto")
+    out.write_parquet(args.out)
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="swishray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -895,6 +938,17 @@ def main(argv=None) -> int:
     pm.add_argument("--max-hamming", type=int, default=2)
     pm.add_argument("--num-cpus", type=int, default=8)
     pm.set_defaults(fn=cmd_media)
+
+    pp = sub.add_parser("pdf")
+    pp.add_argument("--file", help="one local PDF")
+    pp.add_argument("--table", help="parquet with a binary column")
+    pp.add_argument("--out", help="output parquet dir (table mode)")
+    pp.add_argument("--mode", default="text",
+                    choices=["text", "info", "links", "inspect"])
+    pp.add_argument("--key", default="url")
+    pp.add_argument("--col", default="pdf")
+    pp.add_argument("--num-cpus", type=int, default=8)
+    pp.set_defaults(fn=cmd_pdf)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -130,3 +130,24 @@ def test_media_cli_file_and_dedup(tmp_path):
     want = sorted((a, b) for a in range(6) for b in range(a + 1, 6)
                   if a % 2 == b % 2)
     assert got == want
+
+
+def test_cli_pdf_file_modes(tmp_path, capsys):
+    """The pdf subcommand: text / info / links / inspect over one
+    local file, including an encrypted container."""
+    import json
+    from swishray.__main__ import main
+    from swishray.ops.pdfbuild import build_pdf
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(build_pdf(
+        [["Hello CLI world", "second line"]], encrypt="aes-256",
+        info={"Title": "T — ü"}, links=["https://x.example/1"]))
+    assert main(["pdf", "--file", str(p)]) == 0
+    assert capsys.readouterr().out == "Hello CLI world\nsecond line\n"
+    assert main(["pdf", "--file", str(p), "--mode", "info"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"Title": "T — ü"}
+    assert main(["pdf", "--file", str(p), "--mode", "links"]) == 0
+    assert capsys.readouterr().out == "0\thttps://x.example/1\n"
+    assert main(["pdf", "--file", str(p), "--mode", "inspect"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["n_pages"] == 1 and got["encryption"] == "aes-256"
