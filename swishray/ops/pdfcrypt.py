@@ -301,7 +301,9 @@ def _cbc_unpad(data: bytes) -> bytes:
 def _alg2_file_key(enc: dict, id0: bytes, pw: bytes) -> bytes:
     """ISO 32000-1 algorithm 2 (R2..R4 file encryption key)."""
     r = enc.get("R", 2)
-    nbytes = max(5, min(16, int(enc.get("Length", 40)) // 8))
+    # R2 keys are always 40-bit whatever /Length claims (§7.6.3.3)
+    nbytes = 5 if r == 2 else max(
+        5, min(16, int(enc.get("Length", 40)) // 8))
     o = _as_bytes(enc.get("O", b""))[:32]
     p = int(enc.get("P", -1)) & 0xFFFFFFFF
     h = hashlib.md5()

@@ -342,3 +342,90 @@ def test_info_absent_and_broken():
     doc = PdfDocument(build_pdf([["x"]]))
     assert document_info(doc) == {}
     assert document_links(doc) == []
+
+
+# ---------------------------------------------------------------------
+# reader-only paths with no writer counterpart (hand-built files)
+
+class TestReaderOnlyPaths:
+    def test_tiff_predictor_2(self):
+        # horizontal differencing: rows of deltas accumulate
+        raw = bytes([10, 5, 5, 5]) + bytes([1, 1, 1, 1])
+        out = apply_filters(
+            zlib.compress(raw), Name("FlateDecode"),
+            {"Predictor": 2, "Columns": 4})
+        assert out == bytes([10, 15, 20, 25, 1, 2, 3, 4])
+
+    def test_incremental_update_overrides(self):
+        # append an update section replacing the content stream; the
+        # newest xref section (startxref target) must win
+        base = build_pdf([["old text line"]])
+        # find the content stream object number by parsing
+        doc = PdfDocument(base)
+        page = next(doc.pages())
+        ref = page["Contents"]
+        new_stream = (b"%d 0 obj\n<< /Length 44 >>\nstream\n"
+                      b"BT /F1 11 Tf 72 720 Td (new text wins) Tj ET"
+                      b"\nendstream\nendobj\n") % ref.num
+        at = len(base) + 1
+        upd = (b"\n" + new_stream
+               + b"xref\n%d 1\n%010d 00000 n \n" % (ref.num, at)
+               + b"trailer\n<< /Size 99 /Root 1 0 R /Prev %d >>\n"
+               b"startxref\n%d\n%%%%EOF\n"
+               % (base.rfind(b"xref"), at + len(new_stream)))
+        merged = base + upd
+        assert "new text wins" in document_text(merged)[0]
+        assert "old text" not in document_text(merged)[0]
+
+    def test_hybrid_xrefstm_bridge(self):
+        # classic table whose trailer carries /XRefStm pointing at a
+        # bridge xref stream that locates an extra object
+        extra = b"77 0 obj\n(bridged)\nendobj\n"
+        head = b"%PDF-1.4\n"
+        at_extra = len(head)
+        body = head + extra
+        # xref stream (object 78) with one entry for object 77
+        import zlib as _z
+        row = b"\x01" + at_extra.to_bytes(4, "big") + b"\x00\x00"
+        xs_body = _z.compress(row)
+        xs = (b"78 0 obj\n<< /Type /XRef /Size 79 /W [1 4 2] "
+              b"/Index [77 1] /Filter /FlateDecode /Length %d "
+              b"/Root 1 0 R >>\nstream\n" % len(xs_body)
+              ) + xs_body + b"\nendstream\nendobj\n"
+        at_xs = len(body)
+        body += xs
+        at_xref = len(body)
+        body += (b"xref\n0 1\n0000000000 65535 f \n"
+                 b"trailer\n<< /Size 79 /Root 1 0 R /XRefStm %d >>\n"
+                 b"startxref\n%d\n%%%%EOF\n" % (at_xs, at_xref))
+        doc = PdfDocument(body, strict=True)
+        assert doc.get(Ref(77, 0)) == b"bridged"
+
+    def test_macroman_differences(self):
+        from swishray.ops.pdfpage import Font
+
+        class FakeDoc:
+            def get(self, x):
+                return x
+
+            def stream_data(self, s):  # pragma: no cover
+                raise AssertionError
+
+        f = Font(FakeDoc(), {
+            "Subtype": Name("Type1"),
+            "Encoding": {"BaseEncoding": Name("MacRomanEncoding"),
+                         "Differences": [65, Name("eacute"),
+                                         Name("uni0042"),
+                                         67, Name("space")]}})
+        decoded = "".join(u for u, _w, _c in f.decode(b"ABC"))
+        assert decoded == "éB "
+        # MacRoman base survives outside the Differences range:
+        # 0xA5 is bullet in mac-roman
+        assert f.decode(b"\xa5")[0][0] == "•"
+
+    def test_rc4_40_ignores_bogus_length(self):
+        # R2 is always 40-bit whatever /Length claims
+        from swishray.ops.pdfcrypt import _alg2_file_key
+        k1 = _alg2_file_key({"R": 2, "O": b"o" * 32, "P": -1,
+                             "Length": 128}, b"id", b"")
+        assert len(k1) == 5
