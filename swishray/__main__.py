@@ -700,17 +700,23 @@ def cmd_pdf(args) -> int:
                 print(f"[{mode}: units={units} skipped={skipped} "
                       f"err={err}]", file=sys.stderr)
             return 0
-        from .ops.pdfcos import (PdfDocument, document_info,
-                                 document_links, pdf_info)
-        if args.mode == "inspect":
-            print(_json.dumps(pdf_info(blob), sort_keys=True))
-        elif args.mode == "info":
-            print(_json.dumps(document_info(PdfDocument(blob)),
-                              sort_keys=True, ensure_ascii=False))
-        else:  # links
-            doc = PdfDocument(blob)
-            for page, uri in document_links(doc):
-                print(f"{page}\t{uri}")
+        from .ops.pdfcos import (PdfDocument, PdfError,
+                                 document_info, document_links,
+                                 pdf_info)
+        try:
+            if args.mode == "inspect":
+                print(_json.dumps(pdf_info(blob), sort_keys=True))
+            elif args.mode == "info":
+                print(_json.dumps(document_info(PdfDocument(blob)),
+                                  sort_keys=True,
+                                  ensure_ascii=False))
+            else:  # links
+                doc = PdfDocument(blob)
+                for page, uri in document_links(doc):
+                    print(f"{page}\t{uri}")
+        except PdfError as e:
+            print(_json.dumps({"error": str(e)}), file=sys.stderr)
+            return 1
         return 0
     import ray
     _ray_init(args.num_cpus)

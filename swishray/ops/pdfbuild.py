@@ -91,8 +91,10 @@ def _encryptor(flavor: str, id0: bytes,
 
 
 def _esc(s: str) -> bytes:
+    # cp1252, matching the /WinAnsiEncoding the simple font declares
+    # (latin-1 would corrupt 0x80-0x9F characters like the em dash)
     return (s.replace("\\", "\\\\").replace("(", "\\(")
-            .replace(")", "\\)").encode("latin-1", "replace"))
+            .replace(")", "\\)").encode("cp1252", "replace"))
 
 
 def _content_simple(lines: list[str], use_tj: bool,
@@ -225,8 +227,12 @@ def build_pdf(pages: list[list[str]], *,
             b" /Encoding << /BaseEncoding /WinAnsiEncoding"
             b" /Differences [ 1 /e 2 /o ] >> >>")
     else:
+        # /Encoding is REQUIRED for byte fidelity: an encoding-less
+        # Type1 font reads back through StandardEncoding, which
+        # corrupts every non-ASCII latin byte
         objs[font_num] = (b"<< /Type /Font /Subtype /Type1"
-                          b" /BaseFont /Helvetica >>")
+                          b" /BaseFont /Helvetica"
+                          b" /Encoding /WinAnsiEncoding >>")
 
     # -- document info (UTF-16BE text strings exercise the reader's
     # text_string + string-decryption paths) ------------------------

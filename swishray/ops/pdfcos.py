@@ -406,24 +406,23 @@ def _predictor(data: bytes, parms: dict) -> bytes:
 
 
 def _flate(data: bytes, parms: dict) -> bytes:
-    d = zlib.decompressobj()
-    try:
-        out = d.decompress(data, MAX_STREAM_BYTES)
-    except zlib.error as e:
-        # real-crawl PDFs carry junk before/after the deflate body;
-        # retry once skipping leading garbage to the zlib header
-        for skip in (1, 2):
-            try:
-                out = zlib.decompressobj().decompress(
-                    data[skip:], MAX_STREAM_BYTES)
-                break
-            except zlib.error:
-                continue
-        else:
-            raise PdfError(f"flate: {e}") from None
-    if d.unconsumed_tail:
-        raise PdfError("flate output exceeds the stream safety cap")
-    return _predictor(out, parms)
+    # real-crawl PDFs carry junk before the deflate body; retry
+    # skipping 1-2 leading bytes (each attempt with ITS OWN
+    # decompressobj — the cap check must read the object that
+    # actually produced the output)
+    last: Exception | None = None
+    for skip in (0, 1, 2):
+        d = zlib.decompressobj()
+        try:
+            out = d.decompress(data[skip:], MAX_STREAM_BYTES)
+        except zlib.error as e:
+            last = e
+            continue
+        if d.unconsumed_tail:
+            raise PdfError(
+                "flate output exceeds the stream safety cap")
+        return _predictor(out, parms)
+    raise PdfError(f"flate: {last}") from None
 
 
 def _lzw(data: bytes, parms: dict) -> bytes:
@@ -445,6 +444,8 @@ def _lzw(data: bytes, parms: dict) -> bytes:
         while bits >= width:
             code = (acc >> (bits - width)) & ((1 << width) - 1)
             bits -= width
+            acc &= (1 << bits) - 1  # else acc grows into a bignum
+            # and decode goes quadratic (same mask as tiff.py's)
             if code == 256:
                 table = table[:258]
                 width = 9
@@ -568,6 +569,10 @@ def apply_filters(data: bytes, filters: Any, parms: Any) -> bytes:
         filters = [filters]
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # a short /DecodeParms array must not silently drop the
+        # trailing filters (zip would truncate)
+        parms = parms + [None] * (len(filters) - len(parms))
     for f, p in zip(filters, parms):
         fname = str(f)
         fn = _FILTERS.get(fname)
@@ -584,6 +589,9 @@ def apply_filters(data: bytes, filters: Any, parms: Any) -> bytes:
 
 _OBJ_HDR_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)", re.DOTALL)
+# one classic-xref row, tolerant of 19/21-byte variants: leading
+# whitespace absorbs the previous row's EOL whatever its length
+_XREF_ROW_RE = re.compile(rb"[ \r\n]*(\d{10})[ ]+(\d{5})[ ]+([nf])")
 
 
 class PdfDocument:
@@ -635,7 +643,16 @@ class PdfDocument:
             if not isinstance(enc_d, dict):
                 raise PdfError("bad /Encrypt")
             self._encrypt_ref = enc if isinstance(enc, Ref) else None
-            self._decryptor = StandardDecryptor(enc_d, id0, password)
+            try:
+                self._decryptor = StandardDecryptor(enc_d, id0,
+                                                    password)
+            except PdfError:
+                raise
+            except ValueError as e:
+                # "password required" / unsupported handler must ride
+                # the documented per-row error channel, not a bare
+                # ValueError that bypasses catch-PdfError callers
+                raise PdfError(str(e)) from None
 
     # -- xref ---------------------------------------------------------
     def _load_xref(self) -> None:
@@ -696,20 +713,18 @@ class PdfDocument:
                 raise PdfError("bad xref subsection header")
             first, count = int(m.group(1)), int(m.group(2))
             p.pos += m.end()
-            p.skip_ws()
-            # entries are fixed 20-byte records (10 off, 5 gen, f/n)
+            # entries are SPEC'D as fixed 20-byte records (10 off,
+            # 5 gen, f/n, 2-char EOL) but broken writers emit 19- or
+            # 21-byte rows; an anchored tolerant match realigns per
+            # row instead of assuming the stride
             for i in range(count):
-                rec = data[p.pos:p.pos + 20]
-                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", rec)
+                em = _XREF_ROW_RE.match(data, p.pos)
                 if not em:
                     raise PdfError("bad xref entry")
                 if em.group(3) == b"n":
                     self.xref.setdefault(
                         first + i, ("at", int(em.group(1))))
-                p.pos += 20
-                while (p.pos < len(data)
-                       and data[p.pos - 1] not in b"\r\n"):
-                    p.pos += 1  # tolerate 19/21-byte rows
+                p.pos = em.end()
 
     def _merge_xref_stream(self, st: Stream) -> None:
         d = st.dict
@@ -750,6 +765,29 @@ class PdfDocument:
         definitions win (incremental updates append)."""
         for m in _OBJ_HDR_RE.finditer(self.data):
             self.xref[int(m.group(1))] = ("at", m.start())
+        # xref-stream files have no literal trailer: their /Type
+        # /XRef dicts carry Root/Info/Encrypt/ID (§7.5.8.2), and
+        # their type-2 entries locate /ObjStm members the brute
+        # object scan cannot see.  Newest (largest offset) first so
+        # incremental updates win the setdefault.
+        xref_streams = sorted(
+            (loc[1] for loc in self.xref.values()
+             if loc[0] == "at"
+             and b"/XRef" in self.data[loc[1]:loc[1] + 600]),
+            reverse=True)
+        for off in xref_streams:
+            try:
+                _, st = self._parse_indirect_at(off)
+            except PdfError:
+                continue
+            if isinstance(st, Stream) and \
+                    st.dict.get("Type") == "XRef":
+                for k, v in st.dict.items():
+                    self.trailer.setdefault(k, v)
+                try:
+                    self._merge_xref_stream(st)
+                except PdfError:
+                    pass
         if "Root" not in self.trailer:
             # find a catalog among the objects
             for m in re.finditer(rb"trailer", self.data):

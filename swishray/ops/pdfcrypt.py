@@ -123,10 +123,19 @@ class AES:
         if len(key) not in (16, 24, 32):
             raise ValueError("bad AES key length")
         self._crk = _NATIVE.expand(key) if _NATIVE else None
+        self.nr = len(key) // 4 + 6
+        # the pure-Python schedule is only needed on the fallback
+        # path; computing it eagerly would double the per-object
+        # setup cost the C kernel exists to remove
+        self.rk = None if self._crk is not None \
+            else self._expand_py(key)
+
+    @staticmethod
+    def _expand_py(key: bytes) -> list[bytes]:
         nk = len(key) // 4
-        self.nr = nk + 6
+        nr = nk + 6
         w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
-        for i in range(nk, 4 * (self.nr + 1)):
+        for i in range(nk, 4 * (nr + 1)):
             t = list(w[i - 1])
             if i % nk == 0:
                 t = t[1:] + t[:1]
@@ -136,9 +145,9 @@ class AES:
                 t = [_SBOX[b] for b in t]
             w.append([w[i - nk][j] ^ t[j] for j in range(4)])
         # round keys as flat 16-byte blocks
-        self.rk = [bytes(b for word in w[4 * r:4 * r + 4]
-                         for b in word)
-                   for r in range(self.nr + 1)]
+        return [bytes(b for word in w[4 * r:4 * r + 4]
+                      for b in word)
+                for r in range(nr + 1)]
 
     # state is a flat 16-byte list in column-major order (FIPS-197
     # maps input bytes down columns)
@@ -444,13 +453,19 @@ class StandardDecryptor:
     def _decrypt(self, data: bytes, num: int, gen: int) -> bytes:
         if self.method == "NONE":
             return data
-        key = self._object_key(num, gen)
         if self.method == "AES":
             if len(data) < 16:
                 return b""
-            return _cbc_unpad(
-                AES(key).cbc_decrypt(data[16:], data[:16]))
-        return rc4(key, data)
+            if self.v == 5:
+                # the V5 key is file-constant: one AES schedule for
+                # the whole document, not one per object
+                aes = getattr(self, "_aes5", None)
+                if aes is None:
+                    aes = self._aes5 = AES(self.key)
+            else:
+                aes = AES(self._object_key(num, gen))
+            return _cbc_unpad(aes.cbc_decrypt(data[16:], data[:16]))
+        return rc4(self._object_key(num, gen), data)
 
     def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
         return self._decrypt(data, num, gen)

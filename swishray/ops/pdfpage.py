@@ -307,8 +307,7 @@ def _content_tokens(data: bytes):
         if p.pos >= n:
             return
         c = data[p.pos]
-        if c in _OBJ_START and not data.startswith(b"<<", p.pos) \
-                or data.startswith(b"<<", p.pos) or c == 0x3C:
+        if c in _OBJ_START:  # covers '<' (hex string AND '<<' dict)
             try:
                 yield ("obj", p.parse())
                 continue
@@ -502,9 +501,6 @@ def _run(doc: PdfDocument, content: bytes, resources: Any,
                     show(operands[-1])
             elif op == b'"':
                 if len(operands) >= 3:
-                    v = nums(3) if all(
-                        isinstance(x, (int, float))
-                        for x in operands[-3:-1]) else None
                     if isinstance(operands[-3], (int, float)):
                         tw = float(operands[-3])
                     if isinstance(operands[-2], (int, float)):

@@ -429,3 +429,77 @@ class TestReaderOnlyPaths:
         k1 = _alg2_file_key({"R": 2, "O": b"o" * 32, "P": -1,
                              "Length": 128}, b"id", b"")
         assert len(k1) == 5
+
+
+# ---------------------------------------------------------------------
+# review-findings regressions
+
+class TestReviewRegressions:
+    def test_flate_leading_junk_bytes(self):
+        # 1-2 junk bytes before the zlib header must recover (each
+        # retry with its own decompressobj)
+        data = b"pdf stream content " * 40
+        for junk in (b"\x00", b"\r\n"):
+            got = apply_filters(junk + zlib.compress(data),
+                                Name("FlateDecode"), None)
+            assert got == data
+
+    def test_lzw_linear_time(self):
+        import time
+        from swishray.ops.tiff import _tiff_lzw_encode
+        small = _tiff_lzw_encode(bytes(range(256)) * 64)
+        big = _tiff_lzw_encode(bytes(range(256)) * 1024)
+        t0 = time.perf_counter()
+        apply_filters(small, Name("LZWDecode"), None)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        apply_filters(big, Name("LZWDecode"), None)
+        t_big = time.perf_counter() - t0
+        # 16x the input must not cost >80x the time (quadratic acc
+        # growth showed ~200x here before the mask)
+        assert t_big < 80 * max(t_small, 1e-3)
+
+    def test_short_decodeparms_array(self):
+        data = b"chained twice"
+        enc = zlib.compress(data).hex().encode() + b">"
+        got = apply_filters(
+            enc, [Name("ASCIIHexDecode"), Name("FlateDecode")],
+            [None])  # shorter than /Filter: must still run both
+        assert got == data
+
+    def test_19_byte_xref_rows(self):
+        # single-EOL rows shift every subsequent record by one byte;
+        # the tolerant row match must still find all objects
+        pdf = build_pdf(PAGES)
+        head, xref = pdf.split(b"xref\n", 1)
+        xref = xref.replace(b" \n", b"\n")  # 20 -> 19 byte rows
+        fixed = head + b"xref\n" + xref
+        assert _text(fixed) == EXPECT
+
+    def test_non_ascii_simple_font_roundtrip(self):
+        pdf = build_pdf([["café naïve — em–dash €uro"]])
+        assert _text(pdf) == "café naïve — em–dash €uro"
+
+    def test_broken_startxref_encrypted_xref_stream(self):
+        # the rebuild path must recover /Encrypt from the /Type
+        # /XRef stream dict, or an encrypted file with a broken
+        # startxref silently extracts nothing
+        pdf = bytearray(build_pdf(PAGES, encrypt="rc4-128",
+                                  xref_stream=True))
+        at = pdf.rfind(b"startxref")
+        end = pdf.find(b"\n", at + 10)
+        pdf[at + 10:end] = b"9" * (end - at - 10)
+        assert _text(bytes(pdf)) == EXPECT
+
+    def test_password_required_is_pdferror(self):
+        from swishray.ops.pdfcos import pdf_info
+        pdf = bytearray(build_pdf(PAGES, encrypt="aes-256"))
+        # corrupt /U so the empty-password check fails
+        at = pdf.find(b"/U <")
+        pdf[at + 4:at + 12] = b"00000000"
+        with pytest.raises(PdfError):
+            PdfDocument(bytes(pdf))
+        # the no-decrypt structural probe still works
+        info = pdf_info(bytes(pdf))
+        assert info["encryption"] == "aes-256"
+        assert info["n_pages"] == 2
