@@ -691,9 +691,10 @@ def cmd_pdf(args) -> int:
     if args.file:
         import json as _json
         blob = open(args.file, "rb").read()
+        pw = args.password.encode("utf-8") if args.password else b""
         if args.mode == "text":
             from .ops.pdftext import pdf_extract
-            txt, mode, units, skipped, err = pdf_extract(blob)
+            txt, mode, units, skipped, err = pdf_extract(blob, pw)
             sys.stdout.write(txt + ("\n" if txt and
                                     not txt.endswith("\n") else ""))
             if err or skipped:
@@ -707,11 +708,12 @@ def cmd_pdf(args) -> int:
             if args.mode == "inspect":
                 print(_json.dumps(pdf_info(blob), sort_keys=True))
             elif args.mode == "info":
-                print(_json.dumps(document_info(PdfDocument(blob)),
+                print(_json.dumps(document_info(
+                    PdfDocument(blob, password=pw)),
                                   sort_keys=True,
                                   ensure_ascii=False))
             else:  # links
-                doc = PdfDocument(blob)
+                doc = PdfDocument(blob, password=pw)
                 for page, uri in document_links(doc):
                     print(f"{page}\t{uri}")
         except PdfError as e:
@@ -953,6 +955,8 @@ def main(argv=None) -> int:
                     choices=["text", "info", "links", "inspect"])
     pp.add_argument("--key", default="url")
     pp.add_argument("--col", default="pdf")
+    pp.add_argument("--password", default="",
+                    help="user or owner password (default empty)")
     pp.add_argument("--num-cpus", type=int, default=8)
     pp.set_defaults(fn=cmd_pdf)
 

@@ -76,18 +76,24 @@ def _encode_filters(data: bytes, filters: list[str]) -> bytes:
 _ENC_CACHE: dict[tuple, StandardEncryptor] = {}
 
 
-def _encryptor(flavor: str, id0: bytes,
-               seed: bytes) -> StandardEncryptor:
+def _encryptor(flavor: str, id0: bytes, seed: bytes,
+               user_password: bytes = b"") -> StandardEncryptor:
     """Key derivation (especially the AES-256 R6 iterated hash) costs
     tens of ms and depends only on (flavor, id0, seed) — cache it so
     per-document synthesis at corpus scale doesn't re-derive."""
-    key = (flavor, id0, seed)
+    key = (flavor, id0, seed, user_password)
     enc = _ENC_CACHE.get(key)
     if enc is None:
         if len(_ENC_CACHE) > 256:
             _ENC_CACHE.clear()
-        enc = _ENC_CACHE[key] = StandardEncryptor(flavor, id0, seed)
+        enc = _ENC_CACHE[key] = StandardEncryptor(
+            flavor, id0, seed, user_password=user_password)
     return enc
+
+
+def _xml_esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
 
 
 def _esc(s: str) -> bytes:
@@ -166,6 +172,8 @@ def build_pdf(pages: list[list[str]], *,
               two_column: bool = False,
               form_xobject: bool = False,
               info: dict | None = None,
+              xmp: dict | None = None,
+              user_password: bytes = b"",
               links: list[str] | None = None,
               seed: bytes = b"swishray-pdf") -> bytes:
     """Build a deterministic PDF showing ``pages`` (a list of pages,
@@ -178,7 +186,8 @@ def build_pdf(pages: list[list[str]], *,
         (len(pages), font, differences, tuple(filters), xref_stream,
          object_streams, encrypt, use_tj, two_column,
          form_xobject)).encode()).digest()
-    enc = _encryptor(encrypt, id0, seed) if encrypt else None
+    enc = _encryptor(encrypt, id0, seed,
+                     user_password=user_password) if encrypt else None
 
     objs: dict[int, bytes | tuple] = {}  # num -> body | (dict, raw)
     next_num = 1
@@ -305,7 +314,43 @@ def build_pdf(pages: list[list[str]], *,
     objs[pages_num] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
                        % (b" ".join(b"%d 0 R" % n for n in page_nums),
                           len(pages)))
-    objs[cat] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    meta_ref = b""
+    if xmp:
+        # XMP packet (/Root /Metadata): element form for dc:title
+        # (rdf:Alt/rdf:li), attribute form for the simple fields —
+        # both shapes real generators emit
+        xmp_num = alloc()
+        props = []
+        title = xmp.get("Title")
+        if title is not None:
+            props.append(
+                "<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">"
+                + _xml_esc(title) + "</rdf:li></rdf:Alt></dc:title>")
+        attrs = "".join(
+            ' %s="%s"' % (q, _xml_esc(str(v)))
+            for k, v, q in (
+                ("Author", xmp.get("Author"), "dc:creator"),
+                ("Producer", xmp.get("Producer"), "pdf:Producer"),
+                ("CreationDate", xmp.get("CreationDate"),
+                 "xmp:CreateDate"),
+            ) if v is not None)
+        packet = (
+            '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"'
+            '?>\n<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+            '<rdf:RDF xmlns:rdf='
+            '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+            '<rdf:Description rdf:about="" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+            'xmlns:pdf="http://ns.adobe.com/pdf/1.3/" '
+            'xmlns:xmp="http://ns.adobe.com/xap/1.0/"' + attrs +
+            '>\n' + "".join(props) + '\n</rdf:Description>\n'
+            '</rdf:RDF>\n</x:xmpmeta>\n<?xpacket end="w"?>'
+        ).encode("utf-8")
+        objs[xmp_num] = ("stream", packet,
+                         b" /Type /Metadata /Subtype /XML")
+        meta_ref = b" /Metadata %d 0 R" % xmp_num
+    objs[cat] = (b"<< /Type /Catalog /Pages %d 0 R%s >>"
+                 % (pages_num, meta_ref))
 
     encrypt_num = alloc() if enc else 0
 

@@ -44,7 +44,7 @@ from typing import Any, Iterator
 __all__ = [
     "Name", "Ref", "Stream", "PdfError", "PdfDocument",
     "parse_object", "apply_filters", "pdf_info", "text_string",
-    "document_info", "document_links",
+    "document_info", "document_links", "document_xmp",
 ]
 
 # a structured stream larger than this is a bomb, not a page
@@ -1098,19 +1098,22 @@ _INFO_KEYS = ("Title", "Author", "Subject", "Keywords",
               "Creator", "Producer", "CreationDate", "ModDate")
 
 
-def document_info(doc: PdfDocument) -> dict:
+def document_info(doc: PdfDocument,
+                  xmp_fallback: bool = True) -> dict:
     """The /Info dictionary (document properties — the analog of the
     reference's PropertyName capture for HTML <meta>), decoded to
     text.  Missing keys are absent; a missing /Info is an empty
     dict.  Strings pass through the security handler, so encrypted
-    files yield cleartext properties."""
+    files yield cleartext properties.  With ``xmp_fallback`` (the
+    default), keys absent from /Info fill in from the XMP metadata
+    packet — modern generators often write Title ONLY there."""
     out: dict = {}
     try:
         info = doc.get(doc.trailer.get("Info"))
     except PdfError:
-        return out
+        info = None
     if not isinstance(info, dict):
-        return out
+        info = {}  # fall through: XMP may still carry properties
     for k in _INFO_KEYS:
         v = info.get(k)
         if isinstance(v, Ref):
@@ -1122,6 +1125,9 @@ def document_info(doc: PdfDocument) -> dict:
             out[k] = text_string(v)
         elif isinstance(v, str):
             out[k] = str(v)
+    if xmp_fallback and len(out) < len(_INFO_KEYS):
+        for k, v in document_xmp(doc).items():
+            out.setdefault(k, v)
     return out
 
 
@@ -1166,4 +1172,69 @@ def document_links(doc: PdfDocument, max_links: int = 10_000) -> list:
                     out.append((pageno, u))
                     if len(out) >= max_links:
                         return out
+    return out
+
+
+def document_xmp(doc: PdfDocument) -> dict:
+    """Properties from the XMP metadata packet (/Root /Metadata, an
+    XML stream — XMP Part 1 / ISO 16684): modern generators often
+    put Title/Author ONLY here, with no /Info at all.  Parsed with
+    stdlib ElementTree; both element form (dc:title/rdf:Alt/rdf:li)
+    and attribute form on rdf:Description are read.  Returns the
+    same key names as :func:`document_info`."""
+    try:
+        root = doc.get(doc.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return {}
+        md = doc.get(root.get("Metadata"))
+        if not isinstance(md, Stream):
+            return {}
+        data = doc.stream_data(md)
+    except PdfError:
+        return {}
+    import xml.etree.ElementTree as ET
+    # the packet wrapper (<?xpacket ...?>) and padding are legal XML
+    # noise; find the rdf:RDF element and parse just that
+    at = data.find(b"<rdf:RDF")
+    end = data.find(b"</rdf:RDF>")
+    if at < 0 or end < 0:
+        return {}
+    try:
+        tree = ET.fromstring(data[at:end + 10])
+    except ET.ParseError:
+        return {}
+    ns = {
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "dc": "http://purl.org/dc/elements/1.1/",
+        "xmp": "http://ns.adobe.com/xap/1.0/",
+        "pdf": "http://ns.adobe.com/pdf/1.3/",
+    }
+    fields = {
+        "Title": "dc:title", "Author": "dc:creator",
+        "Subject": "dc:description", "Keywords": "pdf:Keywords",
+        "Producer": "pdf:Producer", "Creator": "xmp:CreatorTool",
+        "CreationDate": "xmp:CreateDate", "ModDate": "xmp:ModifyDate",
+    }
+    out: dict = {}
+    for desc in tree.iter(
+            "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+            "Description"):
+        for key, qname in fields.items():
+            if key in out:
+                continue
+            pfx, local = qname.split(":")
+            uri = ns[pfx]
+            # attribute form
+            v = desc.get("{%s}%s" % (uri, local))
+            if v:
+                out[key] = v
+                continue
+            el = desc.find("%s:%s" % (pfx, local), ns)
+            if el is None:
+                continue
+            # element form: first rdf:li under Alt/Seq/Bag, else text
+            li = el.find(".//rdf:li", ns)
+            text = (li.text if li is not None else el.text) or ""
+            if text.strip():
+                out[key] = text.strip()
     return out

@@ -307,8 +307,11 @@ def _cbc_unpad(data: bytes) -> bytes:
 # ---------------------------------------------------------------------
 # key derivation
 
-def _alg2_file_key(enc: dict, id0: bytes, pw: bytes) -> bytes:
-    """ISO 32000-1 algorithm 2 (R2..R4 file encryption key)."""
+def _alg2_file_key(enc: dict, id0: bytes, pw: bytes,
+                   pw_is_padded: bool = False) -> bytes:
+    """ISO 32000-1 algorithm 2 (R2..R4 file encryption key).
+    ``pw_is_padded``: the owner-password path (algorithm 7) recovers
+    the ALREADY-padded user password from /O — feed it verbatim."""
     r = enc.get("R", 2)
     # R2 keys are always 40-bit whatever /Length claims (§7.6.3.3)
     nbytes = 5 if r == 2 else max(
@@ -316,7 +319,7 @@ def _alg2_file_key(enc: dict, id0: bytes, pw: bytes) -> bytes:
     o = _as_bytes(enc.get("O", b""))[:32]
     p = int(enc.get("P", -1)) & 0xFFFFFFFF
     h = hashlib.md5()
-    h.update(_pad_password(pw))
+    h.update(pw[:32] if pw_is_padded else _pad_password(pw))
     h.update(o)
     h.update(struct.pack("<I", p))
     h.update(id0)
@@ -390,19 +393,45 @@ class StandardDecryptor:
             self.key = self._v5_key(enc, password)
         else:
             self.key = _alg2_file_key(enc, id0, password)
-            if self.r >= 3:
-                # verify against /U (algorithm 6): first 16 bytes
-                u = _as_bytes(enc.get("U", b""))[:16]
-                h = hashlib.md5(_PAD + id0).digest()
-                test = rc4(self.key, h)
-                for i in range(1, 20):
-                    test = rc4(bytes(b ^ i for b in self.key), test)
-                if test[:16] != u and password == b"":
-                    raise ValueError("password required (U mismatch)")
-            elif self.r == 2:
-                u = _as_bytes(enc.get("U", b""))[:32]
-                if rc4(self.key, _PAD) != u and password == b"":
-                    raise ValueError("password required (U mismatch)")
+            if not self._check_u(enc, id0):
+                # not the user password: try it as the OWNER password
+                # (algorithm 7 — recover the padded user password
+                # from /O, then proceed as the user)
+                self.key = _alg2_file_key(
+                    enc, id0, self._owner_to_user(enc, password),
+                    pw_is_padded=True)
+                if not self._check_u(enc, id0):
+                    raise ValueError(
+                        "password required (U mismatch)")
+
+    def _check_u(self, enc: dict, id0: bytes) -> bool:
+        """Algorithms 6/4: does the current key reproduce /U?"""
+        if self.r >= 3:
+            u = _as_bytes(enc.get("U", b""))[:16]
+            test = rc4(self.key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                test = rc4(bytes(b ^ i for b in self.key), test)
+            return test[:16] == u
+        u = _as_bytes(enc.get("U", b""))[:32]
+        return rc4(self.key, _PAD) == u
+
+    def _owner_to_user(self, enc: dict, pw: bytes) -> bytes:
+        """Algorithm 7's decrypt half: /O under the owner-password
+        key yields the padded user password."""
+        nbytes = 5 if self.r == 2 else max(
+            5, min(16, int(enc.get("Length", 40)) // 8))
+        okey = hashlib.md5(_pad_password(pw)).digest()
+        if self.r >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey).digest()
+        okey = okey[:nbytes]
+        data = _as_bytes(enc.get("O", b""))[:32]
+        if self.r >= 3:
+            for i in range(19, -1, -1):
+                data = rc4(bytes(b ^ i for b in okey), data)
+        else:
+            data = rc4(okey, data)
+        return data
 
     # R6 key derivation costs ~25k AES blocks; files sharing the
     # same /Encrypt material (retries, mirrored crawl copies, the
@@ -485,12 +514,15 @@ class StandardEncryptor:
     built files are byte-deterministic."""
 
     def __init__(self, flavor: str, id0: bytes,
-                 seed: bytes = b"swishray") -> None:
+                 seed: bytes = b"swishray",
+                 user_password: bytes = b"",
+                 owner_password: bytes = b"owner") -> None:
         self.flavor = flavor
         self.id0 = id0
         self.rand = hashlib.sha256(
-            seed + b"|" + flavor.encode("ascii")).digest()
-        owner_pw, user_pw = b"owner", b""
+            seed + b"|" + flavor.encode("ascii")
+            + b"|" + user_password).digest()
+        owner_pw, user_pw = owner_password, user_password
         if flavor == "aes-256":
             self.v, self.r = 5, 6
             self.length = 256

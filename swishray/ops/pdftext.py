@@ -167,7 +167,8 @@ def pdf_text_from_bytes(data: bytes) -> tuple[str, int, int, str | None]:
     return txt, used, skipped, None
 
 
-def pdf_extract(data: bytes) -> tuple[str, str, int, int, str | None]:
+def pdf_extract(data: bytes, password: bytes = b""
+                ) -> tuple[str, str, int, int, str | None]:
     """Tiered extraction: the STRUCTURED reader first (pdfcos /
     pdfpage: real xref + object streams + fonts + ToUnicode +
     encryption), falling back to the syntactic scan above when the
@@ -178,7 +179,7 @@ def pdf_extract(data: bytes) -> tuple[str, str, int, int, str | None]:
     """
     from .pdfpage import document_text
     try:
-        txt, n_pages, n_skip = document_text(data)
+        txt, n_pages, n_skip = document_text(data, password)
         if txt.strip() or n_skip == 0:
             return txt, "structured", n_pages, n_skip, None
     except Exception:  # noqa: BLE001 — any structural failure

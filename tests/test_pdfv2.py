@@ -503,3 +503,52 @@ class TestReviewRegressions:
         info = pdf_info(bytes(pdf))
         assert info["encryption"] == "aes-256"
         assert info["n_pages"] == 2
+
+
+# ---------------------------------------------------------------------
+# XMP metadata + password-protected files
+
+class TestXmpAndPasswords:
+    XMP = {"Title": "XMP Tïtle — only", "Author": "Xavier",
+           "Producer": "swishray <1&2>"}
+
+    @pytest.mark.parametrize("kw", [
+        dict(), dict(encrypt="aes-128"), dict(object_streams=True)],
+        ids=["plain", "aes-128", "objstm"])
+    def test_xmp_roundtrip_and_fallback(self, kw):
+        from swishray.ops.pdfcos import document_info, document_xmp
+        pdf = build_pdf([["body"]], xmp=self.XMP, **kw)
+        doc = PdfDocument(pdf)
+        assert document_xmp(doc) == self.XMP
+        # no /Info: document_info falls back to the XMP packet
+        assert document_info(doc)["Title"] == self.XMP["Title"]
+
+    def test_info_wins_over_xmp(self):
+        from swishray.ops.pdfcos import document_info
+        pdf = build_pdf([["body"]], info={"Title": "Info wins"},
+                        xmp=self.XMP)
+        got = document_info(PdfDocument(pdf))
+        assert got["Title"] == "Info wins"
+        assert got["Author"] == "Xavier"  # filled from XMP
+
+    @pytest.mark.parametrize("flavor", ["rc4-40", "rc4-128",
+                                        "aes-128", "aes-256"])
+    def test_user_and_owner_passwords(self, flavor):
+        from swishray.ops.pdfpage import page_text
+        pdf = build_pdf([["secret text here"]], encrypt=flavor,
+                        user_password=b"s3cret")
+        for bad in (b"", b"wrong"):
+            with pytest.raises(PdfError):
+                PdfDocument(pdf, password=bad)
+        for good in (b"s3cret", b"owner"):  # algorithm 7 owner path
+            doc = PdfDocument(pdf, password=good)
+            assert page_text(doc, next(doc.pages())) == \
+                "secret text here"
+
+    def test_pdf_extract_password(self):
+        pdf = build_pdf([["locked"]], encrypt="aes-256",
+                        user_password=b"pw1")
+        txt, mode, *_ = pdf_extract(pdf, b"pw1")
+        assert (txt, mode) == ("locked", "structured")
+        txt, mode, *_ = pdf_extract(pdf)  # no password: scan tier
+        assert mode == "scan" and txt == ""
