@@ -1690,6 +1690,49 @@ def q_pdf_links(sf_dir: str):
                                 force_tasks=True)
 
 
+def q_pdf_outline(sf_dir: str):
+    """Bookmark-tree extraction (ops/pdfcos.document_outline): per
+    document a nested /Outlines tree (1 chapter per doc_id%3+1, one
+    section each) with a rotating encryption flavor, flattened to
+    (doc_id, position, depth, title) rows in reading order."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swishray.ops.pdfbuild import build_pdf
+    from swishray.ops.pdfcos import PdfDocument, document_outline
+    from swishray.util import map_batches_stateful
+
+    flavors = [None, "rc4-128", "aes-128", "aes-256"]
+
+    class Extract:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dids, poss, depths, titles = [], [], [], []
+            for i in t.column("doc_id").to_pylist():
+                i = int(i)
+                toc = []
+                for ch in range(1 + i % 3):
+                    toc.append((0, "Chapter %d of %d" % (ch, i)))
+                    toc.append((1, "Section %d.1" % ch))
+                pdf = build_pdf([["body %d" % i]], outline=toc,
+                                encrypt=flavors[i % 4])
+                got = document_outline(PdfDocument(pdf))
+                for pos, (d, title) in enumerate(got):
+                    dids.append(i)
+                    poss.append(pos)
+                    depths.append(d)
+                    titles.append(title)
+            return pa.table({
+                "doc_id": pa.array(dids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "depth": pa.array(depths, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return map_batches_stateful(ds, Extract, batch_format="pyarrow",
+                                force_tasks=True)
+
+
 def q_decode_webp(sf_dir: str):
     """REAL WebP-lossless decode: per document, encode a 16x8 RGB
     image (sample j = (doc_id*41 + j*7) % 256, alpha 255 — opaque, so
@@ -5038,7 +5081,7 @@ _DRIVER_LEAD = [
     "index_phrase", "index_facets", "index_topdocs", "index_upsert",
     # main-content / document transforms
     "main_content", "pdf_text", "pdf_text_structured",
-    "pdf_docinfo", "pdf_links",
+    "pdf_docinfo", "pdf_links", "pdf_outline",
     "tier_extract", "markdown_strip",
     # training-data filters
     "c4_clean", "gopher_quality", "robots_filter_join",
@@ -5251,6 +5294,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "pdf_inspect": q_pdf_inspect,
         "pdf_docinfo": q_pdf_docinfo,
         "pdf_links": q_pdf_links,
+        "pdf_outline": q_pdf_outline,
         "decode_webp": q_decode_webp,
         "decode_webp_lossy": q_decode_webp_lossy,
         "decode_mjpeg": q_decode_mjpeg,
@@ -5516,6 +5560,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'Doc ' || chr(8212) || ' ' || doc_id || "
             "' ' || chr(252) || 'n' || chr(239) || 'code' AS title, "
             "'author-' || (doc_id % 7) AS author FROM documents"),
+        # the flattened bookmark order is chapter ch at pos 2*ch,
+        # its section at 2*ch+1 — pure functions of doc_id
+        "pdf_outline": (
+            "SELECT d.doc_id, k.k AS pos, "
+            "CAST(k.k % 2 AS BIGINT) AS depth, "
+            "CASE WHEN k.k % 2 = 0 THEN 'Chapter ' || (k.k // 2) || "
+            "' of ' || d.doc_id "
+            "ELSE 'Section ' || (k.k // 2) || '.1' END AS title "
+            "FROM documents d, generate_series(0, 5) k(k) "
+            "WHERE k.k < 2 * (1 + d.doc_id % 3)"),
         "pdf_links": (
             "SELECT d.doc_id, k.k AS rank, "
             "'https://host' || (d.doc_id % 10) || '.example/p/' || "

@@ -175,6 +175,7 @@ def build_pdf(pages: list[list[str]], *,
               xmp: dict | None = None,
               user_password: bytes = b"",
               links: list[str] | None = None,
+              outline: list | None = None,
               seed: bytes = b"swishray-pdf") -> bytes:
     """Build a deterministic PDF showing ``pages`` (a list of pages,
     each a list of text lines).  Feature knobs mirror the reader's
@@ -314,6 +315,78 @@ def build_pdf(pages: list[list[str]], *,
     objs[pages_num] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
                        % (b" ".join(b"%d 0 R" % n for n in page_nums),
                           len(pages)))
+    outline_ref = b""
+    if outline:
+        # a flat sibling chain per depth, nested First/Last/Next/
+        # Prev/Parent links (§12.3.3); titles as UTF-16BE text
+        # strings so the decryption path runs
+        o_root = alloc()
+        item_nums = [alloc() for _ in outline]
+        outline_ref = b" /Outlines %d 0 R" % o_root
+
+        def _sib(idx):
+            # previous/next sibling at the SAME depth with no
+            # shallower node in between
+            d = outline[idx][0]
+            prv = nxt = 0
+            for j in range(idx - 1, -1, -1):
+                if outline[j][0] < d:
+                    break
+                if outline[j][0] == d:
+                    prv = item_nums[j]
+                    break
+            for j in range(idx + 1, len(outline)):
+                if outline[j][0] < d:
+                    break
+                if outline[j][0] == d:
+                    nxt = item_nums[j]
+                    break
+            return prv, nxt
+
+        def _parent(idx):
+            d = outline[idx][0]
+            for j in range(idx - 1, -1, -1):
+                if outline[j][0] < d:
+                    return item_nums[j]
+            return o_root
+
+        def _kids(idx):
+            d = outline[idx][0]
+            first = last = 0
+            for j in range(idx + 1, len(outline)):
+                if outline[j][0] <= d:
+                    break
+                if outline[j][0] == d + 1:
+                    if not first:
+                        first = item_nums[j]
+                    last = item_nums[j]
+            return first, last
+
+        top = [i for i, (d, _t) in enumerate(outline) if d == 0]
+        for i, (d, title) in enumerate(outline):
+            prv, nxt = _sib(i)
+            first, last = _kids(i)
+            body = b"<< /Title " + _strbytes(
+                b"\xfe\xff" + title.encode("utf-16-be"),
+                item_nums[i])
+            body += b" /Parent %d 0 R" % _parent(i)
+            if prv:
+                body += b" /Prev %d 0 R" % prv
+            if nxt:
+                body += b" /Next %d 0 R" % nxt
+            if first:
+                body += (b" /First %d 0 R /Last %d 0 R /Count %d"
+                         % (first, last, sum(
+                             1 for j in range(i + 1, len(outline))
+                             if outline[j][0] > d
+                             and not any(outline[k][0] <= d
+                                         for k in range(i + 1, j)))))
+            objs[item_nums[i]] = body + b" >>"
+        objs[o_root] = (b"<< /Type /Outlines /First %d 0 R"
+                        b" /Last %d 0 R /Count %d >>"
+                        % (item_nums[top[0]], item_nums[top[-1]],
+                           len(outline))) if top else b"<< >>"
+
     meta_ref = b""
     if xmp:
         # XMP packet (/Root /Metadata): element form for dc:title
@@ -349,8 +422,8 @@ def build_pdf(pages: list[list[str]], *,
         objs[xmp_num] = ("stream", packet,
                          b" /Type /Metadata /Subtype /XML")
         meta_ref = b" /Metadata %d 0 R" % xmp_num
-    objs[cat] = (b"<< /Type /Catalog /Pages %d 0 R%s >>"
-                 % (pages_num, meta_ref))
+    objs[cat] = (b"<< /Type /Catalog /Pages %d 0 R%s%s >>"
+                 % (pages_num, meta_ref, outline_ref))
 
     encrypt_num = alloc() if enc else 0
 

@@ -45,6 +45,7 @@ __all__ = [
     "Name", "Ref", "Stream", "PdfError", "PdfDocument",
     "parse_object", "apply_filters", "pdf_info", "text_string",
     "document_info", "document_links", "document_xmp",
+    "document_outline",
 ]
 
 # a structured stream larger than this is a bomb, not a page
@@ -1237,4 +1238,51 @@ def document_xmp(doc: PdfDocument) -> dict:
             text = (li.text if li is not None else el.text) or ""
             if text.strip():
                 out[key] = text.strip()
+    return out
+
+
+def document_outline(doc: PdfDocument, max_items: int = 10_000
+                     ) -> list:
+    """The bookmark tree (/Outlines, §12.3.3) flattened in reading
+    order: [(depth, title), ...].  Titles are text strings (so they
+    decrypt); cycles and malformed items are skipped.  Heading
+    structure is a useful document-quality signal at crawl scale."""
+    out: list = []
+    try:
+        root = doc.get(doc.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return out
+        outlines = doc.get(root.get("Outlines"))
+    except PdfError:
+        return out
+    if not isinstance(outlines, dict):
+        return out
+    seen: set = set()
+    stack = [(outlines.get("First"), 0)]
+    while stack and len(out) < max_items:
+        node, depth = stack.pop()
+        if node is None:
+            continue
+        key = node.num if isinstance(node, Ref) else id(node)
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            nd = doc.get(node)
+        except PdfError:
+            continue
+        if not isinstance(nd, dict):
+            continue
+        title = nd.get("Title")
+        if isinstance(title, Ref):
+            try:
+                title = doc.get(title)
+            except PdfError:
+                title = None
+        if isinstance(title, bytes):
+            out.append((depth, text_string(title)))
+        # siblings continue after this node's subtree: push Next
+        # first (LIFO), then the first child on top
+        stack.append((nd.get("Next"), depth))
+        stack.append((nd.get("First"), depth + 1))
     return out

@@ -552,3 +552,38 @@ class TestXmpAndPasswords:
         assert (txt, mode) == ("locked", "structured")
         txt, mode, *_ = pdf_extract(pdf)  # no password: scan tier
         assert mode == "scan" and txt == ""
+
+
+class TestOutline:
+    TOC = [(0, "Chapter 1"), (1, "Sec 1.1 — ünï"), (1, "Sec 1.2"),
+           (2, "Sub 1.2.1"), (0, "Chapter 2"), (1, "Sec 2.1")]
+
+    @pytest.mark.parametrize("kw", [
+        dict(), dict(encrypt="aes-256"), dict(object_streams=True)],
+        ids=["plain", "aes-256", "objstm"])
+    def test_outline_roundtrip(self, kw):
+        from swishray.ops.pdfcos import document_outline
+        pdf = build_pdf([["body"]], outline=self.TOC, **kw)
+        assert document_outline(PdfDocument(pdf)) == self.TOC
+
+    def test_outline_cycle_guarded(self):
+        from swishray.ops.pdfcos import document_outline
+        pdf = bytearray(build_pdf([["body"]],
+                                  outline=[(0, "A"), (0, "B")]))
+        # point B's /Next back at A: the seen-set must stop the walk
+        doc = PdfDocument(bytes(pdf))
+        root = doc.get(doc.trailer["Root"])
+        ol = doc.get(root["Outlines"])
+        first = ol["First"]
+        b_num = doc.get(first)["Next"].num
+        at = bytes(pdf).find(b"%d 0 obj" % b_num)
+        end = bytes(pdf).find(b">>", at)
+        patched = (bytes(pdf)[:end]
+                   + b" /Next %d 0 R " % first.num
+                   + bytes(pdf)[end:])
+        got = document_outline(PdfDocument(patched))
+        assert got == [(0, "A"), (0, "B")]
+
+    def test_no_outline(self):
+        from swishray.ops.pdfcos import document_outline
+        assert document_outline(PdfDocument(build_pdf([["x"]]))) == []
