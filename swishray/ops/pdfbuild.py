@@ -6,7 +6,8 @@ encodings, Type0/Identity-H composite fonts with ToUnicode CMaps,
 filter chains (Flate, LZW, ASCIIHex, ASCII85, RunLength), positioned
 text (Tm / TJ kerning / two-column layout), form XObjects, and the
 standard security handler flavors (RC4-40/128, AES-128, AES-256) with
-an empty user password.
+empty or real user passwords, /Info dictionaries and XMP metadata
+packets, URI link annotations, and nested /Outlines bookmark trees.
 
 No external PDF library exists in this container, so round-tripping
 through this writer IS the oracle strategy (the same pattern as the
