@@ -129,16 +129,23 @@ def pdf_text_from_bytes(data: bytes) -> tuple[str, int, int, str | None]:
                 body = body[:-2]
             elif body.endswith((b"\n", b"\r")):
                 body = body[:-1]
-        has_filter = b"/Filter" in d
-        if has_filter and b"/FlateDecode" in d:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
+        if b"/Filter" in d:
+            # the structured tier's filter set (pdfcos), fed the
+            # filter names found syntactically — the scan tier is
+            # for files whose OBJECT STRUCTURE is broken, which is
+            # independent of how their streams are encoded
+            from .pdfcos import apply_filters
+            names = [n.decode("latin-1") for n in re.findall(
+                rb"/(FlateDecode|Fl|LZWDecode|LZW|ASCIIHexDecode|"
+                rb"AHx|ASCII85Decode|A85|RunLengthDecode|RL)\b", d)]
+            if not names:  # image codec / crypt: not a text stream
                 skipped += 1
                 continue
-        elif has_filter:
-            skipped += 1
-            continue
+            try:
+                body = apply_filters(body, names, None)
+            except Exception:  # noqa: BLE001 — count-and-skip
+                skipped += 1
+                continue
         text_ops = list(_BT_RE.finditer(body))
         if not text_ops:
             continue

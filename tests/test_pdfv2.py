@@ -587,3 +587,29 @@ class TestOutline:
     def test_no_outline(self):
         from swishray.ops.pdfcos import document_outline
         assert document_outline(PdfDocument(build_pdf([["x"]]))) == []
+
+
+def test_scan_tier_full_filter_set():
+    """The syntactic fallback now decodes every non-image filter
+    (it was Flate-only), so structureless fragments with LZW/A85/RL
+    content streams still yield text; image-codec filters stay in
+    the skip count."""
+    from swishray.ops.pdfbuild import _encode_filters
+    from swishray.ops.pdftext import pdf_text_from_bytes
+    for filt, tag in (
+            (["LZWDecode"], b"/LZWDecode"),
+            (["ASCII85Decode"], b"/ASCII85Decode"),
+            (["RunLengthDecode"], b"/RunLengthDecode"),
+            (["ASCIIHexDecode", "FlateDecode"],
+             b"[/ASCIIHexDecode /FlateDecode]")):
+        content = b"BT /F1 11 Tf 72 720 Td (fragment text) Tj ET"
+        body = _encode_filters(content, filt)
+        blob = (b"%PDF-1.4\n5 0 obj\n<< /Length "
+                + str(len(body)).encode() + b" /Filter " + tag
+                + b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+        txt, used, sk, err = pdf_text_from_bytes(blob)
+        assert txt == "fragment text" and used == 1 and sk == 0
+    blob2 = (b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /DCTDecode"
+             b" >>\nstream\nabcd\nendstream\nendobj\n")
+    txt, used, sk, err = pdf_text_from_bytes(blob2)
+    assert sk == 1 and txt == ""
