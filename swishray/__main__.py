@@ -724,10 +724,54 @@ def cmd_pdf(args) -> int:
     _ray_init(args.num_cpus)
     import ray.data as rd
     ds = rd.read_parquet(args.table, columns=[args.key, args.col])
-    from .ops.pdftext import extract_pdf_text
-    out = extract_pdf_text(ds, pdf_col=args.col, key=args.key,
-                           concurrency=args.num_cpus - 1,
-                           mode="auto")
+    pw = args.password.encode("utf-8") if args.password else b""
+    if args.mode == "text":
+        from .ops.pdftext import extract_pdf_text
+        out = extract_pdf_text(ds, pdf_col=args.col, key=args.key,
+                               concurrency=args.num_cpus - 1,
+                               mode="auto", password=pw)
+    else:
+        # structural modes share one batch shape: per-row probe with
+        # the per-row error discipline of the extraction stages
+        import pyarrow as _pa
+
+        mode, keyc, colc = args.mode, args.key, args.col
+
+        def probe(batch: "_pa.Table") -> "_pa.Table":
+            import json as _j
+
+            from .ops.pdfcos import (PdfDocument, PdfError,
+                                     document_info, document_links,
+                                     pdf_info)
+            vals, errs = [], []
+            for body in batch.column(colc).to_pylist():
+                try:
+                    if body is None:
+                        raise PdfError("null_body")
+                    if mode == "inspect":
+                        vals.append(_j.dumps(pdf_info(body),
+                                             sort_keys=True))
+                    elif mode == "info":
+                        vals.append(_j.dumps(
+                            document_info(
+                                PdfDocument(body, password=pw)),
+                            sort_keys=True, ensure_ascii=False))
+                    else:  # links
+                        doc = PdfDocument(body, password=pw)
+                        vals.append(_j.dumps(
+                            [u for _p, u in document_links(doc)]))
+                    errs.append(None)
+                except Exception as ex:  # noqa: BLE001
+                    vals.append(None)
+                    errs.append(str(ex)[:200])
+            return _pa.table({
+                keyc: batch.column(keyc),
+                args.mode: _pa.array(vals, _pa.large_string()),
+                "error": _pa.array(errs, _pa.string()),
+            })
+
+        out = ds.map_batches(probe, batch_format="pyarrow",
+                             batch_size=32)
     out.write_parquet(args.out)
     ray.shutdown()
     return 0

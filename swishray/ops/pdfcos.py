@@ -727,7 +727,14 @@ class PdfDocument:
                         first + i, ("at", int(em.group(1))))
                 p.pos = em.end()
 
-    def _merge_xref_stream(self, st: Stream) -> None:
+    def _merge_xref_stream(self, st: Stream,
+                           objstm_wins: set | None = None) -> None:
+        """``objstm_wins`` (rebuild path): type-2 entries OVERRIDE
+        existing 'at' entries for objnums not already claimed by a
+        newer stream this pass — the brute object scan cannot see
+        inside /ObjStm, so a plain object it found may be the STALE
+        pre-update copy; if the plain copy were newer, the newest
+        xref stream would list it as type 1."""
         d = st.dict
         w = d.get("W")
         size = d.get("Size")
@@ -757,9 +764,19 @@ class PdfDocument:
                 pos += rec
                 objnum = first + i
                 if f1 == 1:
+                    if objstm_wins is not None:
+                        # claim it plain: an OLDER stream's type-2
+                        # must not override (the scan's offset stays
+                        # authoritative for plain objects)
+                        objstm_wins.add(objnum)
                     self.xref.setdefault(objnum, ("at", f2))
                 elif f1 == 2:
-                    self.xref.setdefault(objnum, ("in", f2, f3))
+                    if objstm_wins is not None and \
+                            objnum not in objstm_wins:
+                        objstm_wins.add(objnum)
+                        self.xref[objnum] = ("in", f2, f3)
+                    else:
+                        self.xref.setdefault(objnum, ("in", f2, f3))
 
     def _rebuild_xref(self) -> None:
         """Broken offsets: scan the whole file for ``N G obj``.  Later
@@ -776,6 +793,7 @@ class PdfDocument:
              if loc[0] == "at"
              and b"/XRef" in self.data[loc[1]:loc[1] + 600]),
             reverse=True)
+        objstm_wins: set = set()
         for off in xref_streams:
             try:
                 _, st = self._parse_indirect_at(off)
@@ -786,7 +804,7 @@ class PdfDocument:
                 for k, v in st.dict.items():
                     self.trailer.setdefault(k, v)
                 try:
-                    self._merge_xref_stream(st)
+                    self._merge_xref_stream(st, objstm_wins)
                 except PdfError:
                     pass
         if "Root" not in self.trailer:
@@ -1090,6 +1108,10 @@ def text_string(b: bytes) -> str:
     UTF-8 with BOM (PDF 2.0), else PDFDocEncoding (latin-1 base)."""
     if b.startswith(b"\xfe\xff"):
         return b[2:].decode("utf-16-be", "replace")
+    if b.startswith(b"\xff\xfe"):
+        # spec-violating but common from sloppy Windows generators;
+        # latin-1 fallthrough would yield NUL-riddled mojibake
+        return b[2:].decode("utf-16-le", "replace")
     if b.startswith(b"\xef\xbb\xbf"):
         return b[3:].decode("utf-8", "replace")
     return b.decode("latin-1", "replace")
@@ -1137,7 +1159,11 @@ def document_links(doc: PdfDocument, max_links: int = 10_000) -> list:
     the PDF contribution to the crawl link graph (ops/links.py does
     the HTML side).  -> [(page_index, uri), ...]."""
     out: list = []
-    for pageno, page in enumerate(doc.pages()):
+    try:
+        pages = list(doc.pages())
+    except PdfError:
+        return out  # per-row discipline, like info/outline siblings
+    for pageno, page in enumerate(pages):
         try:
             annots = doc.get(page.get("Annots"))
         except PdfError:

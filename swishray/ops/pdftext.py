@@ -204,10 +204,11 @@ class PdfTextExtract:
     font caches live inside the structured reader."""
 
     def __init__(self, pdf_col: str = "pdf", key: str = "url",
-                 mode: str = "scan") -> None:
+                 mode: str = "scan", password: bytes = b"") -> None:
         self.pdf_col = pdf_col
         self.key = key
         self.mode = mode
+        self.password = password
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         auto = self.mode == "auto"
@@ -224,7 +225,8 @@ class PdfTextExtract:
                 body = body.encode("latin-1", "replace")
             try:
                 if auto:
-                    txt, mode, used, skipped, err = pdf_extract(body)
+                    txt, mode, used, skipped, err = pdf_extract(
+                        body, self.password)
                 else:
                     txt, used, skipped, err = pdf_text_from_bytes(
                         body)
@@ -251,7 +253,8 @@ class PdfTextExtract:
 
 def extract_pdf_text(ds: Any, pdf_col: str = "pdf", key: str = "url",
                      concurrency=None, batch_size: int = 32,
-                     mode: str = "scan") -> Any:
+                     mode: str = "scan",
+                     password: bytes = b"") -> Any:
     """Dataset-level PDF text extraction.  Small default batch size:
     PDFs are large binary payloads (brief: size batches to the blob,
     not the row count).  ``mode="auto"`` runs the structured-first
@@ -260,7 +263,7 @@ def extract_pdf_text(ds: Any, pdf_col: str = "pdf", key: str = "url",
     return map_batches_stateful(
         ds, PdfTextExtract,
         fn_constructor_kwargs=dict(pdf_col=pdf_col, key=key,
-                                   mode=mode),
+                                   mode=mode, password=password),
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
 

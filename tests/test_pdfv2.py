@@ -613,3 +613,90 @@ def test_scan_tier_full_filter_set():
              b" >>\nstream\nabcd\nendstream\nendobj\n")
     txt, used, sk, err = pdf_text_from_bytes(blob2)
     assert sk == 1 and txt == ""
+
+
+class TestSecondReviewRegressions:
+    def test_rebuild_prefers_objstm_update(self):
+        """An incremental update that moved an object INTO an object
+        stream must win over the brute scan's stale plain copy when
+        the startxref is broken (the rebuild path)."""
+        import zlib as _z
+        from swishray.ops.pdfcos import document_info
+        base = build_pdf([["body"]], info={"Title": "OLD title"})
+        doc = PdfDocument(base)
+        num = doc.trailer["Info"].num
+        new_body = (b"<< /Title "
+                    b"<FEFF004E004500570020007400690074006C0065>"
+                    b" >>")
+        hdr = b"%d 0" % num
+        payload = hdr + b"\n" + new_body + b"\n"
+        objstm = (b"90 0 obj\n<< /Type /ObjStm /N 1 /First %d"
+                  b" /Length %d >>\nstream\n"
+                  % (len(hdr) + 1, len(payload))
+                  ) + payload + b"\nendstream\nendobj\n"
+        at_objstm = len(base) + 1
+        out = bytearray(base + b"\n" + objstm)
+        rows = (b"\x02" + (90).to_bytes(4, "big") + b"\x00\x00"
+                + b"\x01" + at_objstm.to_bytes(4, "big") + b"\x00\x00")
+        body = _z.compress(rows)
+        at_xs = len(out)
+        out += (b"91 0 obj\n<< /Type /XRef /Size 99 /W [1 4 2]"
+                b" /Index [%d 1 90 1] /Filter /FlateDecode"
+                b" /Length %d /Root 1 0 R /Info %d 0 R >>\nstream\n"
+                % (num, len(body), num)) + body \
+            + b"\nendstream\nendobj\n"
+        out += b"startxref\n%d\n%%%%EOF\n" % at_xs
+        good = bytes(out)
+        assert document_info(PdfDocument(good))["Title"] == \
+            "NEW title"
+        bad = bytearray(good)
+        at = bad.rfind(b"startxref")
+        end = bad.find(b"\n", at + 10)
+        bad[at + 10:end] = b"9" * (end - at - 10)
+        assert document_info(PdfDocument(bytes(bad)))["Title"] == \
+            "NEW title"
+
+    def test_utf16le_bom_text_string(self):
+        from swishray.ops.pdfcos import text_string
+        assert text_string(b"\xff\xfeH\x00i\x00") == "Hi"
+
+    def test_document_links_never_raises(self):
+        from swishray.ops.pdfcos import document_links
+        # trailer /Root points at an absent object: pages() raises
+        # "no catalog" — links must return [] like info/outline
+        pdf = (b"%PDF-1.4\n1 0 obj\n(x)\nendobj\n"
+               b"trailer << /Root 55 0 R >>\n")
+        assert document_links(PdfDocument(pdf)) == []
+
+    def test_cli_table_modes(self, ray_session, tmp_path):
+        import json
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from swishray.__main__ import main
+        pdfs = [build_pdf([["row %d" % i]],
+                          info={"Title": "T%d" % i},
+                          links=["https://x/%d" % i],
+                          encrypt="aes-128" if i % 2 else None)
+                for i in range(4)]
+        src = tmp_path / "in"
+        src.mkdir()
+        pq.write_table(
+            pa.table({"url": [f"u{i}" for i in range(4)],
+                      "pdf": pa.array(pdfs, pa.large_binary())}),
+            str(src / "part.parquet"))
+        for mode, check in (
+                ("info", lambda v, i: json.loads(v)["Title"]
+                 == "T%d" % i),
+                ("links", lambda v, i: json.loads(v)
+                 == ["https://x/%d" % i]),
+                ("inspect", lambda v, i: json.loads(v)["n_pages"]
+                 == 1)):
+            out = tmp_path / ("out_" + mode)
+            assert main(["pdf", "--table", str(src),
+                         "--out", str(out), "--mode", mode,
+                         "--num-cpus", "4"]) == 0
+            got = pq.read_table(str(out)).to_pylist()
+            got = {r["url"]: r for r in got}
+            for i in range(4):
+                assert check(got[f"u{i}"][mode], i), (mode, i)
+                assert got[f"u{i}"]["error"] is None

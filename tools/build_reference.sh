@@ -30,5 +30,5 @@ gcc $CFLAGS -o "$OUT/golden_dump" "$(dirname "$0")/golden_dump.c" $SRCS $LIBS
 gcc $CFLAGS -o "$OUT/scalar_dump" "$(dirname "$0")/scalar_dump.c" $SRCS $LIBS
 gcc $CFLAGS -o "$OUT/swish_isw" "$REF/src/swish_isw.c" $SRCS $LIBS
 gcc $CFLAGS -o "$OUT/token_dump" "$(dirname "$0")/token_dump.c" $SRCS $LIBS
-echo "built: $OUT/swish_lint $OUT/swish_tokenize $OUT/golden_dump $OUT/scalar_dump $OUT/swish_isw"
+echo "built: $OUT/swish_lint $OUT/swish_tokenize $OUT/golden_dump $OUT/scalar_dump $OUT/swish_isw $OUT/token_dump"
 echo "run goldens with LC_ALL=C.utf8 (authoritative locale on this container)"
