@@ -28,8 +28,11 @@ import sys
 
 
 
-def _ray_init(num_cpus) -> None:
-    """Start or join a Ray session for a CLI command.
+def _ray_init(num_cpus) -> bool:
+    """Start or join a Ray session for a CLI command; returns True
+    when THIS call started the session (the caller may then shut it
+    down — never shut down a session someone else owns, e.g. the
+    pytest fixture's or an embedding application's).
 
     Local runs (the default; RAY_ADDRESS unset or "local") start a
     capped local session. Under `ray job submit` / an existing
@@ -40,13 +43,14 @@ def _ray_init(num_cpus) -> None:
 
     import ray
     if ray.is_initialized():
-        return
+        return False
     addr = os.environ.get("RAY_ADDRESS", "local") or "local"
     if addr == "local":
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     else:
         ray.init(address=addr, logging_level="ERROR")
+    return True
 
 
 def cmd_lint(args) -> int:
@@ -254,7 +258,7 @@ def cmd_header(args) -> int:
 
 def cmd_extract(args) -> int:
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import ray.data as rd
     from .manifest import write_partitioned
     from .pipeline import extract_pages
@@ -282,7 +286,8 @@ def cmd_extract(args) -> int:
                                 num_buckets=args.num_buckets,
                                 resume=not args.no_resume)
     print(summary)
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -292,7 +297,7 @@ def cmd_index(args) -> int:
     (emit="full" token streams) -> segmented postings index. Re-running
     over changed pages upserts (newer segment shadows by url)."""
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import ray.data as rd
     from .index import build_index
     from .pipeline import extract_pages
@@ -328,7 +333,8 @@ def cmd_index(args) -> int:
                            prop_cols=props or None,
                            stemmer=args.stemmer)
     print(info)
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -336,11 +342,12 @@ def cmd_compact(args) -> int:
     """xapian-compact analog: merge all segments into one, resolving
     upsert shadowing and tombstones with a distributed join."""
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     from .index import compact_index
     print(compact_index(args.index, num_buckets=args.num_buckets,
                         delete_old=args.delete_old))
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -419,7 +426,7 @@ def cmd_pipeline(args) -> int:
     pair generation and boilerplate census are the only stages that
     need their own passes)."""
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -537,7 +544,8 @@ def cmd_pipeline(args) -> int:
         stages.append("index")
     summary["stages"] = stages
     print(summary)
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -563,7 +571,7 @@ def cmd_links(args) -> int:
     (links mode), the site-level graph rollup (graph mode), or
     PageRank over that graph (pagerank mode)."""
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import ray.data as rd
     from .manifest import write_partitioned
     from .ops.links import extract_links, link_graph, pagerank
@@ -583,7 +591,8 @@ def cmd_links(args) -> int:
         print(write_partitioned(out, args.out,
                                 num_buckets=args.num_buckets,
                                 key_col="url"))
-        ray.shutdown()
+        if _started_ray:
+            ray.shutdown()
         return 0
     links = extract_links(pages, html_col=args.html_col,
                           url_col=args.url_col, key=args.url_col,
@@ -605,7 +614,8 @@ def cmd_links(args) -> int:
                                 num_buckets=args.num_buckets,
                                 key_col=key)
     print(summary)
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -613,7 +623,7 @@ def cmd_profile(args) -> int:
     """Column profiler over a parquet input: rows/nulls/min/max per
     column plus a HyperLogLog distinct estimate."""
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import ray.data as rd
     from .ops.aggregates import profile
 
@@ -624,7 +634,8 @@ def cmd_profile(args) -> int:
               f"\tnulls={row['n_null']}\tmin={row['min']}"
               f"\tmax={row['max']}"
               f"\tdistinct~{row['n_distinct_est']}")
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -657,7 +668,7 @@ def cmd_media(args) -> int:
         print(_json.dumps(meta, sort_keys=True))
         return 0
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import ray.data as rd
     ds = rd.read_parquet(args.table, columns=[args.key, args.col])
     if args.mode == "inspect":
@@ -678,7 +689,8 @@ def cmd_media(args) -> int:
             ds, max_hamming=args.max_hamming, key=args.key,
             col=args.col, concurrency=args.num_cpus - 1)
     out.write_parquet(args.out)
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
@@ -721,7 +733,7 @@ def cmd_pdf(args) -> int:
             return 1
         return 0
     import ray
-    _ray_init(args.num_cpus)
+    _started_ray = _ray_init(args.num_cpus)
     import ray.data as rd
     ds = rd.read_parquet(args.table, columns=[args.key, args.col])
     pw = args.password.encode("utf-8") if args.password else b""
@@ -773,7 +785,8 @@ def cmd_pdf(args) -> int:
         out = ds.map_batches(probe, batch_format="pyarrow",
                              batch_size=32)
     out.write_parquet(args.out)
-    ray.shutdown()
+    if _started_ray:
+        ray.shutdown()
     return 0
 
 
